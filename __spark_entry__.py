@@ -1,10 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over :mod:`pipelinejobs_indexer_spark` — the registry collects
+every implemented query (SURVEY.md §2) together with its DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +10,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pipelinejobs_indexer_spark import registry
+from pipelinejobs_indexer_spark.session import tune
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's signature semantics — "index a job's outputs" — rendered
+    relationally (SURVEY.md §7.1): archive-file listing → regex filter (P2)
+    → provenance join to jobs (J2-shape) → per-job/state counts (A1) →
+    top-k (O2).
+    """
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.tables import archive_files, jobs
+
+    tune(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    af = archive_files(spark, sf_dir)
+    j = jobs(spark, sf_dir)
+    return (
+        af.filter(F.col("path").rlike(r"\.(bam|sam)$"))
+        .join(j.select("uuid", "state"), af.job_uuid == F.col("uuid"))
+        .groupBy("state")
+        .agg(
+            F.count("*").alias("files_indexed"),
+            F.sum("length").alias("bytes_indexed"),
+        )
+        .orderBy(F.desc("files_indexed"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.ORACLE)

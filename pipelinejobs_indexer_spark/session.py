@@ -1,0 +1,68 @@
+"""SparkSession factory and runtime tuning.
+
+Two entry paths:
+  * ``get_spark()`` — build our own local session (tests, bench).
+  * ``tune(spark)`` — apply the runtime-settable subset of our config to a
+    session we did NOT create (the correctness driver hands us its own
+    ``SparkSession``). Every query entry point calls this first.
+
+Scale notes (100 TB design point): the static configs below are local-mode
+only; on a real cluster the same code runs unchanged — AQE handles skew-join
+splitting and partition coalescing, shuffle partitions should be set to
+~2-3x total cores, and all small-dimension joins in this package are
+explicitly ``broadcast()`` hinted so they never shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable (SQLConf) knobs — safe to apply to a foreign session.
+_RUNTIME_CONFS = {
+    # The driver-generated events.parquet stores TIMESTAMP(NANOS) which the
+    # vectorized parquet reader rejects; read as long and convert (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin UTC so timestamp values hash identically to DuckDB's naive ts.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning, partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas-UDF / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to any session (ours or the driver's)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "pipelinejobs-indexer-spark") -> SparkSession:
+    cpus = default_parallelism()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

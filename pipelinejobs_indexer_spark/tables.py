@@ -1,0 +1,203 @@
+"""Parquet table loaders + reference-shaped fixture views.
+
+Base tables are the driver-generated TPC-H-ish parquet files
+(``TESTDATA.md``). Fixture views re-shape them into the reference's
+entities (shape citations: /root/reference/tests/data/init-job.json,
+/root/reference/schemas/index.jsonschema, /root/reference/reactor.py:162-167)
+so the [R]/[D] operators run on catalog-shaped data:
+
+    jobs           <- orders      (PipelineJob documents, init-job.json:1-143)
+    archive_files  <- lineitem    (indexed file records, reactor.py:162-167)
+    messages       <- events      (index/indexed commands, index.jsonschema:7-29)
+    job_events     <- events      (exploded history, init-job.json:37-141)
+
+Every derivation here has a byte-identical DuckDB mirror in ``oracle.py``;
+keep the two in lockstep. Derivations intentionally use only functions with
+exact cross-engine parity: sha256 hex, integer %, CASE, string concat,
+round-then-cast. No engine-specific hash(), no float truncation casts.
+
+Scale notes: all views are narrow projections + per-row expressions — they
+stay inside whole-stage codegen, add no shuffle, and inherit parquet
+column pruning (only the referenced base columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+BASE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Deterministic petname word lists (reference analog: petname dep,
+# requirements-dev.txt:10; exemplar "fond-bug" init-job.json:32).
+# Mirrored verbatim in oracle.py.
+PET_ADJ = ["fond", "quick", "brave", "calm", "eager", "gentle", "happy", "jolly"]
+PET_NOUN = ["bug", "fox", "owl", "crab", "newt", "lark", "moth"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one base table; normalizes the events nano-timestamp."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long nanos (see session._RUNTIME_CONFS); truncate to
+        # micros exactly like DuckDB's ts::TIMESTAMP (floor division).
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in BASE_TABLES}
+
+
+def _typed_uuid(prefix: str, col):
+    """Deterministic typed uuid: 3-digit type prefix + sha256 hex.
+
+    Reference analog: typed deterministic uuids where the prefix encodes the
+    entity type (107=job, 106=pipeline, 102=reference, 117=process, 105=file);
+    see init-job.json:3,26,29 and README.rst:34.
+    """
+    return F.concat(F.lit(prefix), F.sha2(col.cast("string"), 256))
+
+
+def jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineJob documents derived from orders (FIXTURES.md B1)."""
+    o = load_table(spark, sf_dir, "orders")
+    pipeline_uuid = F.concat(F.lit("106"), F.sha2(F.col("o_orderpriority"), 256))
+    uuid = _typed_uuid("107", F.col("o_orderkey"))
+    state = (
+        F.when(F.col("o_orderstatus") == "F", "FINISHED")
+        .when(F.col("o_orderstatus") == "O", "CREATED")
+        .otherwise("INDEXING")
+    )
+    last_event = (
+        F.when(F.col("o_orderstatus") == "F", "finish")
+        .when(F.col("o_orderstatus") == "O", "create")
+        .otherwise("run")
+    )
+    session_name = F.concat_ws(
+        "-",
+        F.element_at(F.array(*[F.lit(a) for a in PET_ADJ]), (F.col("o_orderkey") % 8 + 1).cast("int")),
+        F.element_at(F.array(*[F.lit(n) for n in PET_NOUN]), (F.col("o_orderkey") % 7 + 1).cast("int")),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("job_key"),
+        uuid.alias("uuid"),
+        pipeline_uuid.alias("pipeline_uuid"),
+        state.alias("state"),
+        last_event.alias("last_event"),
+        F.lit("data-products-storage").alias("archive_system"),
+        F.concat(F.lit("/products/v2/"), uuid).alias("archive_path"),
+        F.col("o_orderdate").alias("updated"),
+        session_name.alias("session"),
+        F.array(_typed_uuid("102", F.col("o_custkey"))).alias("derived_from"),
+        F.array(_typed_uuid("117", F.col("o_orderkey"))).alias("generated_by"),
+        F.array(pipeline_uuid).alias("child_of"),
+        F.col("o_custkey").alias("owner_key"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed file records derived from lineitem (FIXTURES.md B2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    job_uuid = _typed_uuid("107", F.col("l_orderkey"))
+    ext = (
+        F.when(F.col("l_partkey") % 4 == 0, "bam")
+        .when(F.col("l_partkey") % 4 == 1, "sam")
+        .when(F.col("l_partkey") % 4 == 2, "txt")
+        .otherwise("tsv")
+    )
+    mime = (
+        F.when(ext == "bam", "application/octet-stream")
+        .when(ext == "tsv", "text/tab-separated-values")
+        .otherwise("text/plain")
+    )
+    file_uuid = F.concat(
+        F.lit("105"),
+        F.sha2(
+            F.concat_ws(":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+            256,
+        ),
+    )
+    return li.select(
+        file_uuid.alias("file_uuid"),
+        job_uuid.alias("job_uuid"),
+        F.concat(
+            F.lit("/products/v2/"),
+            job_uuid,
+            F.lit("/"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("."),
+            ext,
+        ).alias("path"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("length"),
+        ext.alias("ext"),
+        mime.alias("mime"),
+        ((F.col("l_suppkey") % 3) + 1).cast("string").alias("level"),
+        F.col("l_shipdate").alias("modified"),
+        F.col("l_orderkey").alias("job_key"),
+        F.col("l_linenumber").alias("file_seq"),
+    )
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index/indexed command stream derived from events (FIXTURES.md B3).
+
+    event_type 'error' maps to an invalid action name so schema-dispatch
+    (P6, reactor.py:66-84) has a reject path to exercise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    name = (
+        F.when(F.col("event_type").isin("signup", "click"), "index")
+        .when(F.col("event_type").isin("view", "purchase"), "indexed")
+        .otherwise("bogus")
+    )
+    patterns = F.when(
+        F.col("event_id") % 2 == 0,
+        F.array(F.lit(r"\.bam$"), F.lit(r"\.sam$")),
+    ).otherwise(F.array(F.lit(r"\.txt$"), F.lit(r"\.tsv$")))
+    return ev.select(
+        F.col("event_id").alias("msg_id"),
+        _typed_uuid("107", F.col("user_id")).alias("uuid"),
+        name.alias("name"),
+        ((F.col("event_id") % 3) + 1).cast("string").alias("level"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 16).alias("token"),
+        F.col("ts"),
+        patterns.alias("patterns"),
+        F.col("user_id").alias("job_key"),
+    )
+
+
+def job_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded per-job history time-series (FIXTURES.md B4)."""
+    ev = load_table(spark, sf_dir, "events")
+    name = (
+        F.when(F.col("event_id") % 3 == 0, "create")
+        .when(F.col("event_id") % 3 == 1, "run")
+        .otherwise("finish")
+    )
+    return ev.select(
+        F.col("event_id").alias("event_seq"),
+        _typed_uuid("107", F.col("user_id")).alias("job_uuid"),
+        F.col("ts").alias("date"),
+        name.alias("name"),
+        F.col("props").alias("data"),
+        F.col("value"),
+        F.col("user_id").alias("job_key"),
+    )

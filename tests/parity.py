@@ -1,0 +1,54 @@
+"""Differential-comparison helper mirroring the driver's DuckDB oracle check:
+row count + column names + order-insensitive canonical value comparison."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _canon_val(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_canon_val(x) for x in v) + "]"
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return "NaN"
+        return "%.12g" % v
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_val(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(_canon_val(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    s_rows = canon_rows(spark_pdf)
+    d_rows = canon_rows(duck_pdf)
+    if s_rows != d_rows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
