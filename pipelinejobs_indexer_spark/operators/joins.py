@@ -1,1 +1,278 @@
-"""Placeholder — populated in a later wave."""
+"""Join operators (SURVEY.md §2.3).
+
+J1 join_job_pipeline       — broadcast dim join (install_pipeline.py:22-23)
+J2 join_files_job_provenance — provenance array membership (reactor.py:166)
+J3 join_semi_validate_uuid — "must validate as a known job" (README.rst:34)
+J4 join_anti_orphans       — listed-but-not-indexed re-index set (config.yml:5-8)
+J5 join_self_provenance_hop — provenance DAG hop (init-job.json:2-4,36)
+J6 join_range_events_in_run — interval containment join (init-job.json:81-83)
+J7 join_asof_state         — latest state <= t (reactor.py:126-127,172-176)
+J8 join_outer_diff         — upsert change detection (jsondiff, requirements-dev.txt:6)
+
+Scale notes: J1 broadcasts the 5-row pipelines dim (no fact shuffle). J2/J3/
+J4 are key-equi joins — shuffle on the join key, AQE handles skewed hot jobs.
+J6 pairs the range predicate with a job_uuid equi key so Catalyst plans a
+sort-merge/hash join with a residual filter instead of a cartesian nested
+loop — the difference between O(n·m) and O(n+m) at 100 TB. J7 bounds the
+as-of window the same way (equi on uuid, window prune after).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import archive_files, job_events, jobs, messages, pipelines
+
+
+@register(
+    "join_job_pipeline",
+    sql=with_fixtures(
+        """SELECT j.uuid, j.state, p.pipeline_uuid, p.pipeline_name, p.pipeline_slug
+           FROM jobs j JOIN pipelines p ON j.pipeline_uuid = p.pipeline_uuid""",
+        "jobs",
+        "pipelines",
+    ),
+)
+def join_job_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: enrich each job with its pipeline definition.
+
+    The pipelines dim is tiny (one row per priority class) — explicit
+    ``broadcast()`` so the fact side never shuffles regardless of
+    autoBroadcastJoinThreshold.
+    """
+    j = jobs(spark, sf_dir)
+    p = pipelines(spark, sf_dir)
+    return j.join(F.broadcast(p), "pipeline_uuid").select(
+        "uuid", "state", "pipeline_uuid", "pipeline_name", "pipeline_slug"
+    )
+
+
+@register(
+    "join_files_job_provenance",
+    sql=with_fixtures(
+        """SELECT f.file_uuid, f.path, j.uuid AS job_uuid, j.state
+           FROM (SELECT file_uuid, path, unnest(generated_by) AS proc FROM archive_files) f
+           JOIN (SELECT uuid, state, unnest(generated_by) AS proc FROM jobs) j
+             ON f.proc = j.proc""",
+        "archive_files",
+        "jobs",
+    ),
+)
+def join_files_job_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: attach indexed file records to their producing job via the
+    generated_by provenance arrays (reactor.py:162-167 sets
+    generated_by=[process_uuid] on every indexed record).
+
+    Explode both arrays to process uuids, then equi-join — Catalyst plans a
+    shuffle join on the exploded key; the filter/join pushes through the
+    generate node.
+    """
+    f = archive_files(spark, sf_dir).select(
+        "file_uuid", "path", F.explode("generated_by").alias("proc")
+    )
+    j = jobs(spark, sf_dir).select(
+        F.col("uuid"), "state", F.explode("generated_by").alias("proc")
+    )
+    return f.join(j, "proc").select(
+        "file_uuid", "path", F.col("uuid").alias("job_uuid"), "state"
+    )
+
+
+@register(
+    "join_semi_validate_uuid",
+    sql=with_fixtures(
+        """SELECT msg_id, uuid, name FROM messages
+           WHERE uuid IN (SELECT uuid FROM jobs)""",
+        "messages",
+        "jobs",
+    ),
+)
+def join_semi_validate_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: keep only messages whose uuid is a known job — "uuid ... must
+    validate as a known job" (README.rst:34). Left-semi join: no row
+    multiplication, job columns never materialize."""
+    m = messages(spark, sf_dir)
+    j = jobs(spark, sf_dir)
+    return m.join(j, "uuid", "left_semi").select("msg_id", "uuid", "name")
+
+
+@register(
+    "join_anti_orphans",
+    sql=with_fixtures(
+        """SELECT file_uuid, path FROM archive_files
+           WHERE path NOT IN (SELECT path FROM archive_files WHERE file_seq % 2 = 0)""",
+        "archive_files",
+    ),
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: archive files listed but not yet indexed (re-index support for
+    "large batches of re-indexing jobs", config.yml:5-8). Left-anti join of
+    the listing against the already-indexed set."""
+    listed = archive_files(spark, sf_dir)
+    indexed = listed.filter(F.col("file_seq") % 2 == 0).select("path")
+    return listed.join(indexed, "path", "left_anti").select("file_uuid", "path")
+
+
+@register(
+    "join_self_provenance_hop",
+    sql=with_fixtures(
+        """SELECT a.uuid AS src_uuid, b.uuid AS dst_uuid, a.derived_from[1] AS via_ref
+           FROM jobs a JOIN jobs b
+             ON a.derived_from[1] = b.derived_from[1] AND a.uuid < b.uuid""",
+        "jobs",
+    ),
+)
+def join_self_provenance_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: one provenance hop — sibling jobs derived from the same upstream
+    reference (derived_from edges, init-job.json:2-4). Self equi-join on the
+    edge endpoint with a tie-break inequality; k-hop traversal iterates this
+    join driver-side (Spark has no recursive CTE)."""
+    j = jobs(spark, sf_dir).select(
+        "uuid", F.element_at("derived_from", 1).alias("ref")
+    )
+    a, b = j.alias("a"), j.alias("b")
+    return (
+        a.join(b, (F.col("a.ref") == F.col("b.ref")) & (F.col("a.uuid") < F.col("b.uuid")))
+        .select(
+            F.col("a.uuid").alias("src_uuid"),
+            F.col("b.uuid").alias("dst_uuid"),
+            F.col("a.ref").alias("via_ref"),
+        )
+    )
+
+
+@register(
+    "join_range_events_in_run",
+    sql=with_fixtures(
+        """SELECT r.event_seq AS run_id, e.event_seq, e.job_uuid, e.name
+           FROM job_events e
+           JOIN (SELECT job_uuid, event_seq, date AS run_start,
+                        date + to_hours(2) AS run_end
+                 FROM job_events WHERE name = 'create') r
+             ON e.job_uuid = r.job_uuid
+            AND e.date >= r.run_start AND e.date <= r.run_end""",
+        "job_events",
+    ),
+)
+def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval-containment join — associate events with the run whose
+    [start, start+2h] window contains them (run bounds analog:
+    init-job.json:81-83 submitTime/endTime).
+
+    The range predicate rides on a job_uuid equi key, so Catalyst plans a
+    hash/sort-merge join with a residual range filter — never a cartesian
+    nested loop. At 100 TB add time-bucket keys to tighten the equi side.
+    """
+    ev = job_events(spark, sf_dir)
+    e = ev.alias("e")
+    runs = (
+        ev.filter(F.col("name") == "create")
+        .select(
+            F.col("job_uuid"),
+            F.col("event_seq").alias("run_id"),
+            F.col("date").alias("run_start"),
+            (F.col("date") + F.expr("INTERVAL 2 HOURS")).alias("run_end"),
+        )
+        .alias("r")
+    )
+    return (
+        e.join(
+            runs,
+            (F.col("e.job_uuid") == F.col("r.job_uuid"))
+            & (F.col("e.date") >= F.col("r.run_start"))
+            & (F.col("e.date") <= F.col("r.run_end")),
+        )
+        .select(
+            F.col("r.run_id"),
+            F.col("e.event_seq"),
+            F.col("e.job_uuid"),
+            F.col("e.name"),
+        )
+    )
+
+
+@register(
+    "join_asof_state",
+    sql=with_fixtures(
+        """SELECT msg_id, uuid, state_at, state_date FROM (
+             SELECT m.msg_id, m.uuid, e.name AS state_at, e.date AS state_date,
+                    row_number() OVER (PARTITION BY m.msg_id
+                                       ORDER BY e.date DESC, e.event_seq DESC) AS rn
+             FROM messages m
+             JOIN job_events e ON e.job_uuid = m.uuid AND e.date <= m.ts
+           ) WHERE rn = 1""",
+        "messages",
+        "job_events",
+    ),
+)
+def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — the job's state at message time is the latest
+    history entry with date <= ts (reference reads store.state/last_event
+    before acting, reactor.py:126-127,172-176).
+
+    Spark has no native ASOF: equi-join on uuid bounds the candidates, a
+    per-message window keeps the latest. Deterministic tie-break on
+    event_seq so both engines pick the same row.
+    """
+    m = messages(spark, sf_dir)
+    e = job_events(spark, sf_dir)
+    joined = m.join(e, (e.job_uuid == m.uuid) & (e.date <= m.ts)).select(
+        m.msg_id, m.uuid, e.name.alias("state_at"), e.date.alias("state_date"),
+        e.event_seq,
+    )
+    w = Window.partitionBy("msg_id").orderBy(F.desc("state_date"), F.desc("event_seq"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("msg_id", "uuid", "state_at", "state_date")
+    )
+
+
+_J8_NEW_SQL = """
+SELECT uuid, CASE WHEN job_key % 5 = 0 THEN 'FINISHED' ELSE state END AS state,
+       session
+FROM jobs WHERE job_key % 7 <> 0
+"""
+
+
+@register(
+    "join_outer_diff",
+    sql=with_fixtures(
+        f"""SELECT coalesce(o.uuid, n.uuid) AS uuid,
+                  CASE WHEN o.uuid IS NULL THEN 'added'
+                       WHEN n.uuid IS NULL THEN 'removed'
+                       WHEN o.state <> n.state THEN 'modified'
+                       ELSE 'unchanged' END AS change,
+                  o.state AS state_old, n.state AS state_new
+           FROM jobs o FULL OUTER JOIN ({_J8_NEW_SQL}) n ON o.uuid = n.uuid""",
+        "jobs",
+    ),
+)
+def join_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: diff old vs new document versions on upsert (the reference's
+    store layer tracks diffs via jsondiff, requirements-dev.txt:6).
+    Full-outer join on the document key + per-column comparison flags."""
+    old = jobs(spark, sf_dir)
+    new = (
+        old.filter(F.col("job_key") % 7 != 0)
+        .select(
+            "uuid",
+            F.when(F.col("job_key") % 5 == 0, "FINISHED").otherwise(F.col("state")).alias("state"),
+            "session",
+        )
+    )
+    o = old.select(F.col("uuid").alias("o_uuid"), F.col("state").alias("state_old"))
+    n = new.select(F.col("uuid").alias("n_uuid"), F.col("state").alias("state_new"))
+    return o.join(n, o.o_uuid == n.n_uuid, "full_outer").select(
+        F.coalesce("o_uuid", "n_uuid").alias("uuid"),
+        F.when(F.col("o_uuid").isNull(), "added")
+        .when(F.col("n_uuid").isNull(), "removed")
+        .when(F.col("state_old") != F.col("state_new"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+        "state_old",
+        "state_new",
+    )

@@ -54,9 +54,18 @@ SELECT
        ELSE 'text/plain' END AS mime,
   CAST((l_suppkey % 3) + 1 AS VARCHAR) AS level,
   l_shipdate AS modified,
+  ['117' || sha256(CAST(l_orderkey AS VARCHAR))] AS generated_by,
   l_orderkey AS job_key,
   l_linenumber AS file_seq
 FROM lineitem
+"""
+
+PIPELINES_SQL = """
+SELECT DISTINCT
+  '106' || sha256(o_orderpriority) AS pipeline_uuid,
+  o_orderpriority AS pipeline_name,
+  lower(regexp_replace(o_orderpriority, '[^a-zA-Z0-9]+', '-', 'g')) AS pipeline_slug
+FROM orders
 """
 
 MESSAGES_SQL = r"""
@@ -91,6 +100,7 @@ FIXTURE_CTES = {
     "archive_files": ARCHIVE_FILES_SQL,
     "messages": MESSAGES_SQL,
     "job_events": JOB_EVENTS_SQL,
+    "pipelines": PIPELINES_SQL,
 }
 
 

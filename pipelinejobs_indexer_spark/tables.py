@@ -113,6 +113,23 @@ def jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline definition dim derived from distinct order priorities.
+
+    Reference analog: pipeline documents upserted via PipelineStore
+    (tests/install_pipeline.py:22-23, config.yml:23-32). Tiny by
+    construction (5 rows) — always broadcast in joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("106"), F.sha2(F.col("o_orderpriority"), 256)).alias("pipeline_uuid"),
+        F.col("o_orderpriority").alias("pipeline_name"),
+        F.lower(F.regexp_replace(F.col("o_orderpriority"), "[^a-zA-Z0-9]+", "-")).alias(
+            "pipeline_slug"
+        ),
+    ).distinct()
+
+
 def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed file records derived from lineitem (FIXTURES.md B2)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -151,6 +168,7 @@ def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         mime.alias("mime"),
         ((F.col("l_suppkey") % 3) + 1).cast("string").alias("level"),
         F.col("l_shipdate").alias("modified"),
+        F.array(_typed_uuid("117", F.col("l_orderkey"))).alias("generated_by"),
         F.col("l_orderkey").alias("job_key"),
         F.col("l_linenumber").alias("file_seq"),
     )
