@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later wave."""
+"""Aggregation operators (SURVEY.md §2.4).
+
+A1 agg_count_indexed    — files per job (reactor.py:180-183 success metric)
+A2 agg_last_event       — latest event per job (reactor.py:127,176)
+A3 agg_state_rollup     — jobs per (pipeline, state) (init-job.json:25)
+A4 agg_grouping_sets    — multi-granularity rollup (README.rst:37 levels)
+A5 agg_distinct_entities — exact catalog cardinalities
+A6 agg_dedup_exact      — at-most-one-doc-per-uuid upsert semantics
+                          (install_pipeline.py:23)
+A7 agg_storage_stats    — bytes/counts per extension+level (uploads tree)
+agg_approx_distinct     — HLL cardinalities for the 100 TB path (rows-only)
+
+Scale notes: every groupBy here is a partial (map-side) + final hash
+aggregate — one shuffle of the already-reduced partials. A2 uses max_by on
+a monotone sequence key instead of a sort. approx_count_distinct replaces
+exact distinct at 100 TB: HLL sketches merge associatively, so cardinality
+costs one narrow shuffle of fixed-size sketches instead of a full
+re-shuffle of the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import archive_files, job_events, jobs, messages
+
+
+@register(
+    "agg_count_indexed",
+    sql=with_fixtures(
+        """SELECT job_uuid, count(*) AS files_indexed, sum(length) AS bytes_indexed
+           FROM archive_files GROUP BY job_uuid""",
+        "archive_files",
+    ),
+)
+def agg_count_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: files indexed per job — the reactor's own success metric
+    ("Indexed {} files to PipelineJob {}", reactor.py:180-183)."""
+    return (
+        archive_files(spark, sf_dir)
+        .groupBy("job_uuid")
+        .agg(
+            F.count("*").alias("files_indexed"),
+            F.sum("length").alias("bytes_indexed"),
+        )
+    )
+
+
+@register(
+    "agg_last_event",
+    sql=with_fixtures(
+        """SELECT job_uuid, arg_max(name, event_seq) AS last_event,
+                  max(event_seq) AS last_seq
+           FROM job_events GROUP BY job_uuid""",
+        "job_events",
+    ),
+)
+def agg_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: latest event per job (store.last_event, reactor.py:127,176).
+
+    max_by over the monotone sequence key — deterministic argmax without a
+    sort or window, one hash aggregate.
+    """
+    return (
+        job_events(spark, sf_dir)
+        .groupBy("job_uuid")
+        .agg(
+            F.max_by("name", "event_seq").alias("last_event"),
+            F.max("event_seq").alias("last_seq"),
+        )
+    )
+
+
+@register(
+    "agg_state_rollup",
+    sql=with_fixtures(
+        """SELECT pipeline_uuid, state, count(*) AS n_jobs
+           FROM jobs GROUP BY pipeline_uuid, state""",
+        "jobs",
+    ),
+)
+def agg_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: jobs per (pipeline, state) — monitoring / batch re-index
+    selection (states init-job.json:25; ensemble mode config.yml:5-8)."""
+    return (
+        jobs(spark, sf_dir)
+        .groupBy("pipeline_uuid", "state")
+        .agg(F.count("*").alias("n_jobs"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    sql=with_fixtures(
+        """SELECT pipeline_uuid, state, count(*) AS n_jobs
+           FROM jobs GROUP BY ROLLUP (pipeline_uuid, state)""",
+        "jobs",
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the same rollup at every granularity — (pipeline, state),
+    (pipeline), () — in one pass (catalog dashboard shape)."""
+    return (
+        jobs(spark, sf_dir)
+        .rollup("pipeline_uuid", "state")
+        .agg(F.count("*").alias("n_jobs"))
+    )
+
+
+@register(
+    "agg_distinct_entities",
+    sql=with_fixtures(
+        """SELECT count(DISTINCT job_uuid) AS n_jobs,
+                  count(DISTINCT ext) AS n_exts,
+                  count(DISTINCT level) AS n_levels,
+                  count(*) AS n_files
+           FROM archive_files""",
+        "archive_files",
+    ),
+)
+def agg_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact catalog cardinalities (distinct uuid keyspace,
+    init-job.json:26-36). See agg_approx_distinct for the sketch-based
+    100 TB variant."""
+    return archive_files(spark, sf_dir).agg(
+        F.countDistinct("job_uuid").alias("n_jobs"),
+        F.countDistinct("ext").alias("n_exts"),
+        F.countDistinct("level").alias("n_levels"),
+        F.count("*").alias("n_files"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates have no exact oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b [X]: HyperLogLog++ cardinalities — the scale path. Sketches are
+    fixed-size and merge associatively: one narrow shuffle regardless of
+    key cardinality."""
+    return archive_files(spark, sf_dir).agg(
+        F.approx_count_distinct("job_uuid", 0.01).alias("n_jobs_approx"),
+        F.approx_count_distinct("file_uuid", 0.01).alias("n_files_approx"),
+        F.approx_count_distinct("path", 0.01).alias("n_paths_approx"),
+    )
+
+
+@register(
+    "agg_dedup_exact",
+    sql=with_fixtures(
+        """SELECT uuid, name, min(msg_id) AS first_msg_id, count(*) AS n_deliveries
+           FROM messages GROUP BY uuid, name""",
+        "messages",
+    ),
+)
+def agg_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: at-most-one record per (uuid, action) — the idempotent-upsert
+    invariant under at-least-once delivery (retryMaxAttempts=10,
+    reactor.py:208; add_update_document, install_pipeline.py:23).
+    Deterministic keep-first via min, with the duplicate count exposed."""
+    return (
+        messages(spark, sf_dir)
+        .groupBy("uuid", "name")
+        .agg(
+            F.min("msg_id").alias("first_msg_id"),
+            F.count("*").alias("n_deliveries"),
+        )
+    )
+
+
+@register(
+    "agg_storage_stats",
+    sql=with_fixtures(
+        """SELECT ext, level, count(*) AS n_files,
+                  sum(length) AS total_bytes,
+                  round(avg(length), 2) AS avg_bytes
+           FROM archive_files GROUP BY ext, level""",
+        "archive_files",
+    ),
+)
+def agg_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: storage metadata rollup per extension and processing level
+    (fixture-tree byte accounting, tests/store/uploads/)."""
+    return (
+        archive_files(spark, sf_dir)
+        .groupBy("ext", "level")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            F.round(F.avg("length"), 2).alias("avg_bytes"),
+        )
+    )

@@ -1,1 +1,109 @@
-"""Placeholder — populated in a later wave."""
+"""Window-function operators (SURVEY.md §2.5).
+
+W1 win_latest_history   — rank history per job, pick latest (reactor.py:127)
+W2 win_transition_pairs — event→predecessor pairing, per-state durations
+                          (create→run→finish, init-job.json:59,99,139)
+W3 win_running_counts   — cumulative activity per job over time
+
+Scale notes: all three windows partition by job_uuid — one shuffle on the
+same key, and Catalyst collapses adjacent windows with identical
+partitioning/ordering into a single sort+window pass. No global windows
+here (sorts.py O1 documents that tradeoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import job_events
+
+_W_ORDER = "ORDER BY date, event_seq"
+
+
+@register(
+    "win_latest_history",
+    sql=with_fixtures(
+        """SELECT job_uuid, date, name FROM (
+             SELECT job_uuid, date, name,
+                    row_number() OVER (PARTITION BY job_uuid
+                                       ORDER BY date DESC, event_seq DESC) AS rn
+             FROM job_events) WHERE rn = 1""",
+        "job_events",
+    ),
+)
+def win_latest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest history entry per job via ranking (the history array is
+    consumed latest-first, init-job.json:37-141; store.last_event
+    reactor.py:127). Deterministic tie-break on event_seq."""
+    w = Window.partitionBy("job_uuid").orderBy(F.desc("date"), F.desc("event_seq"))
+    return (
+        job_events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("job_uuid", "date", "name")
+    )
+
+
+@register(
+    "win_transition_pairs",
+    sql=with_fixtures(
+        f"""SELECT job_uuid, event_seq, name,
+                  lag(name) OVER (PARTITION BY job_uuid {_W_ORDER}) AS prev_name,
+                  round(CAST(epoch_us(date - lag(date) OVER (PARTITION BY job_uuid {_W_ORDER}))
+                        AS DOUBLE) / 1000000.0, 6) AS gap_sec
+           FROM job_events""",
+        "job_events",
+    ),
+)
+def win_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: pair each event with its predecessor — transition edges and
+    per-state dwell time (the create→run→finish sequence,
+    init-job.json:59,99,139)."""
+    w = Window.partitionBy("job_uuid").orderBy("date", "event_seq")
+    prev_date = F.lag("date").over(w)
+    return job_events(spark, sf_dir).select(
+        "job_uuid",
+        "event_seq",
+        "name",
+        F.lag("name").over(w).alias("prev_name"),
+        F.round(
+            (
+                F.unix_micros(F.col("date").cast("timestamp"))
+                - F.unix_micros(prev_date.cast("timestamp"))
+            )
+            / 1000000.0,
+            6,
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "win_running_counts",
+    sql=with_fixtures(
+        f"""SELECT job_uuid, event_seq,
+                  count(*) OVER (PARTITION BY job_uuid {_W_ORDER}
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+                  round(sum(value) OVER (PARTITION BY job_uuid {_W_ORDER}
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           FROM job_events""",
+        "job_events",
+    ),
+)
+def win_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative events and value per job over time (incremental
+    indexing / re-index batch accounting, config.yml:5-8). Explicit
+    rows-frame so the accumulation order is pinned on both engines."""
+    w = (
+        Window.partitionBy("job_uuid")
+        .orderBy("date", "event_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return job_events(spark, sf_dir).select(
+        "job_uuid",
+        "event_seq",
+        F.count("*").over(w).alias("running_n"),
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
