@@ -105,6 +105,13 @@ FIXTURE_CTES = {
 
 
 def with_fixtures(sql: str, *views: str) -> str:
-    """Wrap *sql* in a WITH clause defining the named fixture views."""
+    """Wrap *sql* in a WITH clause defining the named fixture views.
+
+    If *sql* already starts with its own WITH clause, the CTE lists are
+    merged (SQL allows only one WITH per query level).
+    """
     ctes = ", ".join(f"{v} AS ({FIXTURE_CTES[v]})" for v in views)
+    stripped = sql.lstrip()
+    if stripped.upper().startswith("WITH"):
+        return f"WITH {ctes}, {stripped[4:].lstrip()}"
     return f"WITH {ctes} {sql}"

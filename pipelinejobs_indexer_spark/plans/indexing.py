@@ -1,1 +1,128 @@
-"""Placeholder — populated in a later wave."""
+"""The batch indexing pipeline — the reference's main path (§3.1) as one
+declarative DataFrame DAG.
+
+Reference flow (reactor.py:52-220): message arrives → schema dispatch →
+param cascade → uuid must be a known job → list archive_path → regex +
+level filters → metadata-enriched records upserted with provenance →
+per-job counts logged → 'indexed' event emitted. One message = one
+container there; here the whole message batch is ONE Spark job:
+
+    messages → P6 validate → J3 semi-join jobs → J2 join files
+             → P2/P3 filter → A1/A7 summarize
+
+Scale notes: the only shuffles are the semi-join on uuid and the final
+per-job aggregate — both on the same key, so Catalyst reuses the
+partitioning. Filters sit directly on scan columns (pushed to parquet).
+At 100 TB: bucket archive_files by job_uuid to co-locate the join, and the
+whole pipeline stays a two-stage job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import archive_files, jobs, messages
+
+
+@register(
+    "pipeline_index_job",
+    sql=with_fixtures(
+        r"""WITH valid_msgs AS (
+             SELECT DISTINCT uuid FROM messages
+             WHERE name = 'index' AND regexp_matches(token, '^[0-9a-f]{16}$')
+           ),
+           target_jobs AS (
+             SELECT uuid, state FROM jobs WHERE uuid IN (SELECT uuid FROM valid_msgs)
+           ),
+           selected AS (
+             SELECT f.job_uuid, f.length, f.ext, j.state
+             FROM archive_files f JOIN target_jobs j ON f.job_uuid = j.uuid
+             WHERE (regexp_matches(f.path, '\.bam$') OR regexp_matches(f.path, '\.sam$'))
+               AND f.level IN ('1', '2')
+           )
+           SELECT job_uuid, state,
+                  count(*) AS files_indexed,
+                  sum(length) AS bytes_indexed,
+                  count(DISTINCT ext) AS n_exts
+           FROM selected GROUP BY job_uuid, state""",
+        "messages",
+        "jobs",
+        "archive_files",
+    ),
+)
+def pipeline_index_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index path: validated 'index' messages select the jobs
+    to (re-)index; their archive files are filtered by the message's regex
+    patterns and processing level, and the indexed-record summary per job
+    is produced — the relational rendering of reactor.py:90-183."""
+    m = messages(spark, sf_dir)
+    j = jobs(spark, sf_dir)
+    f = archive_files(spark, sf_dir)
+
+    valid_msgs = (
+        m.filter((F.col("name") == "index") & F.col("token").rlike("^[0-9a-f]{16}$"))
+        .select("uuid")
+        .distinct()
+    )
+    target_jobs = j.join(valid_msgs, "uuid", "left_semi").select("uuid", "state")
+    selected = (
+        f.join(target_jobs, f.job_uuid == target_jobs.uuid)
+        .filter(
+            (F.col("path").rlike(r"\.bam$") | F.col("path").rlike(r"\.sam$"))
+            & F.col("level").isin("1", "2")
+        )
+        .select("job_uuid", "length", "ext", "state")
+    )
+    return selected.groupBy("job_uuid", "state").agg(
+        F.count("*").alias("files_indexed"),
+        F.sum("length").alias("bytes_indexed"),
+        F.countDistinct("ext").alias("n_exts"),
+    )
+
+
+@register(
+    "pipeline_reindex_batch",
+    sql=with_fixtures(
+        """WITH indexed AS (
+             SELECT job_uuid, count(*) AS n FROM archive_files
+             WHERE file_seq % 2 = 0 GROUP BY job_uuid
+           ),
+           listed AS (
+             SELECT job_uuid, count(*) AS n FROM archive_files GROUP BY job_uuid
+           )
+           SELECT l.job_uuid,
+                  l.n AS files_listed,
+                  coalesce(i.n, 0) AS files_indexed,
+                  l.n - coalesce(i.n, 0) AS files_missing
+           FROM listed l LEFT JOIN indexed i ON l.job_uuid = i.job_uuid
+           WHERE l.n - coalesce(i.n, 0) > 0""",
+        "archive_files",
+    ),
+)
+def pipeline_reindex_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone re-index selector ("large batches of re-indexing
+    jobs", config.yml:5-8): per job, compare the live listing against the
+    already-indexed set and keep jobs with missing files — the work queue
+    for a batch re-index run."""
+    f = archive_files(spark, sf_dir)
+    listed = f.groupBy("job_uuid").agg(F.count("*").alias("files_listed"))
+    indexed = (
+        f.filter(F.col("file_seq") % 2 == 0)
+        .groupBy("job_uuid")
+        .agg(F.count("*").alias("n_indexed"))
+    )
+    return (
+        listed.join(indexed, "job_uuid", "left")
+        .select(
+            "job_uuid",
+            "files_listed",
+            F.coalesce("n_indexed", F.lit(0)).alias("files_indexed"),
+            (F.col("files_listed") - F.coalesce("n_indexed", F.lit(0))).alias(
+                "files_missing"
+            ),
+        )
+        .filter(F.col("files_missing") > 0)
+    )

@@ -1,1 +1,123 @@
-"""Placeholder — populated in a later wave."""
+"""S4: catalog upsert / MERGE on plain Parquet (SURVEY.md §4.3.1).
+
+Reference semantics: ``add_update_document`` — insert-or-update keyed on
+uuid, idempotent under message redelivery (tests/install_pipeline.py:22-23;
+retryMaxAttempts=10 reactor.py:208). Vanilla Parquet has no MERGE, so the
+engine provides it as a library composition:
+
+    merged = latest_wins(old ∪ new, key, version)
+
+written back with dynamic partition overwrite so only touched partitions
+commit (the commit unit; concurrent writers are serialized upstream exactly
+like the reference's message queue serializes store writes).
+
+Scale notes: the union is shuffle-free; latest-wins is one hash aggregate
+on the document key. Partitioning the catalog by a stable hash bucket of
+the key means a re-index batch overwrites only the buckets it touched —
+at 100 TB the merge cost is proportional to the delta, not the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import jobs
+
+N_BUCKETS = 64  # catalog partition buckets (pmod of key hash)
+
+
+def latest_wins(old: DataFrame, new: DataFrame, key: list[str], version: str) -> DataFrame:
+    """Merge two document snapshots keeping, per key, the row with the
+    highest *version*. Ties go to `new` (its rows carry the higher
+    source_rank). One union + one hash aggregate — no window, no sort."""
+    tagged = old.withColumn("_src", F.lit(0)).unionByName(
+        new.withColumn("_src", F.lit(1))
+    )
+    value_cols = [c for c in old.columns if c not in key]
+    payload = F.struct(
+        F.col(version).alias("_v"),
+        F.col("_src").alias("_s"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_doc"),
+    )
+    return (
+        tagged.groupBy(*key)
+        .agg(F.max(payload).alias("_m"))
+        .select(*key, "_m._doc.*")
+    )
+
+
+def write_catalog(df: DataFrame, path: str, key: str = "uuid") -> None:
+    """Write a catalog snapshot partitioned by key hash-bucket, with
+    dynamic partition overwrite as the commit unit."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_catalog(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("bucket")
+
+
+@register(
+    "sink_catalog_upsert",
+    sql=with_fixtures(
+        """WITH old AS (SELECT uuid, state, session, 1 AS version FROM jobs),
+                new AS (SELECT uuid, 'FINISHED' AS state, session, 2 AS version
+                        FROM jobs WHERE job_key % 3 = 0)
+           SELECT uuid,
+                  arg_max(state, version) AS state,
+                  arg_max(session, version) AS session,
+                  max(version) AS version
+           FROM (SELECT * FROM old UNION ALL SELECT * FROM new)
+           GROUP BY uuid""",
+        "jobs",
+    ),
+)
+def sink_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a query: apply an update batch (every third job transitions to
+    FINISHED at version 2) over the catalog snapshot; latest version wins
+    per uuid. The write path (bucketed dynamic-partition overwrite) is
+    exercised in tests/test_upsert.py including the apply-twice ≡
+    apply-once idempotency property."""
+    j = jobs(spark, sf_dir)
+    old = j.select("uuid", "state", "session", F.lit(1).alias("version"))
+    new = (
+        j.filter(F.col("job_key") % 3 == 0)
+        .select("uuid", F.lit("FINISHED").alias("state"), "session", F.lit(2).alias("version"))
+    )
+    return latest_wins(old, new, key=["uuid"], version="version").select(
+        "uuid", "state", "session", "version"
+    )
+
+
+@register(
+    "sink_event_emit",
+    sql=with_fixtures(
+        """SELECT uuid, 'indexed' AS name,
+                  substr(sha256('emit:' || uuid), 1, 16) AS token,
+                  last_event, state
+           FROM jobs WHERE state = 'FINISHED'""",
+        "jobs",
+    ),
+)
+def sink_event_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the outbox — downstream 'indexed' event messages for every job
+    whose indexing completed (forward_event + send_message with retry,
+    reactor.py:28-49,185-213). Batch shape: append rows to an outbox
+    table; the streaming twin is streaming/queries.py stream_event_forward."""
+    j = jobs(spark, sf_dir)
+    return j.filter(F.col("state") == "FINISHED").select(
+        "uuid",
+        F.lit("indexed").alias("name"),
+        F.substring(F.sha2(F.concat(F.lit("emit:"), F.col("uuid")), 256), 1, 16).alias("token"),
+        "last_event",
+        "state",
+    )
