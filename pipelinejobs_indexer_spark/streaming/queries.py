@@ -1,1 +1,248 @@
-"""Placeholder — populated in a later wave."""
+"""Streaming operators T1-T7 (SURVEY.md §2.9), replayed deterministically
+for the driver contract (availableNow → memory sink → batch DataFrame).
+
+T1 stream_ingest_dedupe  — at-least-once delivery dedupe (reactor.py:40-42,208)
+T2 stream_tumbling_counts — events per state per fixed window
+T3 stream_sliding_rates  — moving throughput windows (reactor.py:182-183)
+T4 stream_session_windows — session grouping (init-job.json:32)
+T5 stream_fsm_state      — the job state machine (fsm.py)
+T6 stream_late_data      — watermark semantics: late windows held back
+T7 stream_event_forward  — foreachBatch outbox (config.yml:2-3 gates)
+
+Where the replay is deterministic the query still carries a DuckDB oracle
+(T1/T2/T3/T4/T7) — streaming and batch must agree on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from .core import events_stream, run_to_batch
+from .fsm import fsm_apply
+
+# Streaming views mirror the batch fixture derivations (tables.messages /
+# tables.job_events) so the DuckDB CTEs oracle them unchanged.
+
+
+def _messages_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    name = (
+        F.when(F.col("event_type").isin("signup", "click"), "index")
+        .when(F.col("event_type").isin("view", "purchase"), "indexed")
+        .otherwise("bogus")
+    )
+    return ev.select(
+        F.col("event_id").alias("msg_id"),
+        F.concat(F.lit("107"), F.sha2(F.col("user_id").cast("string"), 256)).alias("uuid"),
+        name.alias("name"),
+        F.col("ts"),
+        F.col("user_id").alias("job_key"),
+    )
+
+
+def _job_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    name = (
+        F.when(F.col("event_id") % 3 == 0, "create")
+        .when(F.col("event_id") % 3 == 1, "run")
+        .otherwise("finish")
+    )
+    return ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.concat(F.lit("107"), F.sha2(F.col("user_id").cast("string"), 256)).alias("job_uuid"),
+        F.col("ts").alias("date"),
+        name.alias("name"),
+        F.col("user_id").alias("job_key"),
+    )
+
+
+@register(
+    "stream_ingest_dedupe",
+    sql=with_fixtures(
+        """SELECT DISTINCT uuid, name FROM messages""",
+        "messages",
+    ),
+)
+def stream_ingest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: at-least-once delivery means redelivered messages must collapse
+    — watermarked dropDuplicates on the (uuid, action) identity
+    (retryMaxAttempts=10, reactor.py:40-42,208). Output restricted to the
+    key so the surviving-row choice can't differ between engines."""
+    m = _messages_stream(spark, sf_dir)
+    deduped = (
+        m.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["uuid", "name"])
+        .select("uuid", "name")
+    )
+    return run_to_batch(deduped, "append")
+
+
+@register(
+    "stream_tumbling_counts",
+    sql=with_fixtures(
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                  name, count(*) AS n
+           FROM messages GROUP BY 1, 2""",
+        "messages",
+    ),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: messages per action per 5-minute tumbling window (ops monitoring
+    over the event stream, config.yml:2-3). Complete mode: every window
+    emits, so the streaming result equals the batch group-by."""
+    m = _messages_stream(spark, sf_dir)
+    agg = m.groupBy(F.window("ts", "5 minutes"), "name").agg(F.count("*").alias("n"))
+    out = run_to_batch(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "name", "n"
+    )
+
+
+@register(
+    "stream_sliding_rates",
+    sql=with_fixtures(
+        """SELECT time_bucket(INTERVAL '1 minute', ts)
+                    - to_minutes(CAST(k AS INT)) AS window_start,
+                  count(*) AS n
+           FROM messages, unnest(generate_series(0, 9)) AS t(k)
+           GROUP BY 1""",
+        "messages",
+    ),
+)
+def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: moving indexing-throughput rate — 10-minute windows sliding by
+    1 minute (the reference logs per-run elapsed usec, reactor.py:182-183;
+    this is its fleet-level aggregate). Each event lands in 10 windows."""
+    m = _messages_stream(spark, sf_dir)
+    agg = m.groupBy(F.window("ts", "10 minutes", "1 minute")).agg(
+        F.count("*").alias("n")
+    )
+    out = run_to_batch(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+    )
+
+
+@register(
+    "stream_session_windows",
+    sql=with_fixtures(
+        """WITH flagged AS (
+             SELECT job_key, ts,
+                    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             FROM messages WINDOW w AS (PARTITION BY job_key ORDER BY ts, msg_id)
+           ),
+           numbered AS (
+             SELECT job_key, ts,
+                    sum(new_s) OVER (PARTITION BY job_key ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged
+           )
+           SELECT job_key, min(ts) AS session_start,
+                  max(ts) + INTERVAL '30 minutes' AS session_end,
+                  count(*) AS n_events
+           FROM numbered GROUP BY job_key, sid""",
+        "messages",
+    ),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: session windows — activity bursts per job separated by >30 min
+    gaps (jobs carry petname session tags, init-job.json:32). Native
+    session_window; the oracle is the classic gaps-and-islands SQL."""
+    m = _messages_stream(spark, sf_dir)
+    agg = m.groupBy(F.session_window("ts", "30 minutes"), "job_key").agg(
+        F.count("*").alias("n_events")
+    )
+    out = run_to_batch(agg, "complete")
+    return out.select(
+        "job_key",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@register("stream_fsm_state")  # custom stateful operator: rows-only check
+def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the job FSM via applyInPandasWithState (see fsm.py). Unit-level
+    semantics (late/duplicate/illegal transitions) are pinned by
+    tests/test_streaming.py with crafted replays."""
+    je = _job_events_stream(spark, sf_dir)
+    return run_to_batch(fsm_apply(je), "update")
+
+
+@register("stream_late_data")  # watermark tail behavior: rows-only check
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: append-mode watermarked aggregation — only windows the watermark
+    has passed emit; the tail stays in the state store (late rows older
+    than the watermark would be dropped to a dead-letter in production).
+    Deliberately NOT oracled: the held-back tail is the semantics."""
+    m = _messages_stream(spark, sf_dir)
+    agg = (
+        m.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "name")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_batch(agg, "append")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "name", "n"
+    )
+
+
+@register(
+    "stream_event_forward",
+    sql=with_fixtures(
+        """SELECT job_uuid AS uuid, 'FINISHED' AS state,
+                  substr(sha256('emit:' || job_uuid || ':' || CAST(event_seq AS VARCHAR)), 1, 16)
+                    AS token
+           FROM job_events WHERE name = 'finish'""",
+        "job_events",
+    ),
+)
+def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: conditional exit-event propagation via foreachBatch — the
+    reference forwards an event when a job exits a state (state_exit: true,
+    config.yml:2-3; forward_event reactor.py:28-49). Each micro-batch
+    appends its outbox rows exactly-once-per-epoch; here the collected
+    outbox is returned for inspection."""
+    je = _job_events_stream(spark, sf_dir)
+    exits = je.filter(F.col("name") == "finish").select(
+        F.col("job_uuid").alias("uuid"),
+        F.lit("FINISHED").alias("state"),
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("emit:"),
+                    F.col("job_uuid"),
+                    F.lit(":"),
+                    F.col("event_seq").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("token"),
+    )
+
+    collected: list = []
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        collected.append(batch_df.toPandas())
+
+    q = (
+        exits.writeStream.foreachBatch(emit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    import pandas as pd
+
+    pdf = (
+        pd.concat(collected, ignore_index=True)
+        if collected
+        else pd.DataFrame(columns=["uuid", "state", "token"])
+    )
+    return spark.createDataFrame(pdf, schema="uuid string, state string, token string")

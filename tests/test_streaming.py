@@ -1,0 +1,65 @@
+"""FSM semantics pinned by deterministic micro-batch replays — mirrors the
+reference's stuck-job / duplicate-'indexed' tolerance (README.rst:74-86)."""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark.streaming.core import run_to_batch  # noqa: E402
+from pipelinejobs_indexer_spark.streaming.fsm import fsm_apply  # noqa: E402
+
+T0 = datetime(2024, 1, 1)
+
+
+def _replay(spark, rows, tmp_path, name):
+    src = tmp_path / name
+    df = spark.createDataFrame(
+        rows, "job_uuid string, date timestamp, name string, event_seq long"
+    )
+    df.write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(df.schema).format("parquet").load(str(src))
+    )
+    out = run_to_batch(fsm_apply(stream), "update")
+    return {r.job_uuid: r for r in out.collect()}
+
+
+def test_fsm_happy_path_and_duplicates(spark, tmp_path):
+    rows = [
+        # happy path
+        ("jobA", T0, "create", 0),
+        ("jobA", T0 + timedelta(minutes=1), "run", 1),
+        ("jobA", T0 + timedelta(minutes=2), "finish", 2),
+        # duplicate redelivery of finish (same seq) → rejected, no regress
+        ("jobA", T0 + timedelta(minutes=2), "finish", 2),
+        # late out-of-order event (older seq) → rejected
+        ("jobA", T0 + timedelta(minutes=3), "run", 1),
+        # stuck-job recovery: create then manual finish skips run
+        ("jobB", T0, "create", 10),
+        ("jobB", T0 + timedelta(hours=1), "finish", 11),
+        # illegal: run before create → rejected, stays INIT
+        ("jobC", T0, "run", 20),
+    ]
+    got = _replay(spark, rows, tmp_path, "fsm1")
+    a, b, c = got["jobA"], got["jobB"], got["jobC"]
+    assert (a.state, a.n_events, a.n_rejected) == ("FINISHED", 5, 2)
+    assert (b.state, b.n_rejected) == ("FINISHED", 0)
+    assert (c.state, c.n_rejected) == ("INIT", 1)
+
+
+def test_fsm_never_regresses(spark, tmp_path):
+    rows = [
+        ("jobD", T0, "create", 0),
+        ("jobD", T0 + timedelta(minutes=1), "run", 1),
+        ("jobD", T0 + timedelta(minutes=2), "finish", 2),
+        # a fresh 'create' after FINISHED must not reset the machine
+        ("jobD", T0 + timedelta(minutes=9), "create", 3),
+    ]
+    got = _replay(spark, rows, tmp_path, "fsm2")
+    d = got["jobD"]
+    assert d.state == "FINISHED"
+    assert d.n_rejected == 1
