@@ -19,12 +19,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pipelinejobs_indexer_spark import registry
 from pipelinejobs_indexer_spark.session import default_sf_dir, get_spark
 
-# Headline set: one per operator family — updated as waves land.
+# Headline set: one-plus per operator family (SURVEY.md §2) — scans,
+# filters, joins, aggs, windows, top-k, the composed indexing pipeline,
+# streaming replay, and the LLM-pipeline extensions.
 HEADLINE = [
     "scan_parquet",
     "scan_json_messages",
     "filter_regex",
     "validate_schema",
+    "join_job_pipeline",
+    "join_files_job_provenance",
+    "join_asof_state",
+    "agg_state_rollup",
+    "agg_storage_stats",
+    "udaf_history_fold",
+    "win_latest_history",
+    "topk_recent_jobs",
+    "pipeline_index_job",
+    "stream_tumbling_counts",
+    "llm_dedup_minhash",
+    "llm_similarity_topk",
+    "llm_text_stats",
 ]
 
 

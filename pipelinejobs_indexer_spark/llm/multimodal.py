@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later wave."""
+"""L5: multimodal columns — binary payloads with typed metadata
+(BASELINE.json:6 mandate; reference analog: the fixture archive tree
+/root/reference/tests/store/uploads/{potato.zip, austin.pdf,
+emerald/201808/protein.png} and the magic-byte `filetype` dep,
+/root/reference/requirements-dev.txt:18).
+
+Model: media are opaque `binary` columns + a typed metadata struct; all
+per-item compute (decode, resize, frame-sample, feature-extract) runs as
+Arrow-batched pandas over `mapInPandas`, so Python touches each batch
+once and the exchange is columnar.
+
+The decode layer for real media (image/audio/video) needs codec libraries
+that are NOT in this container — those entry points are STUBS raising
+NotImplementedError with the exact contract documented; the Spark-side
+plumbing (schema, batch iteration, partitioning, output shape) is real
+and tested (tests/test_llm.py).
+
+Scale notes: binary payloads dominate bytes, so (1) never shuffle the
+content column — extract features first, project content away, then
+join/aggregate the small feature frame; (2) size partitions by bytes not
+rows (`spark.sql.files.maxPartitionBytes`) because row count is a useless
+proxy when blobs vary 1 KB..100 MB; (3) `spark.sql.execution.arrow.
+maxRecordsPerBatch` bounds per-batch memory for the pandas stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..tables import load_table
+
+# magic-number table (reference analog: `filetype` sniffing; same table as
+# functions/udfs.py F12 but over raw bytes here)
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"%PDF", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+]
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("head_hex", StringType()),
+        StructField("mime_sniffed", StringType()),
+    ]
+)
+
+
+def sniff_mime(head: bytes) -> str:
+    for magic, mime in _MAGIC:
+        if head.startswith(magic):
+            return mime
+    return "text/plain" if all(32 <= b < 127 for b in head[:16]) else "application/octet-stream"
+
+
+# ------------------------------------------------------------- stubs
+# Real decoders need libs absent from this container (Pillow, ffmpeg,
+# librosa). The signatures below ARE the contract the pandas stages call;
+# they raise until the dependency is provisioned.
+
+def decode_image(content: bytes, mime: str) -> "object":
+    """STUB: decode an image payload to HxWxC uint8. Needs Pillow/cv2."""
+    raise NotImplementedError(
+        "image decode requires Pillow/cv2 (not in container); "
+        "plumbing is real — swap this function only"
+    )
+
+
+def decode_audio(content: bytes, mime: str) -> "object":
+    """STUB: decode audio to (samples float32, rate). Needs soundfile/ffmpeg."""
+    raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in container)")
+
+
+def sample_frames(content: bytes, mime: str, every_n: int = 30) -> "object":
+    """STUB: sample every-nth video frame. Needs ffmpeg bindings."""
+    raise NotImplementedError("video frame sampling requires ffmpeg (not in container)")
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over (doc_id, content) frames.
+
+    Deterministic byte-level features only (no codec deps): size, md5,
+    head bytes, sniffed MIME. Real decoders plug in per-MIME here.
+    """
+    import hashlib
+
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": content.map(len).astype("int64"),
+                "content_md5": content.map(lambda b: hashlib.md5(b).hexdigest()),
+                "head_hex": content.map(lambda b: b[:8].hex()),
+                "mime_sniffed": content.map(sniff_mime),
+            }
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as a multimodal table: opaque binary content +
+    typed metadata struct. (In production this is the `binaryFile` source
+    over an archive tree — path/length/modificationTime/content — which
+    yields the identical shape; the documents table stands in because the
+    container has the parquet fixtures only.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("declared_mime"),
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "llm_multimodal_features",
+    sql="""SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_bytes,
+                  md5(text) AS content_md5,
+                  lower(hex(substr(text, 1, 8))) AS head_hex,
+                  'text/plain' AS mime_sniffed
+           FROM documents""",
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction over binary media via mapInPandas.
+
+    The oracle recomputes the same features relationally (content here is
+    utf-8 text bytes, so DuckDB can md5/hex the varchar — same bytes). The
+    point under test is the Arrow plumbing: binary column in, typed
+    feature frame out, content column never shuffled.
+    """
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "content").mapInPandas(
+        _extract_features, schema=FEATURES_SCHEMA
+    )

@@ -1,1 +1,301 @@
-"""Placeholder — populated in a later wave."""
+"""L4: text analysis over the documents table (BASELINE.json:6 mandate).
+
+Operators: descriptive stats, n-gram/stopword language ID, quality
+scoring, token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalization hash + min-shingle winnow).
+
+All five are pure column expressions — no UDFs, no shuffle except the
+final (tiny) aggregations; they scan `documents` once with column pruning
+down to (doc_id, text[, lang]). At 100 TB each is a single
+embarrassingly-parallel pass inside whole-stage codegen, which is the
+entire scale story: throughput == parquet scan speed.
+
+Cross-engine parity notes: only md5, ascii/strpos, regexp with explicit
+'s'-free patterns, and arithmetic — all bit-identical between Spark and
+DuckDB. Quality score is pure arithmetic (no exp/log) so no libm
+last-ulp divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# alphabetical language order fixes the argmax tiebreak in both engines
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "los", "las", "y", "es", "que"],
+    "fr": ["le", "les", "et", "est", "que", "une"],
+    "zh": ["de", "shi", "zai", "le_zh", "he", "bu"],  # romanized markers
+}
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def _sw_array_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _sw_array_spark() -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "llm_text_stats",
+    sql="""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                length(text) AS n_chars,
+                len(w) AS n_words,
+                len(list_distinct(w)) AS n_distinct_words,
+                round(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w), 6)
+                  AS avg_word_len,
+                length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  AS n_punct
+         FROM t""",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive text statistics: char/word/distinct-word counts, mean
+    word length, punctuation count. One codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.round(
+            F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / F.size("w"),
+            6,
+        ).alias("avg_word_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+        ).alias("n_punct"),
+    )
+
+
+def _marker_hits_spark(lang: str) -> str:
+    arr = "array(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")"
+    return f"size(filter(w, x -> array_contains({arr}, x)))"
+
+
+def _marker_hits_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(w, x -> list_contains({arr}, x)))"
+
+
+@register(
+    "llm_text_langid",
+    sql=f"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         scored AS (
+           SELECT doc_id, lang,
+                  {_marker_hits_sql('de')} AS s_de,
+                  {_marker_hits_sql('en')} AS s_en,
+                  {_marker_hits_sql('es')} AS s_es,
+                  {_marker_hits_sql('fr')} AS s_fr,
+                  {_marker_hits_sql('zh')} AS s_zh
+           FROM t
+         )
+         SELECT doc_id, lang,
+                CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+                     WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                m AS n_hits,
+                (CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+                      WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+                      ELSE 'zh' END) = lang AS is_match
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scored)""",
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/marker-list language ID: count marker-word hits per
+    language, argmax with alphabetical tiebreak. (The synthetic corpus is
+    one shared vocabulary, so predictions skew 'en' — the check is that
+    both engines agree on the heuristic, which is the honest claim a
+    heuristic can make.) A real n-gram model drops in as larger marker
+    tables; the plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    scored = t.select(
+        "doc_id",
+        "lang",
+        *[F.expr(_marker_hits_spark(lang)).alias(f"s_{lang}") for lang in LANG_MARKERS],
+    ).withColumn("m", F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS]))
+    pred = (
+        F.when(F.col("s_de") == F.col("m"), "de")
+        .when(F.col("s_en") == F.col("m"), "en")
+        .when(F.col("s_es") == F.col("m"), "es")
+        .when(F.col("s_fr") == F.col("m"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.col("m").alias("n_hits"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+@register(
+    "llm_text_quality",
+    sql=f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         feat AS (
+           SELECT doc_id,
+                  len(w) AS n_words,
+                  CAST(len(list_filter(w, x -> list_contains({_sw_array_sql()}, x)))
+                       AS DOUBLE) / len(w) AS stop_ratio,
+                  length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                    AS n_punct
+           FROM t
+         )
+         SELECT doc_id, n_words, round(stop_ratio, 6) AS stop_ratio, n_punct,
+                score,
+                CASE WHEN score >= 0.5 THEN 'high'
+                     WHEN score >= 0.3 THEN 'medium'
+                     ELSE 'low' END AS quality
+         FROM (
+           SELECT *,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + n_words / 1000.0 + stop_ratio - 0.05 * n_punct)), 6)
+                    AS score
+           FROM feat
+         )""",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: linear blend of length, stopword ratio, and
+    punctuation density, clamped to [0,1] and bucketed. Deliberately
+    arithmetic-only (no exp) so both engines agree to the last bit before
+    rounding. The blend weights are the tunable policy, not the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    feat = t.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (
+            F.expr(f"size(filter(w, x -> array_contains({_sw_array_spark()}, x)))").cast(
+                "double"
+            )
+            / F.size("w")
+        ).alias("stop_ratio"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+        ).alias("n_punct"),
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.2)
+                + F.col("n_words") / 1000.0
+                + F.col("stop_ratio")
+                - 0.05 * F.col("n_punct"),
+            ),
+        ),
+        6,
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        "n_punct",
+        score.alias("score"),
+        F.when(score >= 0.5, "high")
+        .when(score >= 0.3, "medium")
+        .otherwise("low")
+        .alias("quality"),
+    )
+
+
+@register(
+    "llm_text_tokens",
+    sql=f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                len(w) AS ws_tokens,
+                len(regexp_extract_all(text, '{_BPE_RE}')) AS re_tokens,
+                CAST(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in w])
+                     AS BIGINT) AS est_subwords
+         FROM t""",
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    lexer (letter runs | digit runs | single symbols), and a subword
+    estimate (ceil(len/4) per word ~ bytes-per-token heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id",
+        F.size("w").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("re_tokens"),
+        F.expr(
+            "aggregate(w, 0L, (acc, x) -> acc + cast(ceil(length(x) / 4.0) as bigint))"
+        ).alias("est_subwords"),
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    sql="""WITH t AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                        for i in generate_series(1, len(w)-2)])) AS s
+           FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM t)
+           WHERE len(w) >= 3
+         )
+         SELECT t.doc_id,
+                md5(t.norm) AS fp_full,
+                m.fp_min,
+                m.n_shingles
+         FROM t JOIN (
+           SELECT doc_id, min(md5(s)) AS fp_min, count(*) AS n_shingles
+           FROM sh GROUP BY doc_id
+         ) m ON m.doc_id = t.doc_id""",
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (whole-doc
+    identity under case/punctuation noise) plus the min-shingle-hash
+    winnow (robust near-dup fingerprint — the 1-hash corner of MinHash).
+    Normalization makes this the content-defined identity the catalog's
+    deterministic uuids (F4) want for text payloads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ).alias("norm"),
+    )
+    w = t.select("doc_id", "norm", F.split("norm", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w)-2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
+        ).alias("s"),
+    )
+    m = sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fp_min"), F.count("*").alias("n_shingles")
+    )
+    return t.join(m, "doc_id").select(
+        "doc_id", F.md5("norm").alias("fp_full"), "fp_min", "n_shingles"
+    )

@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 
 # Runtime-settable (SQLConf) knobs — safe to apply to a foreign session.
 _RUNTIME_CONFS = {
+    # The driver's bare session defaults to 200 shuffle partitions — at the
+    # test scale that is 200 near-empty tasks per exchange (pure scheduler
+    # overhead), and on a real cluster the knob should track cores anyway
+    # (~2-3x total cores). AQE coalescing then trims the remainder.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # The driver-generated events.parquet stores TIMESTAMP(NANOS) which the
     # vectorized parquet reader rejects; read as long and convert (tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
