@@ -210,23 +210,55 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: as-of join — the job's state at message time is the latest
-    history entry with date <= ts (reference reads store.state/last_event
+    history entry with date <= t (reference reads store.state/last_event
     before acting, reactor.py:126-127,172-176).
 
-    Spark has no native ASOF: equi-join on uuid bounds the candidates, a
-    per-message window keeps the latest. Deterministic tie-break on
-    event_seq so both engines pick the same row.
+    Spark has no native ASOF. The naive shape (equi-join on uuid +
+    `date <= ts` predicate, then window) materializes every
+    (message, earlier-event) pair — O(k^2) rows per key, quadratic in
+    events-per-job, which is exactly what dies first at 100 TB. Instead:
+    UNION events and messages into one timeline per uuid and carry the
+    last event forward with `last(..., ignorenulls)` over an ordered
+    window — one shuffle on uuid, O(k log k) per key, no pair blowup.
+    Ordering (ts, is_msg, event_seq) puts events before the messages that
+    share their timestamp (date <= ts is inclusive) and breaks same-date
+    ties by event_seq, matching the reference's latest-entry read.
     """
     m = messages(spark, sf_dir)
     e = job_events(spark, sf_dir)
-    joined = m.join(e, (e.job_uuid == m.uuid) & (e.date <= m.ts)).select(
-        m.msg_id, m.uuid, e.name.alias("state_at"), e.date.alias("state_date"),
-        e.event_seq,
+    timeline = e.select(
+        F.col("job_uuid").alias("uuid"),
+        F.col("date").alias("t"),
+        F.lit(0).alias("is_msg"),
+        "event_seq",
+        F.lit(None).cast("long").alias("msg_id"),
+        F.col("name"),
+        F.col("date"),
+    ).unionByName(
+        m.select(
+            "uuid",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_msg"),
+            F.lit(None).cast("long").alias("event_seq"),
+            "msg_id",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("timestamp_ntz").alias("date"),
+        )
     )
-    w = Window.partitionBy("msg_id").orderBy(F.desc("state_date"), F.desc("event_seq"))
+    w = (
+        Window.partitionBy("uuid")
+        .orderBy("t", "is_msg", "event_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        timeline.select(
+            "msg_id",
+            "uuid",
+            "is_msg",
+            F.last("name", ignorenulls=True).over(w).alias("state_at"),
+            F.last("date", ignorenulls=True).over(w).alias("state_date"),
+        )
+        .filter((F.col("is_msg") == 1) & F.col("state_at").isNotNull())
         .select("msg_id", "uuid", "state_at", "state_date")
     )
 
