@@ -13,8 +13,9 @@ Scale notes: J1 broadcasts the 5-row pipelines dim (no fact shuffle). J2/J3/
 J4 are key-equi joins — shuffle on the join key, AQE handles skewed hot jobs.
 J6 pairs the range predicate with a job_uuid equi key so Catalyst plans a
 sort-merge/hash join with a residual filter instead of a cartesian nested
-loop — the difference between O(n·m) and O(n+m) at 100 TB. J7 bounds the
-as-of window the same way (equi on uuid, window prune after).
+loop — the difference between O(n·m) and O(n+m) at 100 TB. J7 avoids the
+pair join entirely: union-timeline + carry-forward window (see its
+docstring), one shuffle on uuid, linear per key.
 """
 
 from __future__ import annotations
