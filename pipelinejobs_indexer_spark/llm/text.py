@@ -258,6 +258,10 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
          )
          SELECT t.doc_id,
                 md5(t.norm) AS fp_full,
+                list_reduce([CAST(0 AS BIGINT)] ||
+                            [CAST(ascii(x) + length(x) AS BIGINT)
+                             for x in string_split(t.norm, ' ')],
+                            (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling,
                 m.fp_min,
                 m.n_shingles
          FROM t JOIN (
@@ -267,10 +271,12 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text (whole-doc
-    identity under case/punctuation noise) plus the min-shingle-hash
-    winnow (robust near-dup fingerprint — the 1-hash corner of MinHash).
-    Normalization makes this the content-defined identity the catalog's
-    deterministic uuids (F4) want for text payloads.
+    identity under case/punctuation noise), a Karp-Rabin rolling hash over
+    the word stream (order-sensitive 31-base polynomial fold mod 2^31-1),
+    and the min-shingle-hash winnow (robust near-dup fingerprint — the
+    1-hash corner of MinHash). Normalization makes this the
+    content-defined identity the catalog's deterministic uuids (F4) want
+    for text payloads.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -296,6 +302,14 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = sh.groupBy("doc_id").agg(
         F.min(F.md5("s")).alias("fp_min"), F.count("*").alias("n_shingles")
     )
+    rolling = F.expr(
+        "aggregate(transform(split(norm, ' '), x -> cast(ascii(x) + length(x) as bigint)),"
+        " 0L, (a, b) -> (a * 31 + b) % 2147483647L)"
+    )
     return t.join(m, "doc_id").select(
-        "doc_id", F.md5("norm").alias("fp_full"), "fp_min", "n_shingles"
+        "doc_id",
+        F.md5("norm").alias("fp_full"),
+        rolling.alias("fp_rolling"),
+        "fp_min",
+        "n_shingles",
     )
