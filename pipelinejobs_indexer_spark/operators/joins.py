@@ -163,12 +163,24 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     [start, start+2h] window contains them (run bounds analog:
     init-job.json:81-83 submitTime/endTime).
 
-    The range predicate rides on a job_uuid equi key, so Catalyst plans a
-    hash/sort-merge join with a residual range filter — never a cartesian
-    nested loop. At 100 TB add time-bucket keys to tighten the equi side.
+    Scale shape: a bare (job_uuid) equi key still pairs every event of a
+    job with every run of that job before the residual range filter — the
+    per-key quadratic that hurts on long-lived jobs. Adding a time-bucket
+    equi key (bucket width == interval length, runs exploded into the <=2
+    buckets they overlap) prunes candidates to a bounded 4-hour
+    neighborhood per event. Pure candidate pruning: the residual predicate
+    is unchanged, so results are identical to the naive plan — only the
+    join fan-out shrinks.
     """
+    _W = 7200  # bucket width (sec) == interval length
     ev = job_events(spark, sf_dir)
-    e = ev.alias("e")
+    e = ev.select(
+        "job_uuid",
+        "event_seq",
+        "name",
+        "date",
+        F.floor(F.expr("unix_seconds(cast(date as timestamp))") / _W).alias("tb"),
+    ).alias("e")
     runs = (
         ev.filter(F.col("name") == "create")
         .select(
@@ -176,6 +188,10 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_seq").alias("run_id"),
             F.col("date").alias("run_start"),
             (F.col("date") + F.expr("INTERVAL 2 HOURS")).alias("run_end"),
+            F.floor(F.expr("unix_seconds(cast(date as timestamp))") / _W).alias("b0"),
+        )
+        .select(
+            "*", F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("tb")
         )
         .alias("r")
     )
@@ -183,6 +199,7 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(
             runs,
             (F.col("e.job_uuid") == F.col("r.job_uuid"))
+            & (F.col("e.tb") == F.col("r.tb"))
             & (F.col("e.date") >= F.col("r.run_start"))
             & (F.col("e.date") <= F.col("r.run_end")),
         )
