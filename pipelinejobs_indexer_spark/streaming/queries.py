@@ -177,9 +177,12 @@ def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_late_data")  # watermark tail behavior: rows-only check
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: append-mode watermarked aggregation — only windows the watermark
-    has passed emit; the tail stays in the state store (late rows older
-    than the watermark would be dropped to a dead-letter in production).
-    Deliberately NOT oracled: the held-back tail is the semantics."""
+    has passed emit; the tail stays in the state store. NOTE the engine
+    does NOT promise to drop below-watermark arrivals (they can
+    store-then-evict and emit at once — pinned by tests/test_streaming.py)
+    so production routes rows below the watermark to a dead-letter sink
+    with an explicit filter. Deliberately NOT oracled: the held-back tail
+    is the semantics."""
     m = _messages_stream(spark, sf_dir)
     agg = (
         m.withWatermark("ts", "10 minutes")

@@ -1,0 +1,85 @@
+"""Physical-plan regression tests — the scale claims, pinned.
+
+SURVEY.md §4.3.6 contemplated a custom Catalyst rule to push level/state
+filters through the provenance explode; these tests document that stock
+Catalyst already does it (so no rule exists to maintain), and pin the
+other plan properties the engine's 100 TB story depends on: dimension
+joins broadcast, scans prune columns.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pipelinejobs_indexer_spark import registry  # noqa: E402
+from pipelinejobs_indexer_spark.tables import archive_files, jobs  # noqa: E402
+
+registry.load_all()
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushes_through_explode(spark, sf_dir):
+    """A filter on a pre-explode column (level) must reach the scan-side
+    Filter BELOW the Generate — deeper nodes have lower ids in the
+    formatted plan. This is why no custom Catalyst rule ships."""
+    af = archive_files(spark, sf_dir)
+    j = jobs(spark, sf_dir)
+    exploded = af.select(
+        F.explode("generated_by").alias("g"), "file_uuid", "path", "level"
+    )
+    out = (
+        exploded.join(
+            j.select(F.explode("generated_by").alias("g"), "uuid", "state"), "g"
+        ).filter(F.col("level") == "1")
+    )
+    plan = _formatted_plan(out)
+    gen_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Generate", plan)]
+    assert gen_ids, "expected an explode (Generate) in the plan"
+    # the level derivation reads l_suppkey; find the Filter that carries it
+    level_filter_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Filter\nInput[^\n]*\nCondition[^\n]*l_suppkey", plan
+        )
+    ]
+    assert level_filter_ids, "level filter vanished from the plan"
+    assert min(level_filter_ids) < min(gen_ids), (
+        "level filter did not push below the explode — revisit SURVEY §4.3.6"
+    )
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(registry.QUERIES["join_job_pipeline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(registry.QUERIES["filter_regex"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # path needs orderkey+linenumber+partkey (ext), length needs extendedprice
+    assert cols == {"l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"}, cols
+
+
+def test_asof_join_has_no_pair_join(spark, sf_dir):
+    """The as-of rewrite must stay a single-shuffle window plan — no join
+    operator at all (the union-timeline shape)."""
+    plan = _formatted_plan(registry.QUERIES["join_asof_state"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan, "as-of regressed to a pair join"

@@ -63,3 +63,58 @@ def test_fsm_never_regresses(spark, tmp_path):
     d = got["jobD"]
     assert d.state == "FINISHED"
     assert d.n_rejected == 1
+
+
+def test_watermark_append_mode_semantics_across_batches(spark, tmp_path):
+    """T6: what the watermark actually guarantees in append mode, pinned
+    over three single-file micro-batches (maxFilesPerTrigger=1, mtime
+    order):
+
+      b0: jobX @ 2:00      → watermark becomes 1:50 for the next batch
+      b1: jobY @ 0:00 late → its window end (0:05) is already below the
+          watermark: Spark stores-then-immediately-evicts, so the row
+          EMITS AT ARRIVAL instead of waiting — late data is NOT silently
+          dropped here (the docs only promise drops for state evicted in
+          earlier batches). A production pipeline must dead-letter rows
+          below the watermark explicitly; relying on the engine is wrong.
+      b2: jobZ @ 4:00      → advances the watermark to 3:50, which
+          finalizes jobX's window; jobZ's own window stays held in state
+          (the append-mode tail).
+    """
+    import time
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    t0 = datetime(2024, 1, 1)
+    schema = "uuid string, name string, ts timestamp"
+    src = tmp_path / "late_src"
+    rows = [
+        [("jobX", "index", t0 + timedelta(hours=2))],
+        [("jobY", "index", t0)],
+        [("jobZ", "index", t0 + timedelta(hours=4))],
+    ]
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"f{i}"))
+        time.sleep(1.1)  # distinct mtimes fix the micro-batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "uuid")
+        .count()
+    )
+    out = {r.uuid for r in run_to_batch(agg, "append").collect()}
+    assert "jobX" in out, "watermark advance must finalize jobX's window"
+    assert "jobZ" not in out, "unfinalized tail window must be held back"
+    assert "jobY" in out, (
+        "below-watermark arrival emitted at once — if this changes, the "
+        "dead-letter guidance in streaming/queries.py needs revisiting"
+    )
