@@ -313,3 +313,85 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_min",
         "n_shingles",
     )
+
+
+# alphabetical lang order again fixes the argmax tiebreak; ASCII-only
+# trigrams (the corpus is ASCII; accents would need NFC normalization
+# first at real scale)
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "sch", "ein", "ich"],
+    "en": ["the", "ing", "and", "ion", "ed ", " th"],
+    "es": ["que", "los", "de ", "ent", "ar ", "cion"],
+    "fr": ["les", "ent", "eur", "ais", "de ", "une"],
+    "zh": ["shi", "ang", "eng", "ong", "de ", "zh "],
+}
+
+
+def _tri_hits_spark(lang: str) -> str:
+    arr = "array(" + ", ".join(f"'{g}'" for g in TRIGRAM_PROFILES[lang]) + ")"
+    return f"size(filter(tg, g -> array_contains({arr}, g)))"
+
+
+def _tri_hits_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{g}'" for g in TRIGRAM_PROFILES[lang]) + "]"
+    return f"len(list_filter(tg, g -> list_contains({arr}, g)))"
+
+
+@register(
+    "llm_text_langid_ngram",
+    sql=f"""WITH t AS (
+           SELECT doc_id, lang,
+                  [substr(lower(text), i, 3)
+                   for i in generate_series(1, length(text)-2)] AS tg
+           FROM documents WHERE length(text) >= 3
+         ),
+         scored AS (
+           SELECT doc_id, lang,
+                  {_tri_hits_sql('de')} AS s_de,
+                  {_tri_hits_sql('en')} AS s_en,
+                  {_tri_hits_sql('es')} AS s_es,
+                  {_tri_hits_sql('fr')} AS s_fr,
+                  {_tri_hits_sql('zh')} AS s_zh
+           FROM t
+         )
+         SELECT doc_id, lang,
+                CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+                     WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                m AS n_hits
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scored)""",
+)
+def llm_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: slide a 3-char window over the
+    lowercased text and count hits against per-language trigram profiles;
+    argmax with alphabetical tiebreak. The trigram scan is a pure
+    projection (transform over sequence — no explode, no shuffle): at
+    100 TB this runs at parquet-scan speed. Real profiles are larger
+    lookup tables; the plan shape is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(1, length(text)-2), i -> substring(lower(text), i, 3))"
+        ).alias("tg"),
+    )
+    scored = t.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_tri_hits_spark(lang)).alias(f"s_{lang}")
+            for lang in TRIGRAM_PROFILES
+        ],
+    ).withColumn("m", F.greatest(*[F.col(f"s_{lang}") for lang in TRIGRAM_PROFILES]))
+    pred = (
+        F.when(F.col("s_de") == F.col("m"), "de")
+        .when(F.col("s_en") == F.col("m"), "en")
+        .when(F.col("s_es") == F.col("m"), "es")
+        .when(F.col("s_fr") == F.col("m"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), F.col("m").alias("n_hits")
+    )
