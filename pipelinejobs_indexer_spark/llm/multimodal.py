@@ -151,3 +151,129 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         _extract_features, schema=FEATURES_SCHEMA
     )
+
+
+FRAME_BYTES = 64   # fake "frame" stride over the byte stream
+FRAME_EVERY = 3    # keep every 3rd frame
+THUMB_CELLS = 4    # block-mean "resize" to 4 cells
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("mean_byte", LongType()),
+    ]
+)
+
+
+def _sample_frames_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampler: the byte stream chunked into
+    FRAME_BYTES-sized frames, every FRAME_EVERY-th kept. Real video swaps
+    this for an ffmpeg-backed decoder (sample_frames stub) — the batch
+    iteration, fan-out shape, and output schema stay identical."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "n_frames": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            n_frames = (len(content) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_EVERY):
+                frame = content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                out["n_frames"].append(n_frames)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "llm_multimodal_frames",
+    sql=f"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         f AS (
+           SELECT doc_id, text, n,
+                  CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+           FROM d
+         ),
+         x AS (
+           SELECT doc_id, text, n_frames,
+                  unnest(generate_series(0, n_frames - 1)) AS idx
+           FROM f
+         )
+         SELECT doc_id, idx AS frame_idx,
+                md5(substr(text, CAST(idx * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
+                  AS frame_md5,
+                n_frames
+         FROM x WHERE idx % {FRAME_EVERY} = 0""",
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media via mapInPandas: one input row
+    fans out to its sampled frames (UDTF shape). The oracle recomputes the
+    same frames relationally on the utf-8 bytes, so the Arrow fan-out
+    plumbing is value-checked, not just row-counted. Scale: frames-per-row
+    is bounded by the media length — partition by bytes, never shuffle
+    content, aggregate on the emitted metadata only."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "content").mapInPandas(
+        _sample_frames_fake, schema=FRAMES_SCHEMA
+    )
+
+
+def resize_image(content: bytes, mime: str, w: int, h: int) -> "object":
+    """STUB: decode + resample an image to (w, h). Needs Pillow/cv2."""
+    raise NotImplementedError(
+        "image resize requires Pillow/cv2 (not in container); "
+        "llm_multimodal_thumbnail exercises the identical plumbing with a "
+        "deterministic block-mean fake"
+    )
+
+
+def _thumbnail_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 'resize': block-mean the byte stream into THUMB_CELLS
+    cells (integer mean per cell) with numpy — the same Arrow-in,
+    vectorized-compute, typed-frame-out shape a real resampler has."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "cell": [], "mean_byte": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            arr = np.frombuffer(content, dtype=np.uint8)
+            n = len(arr)
+            for k in range(THUMB_CELLS):
+                lo = (k * n) // THUMB_CELLS
+                hi = ((k + 1) * n) // THUMB_CELLS
+                cell = arr[lo:hi]
+                out["doc_id"].append(doc_id)
+                out["cell"].append(k)
+                out["mean_byte"].append(int(cell.sum()) // len(cell))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "llm_multimodal_thumbnail",
+    sql=f"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+         SELECT doc_id, k AS cell,
+                CAST(list_sum([ascii(substr(text, CAST(i AS INT), 1))
+                               for i in generate_series((k * n) // {THUMB_CELLS} + 1,
+                                                        ((k + 1) * n) // {THUMB_CELLS})])
+                     // (((k + 1) * n) // {THUMB_CELLS} - (k * n) // {THUMB_CELLS})
+                     AS BIGINT) AS mean_byte
+         FROM d, generate_series(0, {THUMB_CELLS - 1}) AS t(k)""",
+)
+def llm_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing with a deterministic fake: block-mean the bytes to
+    THUMB_CELLS integer cells (numpy over Arrow batches). The oracle
+    recomputes the identical integer means from the character codes —
+    a real resampler replaces only the numpy kernel (resize_image stub)."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "content").mapInPandas(
+        _thumbnail_fake, schema=THUMB_SCHEMA
+    )

@@ -87,3 +87,21 @@ def test_multimodal_decode_stubs_raise():
         multimodal.decode_audio(b"RIFF", "audio/wav")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", "image/png", 32, 32)
+
+
+def test_multimodal_frame_fanout_shape(spark):
+    """One media row fans out to ceil(n/64) frames sampled every 3rd —
+    the UDTF shape of the mapInPandas stage, checked against content."""
+    media = multimodal.media_table(spark, SF)
+    row = media.limit(1).collect()[0]
+    frames = [
+        r
+        for r in multimodal.llm_multimodal_frames(spark, SF).collect()
+        if r.doc_id == row.doc_id
+    ]
+    n = len(row.content)
+    n_frames = (n + 63) // 64
+    assert all(r.n_frames == n_frames for r in frames)
+    assert sorted(r.frame_idx for r in frames) == list(range(0, n_frames, 3))
