@@ -121,13 +121,16 @@ def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (5 rows) — always broadcast in joins.
     """
     o = load_table(spark, sf_dir, "orders")
-    return o.select(
+    # distinct FIRST (5 priority classes), then derive uuid/slug on 5 rows —
+    # Catalyst does not reorder distinct through projections, and doing the
+    # sha2+regex per source row costs ~150k hashes per scan at sf0.1.
+    return o.select("o_orderpriority").distinct().select(
         F.concat(F.lit("106"), F.sha2(F.col("o_orderpriority"), 256)).alias("pipeline_uuid"),
         F.col("o_orderpriority").alias("pipeline_name"),
         F.lower(F.regexp_replace(F.col("o_orderpriority"), "[^a-zA-Z0-9]+", "-")).alias(
             "pipeline_slug"
         ),
-    ).distinct()
+    )
 
 
 def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
