@@ -61,11 +61,11 @@ FROM lineitem
 """
 
 PIPELINES_SQL = """
-SELECT DISTINCT
+SELECT
   '106' || sha256(o_orderpriority) AS pipeline_uuid,
   o_orderpriority AS pipeline_name,
   lower(regexp_replace(o_orderpriority, '[^a-zA-Z0-9]+', '-', 'g')) AS pipeline_slug
-FROM orders
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
 """
 
 MESSAGES_SQL = r"""
