@@ -1,0 +1,70 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline queries.
+
+Run from the repo root: python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark import registry
+from pipelinejobs_indexer_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> what to look for in its plan (rendered as commentary)
+SHOWCASE = {
+    "filter_regex": "single WholeStageCodegen span; ReadSchema pruned to 4 columns",
+    "join_job_pipeline": "BroadcastHashJoin — dim side broadcast, fact never shuffles",
+    "join_files_job_provenance": "filter/join pushed through the Generate (explode)",
+    "join_asof_state": "no Join operator at all: union timeline + Window carry-forward",
+    "join_range_events_in_run": "equi join on (uuid, time-bucket) with range residual",
+    "agg_state_rollup": "partial (map-side) + final HashAggregate, one exchange",
+    "topk_recent_jobs": "TakeOrderedAndProject — no global sort",
+    "llm_dedup_minhash": "banding equi-joins; no cross join anywhere",
+    "llm_similarity_topk": "BroadcastNestedLoop only against the 5-row query set",
+    "llm_text_stats": "pure projection — scan-speed pass, zero exchanges",
+    "pipeline_index_job": "the composed reference path as one multi-join DAG",
+}
+
+
+def main() -> None:
+    spark = get_spark("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    out = [
+        "# PLANS — formatted physical plans of the headline queries",
+        "",
+        "Regenerate with `python scripts/dump_plans.py` (sf0.01 inputs; plan",
+        "shapes are scale-invariant, only statistics change). Each plan was",
+        "reviewed against the claims in the operator docstrings — this file is",
+        "the `.explain(\"formatted\")` evidence trail.",
+        "",
+    ]
+    for name, note in SHOWCASE.items():
+        df = registry.QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        tree = plan.split("\n\n")[0]
+        schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+        out += [f"## {name}", "", f"*{note}*", "", "```", tree.rstrip(), "```", ""]
+        if schemas:
+            out += ["Scans:", ""]
+            out += [f"- `{s[:160]}`" for s in dict.fromkeys(schemas)]
+            out += [""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
