@@ -402,3 +402,43 @@ def join_provenance_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("root").alias("root_uuid"), F.col("node").alias("node_uuid"), "hop"
     )
+
+
+@register(
+    "join_provenance_salted",
+    sql=with_fixtures(
+        """SELECT f.file_uuid, f.path, j.uuid AS job_uuid, j.state
+           FROM (SELECT file_uuid, path, unnest(generated_by) AS proc FROM archive_files) f
+           JOIN (SELECT uuid, state, unnest(generated_by) AS proc FROM jobs) j
+             ON f.proc = j.proc""",
+        "archive_files",
+        "jobs",
+    ),
+)
+def join_provenance_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with manual key salting — the pre-AQE skew technique, kept as a
+    first-class operator because AQE's skew splitting only kicks in past
+    its thresholds and cannot split a single in-flight build partition.
+
+    Shape: the probe side appends a random-ish salt (stable hash of the
+    row id, not rand() — determinism for the oracle) to the join key; the
+    build side replicates each row SALT ways with every salt value. A hot
+    process uuid then spreads over SALT shuffle partitions instead of one.
+    The oracle is the UNSALTED join — identical results prove salting is
+    pure redistribution.
+    """
+    SALT = 8
+    f = archive_files(spark, sf_dir).select(
+        "file_uuid", "path", F.explode("generated_by").alias("proc")
+    ).withColumn("salt", F.pmod(F.xxhash64("file_uuid"), F.lit(SALT)))
+    j = (
+        jobs(spark, sf_dir)
+        .select(F.col("uuid"), "state", F.explode("generated_by").alias("proc"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt")
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return f.join(j, ["proc", "salt"]).select(
+        "file_uuid", "path", F.col("uuid").alias("job_uuid"), "state"
+    )
