@@ -30,6 +30,7 @@ HEADLINE = [
     "join_job_pipeline",
     "join_files_job_provenance",
     "join_asof_state",
+    "join_range_events_in_run",
     "agg_state_rollup",
     "agg_storage_stats",
     "udaf_history_fold",
@@ -39,7 +40,9 @@ HEADLINE = [
     "stream_tumbling_counts",
     "llm_dedup_minhash",
     "llm_similarity_topk",
+    "llm_similarity_ann",
     "llm_text_stats",
+    "llm_multimodal_features",
 ]
 
 
