@@ -56,18 +56,22 @@ def shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, s): distinct k-word shingles per document.
 
     Declarative (transform over sequence) so it stays in codegen; the
-    explode is the only row-expansion. Shuffle-free.
+    explode is the only row-expansion. Shuffle-free. Direct element
+    subscripts instead of slice() — same strings, no per-shingle array
+    allocation, ~2x faster at sf0.1 (Spark subscripts are 0-based; the
+    sequence index i is the 1-based shingle start, matching the oracle).
     """
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SHINGLE_K
     )
+    parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(SHINGLE_K))
     return w.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(w)-{SHINGLE_K - 1}),"
-                    f" i -> concat_ws(' ', slice(w, i, {SHINGLE_K})))"
+                    f" i -> concat({parts}))"
                 )
             )
         ).alias("s"),

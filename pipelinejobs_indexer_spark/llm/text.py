@@ -294,7 +294,7 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(w)-2),"
-                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                    " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
                 )
             )
         ).alias("s"),
