@@ -54,8 +54,7 @@ def _sw_array_spark() -> str:
                 len(list_distinct(w)) AS n_distinct_words,
                 round(CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w), 6)
                   AS avg_word_len,
-                length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                  AS n_punct
+                length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
          FROM t""",
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,10 +72,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("w"),
             6,
         ).alias("avg_word_len"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
-        ).alias("n_punct"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
     )
 
 
@@ -151,8 +147,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                   len(w) AS n_words,
                   CAST(len(list_filter(w, x -> list_contains({_sw_array_sql()}, x)))
                        AS DOUBLE) / len(w) AS stop_ratio,
-                  length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                    AS n_punct
+                  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
            FROM t
          )
          SELECT doc_id, n_words, round(stop_ratio, 6) AS stop_ratio, n_punct,
@@ -185,10 +180,7 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.size("w")
         ).alias("stop_ratio"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
-        ).alias("n_punct"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
     )
     score = F.round(
         F.least(
@@ -394,4 +386,79 @@ def llm_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", "lang", pred.alias("pred_lang"), F.col("m").alias("n_hits")
+    )
+
+
+@register(
+    "llm_corpus_curate",
+    sql=f"""WITH hashed AS (
+           SELECT doc_id, text, lang, md5(text) AS h,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents
+         ),
+         kept AS (SELECT doc_id, text, lang FROM hashed WHERE rn = 1),
+         feat AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> list_contains({_sw_array_sql()}, x)))
+                       AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+                  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM kept
+         )
+         SELECT doc_id, n_words, score
+         FROM (
+           SELECT doc_id, n_words,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + n_words / 1000.0 + stop_ratio - 0.05 * n_punct)), 6)
+                    AS score
+           FROM feat
+         ) WHERE score >= 0.3""",
+)
+def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline runs end to
+    end: exact dedup (keep lowest doc_id per content hash) -> quality
+    score -> threshold gate. One DataFrame DAG: a window for the dedup
+    (one shuffle on the content hash) and a pure projection for the rest
+    — at 100 TB this is the whole corpus-prep job, and its only shuffle
+    is the dedup key. Near-dup (minhash) and language gates chain in as
+    additional filters without changing the shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    t = kept.select("doc_id", "text", F.split("text", " ").alias("w"))
+    feat = t.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (
+            F.expr(f"size(filter(w, x -> array_contains({_sw_array_spark()}, x)))").cast(
+                "double"
+            )
+            / F.size("w")
+        ).alias("stop_ratio"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.2)
+                + F.col("n_words") / 1000.0
+                + F.col("stop_ratio")
+                - 0.05 * F.col("n_punct"),
+            ),
+        ),
+        6,
+    )
+    return (
+        feat.select("doc_id", "n_words", score.alias("score"))
+        .filter(F.col("score") >= 0.3)
     )
