@@ -130,6 +130,22 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sniff_mime_col(content):
+    """sniff_mime as a pure Column expression: magic-prefix compares on the
+    binary column, printable-ASCII fallback via a hex-pair regex over the
+    first 16 bytes (each byte in [0x20, 0x7E] <=> hex pair 20..7E)."""
+    sniffed = None
+    for magic, mime in _MAGIC:
+        cond = F.substring(content, 1, len(magic)) == F.lit(magic)
+        sniffed = F.when(cond, mime) if sniffed is None else sniffed.when(cond, mime)
+    printable = F.hex(F.substring(content, 1, 16)).rlike(
+        "^(2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$"
+    )
+    return sniffed.otherwise(
+        F.when(printable, "text/plain").otherwise("application/octet-stream")
+    )
+
+
 @register(
     "llm_multimodal_features",
     sql="""SELECT doc_id,
@@ -140,12 +156,39 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents""",
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level feature extraction over binary media via mapInPandas.
+    """Byte-level media features, entirely JVM-side: length/md5/hex/magic
+    compares are all built-in Column functions over the binary column, so
+    the whole query is one codegen'd scan+project — no Python worker, no
+    shuffle, content never leaves the stage. The Arrow/mapInPandas variant
+    (`llm_multimodal_features_arrow`) keeps the decode-extensible path; this
+    is the plan you run when no codec is needed.
+    """
+    media = media_table(spark, sf_dir)
+    c = F.col("content")
+    return media.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_bytes"),
+        F.md5(c).alias("content_md5"),
+        F.lower(F.hex(F.substring(c, 1, 8))).alias("head_hex"),
+        _sniff_mime_col(c).alias("mime_sniffed"),
+    )
 
-    The oracle recomputes the same features relationally (content here is
-    utf-8 text bytes, so DuckDB can md5/hex the varchar — same bytes). The
-    point under test is the Arrow plumbing: binary column in, typed
-    feature frame out, content column never shuffled.
+
+@register(
+    "llm_multimodal_features_arrow",
+    sql="""SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_bytes,
+                  md5(text) AS content_md5,
+                  lower(hex(substr(text, 1, 8))) AS head_hex,
+                  'text/plain' AS mime_sniffed
+           FROM documents""",
+)
+def llm_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction via mapInPandas — the decode-shaped
+    path. Same answer as `llm_multimodal_features`; the point under test is
+    the Arrow plumbing a real image/audio decoder needs: binary column in,
+    typed feature frame out, content column never shuffled. Real decoders
+    (decode_image/decode_audio stubs) plug into `_extract_features` per-MIME.
     """
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "content").mapInPandas(

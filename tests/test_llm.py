@@ -60,6 +60,13 @@ def test_multimodal_features_match_content(spark):
 
     media = multimodal.media_table(spark, SF)
     feats = {r.doc_id: r for r in multimodal.llm_multimodal_features(spark, SF).collect()}
+    arrow = {
+        r.doc_id: r
+        for r in multimodal.llm_multimodal_features_arrow(spark, SF).collect()
+    }
+    assert {k: tuple(v) for k, v in feats.items()} == {
+        k: tuple(v) for k, v in arrow.items()
+    }, "JVM-side features diverge from the Arrow/mapInPandas path"
     sample = media.limit(5).collect()
     assert sample
     for row in sample:
@@ -105,3 +112,25 @@ def test_multimodal_frame_fanout_shape(spark):
     n_frames = (n + 63) // 64
     assert all(r.n_frames == n_frames for r in frames)
     assert sorted(r.frame_idx for r in frames) == list(range(0, n_frames, 3))
+
+
+def test_corpus_curate_dedups_and_gates(spark):
+    """The composed curation pass must keep exactly one doc per distinct
+    text (the lowest doc_id), and every survivor must clear the 0.3
+    score gate — the two invariants the chained DAG exists to enforce."""
+    from pipelinejobs_indexer_spark.llm.text import llm_corpus_curate
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    out = llm_corpus_curate(spark, SF).collect()
+    assert out, "curation gate dropped the whole corpus"
+    assert all(r.score >= 0.3 for r in out)
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    by_text: dict[str, list[int]] = {}
+    for r in docs:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    keepers = {min(ids) for ids in by_text.values()}
+    out_ids = {r.doc_id for r in out}
+    assert out_ids <= keepers, "a non-canonical duplicate survived curation"
+    dup_losers = {i for ids in by_text.values() for i in ids} - keepers
+    assert not (out_ids & dup_losers)
