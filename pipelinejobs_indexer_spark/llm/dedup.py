@@ -39,11 +39,18 @@ from pyspark.sql import functions as F
 
 from ..oracle import with_fixtures  # noqa: F401  (kept for symmetry with peers)
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, spread
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows; P(candidate | jaccard s) = 1-(1-s^4)^4
 SHINGLE_K = 3
+# Mersenne prime modulus for Kirsch-Mitzenmacher double hashing: the i-th
+# minhash family is g_i(s) = (h1(s) + i*h2(s)) mod P, with h1/h2 the two
+# 60-bit halves of ONE md5 per shingle. 16 independent-enough permutations
+# for the price of a single hash; i*h2 < 16*2^31 so the arithmetic never
+# overflows bigint (safe under Spark ANSI mode) and replays exactly in
+# DuckDB ('0x'||hex)::BIGINT == Spark conv(hex,16,10).
+MINHASH_P = 2_147_483_647
 JACCARD_THRESHOLD = 0.8
 HAMMING_MAX = 3
 COSINE_DUP_THRESHOLD = 0.45  # driver data has no planted >0.95 pairs; keep non-trivial
@@ -102,7 +109,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash-partitioned shuffle; partial aggregation collapses copies
     map-side, so shuffle volume is O(distinct docs) not O(rows).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_copies"),
@@ -111,19 +118,30 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- L2 MinHash
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """16 md5-minhash signatures + shingle count per doc, one aggregation
-    (combiner-friendly mins; the count rides along so set sizes need no
-    second pass over the shingle table).
+    """16 minhash signatures + shingle count per doc, one aggregation
+    (combiner-friendly integer mins; the count rides along so set sizes
+    need no second pass over the shingle table).
 
-    md5 is chosen for exact DuckDB-oracle parity; in production swap the
-    hash lambda for xxhash64 (JVM-native, ~10x cheaper) — the plan shape
-    is unchanged.
+    One md5 per shingle, split into two 60-bit halves h1/h2; family i is
+    (h1 + i*h2) mod MINHASH_P (double hashing). vs the naive
+    md5(i||':'||s) per family this is 16x fewer hashes and integer (not
+    64-char string) combiner state. md5 is kept (not xxhash64) for exact
+    DuckDB-oracle parity; in production swap it — plan shape unchanged.
     """
+    hashed = sh.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
+        ).alias("h1"),
+        F.expr(
+            f"cast(conv(substr(md5(s), 17, 15), 16, 10) as bigint) % {MINHASH_P}"
+        ).alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
         for i in range(N_MINHASH)
     ] + [F.count("*").alias("n")]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_cols():
@@ -139,11 +157,14 @@ def _band_cols():
 
 def _minhash_sig_sql() -> str:
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || s)) AS h{i}" for i in range(N_MINHASH)
+        f"min((h1 + {i} * h2) % {MINHASH_P}) AS h{i}" for i in range(N_MINHASH)
     )
     return (
         f"SELECT doc_id,\n         {mins},\n         count(*) AS n"
-        "\n  FROM sh GROUP BY doc_id"
+        "\n  FROM (SELECT doc_id,"
+        f"\n          ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h1,"
+        f"\n          ('0x' || substr(md5(s), 17, 15))::BIGINT % {MINHASH_P} AS h2"
+        "\n        FROM sh) GROUP BY doc_id"
     )
 
 
@@ -151,7 +172,7 @@ def _bands_sql() -> str:
     rows = N_MINHASH // N_BANDS
     selects = []
     for b in range(N_BANDS):
-        cat = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        cat = " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
         selects.append(f"SELECT doc_id, {b} AS b, md5({cat}) AS v FROM sig")
     return "\n  UNION ALL ".join(selects)
 
@@ -184,7 +205,7 @@ def _bands_sql() -> str:
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard on the candidate set only (never all pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = shingles(docs).cache()
     sig = _minhash_sig(sh).cache()
     bands = sig.select("doc_id", F.explode(F.array(*_band_cols())).alias("bv")).select(
@@ -263,7 +284,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming<=3 with 4 bands is exact (pigeonhole: one band must match), so
     this banded equi-join plan equals brute force at every scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     wm = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     votes = wm.select(
         "doc_id",
@@ -342,7 +363,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute no >=0.8 pair but dominate the join fan-out), or prefer
     llm_dedup_minhash which only verifies LSH candidates.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -384,7 +405,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH signature first (similarity.py) so only same-bucket
     pairs are compared.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = emb.alias("a"), emb.alias("b")

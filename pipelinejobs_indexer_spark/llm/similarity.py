@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, spread
 
 TOP_K = 10
 N_QUERIES = 5  # query set: vec_id < 5
@@ -90,7 +90,7 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank on the *rounded* cosine with vec_id tiebreak so the ordering is
     engine-independent.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -183,7 +183,7 @@ def llm_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_llm.py; the bucket equi-join replaces the cross join —
     the scale win that makes this the 100 TB plan.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     hashed = e.withColumn("bucket", _bucket_expr_spark("v"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, spread
 
 # alphabetical language order fixes the argmax tiebreak in both engines
 LANG_MARKERS: dict[str, list[str]] = {
@@ -60,7 +60,7 @@ def _sw_array_spark() -> str:
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Descriptive text statistics: char/word/distinct-word counts, mean
     word length, punctuation count. One codegen'd projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     return t.select(
         "doc_id",
@@ -116,7 +116,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic can make.) A real n-gram model drops in as larger marker
     tables; the plan shape is unchanged.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
     scored = t.select(
         "doc_id",
@@ -169,7 +169,7 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic-only (no exp) so both engines agree to the last bit before
     rounding. The blend weights are the tunable policy, not the plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     feat = t.select(
         "doc_id",
@@ -222,7 +222,7 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, a BPE-ish regex
     lexer (letter runs | digit runs | single symbols), and a subword
     estimate (ceil(len/4) per word ~ bytes-per-token heuristic)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     return t.select(
         "doc_id",
@@ -270,7 +270,7 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-defined identity the catalog's deterministic uuids (F4) want
     for text payloads.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         F.trim(
@@ -361,7 +361,7 @@ def llm_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this runs at parquet-scan speed. Real profiles are larger
     lookup tables; the plan shape is identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
@@ -424,7 +424,7 @@ def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the dedup key. Near-dup (minhash) and language gates chain in as
     additional filters without changing the shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")

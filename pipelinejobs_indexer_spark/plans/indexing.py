@@ -62,24 +62,44 @@ def pipeline_index_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jobs(spark, sf_dir)
     f = archive_files(spark, sf_dir)
 
+    # Scale rewrite (result-identical to the oracle SQL):
+    #  * join + shuffle on the narrow integer job_key instead of the
+    #    67-char uuid (uuid = '107'||sha256(key) is injective, so key
+    #    equality <=> uuid equality) — 8-byte shuffle keys, and column
+    #    pruning then drops every sha2-derived fixture column from the
+    #    scans;
+    #  * the suffix-anchored patterns ('\.bam$') bind to the basename
+    #    (file_seq || '.' || ext — exactly how the path is built), so the
+    #    full path string is never materialized for filtered-out rows;
+    #  * the uuid is derived AFTER the aggregation: sha256 on one row per
+    #    group, not per file.
     valid_msgs = (
         m.filter((F.col("name") == "index") & F.col("token").rlike("^[0-9a-f]{16}$"))
-        .select("uuid")
+        .select("job_key")
         .distinct()
     )
-    target_jobs = j.join(valid_msgs, "uuid", "left_semi").select("uuid", "state")
+    target_jobs = j.join(valid_msgs, "job_key", "left_semi").select("job_key", "state")
+    basename = F.concat(F.col("file_seq").cast("string"), F.lit("."), F.col("ext"))
     selected = (
-        f.join(target_jobs, f.job_uuid == target_jobs.uuid)
-        .filter(
-            (F.col("path").rlike(r"\.bam$") | F.col("path").rlike(r"\.sam$"))
+        f.filter(
+            (basename.rlike(r"\.bam$") | basename.rlike(r"\.sam$"))
             & F.col("level").isin("1", "2")
         )
-        .select("job_uuid", "length", "ext", "state")
+        .select("job_key", "length", "ext")
+        .join(target_jobs, "job_key")
     )
-    return selected.groupBy("job_uuid", "state").agg(
+    return selected.groupBy("job_key", "state").agg(
         F.count("*").alias("files_indexed"),
         F.sum("length").alias("bytes_indexed"),
         F.countDistinct("ext").alias("n_exts"),
+    ).select(
+        F.concat(F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)).alias(
+            "job_uuid"
+        ),
+        "state",
+        "files_indexed",
+        "bytes_indexed",
+        "n_exts",
     )
 
 

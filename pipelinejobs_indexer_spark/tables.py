@@ -65,6 +65,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in BASE_TABLES}
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to core count when the scan yields fewer
+    partitions than cores.
+
+    The test parquet files are single-row-group, so Spark cannot split the
+    scan: every per-row expression downstream of the scan runs in ONE task.
+    For CPU-bound derivations (minhash md5, shingling, cosine math) that
+    serializes the whole machine behind one core; a cheap exchange of the
+    narrow input spreads it. Guarded so it is a no-op at real scale, where
+    a 100 TB table already scans as thousands of row-group splits. Only
+    worth it when per-row compute dominates — joins/aggs that shuffle
+    anyway gain nothing and pay the extra exchange.
+    """
+    from .session import default_parallelism
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def _typed_uuid(prefix: str, col):
     """Deterministic typed uuid: 3-digit type prefix + sha256 hex.
 
