@@ -118,30 +118,40 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- L2 MinHash
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """16 minhash signatures + shingle count per doc, one aggregation
-    (combiner-friendly integer mins; the count rides along so set sizes
-    need no second pass over the shingle table).
+    """16 minhash signatures + shingle count per doc from hashed_shingles,
+    one aggregation (combiner-friendly integer mins; the count rides along
+    so set sizes need no second pass over the shingle table).
 
-    One md5 per shingle, split into two 60-bit halves h1/h2; family i is
-    (h1 + i*h2) mod MINHASH_P (double hashing). vs the naive
-    md5(i||':'||s) per family this is 16x fewer hashes and integer (not
-    64-char string) combiner state. md5 is kept (not xxhash64) for exact
-    DuckDB-oracle parity; in production swap it — plan shape unchanged.
+    One md5 per shingle, split into two 60-bit halves; family i is
+    (hf mod P + i*h2) mod MINHASH_P (Kirsch-Mitzenmacher double hashing).
+    vs the naive md5(i||':'||s) per family this is 16x fewer hashes and
+    integer (not 64-char string) combiner state. md5 is kept (not
+    xxhash64) for exact DuckDB-oracle parity; in production swap it —
+    plan shape unchanged.
     """
-    hashed = sh.select(
+    aggs = [
+        F.min((F.col("hf") % MINHASH_P + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ] + [F.count("*").alias("n")]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, hf, h2): per-shingle 60-bit hash + second double-hash half.
+
+    Downstream (signatures AND the candidate-verify join) only ever needs
+    the hash, so the shingle string dies at this projection: the verify
+    self-join shuffles 8-byte ints instead of shingle text. hf collisions
+    between distinct shingles are ~2^-60 — and because the oracle applies
+    the identical hash, any collision replays identically there.
+    """
+    return shingles(docs).select(
         "doc_id",
-        F.expr(
-            f"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
-        ).alias("h1"),
+        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").alias("hf"),
         F.expr(
             f"cast(conv(substr(md5(s), 17, 15), 16, 10) as bigint) % {MINHASH_P}"
         ).alias("h2"),
     )
-    aggs = [
-        F.min((F.col("h1") + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ] + [F.count("*").alias("n")]
-    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_cols():
@@ -155,16 +165,22 @@ def _band_cols():
     return out
 
 
+_HASHED_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS hf,
+         ('0x' || substr(md5(s), 17, 15))::BIGINT % {MINHASH_P} AS h2
+  FROM sh
+"""
+
+
 def _minhash_sig_sql() -> str:
     mins = ",\n         ".join(
-        f"min((h1 + {i} * h2) % {MINHASH_P}) AS h{i}" for i in range(N_MINHASH)
+        f"min((hf % {MINHASH_P} + {i} * h2) % {MINHASH_P}) AS h{i}"
+        for i in range(N_MINHASH)
     )
     return (
         f"SELECT doc_id,\n         {mins},\n         count(*) AS n"
-        "\n  FROM (SELECT doc_id,"
-        f"\n          ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h1,"
-        f"\n          ('0x' || substr(md5(s), 17, 15))::BIGINT % {MINHASH_P} AS h2"
-        "\n        FROM sh) GROUP BY doc_id"
+        "\n  FROM hsh GROUP BY doc_id"
     )
 
 
@@ -180,6 +196,7 @@ def _bands_sql() -> str:
 @register(
     "llm_dedup_minhash",
     sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+         hsh AS ({_HASHED_SHINGLES_SQL}),
          sig AS ({_minhash_sig_sql()}),
          bands AS ({_bands_sql()}),
          cand AS (
@@ -191,8 +208,8 @@ def _bands_sql() -> str:
          common AS (
            SELECT c.doc_a, c.doc_b, count(*) AS c
            FROM cand c
-           JOIN sh sa ON sa.doc_id = c.doc_a
-           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+           JOIN hsh sa ON sa.doc_id = c.doc_a
+           JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.hf = sa.hf
            GROUP BY c.doc_a, c.doc_b
          )
          SELECT doc_a, doc_b,
@@ -204,9 +221,12 @@ def _bands_sql() -> str:
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup pairs via MinHash signatures + LSH banding, verified
-    with exact Jaccard on the candidate set only (never all pairs)."""
+    with exact Jaccard on the candidate set only (never all pairs).
+
+    The verify join runs over hashed_shingles, so candidate comparison
+    shuffles 8-byte ints, never shingle text."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingles(docs).cache()
+    sh = hashed_shingles(docs).cache()
     sig = _minhash_sig(sh).cache()
     bands = sig.select("doc_id", F.explode(F.array(*_band_cols())).alias("bv")).select(
         "doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
@@ -228,7 +248,8 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(
             sb,
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.hf") == F.col("sb.hf")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
