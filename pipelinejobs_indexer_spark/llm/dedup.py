@@ -6,8 +6,10 @@ Reference analog: the catalog's idempotent upsert (at most one document per
 uuid, /root/reference/tests/install_pipeline.py:23) is exact dedup; the
 near-dup family is the [X] extension for LLM training-data pipelines.
 
-Cross-engine determinism: every hash used here is md5-hex (identical in
-Spark, DuckDB, and Python's hashlib), and min/ordering is over hex strings
+Cross-engine determinism: every hash used here derives from md5-hex
+(identical in Spark, DuckDB, and Python's hashlib); minhash converts the
+hex halves to BIGINT with exact-parity conversions (Spark conv(,16,10) ==
+DuckDB ('0x'||h)::BIGINT) and simhash min/ordering stays over hex strings
 (plain ASCII ordering) — so the DuckDB oracle reproduces the Spark LSH
 banding decisions *exactly*, not just the final filtered answer.
 
