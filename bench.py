@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from pipelinejobs_indexer_spark import registry
 from pipelinejobs_indexer_spark.session import default_sf_dir, get_spark
 
@@ -55,6 +57,23 @@ HEADLINE = [
 N_RUNS = 2
 
 
+def force_full_eval(df) -> int:
+    """Run the query so EVERY output expression executes.
+
+    A bare ``df.count()`` lets Catalyst prune unused projections — for
+    projection-only queries the per-row work (md5, folds, sniffing) would
+    never run and the measured time would be a lie. Hashing every output
+    column into one xxhash64 and aggregating it makes each projection
+    expression load-bearing while still returning a single row to the
+    driver (no collect of the result set)."""
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+        .agg(F.count("h").alias("n"), F.bit_xor("h"))
+        .collect()[0]
+    )
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -73,7 +92,7 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
-            df.count()
+            force_full_eval(df)
             times.append(round(time.perf_counter() - t0, 4))
         cold[name] = times[0]
         best[name] = min(times)

@@ -89,8 +89,8 @@ def udf_regex_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_history_fold",
     sql=with_fixtures(
         """SELECT job_uuid,
-                  list(name || '@' || strftime(date, '%Y-%m-%dT%H:%M:%S.%f')
-                       ORDER BY date, event_seq) AS history,
+                  string_agg(name || '@' || strftime(date, '%Y-%m-%dT%H:%M:%S.%f'),
+                             '|' ORDER BY date, event_seq) AS history,
                   count(*) AS n_events
            FROM job_events GROUP BY job_uuid""",
         "job_events",
@@ -100,7 +100,10 @@ def udaf_history_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: reassemble the embedded per-job history array from exploded
     event rows (the document shape of init-job.json:37-141). Built-in
     collect_list over a sortable encoding — no custom UDAF needed; the
-    sort key (date, event_seq) is embedded so sort_array gives event order."""
+    sort key (date, event_seq) is embedded so sort_array gives event order.
+    The folded array is emitted as a '|'-joined string so the output stays
+    hashable for the external row-canonicalizing comparator (the list
+    semantics are pinned in tests/test_udfs.py)."""
     je = job_events(spark, sf_dir)
     entry = F.concat(
         # zero-padded sortable seq prefix keeps sort_array == ORDER BY date,seq
@@ -114,11 +117,14 @@ def udaf_history_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(entry)).alias("raw"),
         F.count("*").alias("n_events"),
     )
-    # strip the sort key back off: keep "name@date"
+    # strip the sort key back off: keep "name@date", joined with '|'
     return folded.select(
         "job_uuid",
-        F.expr(
-            "transform(raw, x -> concat(split(x, '#')[2], '@', split(x, '#')[0]))"
+        F.array_join(
+            F.expr(
+                "transform(raw, x -> concat(split(x, '#')[2], '@', split(x, '#')[0]))"
+            ),
+            "|",
         ).alias("history"),
         "n_events",
     )

@@ -294,6 +294,10 @@ def _thumbnail_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 lo = (k * n) // THUMB_CELLS
                 hi = ((k + 1) * n) // THUMB_CELLS
                 cell = arr[lo:hi]
+                if len(cell) == 0:
+                    # content shorter than THUMB_CELLS bytes: some cells are
+                    # empty — skip them (oracle filters the same cells out)
+                    continue
                 out["doc_id"].append(doc_id)
                 out["cell"].append(k)
                 out["mean_byte"].append(int(cell.sum()) // len(cell))
@@ -309,7 +313,8 @@ def _thumbnail_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                                         ((k + 1) * n) // {THUMB_CELLS})])
                      // (((k + 1) * n) // {THUMB_CELLS} - (k * n) // {THUMB_CELLS})
                      AS BIGINT) AS mean_byte
-         FROM d, generate_series(0, {THUMB_CELLS - 1}) AS t(k)""",
+         FROM d, generate_series(0, {THUMB_CELLS - 1}) AS t(k)
+         WHERE ((k + 1) * n) // {THUMB_CELLS} > (k * n) // {THUMB_CELLS}""",
 )
 def llm_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing with a deterministic fake: block-mean the bytes to

@@ -31,7 +31,8 @@ from ..tables import archive_files, job_events, jobs, messages
 @register(
     "agg_count_indexed",
     sql=with_fixtures(
-        """SELECT job_uuid, count(*) AS files_indexed, sum(length) AS bytes_indexed
+        """SELECT job_uuid, count(*) AS files_indexed,
+                  CAST(sum(length) AS BIGINT) AS bytes_indexed
            FROM archive_files GROUP BY job_uuid""",
         "archive_files",
     ),
@@ -172,7 +173,7 @@ def agg_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_storage_stats",
     sql=with_fixtures(
         """SELECT ext, level, count(*) AS n_files,
-                  sum(length) AS total_bytes,
+                  CAST(sum(length) AS BIGINT) AS total_bytes,
                   round(avg(length), 2) AS avg_bytes
            FROM archive_files GROUP BY ext, level""",
         "archive_files",

@@ -45,7 +45,7 @@ from ..tables import archive_files, jobs, messages
            )
            SELECT job_uuid, state,
                   count(*) AS files_indexed,
-                  sum(length) AS bytes_indexed,
+                  CAST(sum(length) AS BIGINT) AS bytes_indexed,
                   count(DISTINCT ext) AS n_exts
            FROM selected GROUP BY job_uuid, state""",
         "messages",

@@ -131,7 +131,7 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=with_fixtures(
         """WITH flagged AS (
              SELECT job_key, ts,
-                    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
              FROM messages WINDOW w AS (PARTITION BY job_key ORDER BY ts, msg_id)
            ),
@@ -149,9 +149,12 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: session windows — activity bursts per job separated by >30 min
+    """T4: session windows — activity bursts per job separated by >=30 min
     gaps (jobs carry petname session tags, init-job.json:32). Native
-    session_window; the oracle is the classic gaps-and-islands SQL."""
+    session_window; the oracle is the classic gaps-and-islands SQL. The
+    oracle's gap test is ``>=`` to match Spark's half-open [t, t+gap)
+    windows: an event landing exactly at the previous window's end starts
+    a new session."""
     m = _messages_stream(spark, sf_dir)
     agg = m.groupBy(F.session_window("ts", "30 minutes"), "job_key").agg(
         F.count("*").alias("n_events")
@@ -209,8 +212,10 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7: conditional exit-event propagation via foreachBatch — the
     reference forwards an event when a job exits a state (state_exit: true,
     config.yml:2-3; forward_event reactor.py:28-49). Each micro-batch
-    appends its outbox rows exactly-once-per-epoch; here the collected
-    outbox is returned for inspection."""
+    appends its outbox rows exactly-once-per-epoch to a parquet outbox
+    table (the durable-sink contract); the outbox table is read back and
+    returned. No driver-side row accumulation: each executor writes its
+    partitions straight to the sink."""
     je = _job_events_stream(spark, sf_dir)
     exits = je.filter(F.col("name") == "finish").select(
         F.col("job_uuid").alias("uuid"),
@@ -230,10 +235,13 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
 
-    collected: list = []
+    import tempfile
+
+    outbox = tempfile.mkdtemp(prefix="outbox_")
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        collected.append(batch_df.toPandas())
+        # idempotent per epoch: one append per micro-batch, distributed write
+        batch_df.write.mode("append").parquet(outbox)
 
     q = (
         exits.writeStream.foreachBatch(emit)
@@ -241,11 +249,4 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(600)
-    import pandas as pd
-
-    pdf = (
-        pd.concat(collected, ignore_index=True)
-        if collected
-        else pd.DataFrame(columns=["uuid", "state", "token"])
-    )
-    return spark.createDataFrame(pdf, schema="uuid string, state string, token string")
+    return spark.read.schema("uuid string, state string, token string").parquet(outbox)

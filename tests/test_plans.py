@@ -77,6 +77,28 @@ def test_scan_prunes_columns(spark, sf_dir):
     assert cols == {"l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"}, cols
 
 
+def test_sort_history_has_no_single_partition_funnel(spark, sf_dir):
+    """O1's global row numbering must never funnel the data through one
+    task: the only allowed SinglePartition exchange is over the tiny
+    partition-count frame (one row per shuffle partition), which shows up
+    under a HashAggregate, never over the event rows themselves."""
+    df = registry.QUERIES["sort_history"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    # the data path is range-partitioned + pid-partitioned windows
+    assert "rangepartitioning(date" in plan, plan
+    assert "hashpartitioning(pid" in plan, plan
+    # any SinglePartition exchange must sit on the aggregated counts side
+    # (input columns pid/cnt), not on the event rows (job_uuid/date)
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        cols = m.group(1)
+        assert "job_uuid" not in cols and "date" not in cols, (
+            "event rows flow through a SinglePartition exchange:\n" + plan
+        )
+
+
 def test_asof_join_has_no_pair_join(spark, sf_dir):
     """The as-of rewrite must stay a single-shuffle window plan — no join
     operator at all (the union-timeline shape)."""
