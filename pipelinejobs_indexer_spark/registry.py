@@ -17,23 +17,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Ordered so an external correctness sweep that enumerates the registry
+# front-to-back reaches the least-recently-proven queries first: streaming,
+# LLM-pipeline, sink, and composed-plan queries lead; the operator families
+# with standing green evidence trail.
 _MODULES = [
-    "pipelinejobs_indexer_spark.operators.scans",
-    "pipelinejobs_indexer_spark.operators.filters",
-    "pipelinejobs_indexer_spark.operators.joins",
-    "pipelinejobs_indexer_spark.operators.aggregates",
-    "pipelinejobs_indexer_spark.operators.windows",
-    "pipelinejobs_indexer_spark.operators.sorts",
-    "pipelinejobs_indexer_spark.operators.sets",
-    "pipelinejobs_indexer_spark.functions.scalars",
-    "pipelinejobs_indexer_spark.functions.udfs",
-    "pipelinejobs_indexer_spark.plans.upsert",
-    "pipelinejobs_indexer_spark.plans.indexing",
     "pipelinejobs_indexer_spark.streaming.queries",
     "pipelinejobs_indexer_spark.llm.dedup",
     "pipelinejobs_indexer_spark.llm.similarity",
     "pipelinejobs_indexer_spark.llm.text",
     "pipelinejobs_indexer_spark.llm.multimodal",
+    "pipelinejobs_indexer_spark.plans.upsert",
+    "pipelinejobs_indexer_spark.plans.indexing",
+    "pipelinejobs_indexer_spark.functions.udfs",
+    "pipelinejobs_indexer_spark.operators.aggregates",
+    "pipelinejobs_indexer_spark.operators.sorts",
+    "pipelinejobs_indexer_spark.operators.scans",
+    "pipelinejobs_indexer_spark.operators.filters",
+    "pipelinejobs_indexer_spark.operators.joins",
+    "pipelinejobs_indexer_spark.operators.windows",
+    "pipelinejobs_indexer_spark.operators.sets",
+    "pipelinejobs_indexer_spark.functions.scalars",
 ]
 
 _loaded = False
