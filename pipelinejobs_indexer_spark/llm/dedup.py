@@ -29,9 +29,16 @@ Scale design (the 100 TB story, per operator):
                  banded plan returns the same pairs as brute force at any
                  scale, with only equi-join shuffles.
   * embedding  — exact cosine is a nested-loop pair join: correct at test
-                 scale, quadratic at 100 TB. The scale path is the
-                 hyperplane-LSH bucketing in similarity.py (same bucket =>
-                 candidate), or block by a coarse quantization key.
+                 scale, quadratic at 100 TB — kept as the correctness
+                 baseline. The PRIMARY plan is llm_dedup_embedding_lsh:
+                 hyperplane-LSH buckets + hamming-1 multi-probe (planes
+                 shared with similarity.py), candidates via bucket
+                 equi-join, exact cosine on candidates only.
+  * ngram      — prefix filtering (AllPairs/PPJoin): candidates join only
+                 each doc's (n - ceil(t*n) + 1)-shingle prefix under a
+                 df-ascending global order, so hot shingles sort out of
+                 every prefix; exact jaccard verified on candidates.
+                 Result-identical to the naive inverted-index join.
 """
 
 from __future__ import annotations
@@ -380,23 +387,56 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}""",
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via an inverted shingle index (equi-join
-    on shingle), not a cross join. The shingle join is the scale hazard:
-    at 100 TB, cut stop-shingles by document frequency first (they
-    contribute no >=0.8 pair but dominate the join fan-out), or prefer
-    llm_dedup_minhash which only verifies LSH candidates.
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family): result-identical to the naive inverted-index join, with the
+    hot-shingle fan-out provably bounded.
+
+    Theorem (prefix filter): under any global total order on shingles, two
+    sets with jaccard(A,B) >= t must share an element among the first
+    |X| - ceil(t*|X|) + 1 shingles of each set X. So candidate generation
+    only joins those prefixes; ordering shingles by ascending document
+    frequency puts every hot shingle LAST, where it is almost never inside
+    a prefix — df no longer drives the join fan-out. Exact jaccard is then
+    verified on candidates only, over hashed shingles (8-byte ints).
+
+    Same answer as the unchanged oracle at every scale; the scale hazard
+    the naive plan had (one hot shingle joins all docs containing it) is
+    structurally gone.
     """
+    from pyspark.sql.window import Window
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingles(docs).cache()
+    sh = hashed_shingles(docs).select("doc_id", "hf").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    df_counts = sh.groupBy("hf").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "hf")
+    prefix_len = (F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1)
+    pref = (
+        sh.join(df_counts, "hf")
+        .select("doc_id", "hf", F.row_number().over(w).alias("rn"))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "hf")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.hf") == F.col("pb.hf"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
     common = (
-        a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.hf") == F.col("sb.hf")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
     jac = F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
@@ -448,4 +488,78 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cosine"),
         )
+    )
+
+
+# --------------------------------------- embedding dedup, LSH-bucketed
+def _embedding_lsh_sql() -> str:
+    from .similarity import _PROBES_SQL, _bucket_expr_sql
+
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         hashed AS (SELECT vec_id, v, {_bucket_expr_sql('v')} AS bucket FROM e),
+         probes AS (
+           SELECT vec_id, pb FROM (
+             SELECT vec_id, bucket, {_PROBES_SQL} AS ps FROM hashed
+           ), unnest(ps) AS t(pb)
+         ),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS vec_a, h.vec_id AS vec_b
+           FROM probes p JOIN hashed h
+             ON h.bucket = p.pb AND p.vec_id < h.vec_id
+         ),
+         pairs AS (
+           SELECT c.vec_a, c.vec_b,
+                  list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS dot,
+                  sqrt(list_sum([x * x for x in a.v])) AS na,
+                  sqrt(list_sum([x * x for x in b.v])) AS nb
+           FROM cand c
+           JOIN e a ON a.vec_id = c.vec_a
+           JOIN e b ON b.vec_id = c.vec_b
+         )
+         SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+         FROM pairs WHERE dot / (na * nb) >= {COSINE_DUP_THRESHOLD}"""
+
+
+@register("llm_dedup_embedding_lsh", sql=_embedding_lsh_sql())
+def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed — the PRIMARY (100 TB) plan; the
+    exact pair scan above is its correctness baseline.
+
+    Hyperplane-LSH sign-buckets every vector (deterministic md5-derived
+    planes shared with llm_similarity_ann); each vector multi-probes its
+    own bucket plus every hamming-1 neighbor; candidates = probe-bucket
+    equi-join matches only, then exact cosine on candidates. Every join is
+    an equi-join — no nested-loop pair scan anywhere — so the plan scales
+    with bucket occupancy, not n². Probes/planes are the recall knobs;
+    recall vs the exact baseline is pinned in tests/test_llm.py. The
+    DuckDB oracle replays the identical bucketing, so the gate checks
+    exact plan parity, not just the (approximate) answer.
+    """
+    from .similarity import _PROBES_SPARK, _bucket_expr_spark, _cos as _sim_cos
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hashed = emb.withColumn("bucket", _bucket_expr_spark("v"))
+    probes = hashed.select(
+        "vec_id", F.explode(F.expr(_PROBES_SPARK)).alias("pb")
+    )
+    right = hashed.select(
+        F.col("vec_id").alias("vid_b"), F.col("bucket").alias("hb")
+    )
+    cand = (
+        probes.join(
+            right, (F.col("pb") == F.col("hb")) & (F.col("vec_id") < F.col("vid_b"))
+        )
+        .select(F.col("vec_id").alias("vec_a"), F.col("vid_b").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _sim_cos("va", "vb")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pipelinejobs_indexer_spark.llm import multimodal  # noqa: E402
 from pipelinejobs_indexer_spark.llm.dedup import (  # noqa: E402
+    llm_dedup_embedding,
+    llm_dedup_embedding_lsh,
     llm_dedup_minhash,
     llm_dedup_ngram_jaccard,
 )
@@ -36,6 +38,21 @@ def test_minhash_recall_vs_exact(spark):
     assert lsh <= exact  # LSH verifies candidates with exact jaccard: no FPs
     assert len(lsh) >= 0.9 * len(exact)
     assert exact, "corpus should contain planted near-dup pairs"
+
+
+def test_embedding_lsh_is_subset_with_decent_recall(spark):
+    """The bucketed embedding dedup must be a strict subset of the exact
+    pair scan (candidates are exact-cosine verified, so no false
+    positives), with the cosines bit-identical on shared pairs and
+    non-collapsed recall (hamming-1 multi-probe over 4 planes)."""
+    exact = {(r.vec_a, r.vec_b): r.cosine for r in llm_dedup_embedding(spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cosine for r in llm_dedup_embedding_lsh(spark, SF).collect()}
+    assert exact, "corpus should contain >=threshold cosine pairs"
+    assert set(lsh) <= set(exact), "LSH produced a pair the exact scan lacks"
+    for pair, cos in lsh.items():
+        assert abs(exact[pair] - cos) < 1e-9
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.2, f"bucketed recall collapsed: {recall}"
 
 
 def test_ann_is_subset_with_decent_recall(spark):
