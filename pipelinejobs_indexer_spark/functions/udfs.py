@@ -86,6 +86,30 @@ def udf_regex_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_regex_python_only",
+    sql=with_fixtures(
+        r"""SELECT file_uuid, path FROM archive_files
+            WHERE regexp_matches(path, '\.bam$')
+               OR regexp_matches(path, '\.tsv$')""",
+        "archive_files",
+    ),
+)
+def udf_regex_python_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b: the same match set expressed with genuinely Python-only regex
+    syntax — the named group ``(?P<ext>...)`` cannot run as Java rlike, so
+    the classifier routes it to the Arrow-batched pandas_udf slow path,
+    while ``\\.tsv$`` stays on native rlike. The fast|slow OR therefore
+    executes BOTH branches end-to-end against the oracle (the oracle spells
+    the identical match set in DuckDB regex syntax)."""
+    af = archive_files(spark, sf_dir)
+    patterns = [r"(?P<ext>\.bam)$", r"\.tsv$"]
+    assert not is_java_safe(patterns[0]) and is_java_safe(patterns[1])
+    return af.filter(regex_any_filter(F.col("path"), patterns)).select(
+        "file_uuid", "path"
+    )
+
+
+@register(
     "udaf_history_fold",
     sql=with_fixtures(
         """SELECT job_uuid,

@@ -3,8 +3,10 @@
 S1 scan_parquet         — typed parquet scan with column pruning.
 S2 scan_json_messages   — free-form JSON payload parsing into typed columns
                           (reference: reactor.py:54-63 json.loads fallback).
-S3 scan_archive_listing — recursive file listing as a DataFrame
-                          (reference: store.index scan, reactor.py:162-167).
+S3 scan_archive_listing — recursive nested-tree file listing as a
+                          DataFrame with magic-byte MIME sniffing
+                          (reference: store.index scan, reactor.py:162-167,
+                          over a tree shaped like tests/store/uploads/).
 
 Scale notes: S1/S2 are pure scans — Catalyst pushes filters and prunes
 columns down to the parquet reader (verify via .explain: PushedFilters /
@@ -15,11 +17,47 @@ listing across executors; at 100 TB the file-metadata-only projection
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+
+# Nested binary fixture tree (scripts/make_fixture_tree.py): mirrors the
+# shape of the reference's archive tree /root/reference/tests/store/uploads/
+# — zip + pdf at the root, a png two levels deep, a yaml in between.
+_UPLOADS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "uploads",
+)
+
+# (hex-encoded magic prefix, mime) — shared detection order with
+# llm.multimodal._MAGIC; comparisons run on uppercase hex in both engines.
+_MAGIC_HEX = [
+    ("89504E47", "image/png"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("FFD8FF", "image/jpeg"),
+    ("52494646", "audio/wav"),
+]
+_PRINTABLE_HEX = "^(2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$"
+
+
+def _listing_sql() -> str:
+    cases = "\n                ".join(
+        f"WHEN substr(hex(content), 1, {len(h)}) = '{h}' THEN '{m}'"
+        for h, m in _MAGIC_HEX
+    )
+    return f"""SELECT regexp_replace(filename, '^.*/uploads/', '') AS rel_path,
+           size AS length,
+           CASE {cases}
+                WHEN regexp_matches(substr(hex(content), 1, 32),
+                                    '{_PRINTABLE_HEX}') THEN 'text/plain'
+                ELSE 'application/octet-stream' END AS mime_sniffed
+    FROM read_blob('{_UPLOADS}/**')"""
 
 
 @register(
@@ -58,22 +96,35 @@ def scan_json_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_archive_listing")  # no SQL oracle: filesystem source (rows-only check)
+@register("scan_archive_listing", sql=_listing_sql())
 def scan_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: recursive listing of an archive directory as a DataFrame.
+    """S3: recursive listing of a nested archive tree as a DataFrame, with
+    content-type sniffed from real magic bytes.
 
     Reference analog: store.index lists a job's archive_path on a storage
-    system (reactor.py:162-167, config.yml:11-13). Spark's binaryFile source
-    distributes listing + metadata extraction; we project metadata only so
-    file contents are never read into memory.
+    system (reactor.py:162-167, config.yml:11-13); the fixture tree mirrors
+    /root/reference/tests/store/uploads/ (zip + pdf + nested png). Spark's
+    binaryFile source distributes listing + metadata extraction across
+    executors; the MIME sniff is a pure Column expression over the leading
+    bytes (no Python), and at 100 TB the non-sniffing variant projects
+    metadata only so contents are never read.
     """
     df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .load(_UPLOADS)
+    )
+    head_hex = F.hex(F.substring(F.col("content"), 1, 16))
+    mime = None
+    for h, m in _MAGIC_HEX:
+        cond = F.substring(head_hex, 1, len(h)) == h
+        mime = F.when(cond, m) if mime is None else mime.when(cond, m)
+    mime = mime.otherwise(
+        F.when(F.substring(head_hex, 1, 32).rlike(_PRINTABLE_HEX), "text/plain")
+        .otherwise("application/octet-stream")
     )
     return df.select(
-        F.substring_index("path", "/", -1).alias("filename"),
+        F.regexp_replace("path", "^.*/uploads/", "").alias("rel_path"),
         F.col("length"),
-    ).orderBy("filename")
+        mime.alias("mime_sniffed"),
+    ).orderBy("rel_path")

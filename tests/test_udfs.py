@@ -35,3 +35,28 @@ def test_fast_slow_agree(spark):
     assert sorted(r.path for r in fast.collect()) == sorted(
         r.path for r in slow.collect()
     ) == ["/a/1.bam", "/a/2.sam"]
+
+
+def test_sniffer_on_real_fixture_bytes(spark):
+    """F12's pandas-UDF sniffer over the committed binary fixture tree —
+    real zip/pdf/png magic bytes, not synthesized heads."""
+    from pipelinejobs_indexer_spark.functions.udfs import sniff_mime_udf
+    from pipelinejobs_indexer_spark.operators.scans import _UPLOADS
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(_UPLOADS)
+    )
+    sniff = sniff_mime_udf()
+    rows = df.select(
+        F.substring_index("path", "/", -1).alias("fn"),
+        sniff(F.substring("content", 1, 8)).alias("mime"),
+    ).collect()
+    got = {r.fn: r.mime for r in rows}
+    assert got == {
+        "potato.zip": "application/zip",
+        "austin.pdf": "application/pdf",
+        "protein.png": "image/png",
+        "ansible.yml": "text/plain",
+    }
