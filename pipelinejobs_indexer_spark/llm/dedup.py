@@ -125,6 +125,44 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- L1b normalized exact
+@register(
+    "llm_dedup_normalized",
+    sql="""WITH n AS (
+             SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             FROM documents
+           )
+           SELECT md5(norm) AS norm_hash,
+                  min(doc_id) AS keep_doc_id,
+                  count(*) AS n_copies
+           FROM n GROUP BY md5(norm)""",
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b: normalize-then-exact dedup — the C4/RefinedWeb-style
+    "fuzzy-exact" step: lowercase, strip every non-alphanumeric to a
+    space, collapse whitespace runs, trim, THEN hash. Collapses documents
+    that differ only in case, punctuation, or spacing, which pure L1
+    misses, while staying a single hash-partitioned shuffle with map-side
+    partial aggregation — the normalization is a codegen projection, so
+    at 100 TB this costs the same as L1.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy(F.md5("norm").alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
 # ------------------------------------------------------------- L2 MinHash
 def _minhash_sig(sh: DataFrame) -> DataFrame:
     """16 minhash signatures + shingle count per doc from hashed_shingles,

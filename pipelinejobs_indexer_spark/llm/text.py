@@ -462,3 +462,118 @@ def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.select("doc_id", "n_words", score.alias("score"))
         .filter(F.col("score") >= 0.3)
     )
+
+
+# -------------------------------------------------- L6 sampling & scrubbing
+
+# Per-mille keep rates per language for the stratified sample: English
+# corpora are usually over-represented, so the strata downsample the rest
+# harder. Deterministic: keep iff hash("sample:" || doc_id) mod 1000 < rate.
+SAMPLE_RATES: dict[str, int] = {"en": 800, "de": 400, "es": 400, "fr": 400, "zh": 400}
+_SAMPLE_DEFAULT = 200
+
+
+def _sample_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {cases} ELSE {_SAMPLE_DEFAULT} END"
+
+
+@register(
+    "llm_corpus_sample",
+    sql=f"""SELECT doc_id, lang, source
+         FROM documents
+         WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000 < {_sample_rate_sql()}""",
+)
+def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6a: deterministic stratified corpus sampling — keep a per-language
+    fraction of documents, reproducibly, with no RNG state: a document is
+    kept iff md5("sample:" || doc_id) mod 1000 falls under its language's
+    per-mille rate. This is how a 100 TB pipeline subsamples: a pure
+    codegen filter (no shuffle, no sort, no driver coordination), stable
+    across reruns and cluster sizes, and composable — tightening a rate
+    always yields a subset of the looser sample (hash threshold
+    monotonicity). Rates are per-language strata (SAMPLE_RATES)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# PII patterns: explicit character classes only (no \d, no lookarounds) so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@register(
+    "llm_text_pii_scrub",
+    sql=f"""WITH enriched AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id::VARCHAR
+                       || '@example.com or +1-555-'
+                       || lpad((doc_id % 9000 + 1000)::VARCHAR, 4, '0')
+                       || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                       || ((doc_id * 7) % 256)::VARCHAR AS raw
+           FROM documents
+         ),
+         scrubbed AS (
+           SELECT doc_id, raw,
+                  regexp_replace(regexp_replace(regexp_replace(raw,
+                      '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g'),
+                      '{PII_IPV4}', '<IP>', 'g') AS clean
+           FROM enriched
+         )
+         SELECT doc_id, clean,
+                len(regexp_extract_all(clean, '<EMAIL>|<PHONE>|<IP>'))
+                  AS n_redactions
+         FROM scrubbed""",
+)
+def llm_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6b: PII redaction — emails, phone numbers, IPv4 addresses replaced
+    by typed placeholder tokens, with a per-document redaction count.
+
+    The fixture corpus carries no PII, so the query first derives a
+    deterministic PII-bearing column from (text, doc_id) — the same
+    fixture-derivation pattern tables.py uses — then scrubs it; the
+    oracle replays both steps. Patterns use explicit character classes
+    only, the Java-regex/RE2 common subset, so both engines match the
+    same spans. Pure chained regexp_replace projections: codegen,
+    no shuffle, scan-speed at 100 TB."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select("doc_id", clean.alias("clean")).select(
+        "doc_id",
+        "clean",
+        F.size(F.expr("regexp_extract_all(clean, '<EMAIL>|<PHONE>|<IP>', 0)")).alias(
+            "n_redactions"
+        ),
+    )

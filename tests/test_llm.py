@@ -151,3 +151,58 @@ def test_corpus_curate_dedups_and_gates(spark):
     assert out_ids <= keepers, "a non-canonical duplicate survived curation"
     dup_losers = {i for ids in by_text.values() for i in ids} - keepers
     assert not (out_ids & dup_losers)
+
+
+def test_corpus_sample_stratified_and_deterministic(spark):
+    """Sampling must be a deterministic per-language Bernoulli: reruns
+    identical, per-language keep rates within binomial noise of the
+    configured per-mille rates, and hash-threshold monotone (a tighter
+    rate yields a subset)."""
+    from pipelinejobs_indexer_spark.llm.text import SAMPLE_RATES, llm_corpus_sample
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    a = {r.doc_id for r in llm_corpus_sample(spark, SF).collect()}
+    b = {r.doc_id for r in llm_corpus_sample(spark, SF).collect()}
+    assert a == b, "sampling not deterministic"
+    docs = load_table(spark, SF, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    kept = {
+        r.lang: r.n
+        for r in llm_corpus_sample(spark, SF)
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES.get(lang, 200) / 1000
+        got = kept.get(lang, 0) / total
+        # 4-sigma binomial tolerance at the per-language stratum size
+        tol = 4 * (rate * (1 - rate) / total) ** 0.5
+        assert abs(got - rate) <= tol, (lang, got, rate, total)
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """Every enriched row carries exactly one email, one phone, and one
+    IP; after the scrub no raw PII shape may survive."""
+    from pipelinejobs_indexer_spark.llm.text import llm_text_pii_scrub
+
+    out = llm_text_pii_scrub(spark, SF)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.n_redactions == 3, r
+        assert "@example.com" not in r.clean
+        assert "<EMAIL>" in r.clean and "<PHONE>" in r.clean and "<IP>" in r.clean
+
+
+def test_normalized_dedup_at_least_as_coarse_as_exact(spark):
+    """Normalization can only merge hash groups, never split them: the
+    normalized dedup has <= as many groups as exact dedup and covers the
+    same total document count."""
+    from pipelinejobs_indexer_spark.llm.dedup import llm_dedup_exact, llm_dedup_normalized
+
+    exact = llm_dedup_exact(spark, SF).collect()
+    norm = llm_dedup_normalized(spark, SF).collect()
+    assert len(norm) <= len(exact)
+    assert sum(r.n_copies for r in norm) == sum(r.n_copies for r in exact)
