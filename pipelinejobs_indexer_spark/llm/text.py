@@ -577,3 +577,86 @@ def llm_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redactions"
         ),
     )
+
+
+NGRAM_TOP_K = 50
+
+
+@register(
+    "llm_token_ngram_topk",
+    sql=f"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         b AS (
+           SELECT w[i] || ' ' || w[i + 1] AS bigram
+           FROM t, unnest(generate_series(1, len(w) - 1)) AS g(i)
+           WHERE len(w) >= 2
+         )
+         SELECT bigram, count(*) AS n
+         FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT {NGRAM_TOP_K}""",
+)
+def llm_token_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6c: corpus-wide top-k word bigrams — the vocabulary/contamination
+    audit a training-data pipeline runs before tokenizer training.
+
+    Bigrams come from a codegen array transform (no UDF); the count is a
+    hash-partitioned groupBy with map-side partial aggregation (shuffle
+    volume = distinct bigrams, not corpus size), and the top-k compiles
+    to TakeOrderedAndProject — per-partition size-k heaps merged on the
+    driver, no global sort. The (n DESC, bigram) tiebreak makes the
+    boundary deterministic in both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    bigrams = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+@register(
+    "llm_embedding_quantize",
+    sql="""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (
+           SELECT vec_id, v,
+                  list_max([abs(x) for x in v]) / 127.0 AS scale
+           FROM e
+         )
+         SELECT vec_id,
+                round(scale, 6) AS scale,
+                CASE WHEN scale = 0
+                     THEN array_to_string([0 for x in v], '|')
+                     ELSE array_to_string(
+                            [CAST(floor(x / scale + 0.5) AS INT) for x in v], '|')
+                END AS q8
+         FROM s""",
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6d: symmetric int8 embedding quantization — per-vector scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) in [-127, 127]. The standard
+    4x storage/bandwidth shrink before ANN indexing at 100 TB scale.
+
+    Pure projection (zero shuffle, codegen). floor(x + 0.5) instead of
+    round() because both engines define floor identically on doubles,
+    while round-half behavior differs across engines/types. The int8
+    vector is emitted '|'-joined (driver canonicalization can't hash
+    array columns); scale rides along so a dequantizer is
+    q * scale."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = emb.withColumn(
+        "scale", F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))") / 127.0
+    )
+    q8 = F.when(
+        F.col("scale") == 0,
+        F.expr("array_join(transform(v, x -> 0), '|')"),
+    ).otherwise(
+        F.expr("array_join(transform(v, x -> cast(floor(x / scale + 0.5) as int)), '|')")
+    )
+    return s.select("vec_id", F.round("scale", 6).alias("scale"), q8.alias("q8"))

@@ -170,6 +170,42 @@ def agg_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_storage_percentiles",
+    sql=with_fixtures(
+        """SELECT ext,
+                  round(quantile_cont(length, 0.50), 6) AS p50,
+                  round(quantile_cont(length, 0.90), 6) AS p90,
+                  round(quantile_cont(length, 0.99), 6) AS p99
+           FROM archive_files GROUP BY ext""",
+        "archive_files",
+    ),
+)
+def agg_storage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: exact interpolated file-size percentiles per extension — the
+    storage-skew triage view (which file types carry the tail?).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    definition (linear interpolation at rank p*(n-1)), so the oracle
+    matches bit-for-bit after rounding. Exact percentile aggregates a
+    per-group value->count map, fine for bounded-cardinality keys like
+    byte sizes; for unbounded doubles at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — the
+    plan shape is unchanged."""
+    pct = F.expr("percentile(length, array(0.50D, 0.90D, 0.99D))")
+    return (
+        archive_files(spark, sf_dir)
+        .groupBy("ext")
+        .agg(pct.alias("p"))
+        .select(
+            "ext",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+@register(
     "agg_storage_stats",
     sql=with_fixtures(
         """SELECT ext, level, count(*) AS n_files,

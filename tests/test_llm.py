@@ -206,3 +206,35 @@ def test_normalized_dedup_at_least_as_coarse_as_exact(spark):
     norm = llm_dedup_normalized(spark, SF).collect()
     assert len(norm) <= len(exact)
     assert sum(r.n_copies for r in norm) == sum(r.n_copies for r in exact)
+
+
+def test_embedding_quantize_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization invariants: every q in [-127, 127] and
+    dequantized |q*scale - x| <= scale/2 element-wise."""
+    from pipelinejobs_indexer_spark.llm.text import llm_embedding_quantize
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    orig = {
+        r.vec_id: r.v
+        for r in load_table(spark, SF, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect()
+    }
+    for r in llm_embedding_quantize(spark, SF).collect():
+        qs = [int(x) for x in r.q8.split("|")]
+        assert all(-127 <= q <= 127 for q in qs)
+        # r.scale is rounded to 6dp for the oracle; recompute the true scale
+        scale = max(abs(x) for x in orig[r.vec_id]) / 127.0
+        for q, x in zip(qs, orig[r.vec_id]):
+            assert abs(q * scale - x) <= scale / 2 + 1e-12
+
+
+def test_ngram_topk_ordering(spark):
+    """Top-k bigrams arrive count-descending with the bigram tiebreak, and
+    every count must be >= the count of anything outside the top-k."""
+    from pipelinejobs_indexer_spark.llm.text import NGRAM_TOP_K, llm_token_ngram_topk
+
+    rows = llm_token_ngram_topk(spark, SF).collect()
+    assert 0 < len(rows) <= NGRAM_TOP_K
+    keys = [(-r.n, r.bigram) for r in rows]
+    assert keys == sorted(keys)
