@@ -121,3 +121,69 @@ def sink_event_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event",
         "state",
     )
+
+
+# ------------------------------------------------- S6 bucketed co-location
+BUCKETS_COLOCATED = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    sql=with_fixtures(
+        """SELECT j.uuid, j.state, count(*) AS n_files,
+                  CAST(sum(f.length) AS BIGINT) AS bytes_total
+           FROM jobs j JOIN archive_files f ON f.job_uuid = j.uuid
+           GROUP BY j.uuid, j.state""",
+        "jobs",
+        "archive_files",
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the co-located catalog join — both sides of the jobs⋈files
+    join are first written as bucketed tables on the join key
+    (bucketBy(8) + sortBy), then joined and rolled up WITHOUT a single
+    Exchange in the plan: the bucket layout satisfies the join's
+    distribution requirement, and the post-join aggregate reuses the same
+    partitioning (HashPartitioning(uuid) ⊆ cluster{uuid, state}).
+
+    This is the 100 TB catalog strategy in miniature: pay the shuffle
+    ONCE at ingest (the bucketed write), then every per-key join, merge,
+    and rollup against the catalog is shuffle-free forever after — the
+    same reason the reference keeps its catalog keyed by uuid in Mongo
+    (reactor.py:162-167 store writes). tests/test_plans.py pins the
+    no-Exchange property; the oracle checks the join itself.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..tables import archive_files as _archive_files
+
+    base = _os.path.join(_tempfile.gettempdir(), "spark_graft_bucketed_catalog")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    sides = [
+        ("cat_jobs_bucketed", jobs(spark, sf_dir).select("uuid", "state"), "uuid"),
+        (
+            "cat_files_bucketed",
+            _archive_files(spark, sf_dir).select("job_uuid", "length"),
+            "job_uuid",
+        ),
+    ]
+    for name, df, key in sides:
+        (
+            df.write.bucketBy(BUCKETS_COLOCATED, key)
+            .sortBy(key)
+            .option("path", _os.path.join(base, name))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bj = spark.table("cat_jobs_bucketed")
+    bf = spark.table("cat_files_bucketed")
+    return (
+        bj.join(bf, bj["uuid"] == bf["job_uuid"])
+        .groupBy("uuid", "state")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("length").alias("bytes_total"),
+        )
+    )

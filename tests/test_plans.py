@@ -105,3 +105,21 @@ def test_asof_join_has_no_pair_join(spark, sf_dir):
     plan = _formatted_plan(registry.QUERIES["join_asof_state"](spark, sf_dir))
     assert "Window" in plan
     assert "Join" not in plan, "as-of regressed to a pair join"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The co-located catalog join (join_bucketed_colocated) must read
+    both bucketed tables and join + aggregate with ZERO exchanges of any
+    kind: broadcast disabled, so only the bucket layout can satisfy the
+    join's distribution — the plan is Scan -> SortMergeJoin ->
+    HashAggregate with no Exchange node anywhere."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["join_bucketed_colocated"](spark, sf_dir)
+        plan = _formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
