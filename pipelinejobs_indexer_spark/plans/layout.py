@@ -1,0 +1,170 @@
+"""Storage-layout plans: compaction, sorted (data-skipping) layout, and
+key-skew profiling (SURVEY.md §2 rows S7/S8/A9).
+
+At 100 TB the physical layout of the catalog IS the performance model:
+
+- Small files kill scan throughput (per-file open/footer cost, starved
+  vectorized readers) and driver memory (file-status tracking). The
+  reference's per-message indexing writes one record batch per reactor
+  execution (reactor.py:162-183) — exactly the workload that fragments
+  storage and needs periodic compaction.
+- Unsorted layout defeats parquet row-group min/max pruning: a time-range
+  query over a time-random layout reads everything; over a range-
+  partitioned + sorted-within-partitions layout it reads only the
+  overlapping row groups.
+- Skewed keys turn one shuffle partition into the straggler. Profiling
+  heavy hitters BEFORE the join is how you decide between broadcast,
+  salting (join_provenance_salted), and AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle import with_fixtures
+from ..registry import register
+from ..tables import load_table
+
+# Compaction targets. Real deployments size these from HDFS/S3 block size
+# (128-512 MB); the fixture-scale numbers keep the test observable.
+FRAGMENT_FILES = 64
+COMPACT_TARGET_BYTES = 4 * 1024 * 1024
+SORTED_RANGES = 8
+SKEW_TOP_K = 20
+
+
+def _scratch(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_layout_{name}")
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_to_target(df: DataFrame, src_bytes: int, path: str, target_bytes: int) -> int:
+    """Write *df* compacted to ~target_bytes files: derive the file count
+    from the source's on-disk size and write exactly that many files.
+    Returns the file count chosen.
+
+    At scale src_bytes comes from the table's size-in-bytes statistic
+    (free from the file index / parquet footers, surfaced as
+    `DESCRIBE EXTENDED`'s statistics); `maxRecordsPerFile` guards the
+    tail."""
+    n_files = max(1, min(src_bytes // target_bytes + 1, 10_000))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return n_files
+
+
+@register(
+    "sink_compact_small_files",
+    sql="""SELECT event_id, event_type, value FROM events""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: small-file compaction — the maintenance pass behind every
+    record-at-a-time ingest (the reference writes one catalog record per
+    reactor message, reactor.py:162-183; a day of that is thousands of
+    tiny files). The query first materializes a deliberately fragmented
+    copy of `events` (64 files), then compacts it to ~4 MB target files
+    and returns the compacted table — the oracle proves compaction is
+    content-preserving, tests/test_layout.py pins the file-count drop.
+
+    Both steps are plain distributed writes: fragmentation is a
+    round-robin repartition, compaction one more. No driver-side row
+    handling; at 100 TB the same two-line plan runs per partition of the
+    catalog, with the file count derived from scan statistics."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    frag_path = _scratch("fragmented")
+    ev.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    compact_path = _scratch("compacted")
+    compact_to_target(frag, _dir_bytes(frag_path), compact_path, COMPACT_TARGET_BYTES)
+    return spark.read.parquet(compact_path)
+
+
+@register(
+    "sink_sorted_layout",
+    sql="""SELECT event_id, ts::TIMESTAMP AS ts, event_type FROM events
+           WHERE ts::TIMESTAMP >= (SELECT min(ts::TIMESTAMP) FROM events)
+             AND ts::TIMESTAMP < (SELECT min(ts::TIMESTAMP) FROM events)
+                                   + INTERVAL '1 hour'""",
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: time-sorted layout for data skipping — write events
+    range-partitioned AND sorted within partitions by `ts`, then answer a
+    time-range query from the sorted copy. Because every file covers a
+    disjoint time range (pinned via parquet row-group min/max stats in
+    tests/test_layout.py), the range scan prunes all but the overlapping
+    files — at 100 TB this is the difference between reading one file
+    and reading all of them. The oracle runs the same range query on the
+    raw table: sorting must not change the answer."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    path = _scratch("sorted")
+    (
+        ev.repartitionByRange(SORTED_RANGES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    sorted_ev = spark.read.parquet(path)
+    # one tiny agg to anchor the range; inlined as ntz literals so the
+    # pushed-down filter can prune files/row groups by min/max stats
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = lo + datetime.timedelta(hours=1)
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    lo_c = F.to_timestamp_ntz(F.lit(lo.strftime(fmt)))
+    hi_c = F.to_timestamp_ntz(F.lit(hi.strftime(fmt)))
+    return sorted_ev.filter((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))
+
+
+@register(
+    "agg_key_skew_profile",
+    sql=with_fixtures(
+        f"""WITH counts AS (
+             SELECT uuid, count(*) AS n FROM messages GROUP BY uuid
+           ),
+           tot AS (SELECT sum(n) AS t, count(*) AS n_keys FROM counts)
+           SELECT uuid, n,
+                  round(n / t, 6) AS share,
+                  round(n * n_keys / t, 6) AS x_mean
+           FROM counts, tot
+           ORDER BY n DESC, uuid LIMIT {SKEW_TOP_K}""",
+        "messages",
+    ),
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: join-key heavy-hitter profile — the pre-join audit that decides
+    the join strategy: keys with x_mean >> 1 (count far above the mean)
+    are salting/AQE-skew candidates; a tiny key count means broadcast.
+
+    One combiner-friendly groupBy + a broadcast single-row total + a
+    TakeOrderedAndProject top-k: shuffle volume is O(distinct keys), and
+    no global sort materializes. Run it on the 100 TB fact table for the
+    cost of one aggregation — far cheaper than discovering the skew as a
+    straggler task in the real join."""
+    from ..tables import messages
+
+    counts = messages(spark, sf_dir).groupBy("uuid").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("t"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "uuid",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("t"), 6).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("uuid"))
+        .limit(SKEW_TOP_K)
+    )

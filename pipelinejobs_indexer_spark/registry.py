@@ -29,6 +29,7 @@ _MODULES = [
     "pipelinejobs_indexer_spark.llm.multimodal",
     "pipelinejobs_indexer_spark.plans.upsert",
     "pipelinejobs_indexer_spark.plans.indexing",
+    "pipelinejobs_indexer_spark.plans.layout",
     "pipelinejobs_indexer_spark.functions.udfs",
     "pipelinejobs_indexer_spark.operators.aggregates",
     "pipelinejobs_indexer_spark.operators.sorts",

@@ -1,0 +1,74 @@
+"""Physical-layout semantics the oracle can't see: compaction actually
+reduces file counts, and the sorted layout actually produces disjoint
+per-file time ranges (the precondition for row-group pruning)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark.plans.layout import (  # noqa: E402
+    FRAGMENT_FILES,
+    _scratch,
+    agg_key_skew_profile,
+    sink_compact_small_files,
+    sink_sorted_layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for d, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_compaction_reduces_file_count(spark):
+    n_rows = sink_compact_small_files(spark, SF).count()
+    frag = _parquet_files(_scratch("fragmented"))
+    compact = _parquet_files(_scratch("compacted"))
+    assert len(frag) == FRAGMENT_FILES
+    assert 1 <= len(compact) < len(frag) / 4
+    assert n_rows > 0
+
+
+def test_sorted_layout_files_are_time_disjoint(spark):
+    """Every file of the sorted layout must cover a ts range that does not
+    overlap any other file's — checked from the parquet footer min/max
+    statistics, i.e. exactly what a scan's row-group pruning reads."""
+    import pyarrow.parquet as pq
+
+    sink_sorted_layout(spark, SF).count()  # materialize the layout
+    ranges = []
+    for f in _parquet_files(_scratch("sorted")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "expected a multi-file layout"
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
+
+
+def test_skew_profile_flags_heavy_hitters(spark):
+    rows = agg_key_skew_profile(spark, SF).collect()
+    assert rows
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0.0 < r.share < 1.0 for r in rows)
+    # only the single heaviest key is guaranteed >= the mean
+    assert rows[0].x_mean >= 1.0
