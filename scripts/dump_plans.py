@@ -31,6 +31,14 @@ SHOWCASE = {
     "llm_similarity_topk": "BroadcastNestedLoop only against the 5-row query set",
     "llm_text_stats": "pure projection — scan-speed pass, zero exchanges",
     "pipeline_index_job": "the composed reference path as one multi-join DAG",
+    "sort_history": "range partition + local rank + broadcast offsets — no single-partition Window funnel",
+    "llm_dedup_embedding_lsh": "bucket equi-join + hamming-1 probes; no nested-loop pair scan",
+    "llm_dedup_ngram_jaccard": "prefix-filtered candidate equi-join (AllPairs); no cross join",
+    "join_bucketed_colocated": "two bucketed scans, no shuffle Exchange anywhere (broadcast at this scale; the bucketed SortMergeJoin variant is pinned in tests/test_plans.py)",
+    "llm_corpus_sample": "pure codegen hash-threshold filter, zero shuffle",
+    "llm_embedding_quantize": "pure projection over the embeddings scan",
+    "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
+    "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
 }
 
 
