@@ -601,3 +601,65 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# --------------------------------------------- L7 eval-set contamination
+EVAL_MODULUS = 97  # deterministic eval-split stand-in: doc_id % 97 == 0
+CONTAMINATION_THRESHOLD = 0.5  # fraction of the eval doc's shingles present
+
+
+@register(
+    "llm_contamination_check",
+    sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+         eval_sh AS (
+           SELECT doc_id AS eval_doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n_eval
+           FROM sh WHERE doc_id % {EVAL_MODULUS} = 0
+         ),
+         train_sh AS (
+           SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MODULUS} <> 0
+         ),
+         overlap AS (
+           SELECT t.doc_id, e.eval_doc_id,
+                  count(*) AS n_common, any_value(e.n_eval) AS n_eval
+           FROM train_sh t JOIN eval_sh e ON t.s = e.s
+           GROUP BY t.doc_id, e.eval_doc_id
+         )
+         SELECT doc_id, eval_doc_id,
+                round(CAST(n_common AS DOUBLE) / n_eval, 6) AS overlap
+         FROM overlap
+         WHERE CAST(n_common AS DOUBLE) / n_eval >= {CONTAMINATION_THRESHOLD}""",
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: benchmark-contamination scan — flag training documents whose
+    shingle sets cover >=50% of any eval document's shingles (the
+    decontamination pass every serious training-data pipeline runs; the
+    eval split here is the deterministic doc_id % 97 == 0 stand-in for a
+    real benchmark table).
+
+    Scale shape: the eval set is small by construction, so its exploded
+    shingles BROADCAST; the training side streams through one equi-join
+    on the shingle string plus one aggregate keyed by (train, eval) doc
+    pair — no shuffle of the training corpus itself beyond the pair agg,
+    and the full-corpus cross-pair space never materializes. With a real
+    benchmark suite the eval side stays thousands of documents: still
+    broadcastable."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingles(docs)
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    eval_sh = (
+        sh.filter(is_eval)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+        .withColumn("n_eval", F.count("*").over(Window.partitionBy("eval_doc_id")))
+    )
+    train_sh = sh.filter(~is_eval)
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"), F.any_value("n_eval").alias("n_eval"))
+    )
+    frac = F.col("n_common").cast("double") / F.col("n_eval")
+    return overlap.filter(frac >= CONTAMINATION_THRESHOLD).select(
+        "doc_id", "eval_doc_id", F.round(frac, 6).alias("overlap")
+    )

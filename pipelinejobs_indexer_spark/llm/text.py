@@ -660,3 +660,45 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(transform(v, x -> cast(floor(x / scale + 0.5) as int)), '|')")
     )
     return s.select("vec_id", F.round("scale", 6).alias("scale"), q8.alias("q8"))
+
+
+@register(
+    "llm_corpus_mix_weights",
+    sql="""WITH per_source AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+           FROM documents GROUP BY source
+         ),
+         tot AS (SELECT sum(tokens) AS t, count(*) AS n_sources FROM per_source)
+         SELECT source, n_docs, tokens,
+                round(tokens / t, 6) AS share,
+                round((t / n_sources) / tokens, 6) AS uniform_weight
+         FROM per_source, tot""",
+)
+def llm_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6e: corpus mixture audit — per-source document/token counts, the
+    token share, and the resampling weight that would equalize the
+    mixture (weight = target_share / actual_share with a uniform target;
+    a real pipeline substitutes its tuned target vector — the plan is
+    identical). Feeding these weights into llm_corpus_sample's per-stratum
+    rates closes the loop: audit -> weights -> deterministic resample.
+
+    One combiner groupBy over the corpus + a broadcast single-row total:
+    at 100 TB the cost is one scan, shuffle volume = #sources."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("t"), F.count("*").alias("n_sources")
+    )
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("t"), 6).alias("share"),
+        F.round((F.col("t") / F.col("n_sources")) / F.col("tokens"), 6).alias(
+            "uniform_weight"
+        ),
+    )

@@ -238,3 +238,31 @@ def test_ngram_topk_ordering(spark):
     assert 0 < len(rows) <= NGRAM_TOP_K
     keys = [(-r.n, r.bigram) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_contamination_flags_planted_near_dups(spark):
+    """The planted near-dup corpus guarantees some train docs share most
+    shingles with eval-split docs; every flagged pair must be train x
+    eval with overlap in (0, 1]."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        EVAL_MODULUS,
+        llm_contamination_check,
+    )
+
+    rows = llm_contamination_check(spark, SF).collect()
+    for r in rows:
+        assert r.doc_id % EVAL_MODULUS != 0
+        assert r.eval_doc_id % EVAL_MODULUS == 0
+        assert 0.5 <= r.overlap <= 1.0
+
+
+def test_mix_weights_rebalance(spark):
+    """Shares sum to 1 and weight * share is constant (the uniform
+    target) across sources, modulo rounding."""
+    from pipelinejobs_indexer_spark.llm.text import llm_corpus_mix_weights
+
+    rows = llm_corpus_mix_weights(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    products = [r.uniform_weight * r.tokens for r in rows]
+    assert max(products) - min(products) < max(products) * 0.01
