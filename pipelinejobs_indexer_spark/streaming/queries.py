@@ -250,3 +250,67 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.schema("uuid string, state string, token string").parquet(outbox)
+
+
+@register(
+    "stream_incremental_upsert",
+    sql=with_fixtures(
+        """SELECT job_uuid AS uuid,
+                  arg_max(name, event_seq) AS last_name,
+                  max(event_seq) AS last_seq,
+                  count(*) AS n_events
+           FROM job_events GROUP BY job_uuid""",
+        "job_events",
+    ),
+)
+def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: incremental catalog materialization — the streaming twin of S4:
+    every micro-batch upserts its per-job aggregate into a catalog, and
+    the final catalog must equal the batch answer over all events (the
+    oracle). This is the reference's whole lifecycle (one message → one
+    catalog update, reactor.py:162-183) as an incremental materialized
+    view.
+
+    Plain parquet has no MERGE, so the foreachBatch appends per-batch
+    per-key DELTAS (a distributed write, no driver-side rows) and reads
+    resolve latest-wins — exactly the delta-log + compaction pattern;
+    plans/layout.py's compaction is the maintenance half. The per-key
+    aggregates are mergeable (max_by/max/sum of counts), which is what
+    makes the incremental view equal the batch answer for ANY batch
+    split — pinned across a forced 3-batch replay in
+    tests/test_streaming.py."""
+    return incremental_upsert(_job_events_stream(spark, sf_dir))
+
+
+def incremental_upsert(je: DataFrame) -> DataFrame:
+    """Drive a job_events-shaped stream through the delta-append upsert
+    and return the compacted catalog (see stream_incremental_upsert)."""
+    import tempfile
+
+    spark = je.sparkSession
+    outbox = tempfile.mkdtemp(prefix="upsert_delta_")
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy("job_uuid").agg(
+            F.max_by("name", "event_seq").alias("last_name"),
+            F.max("event_seq").alias("last_seq"),
+            F.count("*").alias("n_batch"),
+        )
+        delta.write.mode("append").parquet(outbox)
+
+    q = (
+        je.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    deltas = spark.read.schema(
+        "job_uuid string, last_name string, last_seq bigint, n_batch bigint"
+    ).parquet(outbox)
+    return deltas.groupBy("job_uuid").agg(
+        F.max_by("last_name", "last_seq").alias("last_name"),
+        F.max("last_seq").alias("last_seq"),
+        F.sum("n_batch").alias("n_events"),
+    ).select(
+        F.col("job_uuid").alias("uuid"), "last_name", "last_seq", "n_events"
+    )

@@ -118,3 +118,57 @@ def test_watermark_append_mode_semantics_across_batches(spark, tmp_path):
         "below-watermark arrival emitted at once — if this changes, the "
         "dead-letter guidance in streaming/queries.py needs revisiting"
     )
+
+
+def test_incremental_upsert_equals_batch_across_batches(spark, tmp_path):
+    """The delta-append upsert must equal the batch aggregate for ANY
+    micro-batch split: replay the same rows as three single-file batches
+    (mtime-ordered) and compare with the one-shot groupBy."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.streaming.queries import incremental_upsert
+
+    schema = "event_seq long, job_uuid string, date timestamp, name string, job_key long"
+    t0 = datetime(2024, 1, 1)
+    batches = [
+        [(1, "jobA", t0, "create", 1), (2, "jobB", t0, "create", 2)],
+        [(3, "jobA", t0 + timedelta(minutes=5), "run", 1)],
+        [(4, "jobA", t0 + timedelta(minutes=9), "finish", 1),
+         (5, "jobB", t0 + timedelta(minutes=2), "run", 2)],
+    ]
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        all_rows.extend(rows)
+        time.sleep(1.1)  # distinct mtimes fix the micro-batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = {
+        r.uuid: (r.last_name, r.last_seq, r.n_events)
+        for r in incremental_upsert(stream).collect()
+    }
+    expect = {
+        r.job_uuid: (r.last_name, r.last_seq, r.n_events)
+        for r in spark.createDataFrame(all_rows, schema)
+        .groupBy("job_uuid")
+        .agg(
+            F.max_by("name", "event_seq").alias("last_name"),
+            F.max("event_seq").alias("last_seq"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expect == {
+        "jobA": ("finish", 4, 3),
+        "jobB": ("run", 5, 2),
+    }
