@@ -650,6 +650,12 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return quantize_projection(emb)
+
+
+def quantize_projection(emb: DataFrame) -> DataFrame:
+    """The L6d projection over any (vec_id, v: array<double>) frame; the
+    scale==0 branch keeps all-zero vectors well-defined (q=0)."""
     s = emb.withColumn(
         "scale", F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))") / 127.0
     )

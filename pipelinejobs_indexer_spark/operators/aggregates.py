@@ -227,3 +227,40 @@ def agg_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("length"), 2).alias("avg_bytes"),
         )
     )
+
+
+JOB_STATES = ["CREATED", "INDEXING", "FINISHED"]
+
+
+@register(
+    "agg_state_pivot",
+    sql=with_fixtures(
+        """SELECT pipeline_uuid,
+                  count(*) FILTER (WHERE state = 'CREATED') AS created,
+                  count(*) FILTER (WHERE state = 'INDEXING') AS indexing,
+                  count(*) FILTER (WHERE state = 'FINISHED') AS finished
+           FROM jobs GROUP BY pipeline_uuid""",
+        "jobs",
+    ),
+)
+def agg_state_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the pipeline×state dashboard matrix — states pivoted to
+    columns (the README.rst:76-79 triage table shape). Uses pivot() with
+    the state list EXPLICIT: with known pivot values Spark compiles this
+    to one pass of conditional aggregates (same plan as the oracle's
+    FILTER clauses) instead of a values-discovery job plus a second
+    aggregation — at 100 TB the discovery pass alone would be a full
+    scan, which is why unbounded pivots are a smell."""
+    return (
+        jobs(spark, sf_dir)
+        .groupBy("pipeline_uuid")
+        .pivot("state", JOB_STATES)
+        .count()
+        .na.fill(0, [s for s in JOB_STATES])
+        .select(
+            "pipeline_uuid",
+            F.col("CREATED").alias("created"),
+            F.col("INDEXING").alias("indexing"),
+            F.col("FINISHED").alias("finished"),
+        )
+    )

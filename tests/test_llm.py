@@ -266,3 +266,18 @@ def test_mix_weights_rebalance(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     products = [r.uniform_weight * r.tokens for r in rows]
     assert max(products) - min(products) < max(products) * 0.01
+
+
+def test_quantize_zero_vector_edge(spark):
+    """An all-zero vector has scale 0 — the projection must emit q=0
+    everywhere instead of dividing by zero, and extremes hit ±127."""
+    from pipelinejobs_indexer_spark.llm.text import quantize_projection
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -1.0, 0.5])],
+        "vec_id long, v array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_projection(df).collect()}
+    assert rows[0].scale == 0.0
+    assert rows[0].q8 == "0|0|0"
+    assert rows[1].q8 == "127|-127|64"
