@@ -290,3 +290,52 @@ def fn_filetype_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.encode(F.concat(F.lit("id\t"), F.col("file_uuid")), "utf-8"))
     sniff = sniff_mime_udf()
     return af.select("file_uuid", sniff(head).alias("sniffed_mime"))
+
+
+# --- X3b: the same fan-out as a TRUE Python UDTF (Spark >= 3.5) ----------
+
+
+@register(
+    "udtf_expand_listing_py",
+    sql=with_fixtures(
+        """SELECT uuid, archive_path || '/' || CAST(i AS VARCHAR) || '.dat' AS listed_path
+           FROM jobs, unnest(generate_series(1, CAST(job_key % 4 AS INT) + 1)) AS t(i)""",
+        "jobs",
+    ),
+)
+def udtf_expand_listing_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: the identical fan-out through Spark's Python UDTF surface —
+    the tool X3's docstring reserves for listings that must CALL OUT per
+    row (an object-store list API, an Agave files endpoint): imperative
+    per-row Python yielding N output rows, which explode() cannot express
+    when the list comes from a network call. Here the 'listing' is the
+    same deterministic synthesis as X3, so the oracle (and X3 itself) pin
+    the UDTF end-to-end.
+
+    Scale shape: UDTFs run arrow-batched per partition, so the fan-out
+    parallelizes like any projection; the eval is still Python — keep it
+    for genuinely external calls and use explode for derivable listings
+    (X3 is the production path)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="uuid string, listed_path string")
+    class ExpandListing:
+        def eval(self, uuid: str, archive_path: str, job_key: int):
+            # stand-in for store.index(archive_path): deterministic file list
+            for i in range(1, job_key % 4 + 2):
+                yield uuid, f"{archive_path}/{i}.dat"
+
+    j = jobs(spark, sf_dir).select("uuid", "archive_path", "job_key")
+    return _apply_udtf(spark, ExpandListing, j)
+
+
+def _apply_udtf(spark: SparkSession, cls, j: DataFrame) -> DataFrame:
+    """Apply a UDTF over a DataFrame via LATERAL join (the SQL surface for
+    table functions)."""
+    spark.udtf.register("expand_listing_py", cls)
+    j.createOrReplaceTempView("jobs_for_udtf")
+    return spark.sql(
+        """SELECT t.uuid, t.listed_path
+           FROM jobs_for_udtf,
+                LATERAL expand_listing_py(uuid, archive_path, job_key) t"""
+    )
