@@ -663,3 +663,39 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap.filter(frac >= CONTAMINATION_THRESHOLD).select(
         "doc_id", "eval_doc_id", F.round(frac, 6).alias("overlap")
     )
+
+
+# ------------------------------------------------ L8 repeated-span audit
+SPAN_MIN_DOCS = 3  # a shingle appearing in >= this many docs is boilerplate
+
+
+@register(
+    "llm_span_dedup_audit",
+    sql=f"""WITH sh AS ({_SHINGLES_SQL})
+         SELECT s AS span, count(*) AS n_docs
+         FROM sh GROUP BY s
+         HAVING count(*) >= {SPAN_MIN_DOCS}
+         ORDER BY n_docs DESC, span LIMIT 100""",
+)
+def llm_span_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: repeated-span (boilerplate) audit — the shingle-level duplicate
+    check (Gopher/RefinedWeb's repeated-substring filters): spans shared
+    by >= SPAN_MIN_DOCS documents are boilerplate candidates (headers,
+    license blocks, navigation chrome) that inflate near-dup scores and
+    leak across train/eval splits. Output feeds a span blocklist the
+    scrubbing pass can subtract.
+
+    Since shingles() emits DISTINCT shingles per doc, count(*) IS the
+    document frequency. One combiner groupBy over the exploded shingles +
+    TakeOrderedAndProject: shuffle volume = distinct spans, the 100 TB
+    shape (this is also exactly the df computation the ngram prefix
+    filter orders by)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        shingles(docs)
+        .groupBy(F.col("s").alias("span"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(100)
+    )

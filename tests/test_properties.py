@@ -113,3 +113,25 @@ def test_latest_wins_idempotent_and_correct(spark, old_rows, new_rows):
                 model[k] = cand
     want = {(k, v, s) for k, (v, _src, s) in model.items()}
     assert got_once == want
+
+
+def test_sample_rate_monotonicity(spark):
+    """Hash-threshold sampling is subset-monotone: for ANY rate pair
+    r1 <= r2, the r1 sample is a subset of the r2 sample — the property
+    that makes deterministic downsampling safely composable."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+    with_b = docs.select("doc_id", bucket.alias("b"))
+    kept = {
+        rate: {r.doc_id for r in with_b.filter(F.col("b") < rate).collect()}
+        for rate in (100, 400, 800, 1000)
+    }
+    assert kept[100] <= kept[400] <= kept[800] <= kept[1000]
+    assert len(kept[1000]) == docs.count()
