@@ -245,9 +245,10 @@ def _bands_sql() -> str:
     return "\n  UNION ALL ".join(selects)
 
 
-@register(
-    "llm_dedup_minhash",
-    sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+def _minhash_pairs_sql() -> str:
+    """The full minhash-LSH pair query (shared by the pair registration
+    and the cluster oracle, which wraps it in a recursive CTE)."""
+    return f"""WITH sh AS ({_SHINGLES_SQL}),
          hsh AS ({_HASHED_SHINGLES_SQL}),
          sig AS ({_minhash_sig_sql()}),
          bands AS ({_bands_sql()}),
@@ -269,8 +270,10 @@ def _bands_sql() -> str:
          FROM common
          JOIN sizes na ON na.doc_id = doc_a
          JOIN sizes nb ON nb.doc_id = doc_b
-         WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}""",
-)
+         WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}"""
+
+
+@register("llm_dedup_minhash", sql=_minhash_pairs_sql())
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard on the candidate set only (never all pairs).
@@ -705,3 +708,84 @@ def llm_span_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("span"))
         .limit(100)
     )
+
+
+# --------------------------------------------- L9 duplicate clusters
+MAX_CC_ITERS = 10
+
+
+@register(
+    "llm_dedup_clusters",
+    sql=f"""WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL
+           SELECT doc_b, doc_a FROM pairs
+         ),
+         verts AS (SELECT DISTINCT a AS v FROM edges),
+         reach(v, r) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+         )
+         SELECT v AS doc_id,
+                min(r) AS cluster_id,
+                count(*) OVER (PARTITION BY min(r)) AS n_members
+         FROM reach GROUP BY v""",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: duplicate CLUSTERS from near-dup pairs — pair lists aren't
+    actionable until they become connected components with one keeper per
+    component (near-duplication is transitive in effect: A~B, B~C must
+    collapse to ONE representative, not two independent pair decisions).
+    cluster_id = min doc_id in the component, the keeper.
+
+    Spark-first iteration (no GraphFrames dependency): min-label
+    propagation — label(v) <- min(label(v), min over neighbors) — run as
+    a driver loop of equi-join + groupBy rounds until a cheap count says
+    no label changed. Each round is two shuffles on 8-byte keys;
+    convergence takes <= component-diameter rounds (near-dup clusters are
+    shallow — here 2-3). At 100 TB: localCheckpoint each round to cut
+    lineage, or switch to the large-star/small-star variant (alternating
+    min-propagation that converges in O(log n) rounds on pathological
+    chains); the per-round plan is identical. The DuckDB oracle computes
+    the same components with a genuinely recursive CTE, cross-checking
+    the iterative plan against recursive evaluation."""
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).cache()
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.v == nbr.a, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql.window import Window
+
+    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("n_members", w_size)

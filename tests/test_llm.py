@@ -281,3 +281,28 @@ def test_quantize_zero_vector_edge(spark):
     assert rows[0].scale == 0.0
     assert rows[0].q8 == "0|0|0"
     assert rows[1].q8 == "127|-127|64"
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Connected-components invariants: both ends of every pair share a
+    cluster, cluster_id is the minimum member, and n_members counts the
+    cluster's rows."""
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        llm_dedup_clusters,
+        llm_dedup_minhash,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in llm_dedup_minhash(spark, SF).collect()]
+    rows = llm_dedup_clusters(spark, SF).collect()
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    assert pairs and rows
+    for a, b in pairs:
+        assert cluster[a] == cluster[b], (a, b)
+    members = Counter(cluster.values())
+    for r in rows:
+        assert r.cluster_id == min(
+            d for d, c in cluster.items() if c == r.cluster_id
+        )
+        assert r.n_members == members[r.cluster_id]
