@@ -617,9 +617,10 @@ EVAL_MODULUS = 97  # deterministic eval-split stand-in: doc_id % 97 == 0
 CONTAMINATION_THRESHOLD = 0.5  # fraction of the eval doc's shingles present
 
 
-@register(
-    "llm_contamination_check",
-    sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+def _contamination_sql() -> str:
+    """The full contamination query (shared with the composed curation
+    oracle in llm/text.py)."""
+    return f"""WITH sh AS ({_SHINGLES_SQL}),
          eval_sh AS (
            SELECT doc_id AS eval_doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n_eval
            FROM sh WHERE doc_id % {EVAL_MODULUS} = 0
@@ -636,8 +637,10 @@ CONTAMINATION_THRESHOLD = 0.5  # fraction of the eval doc's shingles present
          SELECT doc_id, eval_doc_id,
                 round(CAST(n_common AS DOUBLE) / n_eval, 6) AS overlap
          FROM overlap
-         WHERE CAST(n_common AS DOUBLE) / n_eval >= {CONTAMINATION_THRESHOLD}""",
-)
+         WHERE CAST(n_common AS DOUBLE) / n_eval >= {CONTAMINATION_THRESHOLD}"""
+
+
+@register("llm_contamination_check", sql=_contamination_sql())
 def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: benchmark-contamination scan — flag training documents whose
     shingle sets cover >=50% of any eval document's shingles (the

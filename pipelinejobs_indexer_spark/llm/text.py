@@ -708,3 +708,122 @@ def llm_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_weight"
         ),
     )
+
+
+def _curate_full_sql() -> str:
+    from .dedup import _contamination_sql
+
+    return f"""WITH norm_docs AS (
+           SELECT doc_id, text, lang,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ),
+         kept AS (
+           SELECT doc_id, text, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+             FROM norm_docs
+           ) WHERE rn = 1
+         ),
+         contaminated AS (
+           SELECT DISTINCT doc_id FROM ({_contamination_sql()})
+         ),
+         clean AS (
+           SELECT k.* FROM kept k
+           WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ),
+         feat AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> list_contains({_sw_array_sql()}, x)))
+                       AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+                  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM clean
+         ),
+         scored AS (
+           SELECT doc_id, lang, n_words,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + n_words / 1000.0 + stop_ratio - 0.05 * n_punct)), 6)
+                    AS score
+           FROM feat
+         )
+         SELECT doc_id, lang, n_words, score
+         FROM scored
+         WHERE score >= 0.3
+           AND ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000 < {_sample_rate_sql()}"""
+
+
+@register("llm_corpus_curate_full", sql=_curate_full_sql())
+def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation pass as one DAG — what a 100 TB
+    corpus job actually runs end to end:
+
+        normalize-dedup (L1b, keep lowest doc_id per normalized hash)
+        -> decontaminate (L7, drop docs covering >=50% of an eval doc)
+        -> quality gate (L4c arithmetic score >= 0.3)
+        -> stratified sample (L6a per-language hash-threshold rates)
+
+    Shuffle budget: ONE wide shuffle for the dedup window, one
+    broadcast-anti-join against the (small) contaminated set, then pure
+    codegen projections/filters — the sample gate is free. Everything
+    else composes into the same stage; this whole pipeline costs barely
+    more than the dedup alone, which is the point of expressing curation
+    declaratively instead of as sequential materialized passes."""
+    from pyspark.sql.window import Window
+
+    from .dedup import llm_contamination_check
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    kept = (
+        docs.select("doc_id", "text", "lang", norm.alias("norm"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    contaminated = llm_contamination_check(spark, sf_dir).select("doc_id").distinct()
+    clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    t = clean.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
+    feat = t.select(
+        "doc_id",
+        "lang",
+        F.size("w").alias("n_words"),
+        (
+            F.expr(f"size(filter(w, x -> array_contains({_sw_array_spark()}, x)))").cast(
+                "double"
+            )
+            / F.size("w")
+        ).alias("stop_ratio"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.2)
+                + F.col("n_words") / 1000.0
+                + F.col("stop_ratio")
+                - 0.05 * F.col("n_punct"),
+            ),
+        ),
+        6,
+    )
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+    return (
+        feat.select("doc_id", "lang", "n_words", score.alias("score"))
+        .filter((F.col("score") >= 0.3) & (bucket < rate))
+    )

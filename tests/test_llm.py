@@ -306,3 +306,26 @@ def test_dedup_clusters_consistent_with_pairs(spark):
             d for d, c in cluster.items() if c == r.cluster_id
         )
         assert r.n_members == members[r.cluster_id]
+
+
+def test_curate_full_composition_semantics(spark):
+    """The composed pipeline must be consistent with its stages run
+    independently: output ⊆ sampled ∩ quality-gated ∩ dedup-kept, and no
+    contaminated or duplicate-shadowed doc survives."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        llm_contamination_check,
+        llm_dedup_normalized,
+    )
+    from pipelinejobs_indexer_spark.llm.text import (
+        llm_corpus_curate_full,
+        llm_corpus_sample,
+    )
+
+    out = {r.doc_id for r in llm_corpus_curate_full(spark, SF).collect()}
+    assert out
+    sampled = {r.doc_id for r in llm_corpus_sample(spark, SF).collect()}
+    keepers = {r.keep_doc_id for r in llm_dedup_normalized(spark, SF).collect()}
+    contaminated = {r.doc_id for r in llm_contamination_check(spark, SF).collect()}
+    assert out <= sampled
+    assert out <= keepers
+    assert not (out & contaminated)
