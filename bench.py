@@ -47,6 +47,8 @@ HEADLINE = [
     "pipeline_index_job",
     "stream_tumbling_counts",
     "llm_dedup_minhash",
+    "llm_dedup_clusters",
+    "llm_corpus_curate_full",
     "llm_similarity_topk",
     "llm_similarity_ann",
     "llm_text_stats",
