@@ -107,3 +107,87 @@ def win_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("running_n"),
         F.round(F.sum("value").over(w), 2).alias("running_value"),
     )
+
+
+@register(
+    "win_gapfill_states",
+    sql=with_fixtures(
+        """WITH bounds AS (
+             SELECT job_uuid,
+                    date_trunc('day', min(date)) AS lo,
+                    date_trunc('day', max(date)) AS hi
+             FROM job_events GROUP BY job_uuid
+           ),
+           grid AS (
+             SELECT job_uuid, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+             FROM bounds
+           ),
+           timeline AS (
+             SELECT job_uuid, date AS ts_sort, 0 AS kind, event_seq AS seq,
+                    name, NULL::TIMESTAMP AS day
+             FROM job_events
+             UNION ALL
+             SELECT job_uuid, day + INTERVAL '1 day', 1, 9223372036854775807,
+                    NULL, day
+             FROM grid
+           ),
+           filled AS (
+             SELECT job_uuid, day, kind,
+                    last_value(name IGNORE NULLS)
+                      OVER (PARTITION BY job_uuid
+                            ORDER BY ts_sort, kind, seq
+                            ROWS UNBOUNDED PRECEDING) AS state
+             FROM timeline
+           )
+           SELECT job_uuid, day, state FROM filled WHERE kind = 1""",
+        "job_events",
+    ),
+)
+def win_gapfill_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: time-series gap fill — materialize a regular 1-day grid per job
+    and carry the last event name forward into every slot (the hypertable
+    resample/locf view: "what state was every job in at the end of each
+    day?", even on days with no events).
+
+    Same linear shape as the as-of join (J7): grid rows and event rows
+    union into ONE timeline, a single window pass per job carries the
+    last non-null name forward — never a grid×events pair join. Grid rows
+    sort at day-end (day + 1d, kind=1, seq=MAX) so every event of the
+    closing day precedes its slot deterministically. One shuffle on
+    job_uuid; grid density is the only scale knob (day grid ≈ 30 rows per
+    job-month; at 100 TB pick the interval to bound output, the plan is
+    unchanged)."""
+    je = job_events(spark, sf_dir)
+    bounds = je.groupBy("job_uuid").agg(
+        F.date_trunc("day", F.min("date")).alias("lo"),
+        F.date_trunc("day", F.max("date")).alias("hi"),
+    )
+    grid = bounds.select(
+        "job_uuid",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    events_t = je.select(
+        "job_uuid",
+        F.col("date").alias("ts_sort"),
+        F.lit(0).alias("kind"),
+        F.col("event_seq").alias("seq"),
+        "name",
+        F.lit(None).cast("timestamp_ntz").alias("day"),
+    )
+    grid_t = grid.select(
+        "job_uuid",
+        (F.col("day") + F.expr("interval 1 day")).alias("ts_sort"),
+        F.lit(1).alias("kind"),
+        F.lit(9223372036854775807).alias("seq"),
+        F.lit(None).cast("string").alias("name"),
+        "day",
+    )
+    w = (
+        Window.partitionBy("job_uuid")
+        .orderBy("ts_sort", "kind", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = events_t.unionByName(grid_t).withColumn(
+        "state", F.last("name", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("kind") == 1).select("job_uuid", "day", "state")
