@@ -765,12 +765,15 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         -> quality gate (L4c arithmetic score >= 0.3)
         -> stratified sample (L6a per-language hash-threshold rates)
 
-    Shuffle budget: ONE wide shuffle for the dedup window, one
-    broadcast-anti-join against the (small) contaminated set, then pure
-    codegen projections/filters — the sample gate is free. Everything
-    else composes into the same stage; this whole pipeline costs barely
-    more than the dedup alone, which is the point of expressing curation
-    declaratively instead of as sequential materialized passes."""
+    Shuffle budget (pinned ≤7 in tests/test_plans.py, no nested-loop
+    joins anywhere): one wide shuffle for the dedup window, the
+    contamination sub-DAG's aggregates (all bounded by the small
+    eval-derived side; its verdict enters via a broadcast anti-join),
+    and the two spread() repartitions of the narrow doc scan. The
+    quality and sample gates are free codegen projections riding the
+    dedup stage — curation costs barely more than dedup plus the (tiny)
+    contamination audit, which is the point of one declarative DAG over
+    sequential materialized passes."""
     from pyspark.sql.window import Window
 
     from .dedup import llm_contamination_check

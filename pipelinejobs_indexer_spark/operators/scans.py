@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..oracle import with_fixtures
 from ..registry import register
 from ..tables import load_table
 
@@ -128,3 +129,44 @@ def scan_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         mime.alias("mime_sniffed"),
     ).orderBy("rel_path")
+
+
+@register(
+    "scan_csv_export",
+    sql=with_fixtures(
+        """SELECT msg_id, uuid, name, level FROM messages
+           WHERE name IN ('index', 'indexed')""",
+        "messages",
+    ),
+)
+def scan_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the CSV interchange path — export a message slice to CSV
+    (header, explicit quoting) and read it back with an EXPLICIT schema
+    and FAILFAST mode; the oracle derives the same slice straight from
+    the fixture, so the check proves round-trip fidelity of the CSV
+    writer/parser pair (types, quoting, header handling).
+
+    Scale notes: CSV is the interchange format, not the storage format —
+    schema-on-read with no pushdown, no column pruning, no stats. The
+    explicit StructType + FAILFAST keeps ingestion errors loud; at 100 TB
+    the first job is always csv -> typed parquet, and everything
+    downstream reads parquet (S1)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..tables import messages
+
+    m = (
+        messages(spark, sf_dir)
+        .filter(F.col("name").isin("index", "indexed"))
+        .select("msg_id", "uuid", "name", "level")
+    )
+    path = _os.path.join(_tempfile.gettempdir(), "spark_graft_csv_export")
+    m.write.mode("overwrite").option("header", True).csv(path)
+    schema = "msg_id bigint, uuid string, name string, level string"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )

@@ -123,3 +123,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_curate_full_shuffle_budget(spark, sf_dir):
+    """The composed curation DAG must stay within its documented shuffle
+    budget and never degrade to a nested-loop join: <=7 shuffle
+    Exchanges (dedup window + contamination aggregates + 2 spread
+    repartitions), contamination verdict entering via broadcast."""
+    df = registry.QUERIES["llm_corpus_curate_full"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 7, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan  # the anti-join side broadcasts
