@@ -39,6 +39,8 @@ SHOWCASE = {
     "llm_embedding_quantize": "pure projection over the embeddings scan",
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
+    "llm_corpus_curate_full": "full curation DAG: dedup window + broadcast anti-join + codegen gates, <=7 exchanges",
+    "win_gapfill_states": "union timeline + one last(ignorenulls) window — no grid×events pair join",
 }
 
 
