@@ -168,3 +168,31 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("uuid"))
         .limit(SKEW_TOP_K)
     )
+
+
+@register(
+    "sink_partitioned_catalog",
+    sql="""SELECT event_id, event_type, value FROM events
+           WHERE event_type = 'purchase'""",
+)
+def sink_partitioned_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: hive-style partitioned layout — write events partitioned by
+    event_type, then answer a single-type query from the partitioned
+    copy. The filter becomes a PARTITION filter (pinned in
+    tests/test_layout.py via the plan's PartitionFilters and the scan's
+    file count): Spark never opens the other partitions' files at all —
+    directory-level pruning, one level coarser (and cheaper) than the
+    footer-stats skipping of S8.
+
+    The partition column must be low-cardinality and query-aligned
+    (event_type: 5 values, every ops query filters on it); partitioning
+    by a high-cardinality key produces the small-file problem S7
+    compacts. At 100 TB this layout decision is the single biggest lever
+    on scan cost."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _scratch("partitioned")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    part = spark.read.parquet(path)
+    return part.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )

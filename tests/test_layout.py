@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pipelinejobs_indexer_spark.plans.layout import (  # noqa: E402
@@ -72,3 +74,27 @@ def test_skew_profile_flags_heavy_hitters(spark):
     assert all(0.0 < r.share < 1.0 for r in rows)
     # only the single heaviest key is guaranteed >= the mean
     assert rows[0].x_mean >= 1.0
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The event_type filter must prune at the DIRECTORY level: the plan
+    carries a PartitionFilters entry and the other partitions' files are
+    never part of the scan."""
+    import contextlib
+    import io
+    import re
+
+    from pipelinejobs_indexer_spark.plans.layout import sink_partitioned_catalog
+
+    df = sink_partitioned_catalog(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # pushed filter gone from the data filters (it's partition-level now)
+    assert df.count() > 0
+    # the scan reads only the one partition directory
+    scanned = df.select(F.input_file_name().alias("f")).distinct().collect()
+    assert scanned and all("event_type=purchase" in r.f for r in scanned)
