@@ -239,13 +239,7 @@ def udf_validate_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- F12: magic-byte MIME sniffing over binary content -------------------
-
-_MAGIC = [
-    (b"BAM\x01", "application/octet-stream"),
-    (b"\x89PNG", "image/png"),
-    (b"%PDF", "application/pdf"),
-    (b"PK\x03\x04", "application/zip"),
-]
+# (magic table + printable class live in llm.multimodal — single source)
 
 
 def sniff_mime_udf():
@@ -255,14 +249,12 @@ def sniff_mime_udf():
 
     @F.pandas_udf(StringType())
     def sniff(head: pd.Series) -> pd.Series:
+        from ..llm.multimodal import sniff_mime
+
         def detect(b) -> str:
             if b is None:
                 return "application/octet-stream"
-            bb = bytes(b)
-            for magic, mime in _MAGIC:
-                if bb.startswith(magic):
-                    return mime
-            return "text/plain"
+            return sniff_mime(bytes(b))
 
         return head.map(detect)
 

@@ -126,12 +126,27 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- L1b normalized exact
+# The C4-style normalization, shared (Spark + SQL) with the composed
+# curation DAG in llm/text.py: lowercase -> strip non-alnum to space ->
+# collapse whitespace runs -> trim.
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def norm_expr():
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
 @register(
     "llm_dedup_normalized",
-    sql="""WITH n AS (
-             SELECT doc_id,
-                    trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+    sql=f"""WITH n AS (
+             SELECT doc_id, {NORM_SQL} AS norm
              FROM documents
            )
            SELECT md5(norm) AS norm_hash,
@@ -149,15 +164,8 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this costs the same as L1.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
     return (
-        docs.select("doc_id", norm.alias("norm"))
+        docs.select("doc_id", norm_expr().alias("norm"))
         .groupBy(F.md5("norm").alias("norm_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -794,6 +802,14 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component deeper than MAX_CC_ITERS would otherwise return
+        # silently SPLIT clusters — fail loudly instead (raise the bound
+        # or switch to large-star/small-star for pathological chains)
+        raise RuntimeError(
+            f"llm_dedup_clusters: min-label propagation did not converge in "
+            f"{MAX_CC_ITERS} rounds ({changed} labels still changing)"
+        )
     from pyspark.sql.window import Window
 
     w_size = F.count("*").over(Window.partitionBy("cluster_id"))

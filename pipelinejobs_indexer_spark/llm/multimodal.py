@@ -43,12 +43,19 @@ from ..tables import load_table
 # magic-number table (reference analog: `filetype` sniffing; same table as
 # functions/udfs.py F12 but over raw bytes here)
 _MAGIC = [
+    (b"BAM\x01", "application/octet-stream"),  # BAM block header (the domain's file type)
     (b"\x89PNG", "image/png"),
     (b"%PDF", "application/pdf"),
     (b"PK\x03\x04", "application/zip"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"RIFF", "audio/wav"),
 ]
+
+# printable-ASCII head test, shared by every sniffer (Python, Column, and
+# the DuckDB oracles): byte in [0x20, 0x7E] OR tab/LF/CR — text files
+# routinely carry a newline within their first 16 bytes.
+PRINTABLE_HEX_RE = "^(09|0A|0D|2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$"
+_PRINTABLE_BYTES = frozenset(range(0x20, 0x7F)) | {0x09, 0x0A, 0x0D}
 
 FEATURES_SCHEMA = StructType(
     [
@@ -65,7 +72,9 @@ def sniff_mime(head: bytes) -> str:
     for magic, mime in _MAGIC:
         if head.startswith(magic):
             return mime
-    return "text/plain" if all(32 <= b < 127 for b in head[:16]) else "application/octet-stream"
+    if all(b in _PRINTABLE_BYTES for b in head[:16]):
+        return "text/plain"
+    return "application/octet-stream"
 
 
 # ------------------------------------------------------------- stubs
@@ -138,9 +147,7 @@ def _sniff_mime_col(content):
     for magic, mime in _MAGIC:
         cond = F.substring(content, 1, len(magic)) == F.lit(magic)
         sniffed = F.when(cond, mime) if sniffed is None else sniffed.when(cond, mime)
-    printable = F.hex(F.substring(content, 1, 16)).rlike(
-        "^(2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$"
-    )
+    printable = F.hex(F.substring(content, 1, 16)).rlike(PRINTABLE_HEX_RE)
     return sniffed.otherwise(
         F.when(printable, "text/plain").otherwise("application/octet-stream")
     )

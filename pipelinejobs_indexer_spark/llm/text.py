@@ -480,12 +480,33 @@ def _sample_rate_sql() -> str:
     return f"CASE {cases} ELSE {_SAMPLE_DEFAULT} END"
 
 
+def _sample_pred_sql() -> str:
+    """The deterministic keep-predicate, shared with the curation DAG."""
+    return (
+        "('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+        f" % 1000 < {_sample_rate_sql()}"
+    )
+
+
+def sample_rate_col():
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return rate
+
+
+def sample_bucket_col():
+    return F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+
+
 @register(
     "llm_corpus_sample",
     sql=f"""SELECT doc_id, lang, source
          FROM documents
-         WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
-               % 1000 < {_sample_rate_sql()}""",
+         WHERE {_sample_pred_sql()}""",
 )
 def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6a: deterministic stratified corpus sampling — keep a per-language
@@ -497,14 +518,9 @@ def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     always yields a subset of the looser sample (hash threshold
     monotonicity). Rates are per-language strata (SAMPLE_RATES)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    rate = F.lit(_SAMPLE_DEFAULT)
-    for k, v in sorted(SAMPLE_RATES.items(), reverse=True):
-        rate = F.when(F.col("lang") == k, v).otherwise(rate)
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
-        " 16, 10) as bigint) % 1000"
+    return docs.filter(sample_bucket_col() < sample_rate_col()).select(
+        "doc_id", "lang", "source"
     )
-    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
 # PII patterns: explicit character classes only (no \d, no lookarounds) so
@@ -624,7 +640,7 @@ def llm_token_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          s AS (
            SELECT vec_id, v,
-                  list_max([abs(x) for x in v]) / 127.0 AS scale
+                  coalesce(list_max([abs(x) for x in v]), 0) / 127.0 AS scale
            FROM e
          )
          SELECT vec_id,
@@ -713,10 +729,10 @@ def llm_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curate_full_sql() -> str:
     from .dedup import _contamination_sql
 
+    from .dedup import NORM_SQL
+
     return f"""WITH norm_docs AS (
-           SELECT doc_id, text, lang,
-                  trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           SELECT doc_id, text, lang, {NORM_SQL} AS norm
            FROM documents
          ),
          kept AS (
@@ -751,8 +767,7 @@ def _curate_full_sql() -> str:
          SELECT doc_id, lang, n_words, score
          FROM scored
          WHERE score >= 0.3
-           AND ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
-               % 1000 < {_sample_rate_sql()}"""
+           AND {_sample_pred_sql()}"""
 
 
 @register("llm_corpus_curate_full", sql=_curate_full_sql())
@@ -776,17 +791,12 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential materialized passes."""
     from pyspark.sql.window import Window
 
-    from .dedup import llm_contamination_check
+    from .dedup import llm_contamination_check, norm_expr
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
     w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
     kept = (
-        docs.select("doc_id", "text", "lang", norm.alias("norm"))
+        docs.select("doc_id", "text", "lang", norm_expr().alias("norm"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang")
@@ -819,14 +829,7 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    rate = F.lit(_SAMPLE_DEFAULT)
-    for k, v in sorted(SAMPLE_RATES.items(), reverse=True):
-        rate = F.when(F.col("lang") == k, v).otherwise(rate)
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15),"
-        " 16, 10) as bigint) % 1000"
-    )
     return (
         feat.select("doc_id", "lang", "n_words", score.alias("score"))
-        .filter((F.col("score") >= 0.3) & (bucket < rate))
+        .filter((F.col("score") >= 0.3) & (sample_bucket_col() < sample_rate_col()))
     )

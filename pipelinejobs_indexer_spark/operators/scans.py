@@ -35,16 +35,13 @@ _UPLOADS = os.path.join(
     "uploads",
 )
 
-# (hex-encoded magic prefix, mime) — shared detection order with
-# llm.multimodal._MAGIC; comparisons run on uppercase hex in both engines.
-_MAGIC_HEX = [
-    ("89504E47", "image/png"),
-    ("25504446", "application/pdf"),
-    ("504B0304", "application/zip"),
-    ("FFD8FF", "image/jpeg"),
-    ("52494646", "audio/wav"),
-]
-_PRINTABLE_HEX = "^(2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])*$"
+# Single source of truth for magic prefixes and the printable-ASCII head
+# class: llm.multimodal. Re-encoded to uppercase hex here because this
+# operator (and its DuckDB oracle) compares on hex(content).
+from ..llm.multimodal import PRINTABLE_HEX_RE as _PRINTABLE_HEX  # noqa: E402
+from ..llm.multimodal import _MAGIC  # noqa: E402
+
+_MAGIC_HEX = [(magic.hex().upper(), mime) for magic, mime in _MAGIC]
 
 
 def _listing_sql() -> str:
@@ -161,7 +158,10 @@ def scan_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("name").isin("index", "indexed"))
         .select("msg_id", "uuid", "name", "level")
     )
-    path = _os.path.join(_tempfile.gettempdir(), "spark_graft_csv_export")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_{spark.sparkContext.applicationId}_csv_export",
+    )
     m.write.mode("overwrite").option("header", True).csv(path)
     schema = "msg_id bigint, uuid string, name string, level string"
     return (

@@ -123,11 +123,11 @@ def win_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bounds
            ),
            timeline AS (
-             SELECT job_uuid, date AS ts_sort, 0 AS kind, event_seq AS seq,
+             SELECT job_uuid, date AS ts_sort, 1 AS kind, event_seq AS seq,
                     name, NULL::TIMESTAMP AS day
              FROM job_events
              UNION ALL
-             SELECT job_uuid, day + INTERVAL '1 day', 1, 9223372036854775807,
+             SELECT job_uuid, day + INTERVAL '1 day', 0, 9223372036854775807,
                     NULL, day
              FROM grid
            ),
@@ -139,7 +139,7 @@ def win_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS state
              FROM timeline
            )
-           SELECT job_uuid, day, state FROM filled WHERE kind = 1""",
+           SELECT job_uuid, day, state FROM filled WHERE kind = 0""",
         "job_events",
     ),
 )
@@ -152,12 +152,20 @@ def win_gapfill_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same linear shape as the as-of join (J7): grid rows and event rows
     union into ONE timeline, a single window pass per job carries the
     last non-null name forward — never a grid×events pair join. Grid rows
-    sort at day-end (day + 1d, kind=1, seq=MAX) so every event of the
-    closing day precedes its slot deterministically. One shuffle on
+    sort at day-end (day + 1d) with kind=0 BEFORE any event tied at the
+    same instant, so the slot covers [day, day+1d) exclusively: every
+    event strictly inside the closing day precedes its slot, and an
+    event exactly at the next midnight counts toward the NEXT day (the
+    same bucket date_trunc assigns it). One shuffle on
     job_uuid; grid density is the only scale knob (day grid ≈ 30 rows per
     job-month; at 100 TB pick the interval to bound output, the plan is
     unchanged)."""
-    je = job_events(spark, sf_dir)
+    return gapfill_daily(job_events(spark, sf_dir))
+
+
+def gapfill_daily(je: DataFrame) -> DataFrame:
+    """The W4 pipeline over any (job_uuid, date, event_seq, name) frame;
+    split out so the midnight tie-break is unit-testable."""
     bounds = je.groupBy("job_uuid").agg(
         F.date_trunc("day", F.min("date")).alias("lo"),
         F.date_trunc("day", F.max("date")).alias("hi"),
@@ -169,7 +177,7 @@ def win_gapfill_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_t = je.select(
         "job_uuid",
         F.col("date").alias("ts_sort"),
-        F.lit(0).alias("kind"),
+        F.lit(1).alias("kind"),
         F.col("event_seq").alias("seq"),
         "name",
         F.lit(None).cast("timestamp_ntz").alias("day"),
@@ -177,7 +185,7 @@ def win_gapfill_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid_t = grid.select(
         "job_uuid",
         (F.col("day") + F.expr("interval 1 day")).alias("ts_sort"),
-        F.lit(1).alias("kind"),
+        F.lit(0).alias("kind"),
         F.lit(9223372036854775807).alias("seq"),
         F.lit(None).cast("string").alias("name"),
         "day",
@@ -190,4 +198,4 @@ def win_gapfill_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = events_t.unionByName(grid_t).withColumn(
         "state", F.last("name", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("kind") == 1).select("job_uuid", "day", "state")
+    return filled.filter(F.col("kind") == 0).select("job_uuid", "day", "state")

@@ -38,8 +38,12 @@ SORTED_RANGES = 8
 SKEW_TOP_K = 20
 
 
-def _scratch(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_layout_{name}")
+def _scratch(spark: SparkSession, name: str) -> str:
+    # keyed by applicationId so concurrent sessions on one host never
+    # overwrite each other's layout scratch (stable within a session, so
+    # re-runs still reuse/overwrite their own copy)
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_layout_{name}")
 
 
 def _dir_bytes(path: str) -> int:
@@ -60,7 +64,7 @@ def compact_to_target(df: DataFrame, src_bytes: int, path: str, target_bytes: in
     (free from the file index / parquet footers, surfaced as
     `DESCRIBE EXTENDED`'s statistics); `maxRecordsPerFile` guards the
     tail."""
-    n_files = max(1, min(src_bytes // target_bytes + 1, 10_000))
+    n_files = max(1, min(-(-src_bytes // target_bytes), 10_000))
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
 
@@ -83,10 +87,10 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling; at 100 TB the same two-line plan runs per partition of the
     catalog, with the file count derived from scan statistics."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    frag_path = _scratch("fragmented")
+    frag_path = _scratch(spark, "fragmented")
     ev.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
     frag = spark.read.parquet(frag_path)
-    compact_path = _scratch("compacted")
+    compact_path = _scratch(spark, "compacted")
     compact_to_target(frag, _dir_bytes(frag_path), compact_path, COMPACT_TARGET_BYTES)
     return spark.read.parquet(compact_path)
 
@@ -108,7 +112,7 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reading all of them. The oracle runs the same range query on the
     raw table: sorting must not change the answer."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    path = _scratch("sorted")
+    path = _scratch(spark, "sorted")
     (
         ev.repartitionByRange(SORTED_RANGES, "ts")
         .sortWithinPartitions("ts")
@@ -190,7 +194,7 @@ def sink_partitioned_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacts. At 100 TB this layout decision is the single biggest lever
     on scan cost."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = _scratch("partitioned")
+    path = _scratch(spark, "partitioned")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     part = spark.read.parquet(path)
     return part.filter(F.col("event_type") == "purchase").select(

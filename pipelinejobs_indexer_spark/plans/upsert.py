@@ -158,7 +158,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..tables import archive_files as _archive_files
 
-    base = _os.path.join(_tempfile.gettempdir(), "spark_graft_bucketed_catalog")
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_{spark.sparkContext.applicationId}_bucketed_catalog",
+    )
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     sides = [
         ("cat_jobs_bucketed", jobs(spark, sf_dir).select("uuid", "state"), "uuid"),

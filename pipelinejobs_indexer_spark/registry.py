@@ -151,7 +151,8 @@ def load_all() -> None:
         importlib.import_module(mod)
     # Front-load queries without standing green evidence (see _VERIFIED_R1):
     # tier 0 = round-1 reds to re-prove, tier 1 = everything un-evidenced,
-    # tier 2 = round-1 greens and by-design rows-only checks.
+    # tier 2 = result-twins, tier 3 = round-1 greens and by-design
+    # rows-only checks.
     def tier(n: str) -> int:
         if n in _RECHECK_FIRST:
             return 0

@@ -33,8 +33,8 @@ def _parquet_files(path: str) -> list[str]:
 
 def test_compaction_reduces_file_count(spark):
     n_rows = sink_compact_small_files(spark, SF).count()
-    frag = _parquet_files(_scratch("fragmented"))
-    compact = _parquet_files(_scratch("compacted"))
+    frag = _parquet_files(_scratch(spark, "fragmented"))
+    compact = _parquet_files(_scratch(spark, "compacted"))
     assert len(frag) == FRAGMENT_FILES
     assert 1 <= len(compact) < len(frag) / 4
     assert n_rows > 0
@@ -48,7 +48,7 @@ def test_sorted_layout_files_are_time_disjoint(spark):
 
     sink_sorted_layout(spark, SF).count()  # materialize the layout
     ranges = []
-    for f in _parquet_files(_scratch("sorted")):
+    for f in _parquet_files(_scratch(spark, "sorted")):
         md = pq.ParquetFile(f).metadata
         col_idx = next(
             i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "ts"

@@ -137,3 +137,22 @@ def test_curate_full_shuffle_budget(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan  # the anti-join side broadcasts
+
+
+def test_gapfill_midnight_event_belongs_to_next_day(spark):
+    """An event at exactly midnight must NOT alter the previous day's
+    end-of-day state (the slot covers [day, day+1d) exclusively)."""
+    from datetime import datetime
+
+    from pipelinejobs_indexer_spark.operators.windows import gapfill_daily
+
+    je = spark.createDataFrame(
+        [
+            ("j1", datetime(2024, 1, 1, 8, 0), 1, "create"),
+            ("j1", datetime(2024, 1, 2, 0, 0), 2, "finish"),  # exactly midnight
+        ],
+        "job_uuid string, date timestamp_ntz, event_seq long, name string",
+    )
+    rows = {r.day.day: r.state for r in gapfill_daily(je).collect()}
+    assert rows[1] == "create"  # midnight 'finish' counts toward Jan 2
+    assert rows[2] == "finish"
