@@ -135,3 +135,44 @@ def test_sample_rate_monotonicity(spark):
     }
     assert kept[100] <= kept[400] <= kept[800] <= kept[1000]
     assert len(kept[1000]) == docs.count()
+
+
+def test_normalization_idempotent(spark):
+    """norm(norm(x)) == norm(x): the C4 normalization must be a
+    projection onto its own fixed points, or dedup hashes would depend on
+    how many times a pipeline normalized."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import norm_expr
+
+    rows = [
+        ("Hello,   World!",),
+        ("  multiple   spaces\tand TABS  ",),
+        ("MiXeD-case_with.punct!!",),
+        ("",),
+        ("already normalized text",),
+        ("éàü non-ascii stripped",),
+    ]
+    df = spark.createDataFrame(rows, "text string").select(
+        norm_expr().alias("once")
+    )
+    twice = df.select(F.col("once").alias("text")).select(norm_expr().alias("twice"))
+    assert [r.once for r in df.collect()] == [r.twice for r in twice.collect()]
+
+
+def test_observation_metrics_ride_the_curation_pass(spark):
+    """df.observe(): production metrics (rows kept, mean score) computed
+    DURING the curation action — no second pass over the data. The
+    monitoring hook a real 100 TB pipeline attaches to every stage."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.text import llm_corpus_curate_full
+
+    obs = Observation("curate")
+    out = llm_corpus_curate_full(spark, "/root/testdata/sf0.001").observe(
+        obs, F.count(F.lit(1)).alias("rows_kept"), F.avg("score").alias("mean_score")
+    )
+    n = out.count()
+    assert obs.get["rows_kept"] == n > 0
+    assert 0.3 <= obs.get["mean_score"] <= 1.0
