@@ -722,7 +722,71 @@ def llm_span_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------- L9 duplicate clusters
-MAX_CC_ITERS = 10
+MAX_CC_ITERS = 20  # large-star/small-star: O(log n) rounds, so 20 >> any real graph
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge list: (u, v) with u > v, deduped."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex of the pair graph, cluster_id
+    = min member — via alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log n) rounds even on pathological chains (plain
+    min-label propagation needs diameter rounds).
+
+    Every round is two groupBy/join passes over the edge list — all
+    equi-shuffles on the vertex key, localCheckpoint'ed so the driver
+    loop's convergence check stays constant-cost. Terminal state is a
+    star forest: each vertex points at its component's minimum."""
+    verts = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = _canon(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to min(N(u) + {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        withm = sym.join(m, "u").withColumn("m", F.least("mn", F.col("u")))
+        ls = _canon(
+            withm.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        )
+        # small-star: neighbors <= u (and u itself) link to the minimum
+        mn2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        withm2 = ls.join(mn2, "u")
+        ss = _canon(
+            withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+                withm2.select("u", F.col("mn").alias("v"))
+            )
+        ).localCheckpoint()
+        changed = (
+            ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+        )
+        e = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: not converged in {max_rounds} rounds"
+        )
+    # star forest: non-roots appear as u exactly once, pointing at the root
+    return verts.join(e, verts.v == e.u, "left").select(
+        verts.v.alias("doc_id"),
+        F.coalesce(e.v, verts.v).alias("cluster_id"),
+    )
 
 
 @register(
@@ -751,25 +815,30 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ONE representative, not two independent pair decisions).
     cluster_id = min doc_id in the component, the keeper.
 
-    Spark-first iteration (no GraphFrames dependency): min-label
-    propagation — label(v) <- min(label(v), min over neighbors) — run as
-    a driver loop of equi-join + groupBy rounds until a cheap count says
-    no label changed. Each round is two shuffles on 8-byte keys;
-    convergence takes <= component-diameter rounds (near-dup clusters are
-    shallow — here 2-3). At 100 TB: localCheckpoint each round to cut
-    lineage, or switch to the large-star/small-star variant (alternating
-    min-propagation that converges in O(log n) rounds on pathological
-    chains); the per-round plan is identical. The DuckDB oracle computes
-    the same components with a genuinely recursive CTE, cross-checking
-    the iterative plan against recursive evaluation."""
-    # localCheckpoint (not cache) at the loop boundaries: each round's
-    # convergence count re-evaluates its inputs, and without truncation the
-    # lineage grows by two joins per round — 2.5x slower by round 3 here,
-    # unboundedly worse at depth. Checkpointing pairs once also keeps the
-    # minhash DAG from re-running under the loop.
+    Spark-first iteration (no GraphFrames dependency): alternating
+    large-star/small-star over the pair edge list (connected_components
+    above) — O(log n) rounds regardless of component diameter, every
+    round two equi-shuffles on 8-byte vertex keys. The DuckDB oracle
+    computes the same components with a genuinely recursive CTE,
+    cross-checking the iterative plan against recursive evaluation;
+    tests additionally pin it against plain min-label propagation
+    (_cc_min_label) and a pure-Python union-find on random graphs."""
+    from pyspark.sql.window import Window
+
+    # checkpoint the pair list once so the minhash DAG never re-runs
+    # under the component loop
     pairs = (
         llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
+    labels = connected_components(pairs)
+    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return labels.withColumn("n_members", w_size)
+
+
+def _cc_min_label(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame:
+    """Reference implementation: plain min-label propagation (converges in
+    component-diameter rounds). Kept for differential testing against
+    connected_components."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
@@ -779,7 +848,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
-    for _ in range(MAX_CC_ITERS):
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.b == labels.v)
             .groupBy("a")
@@ -803,16 +872,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        # a component deeper than MAX_CC_ITERS would otherwise return
-        # silently SPLIT clusters — fail loudly instead (raise the bound
-        # or switch to large-star/small-star for pathological chains)
-        raise RuntimeError(
-            f"llm_dedup_clusters: min-label propagation did not converge in "
-            f"{MAX_CC_ITERS} rounds ({changed} labels still changing)"
-        )
-    from pyspark.sql.window import Window
-
-    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+        raise RuntimeError(f"_cc_min_label: not converged in {max_rounds} rounds")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).withColumn("n_members", w_size)
+    )

@@ -329,3 +329,61 @@ def test_curate_full_composition_semantics(spark):
     assert out <= sampled
     assert out <= keepers
     assert not (out & contaminated)
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_deep_chain(spark):
+    """A 40-vertex path graph (diameter 39) — plain min-label would need
+    39 rounds; large-star/small-star must converge inside the 20-round
+    bound and still produce one component rooted at 0."""
+    from pipelinejobs_indexer_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 40
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs: the distributed components must equal a
+    pure-Python union-find, and plain min-label propagation must agree."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        _cc_min_label,
+        connected_components,
+    )
+
+    rng = random.Random(20260813)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(20, 80))
+            }
+        )
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        expect = _union_find(edges)
+        assert got == expect, f"trial {trial}: mismatch vs union-find"
+        ml = {r.doc_id: r.cluster_id for r in _cc_min_label(pairs, 64).collect()}
+        assert got == ml, f"trial {trial}: mismatch vs min-label"
