@@ -8,9 +8,12 @@ T4 stream_session_windows — session grouping (init-job.json:32)
 T5 stream_fsm_state      — the job state machine (fsm.py)
 T6 stream_late_data      — watermark semantics: late windows held back
 T7 stream_event_forward  — foreachBatch outbox (config.yml:2-3 gates)
+T8 stream_incremental_upsert — delta-append catalog materialization
+T9 stream_enrich_static  — stream x static catalog join (reactor.py:126-127)
+T10 stream_stream_pair_join — watermarked interval join (request->ack)
 
 Where the replay is deterministic the query still carries a DuckDB oracle
-(T1/T2/T3/T4/T7) — streaming and batch must agree on the same input.
+(T1-T4, T7-T10) — streaming and batch must agree on the same input.
 """
 
 from __future__ import annotations
@@ -314,3 +317,77 @@ def incremental_upsert(je: DataFrame) -> DataFrame:
     ).select(
         F.col("job_uuid").alias("uuid"), "last_name", "last_seq", "n_events"
     )
+
+
+@register(
+    "stream_enrich_static",
+    sql=with_fixtures(
+        """SELECT m.msg_id, m.uuid, m.name, j.state, j.session
+           FROM messages m JOIN jobs j ON m.uuid = j.uuid""",
+        "messages",
+        "jobs",
+    ),
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: stream-static join — every incoming message enriched with the
+    CURRENT catalog row for its job (the reference loads the job document
+    per message, reactor.py:126-127; relationally that's a stream⋈static
+    join, re-evaluated against the static side's latest snapshot each
+    micro-batch).
+
+    The static side is a plain batch DataFrame: Spark broadcasts or
+    shuffles it per micro-batch with no state store involvement — the
+    scale knob is simply the static side's size (dim-sized catalogs
+    broadcast; else pre-bucket the catalog on uuid, S6). Append mode:
+    inner stream-static joins emit rows as they arrive, no watermark
+    needed."""
+    from ..tables import jobs as jobs_table
+
+    m = _messages_stream(spark, sf_dir).select("msg_id", "uuid", "name")
+    j = jobs_table(spark, sf_dir).select("uuid", "state", "session")
+    joined = m.join(j, "uuid").select("msg_id", "uuid", "name", "state", "session")
+    return run_to_batch(joined, "append")
+
+
+@register(
+    "stream_stream_pair_join",
+    sql=with_fixtures(
+        """SELECT a.msg_id AS index_msg, b.msg_id AS indexed_msg,
+                  a.uuid, b.ts AS indexed_ts
+           FROM messages a JOIN messages b
+             ON a.uuid = b.uuid AND a.name = 'index' AND b.name = 'indexed'
+            AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL '30 minutes'""",
+        "messages",
+    ),
+)
+def stream_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: stream-stream interval join — pair each 'index' command with
+    the 'indexed' completions that follow it within 30 minutes on the
+    same job (request→ack correlation over the reference's two message
+    kinds, config.yml:23-32). Both sides are watermarked and the join
+    carries an explicit event-time bound, so the state store can evict
+    rows once the other side's watermark passes the interval — bounded
+    state at any input rate, the requirement for running this join
+    forever at 100 TB/day.
+
+    Deterministic under availableNow replay (nothing is late w.r.t. the
+    final watermark), so the batch interval join is the exact oracle."""
+    m = _messages_stream(spark, sf_dir)
+    a = (
+        m.filter(F.col("name") == "index")
+        .select(F.col("msg_id").alias("index_msg"), "uuid", F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    b = (
+        m.filter(F.col("name") == "indexed")
+        .select(F.col("msg_id").alias("indexed_msg"), F.col("uuid").alias("b_uuid"),
+                F.col("ts").alias("indexed_ts"))
+        .withWatermark("indexed_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("uuid") == F.col("b_uuid"))
+        & (F.col("indexed_ts") >= F.col("a_ts"))
+        & (F.col("indexed_ts") < F.col("a_ts") + F.expr("interval 30 minutes")),
+    ).select("index_msg", "indexed_msg", "uuid", "indexed_ts")
+    return run_to_batch(joined, "append")
