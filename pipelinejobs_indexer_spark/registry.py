@@ -62,14 +62,20 @@ _ROWS_ONLY_BY_DESIGN = frozenset(
     {"agg_approx_distinct", "stream_fsm_state", "stream_late_data"}
 )
 
-# Result-twins of queries that already hold (or will hold) a green row —
-# lowest marginal evidence, so they spill past a capped sweep before
-# anything first-of-its-kind does.
+# Queries whose evidence is largely subsumed by a sibling earlier in the
+# sweep (result-twins, oracle-baselines, or logic embedded in a checked
+# composition) — lowest marginal evidence, so they spill past a capped
+# sweep before anything first-of-its-kind does.
 _TWINS = frozenset(
     {
         "udtf_expand_listing_py",  # same answer set as udtf_expand_listing
         "llm_multimodal_features_arrow",  # Arrow twin of llm_multimodal_features
         "llm_text_langid_ngram",  # variant of llm_text_langid
+        "llm_dedup_embedding",  # exact baseline FOR llm_dedup_embedding_lsh
+        "llm_dedup_exact",  # plain subset of llm_dedup_normalized's logic
+        "llm_text_quality",  # score path embedded in llm_corpus_curate_full
+        "stream_sliding_rates",  # same window machinery as stream_tumbling_counts
+        "sink_compact_small_files",  # trivial content oracle; real check is file-count test
     }
 )
 
