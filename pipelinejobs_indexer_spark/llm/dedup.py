@@ -741,10 +741,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     converges in O(log n) rounds even on pathological chains (plain
     min-label propagation needs diameter rounds).
 
-    Every round is two groupBy/join passes over the edge list — all
+    Every round is two single-shuffle window passes over the edge list
+    (min-over-neighborhood as a window aggregate on the vertex key — one
+    exchange per phase instead of a groupBy + join-back pair), all
     equi-shuffles on the vertex key, localCheckpoint'ed so the driver
-    loop's convergence check stays constant-cost. Terminal state is a
-    star forest: each vertex points at its component's minimum."""
+    loop stays constant-cost. Convergence is detected from the
+    checkpointed edge count (near-free) with a left-anti probe only when
+    counts match (|A|=|B| and A∖B=∅ ⇔ A=B for deduped sets) — no
+    per-round exceptAll shuffles. Terminal state is a star forest: each
+    vertex points at its component's minimum."""
+    from pyspark.sql.window import Window
+
     verts = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
@@ -754,29 +761,32 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     e = _canon(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint()
+    prev_cnt = e.count()
+    w_u = Window.partitionBy("u")
     for _ in range(max_rounds):
         # large-star: every neighbor v > u links to min(N(u) + {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        withm = sym.join(m, "u").withColumn("m", F.least("mn", F.col("u")))
+        withm = sym.withColumn(
+            "m", F.least(F.min("v").over(w_u), F.col("u"))
+        )
         ls = _canon(
             withm.filter(F.col("v") > F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             )
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
-        mn2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
-        withm2 = ls.join(mn2, "u")
+        withm2 = ls.withColumn("mn", F.min("v").over(w_u))
         ss = _canon(
             withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
                 withm2.select("u", F.col("mn").alias("v"))
             )
         ).localCheckpoint()
-        changed = (
-            ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
-        )
-        e = ss
-        if changed == 0:
+        cnt = ss.count()
+        changed = cnt != prev_cnt or ss.join(e, ["u", "v"], "left_anti").limit(
+            1
+        ).count() > 0
+        e, prev_cnt = ss, cnt
+        if not changed:
             break
     else:
         raise RuntimeError(
