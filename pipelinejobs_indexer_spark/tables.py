@@ -86,6 +86,46 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+_SCAN_WIDTH_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _spread_keyed(df: DataFrame, key: str, cache_key: tuple[str, str]) -> DataFrame:
+    """Hash-repartition an underpartitioned base scan on its entity key
+    BEFORE the uuid derivations run.
+
+    The test parquet is single-row-group (TESTDATA.md), so the scan is one
+    task and every sha2/concat in the fixture projection would serialize
+    behind one core; exchanging the narrow source columns first runs the
+    derivation at full parallelism (join_files_job_provenance: 2.1s -> 1.3s
+    at sf0.1 — and even shuffle-bound consumers net out ahead, e.g. the
+    storage-stats agg 1.4s -> 1.0s, because the sha2 work dominates the
+    narrow-row exchange). Keyed (not round-robin) so the exchange skips the
+    sort-before-repartition pass and rows of one entity co-locate. Guarded
+    to a no-op at real scale, where the scan already splits into thousands
+    of row-group tasks wider than a single executor; the probe
+    (``df.rdd.getNumPartitions()`` forces plan conversion, ~0.17s) is
+    cached per (sf_dir, table) since scan width is fixed for a given path.
+    Applied to the orders/lineitem builders only: their projections run 3
+    sha2 per row, so parallelizing beats the exchange; the events-derived
+    views (1 sha2/row) measured net-negative with it and load directly.
+    Cheap consumer filters on source columns still push below the
+    repartition into the scan (tests/test_plans.py::
+    test_filter_pushes_through_explode pins this); expensive predicates are
+    already bound to narrow columns (P2) so nothing heavy lands back in the
+    serial scan stage.
+    """
+    from .session import default_parallelism
+
+    n = default_parallelism()
+    width = _SCAN_WIDTH_CACHE.get(cache_key)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+        _SCAN_WIDTH_CACHE[cache_key] = width
+    if width < n:
+        df = df.repartition(n, F.col(key))
+    return df
+
+
 def _typed_uuid(prefix: str, col):
     """Deterministic typed uuid: 3-digit type prefix + sha256 hex.
 
@@ -98,7 +138,7 @@ def _typed_uuid(prefix: str, col):
 
 def jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PipelineJob documents derived from orders (FIXTURES.md B1)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = _spread_keyed(load_table(spark, sf_dir, "orders"), "o_orderkey", (sf_dir, "orders"))
     pipeline_uuid = F.concat(F.lit("106"), F.sha2(F.col("o_orderpriority"), 256))
     uuid = _typed_uuid("107", F.col("o_orderkey"))
     state = (
@@ -156,7 +196,7 @@ def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed file records derived from lineitem (FIXTURES.md B2)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _spread_keyed(load_table(spark, sf_dir, "lineitem"), "l_orderkey", (sf_dir, "lineitem"))
     job_uuid = _typed_uuid("107", F.col("l_orderkey"))
     ext = (
         F.when(F.col("l_partkey") % 4 == 0, "bam")
