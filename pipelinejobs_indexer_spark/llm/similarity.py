@@ -209,3 +209,136 @@ def llm_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------- L3c IVF-Flat
+CENT_STRIDE = 61  # centroid seed rule: vec_id % 61 == 3 (~n/61 cells)
+N_PROBE = 2  # cells searched per query (the IVF recall/cost knob)
+
+_COS_LIST_SQL = (
+    "round(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))]) /"
+    " (sqrt(list_sum([x * x for x in {a}])) *"
+    "  sqrt(list_sum([x * x for x in {b}]))), 6)"
+)
+
+
+@register(
+    "llm_similarity_ivf",
+    sql=f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id % {CENT_STRIDE} = 3),
+         ass AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_COS_LIST_SQL.format(a='e.v', b='c.cv')} DESC, c.cid
+                  ) AS r
+           FROM e CROSS JOIN c
+         ),
+         cells AS (SELECT vec_id, v, cid AS cell FROM ass WHERE r = 1),
+         probes AS (SELECT vec_id AS qid, v AS qv, cid AS cell
+                    FROM ass WHERE vec_id < {N_QUERIES} AND r <= {N_PROBE}),
+         scored AS (
+           SELECT p.qid, cells.vec_id,
+                  {_COS_LIST_SQL.format(a='p.qv', b='cells.v')} AS cosine
+           FROM probes p JOIN cells
+             ON cells.cell = p.cell AND cells.vec_id <> p.qid
+         )
+         SELECT qid, vec_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored
+         ) WHERE rank <= {TOP_K}""",
+)
+def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: IVF-Flat approximate top-k — the other classic ANN scale path
+    next to hyperplane LSH (llm_similarity_ann).
+
+    Index: every vector is assigned to its nearest of ~n/61 centroids
+    (strided-sample "training" stand-in for k-means — a random-subset
+    init, deterministic here so the oracle replays it). Search: each
+    query probes its N_PROBE nearest cells and exact-cosine re-ranks only
+    those cells' members.
+
+    Plan shape (the 100 TB story): the corpus-side assignment is a PURE
+    PROJECTION — centroids are collected into one broadcast array column
+    and the argmax folds per row inside codegen, so building the inverted
+    file is a zero-shuffle linear scan (vs the cross-join + window an
+    engine without array folds would need). The probe set is tiny and
+    broadcast, so candidate selection is a map-side hash join on the cell
+    id; only the candidates themselves reach the per-query top-k window.
+    Nothing corpus-sized ever shuffles. At real scale the centroid count
+    grows ~sqrt(n) and stays broadcastable (a 65k x 64d float table is
+    ~16 MB).
+
+    Ties: centroid argmax keeps the LOWEST cid among equal rounded
+    cosines (fold scans cid-ascending, strict >), matching the oracle's
+    `ORDER BY cos DESC, cid` row_number. Reference scope: BASELINE.json:6
+    similarity-search mandate; same contract as L3a/L3b.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.filter(F.pmod("vec_id", F.lit(CENT_STRIDE)) == 3)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+            ).alias("cents")
+        )
+    )
+    cos_c = (
+        "aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /"
+        " (sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) *"
+        "  sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x)))"
+    )
+    scored_cents = f"transform(cents, c -> named_struct('cid', c.cid, 'c', round({cos_c}, 6)))"
+    best = (
+        f"aggregate({scored_cents},"
+        " named_struct('cid', cast(-1 as bigint), 'c', cast(-2 as double)),"
+        " (acc, s) -> if(s.c > acc.c, s, acc)).cid"
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", F.expr(best).alias("cell"))
+    )
+    # query probing: N_QUERIES rows — the cross-join + window shape is fine
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode("cents").alias("c"),
+        )
+        .select(
+            "qid",
+            "qv",
+            F.col("c.cid").alias("cell"),
+            F.round(F.expr(
+                "aggregate(zip_with(qv, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /"
+                " (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x)) *"
+                "  sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x)))"
+            ), 6).alias("ccos"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("r") <= N_PROBE)
+        .select("qid", "qv", "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qv", "v"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rank")
+    )

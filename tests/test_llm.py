@@ -20,6 +20,7 @@ from pipelinejobs_indexer_spark.llm.dedup import (  # noqa: E402
 )
 from pipelinejobs_indexer_spark.llm.similarity import (  # noqa: E402
     llm_similarity_ann,
+    llm_similarity_ivf,
     llm_similarity_topk,
 )
 
@@ -70,6 +71,43 @@ def test_ann_is_subset_with_decent_recall(spark):
     assert ann_pairs, "ANN returned nothing — buckets degenerate"
     recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.2, f"bucketed recall collapsed: {recall}"
+
+
+def test_ivf_is_subset_with_decent_recall(spark):
+    """IVF hits must carry brute-force-identical cosines, and nprobe=2
+    over ~n/61 cells should recover a nontrivial share of the true
+    top-10 (0.48 measured at sf0.01)."""
+    exact = llm_similarity_topk(spark, SF).collect()
+    ivf = llm_similarity_ivf(spark, SF).collect()
+    exact_cos = {(r.qid, r.vec_id): r.cosine for r in exact}
+    for r in ivf:
+        if (r.qid, r.vec_id) in exact_cos:
+            assert abs(exact_cos[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+    assert ivf, "IVF returned nothing — cells degenerate"
+    exact_pairs = {(r.qid, r.vec_id) for r in exact}
+    ivf_pairs = {(r.qid, r.vec_id) for r in ivf}
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_corpus_assignment_does_not_shuffle(spark):
+    """The inverted-file build must stay a broadcast-fold projection:
+    the corpus side reaches its cell id with no Exchange between the
+    embeddings scan and the cell projection (only the tiny centroid agg
+    and the query-side window may exchange)."""
+    df = llm_similarity_ivf(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+    # corpus rows flow through BroadcastHashJoin/BroadcastNestedLoopJoin
+    # only; any hash-partitioned Exchange over full-width corpus rows
+    # (vec_id + 64-double v) would mean the assignment shuffled.
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(vec_id",
+        plan,
+    ):
+        raise AssertionError("corpus assignment shuffled:\n" + plan)
 
 
 def test_multimodal_features_match_content(spark):
