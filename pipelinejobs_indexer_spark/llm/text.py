@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load_table, spread
@@ -304,6 +305,74 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("fp_rolling"),
         "fp_min",
         "n_shingles",
+    )
+
+
+# ------------------------------------------------------- L4f sequence packing
+PACK_MAX_TOKENS = 512  # training sequence length (the packing chunk size)
+PACK_SHARDS = 8  # independent packing streams; the parallelism knob
+
+
+@register(
+    "llm_sequence_pack",
+    sql=f"""WITH t AS (
+           SELECT doc_id,
+                  doc_id % {PACK_SHARDS} AS shard,
+                  len(string_split(text, ' ')) AS tokens
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, shard, tokens,
+                  coalesce(sum(tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS cum_before
+           FROM t
+         )
+         SELECT doc_id, shard, tokens,
+                cum_before // {PACK_MAX_TOKENS} AS seq_id,
+                cum_before % {PACK_MAX_TOKENS} AS seq_offset,
+                (cum_before % {PACK_MAX_TOKENS} + tokens - 1)
+                  // {PACK_MAX_TOKENS} + 1 AS spans
+         FROM c""",
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4f: sequence packing — assign every document a (shard, seq_id,
+    offset) slot in fixed-length training sequences, concat-then-chunk
+    style: docs in a shard are concatenated in doc_id order and cut every
+    PACK_MAX_TOKENS tokens, with boundary docs spanning into the next
+    sequence (`spans` counts how many sequences a doc touches). This is
+    the standard pretraining batch-prep step after curation.
+
+    Plan: one shuffle on the shard key, then a per-shard running sum —
+    all integer arithmetic, so parity with the oracle is exact. At 100 TB
+    the shard count (not a constant — config) is sized to thousands so
+    every packing stream is small and independent; the in-shard window is
+    a single linear pass. Token counts use the whitespace tokenizer
+    (llm_text_tokens.ws_tokens) so the two operators agree.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0).cast("long"))
+    )
+    m = PACK_MAX_TOKENS
+    return c.select(
+        "doc_id",
+        "shard",
+        "tokens",
+        F.expr(f"cum_before div {m}").alias("seq_id"),
+        (F.col("cum_before") % m).alias("seq_offset"),
+        F.expr(f"(cum_before % {m} + tokens - 1) div {m} + 1").alias("spans"),
     )
 
 

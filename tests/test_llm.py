@@ -110,6 +110,32 @@ def test_ivf_corpus_assignment_does_not_shuffle(spark):
         raise AssertionError("corpus assignment shuffled:\n" + plan)
 
 
+def test_sequence_pack_matches_greedy_simulation(spark):
+    """Differential: the windowed packing assignment must equal a
+    sequential concat-then-chunk simulation per shard."""
+    from pipelinejobs_indexer_spark.llm.text import (
+        PACK_MAX_TOKENS as M,
+        PACK_SHARDS as S,
+        llm_sequence_pack,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = sorted(
+        (r.doc_id, len(r.text.split(" ")))
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    )
+    cum = {s: 0 for s in range(S)}
+    sim = {}
+    for did, tk in docs:
+        s = did % S
+        sim[did] = (s, cum[s] // M, cum[s] % M, (cum[s] % M + tk - 1) // M + 1)
+        cum[s] += tk
+    out = llm_sequence_pack(spark, SF).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert sim[r.doc_id] == (r.shard, r.seq_id, r.seq_offset, r.spans), r
+
+
 def test_multimodal_features_match_content(spark):
     import hashlib
 
