@@ -41,6 +41,8 @@ SHOWCASE = {
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
     "llm_corpus_curate_full": "full curation DAG: dedup window + broadcast anti-join + codegen gates, <=7 exchanges",
     "win_gapfill_states": "union timeline + one last(ignorenulls) window — no grid×events pair join",
+    "llm_similarity_ivf": "inverted-file build is a broadcast centroid-array fold — corpus never shuffles; only candidates reach the top-k window",
+    "llm_sequence_pack": "one shard-key exchange + per-shard running-sum Window, all integer",
 }
 
 
