@@ -139,6 +139,43 @@ def test_curate_full_shuffle_budget(spark, sf_dir):
     assert "BroadcastExchange" in plan  # the anti-join side broadcasts
 
 
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """At 100 TB the fact-side scan of a selective join should be pruned
+    by a runtime bloom filter built from the dim side (Spark's
+    InjectRuntimeFilter). The rule only fires when the build side is NOT
+    broadcastable, so at test scale we scope autoBroadcastJoinThreshold
+    off and shrink the application-side threshold; this pins that the
+    engine's join shapes are compatible with the rule (no derived-key or
+    exchange placement blocking it) and that filtered results are
+    identical."""
+    import re
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderdate"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _formatted_plan(out)
+        assert re.search("bloom_filter_agg", plan), "no bloom build side:\n" + plan
+        assert re.search("might_contain", plan), "no bloom probe side:\n" + plan
+        cnt_bloom = out.count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert cnt_bloom == out.count()  # pruning is transparent
+
+
 def test_gapfill_midnight_event_belongs_to_next_day(spark):
     """An event at exactly midnight must NOT alter the previous day's
     end-of-day state (the slot covers [day, day+1d) exclusively)."""
