@@ -19,26 +19,15 @@ import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 from ..session import tune
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Streaming file sources need an explicit schema; probe it from the
+    batch reader so both testdata generations work (TIMESTAMP(NANOS) read
+    as long under nanosAsLong vs native TIMESTAMP(MICROS))."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,11 +36,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_batch(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -53,11 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long nanos (see session._RUNTIME_CONFS); truncate to
-        # micros exactly like DuckDB's ts::TIMESTAMP (floor division).
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Normalize ts to TIMESTAMP_NTZ micros (== DuckDB's ts::TIMESTAMP)
+        # across testdata generations: TIMESTAMP(NANOS) parquet arrives as
+        # long via nanosAsLong (see session._RUNTIME_CONFS) and needs the
+        # floor-division truncation; TIMESTAMP(MICROS) parquet arrives as a
+        # timestamp already and only needs the NTZ pin (UTC session tz makes
+        # the cast value-preserving either way).
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
