@@ -902,3 +902,148 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.select("doc_id", "lang", "n_words", score.alias("score"))
         .filter((F.col("score") >= 0.3) & (sample_bucket_col() < sample_rate_col()))
     )
+
+
+# ------------------------------------------- L6f within-doc repetition
+@register(
+    "llm_text_repetition",
+    sql="""WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         ),
+         base AS (
+           SELECT doc_id, w, len(w) AS n_words,
+                  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                    AS dup_word_frac,
+                  len(list_filter(generate_series(2, len(w)),
+                                  i -> w[i] = w[i - 1])) AS n_adjacent_repeats
+           FROM t WHERE len(w) >= 2
+         ),
+         b AS (
+           SELECT doc_id, n_words, dup_word_frac, n_adjacent_repeats,
+                  w[i] || ' ' || w[i + 1] AS bigram
+           FROM base, unnest(generate_series(1, len(w) - 1)) AS g(i)
+         ),
+         counts AS (
+           SELECT doc_id, n_words, dup_word_frac, n_adjacent_repeats,
+                  bigram, count(*) AS n
+           FROM b GROUP BY ALL
+         )
+         SELECT doc_id, n_words, dup_word_frac, n_adjacent_repeats,
+                max_by(bigram, lpad(n::VARCHAR, 12, '0') || ' ' || bigram)
+                  AS top_bigram,
+                round(2.0 * max(n) / n_words, 6) AS top_bigram_frac
+         FROM counts
+         GROUP BY doc_id, n_words, dup_word_frac, n_adjacent_repeats""",
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6f: within-document repetition metrics — the Gopher/MassiveText
+    repetition filters (duplicate-word fraction, most-frequent-bigram
+    occupancy, adjacent-word stutter count) that catch boilerplate and
+    degenerate generations BEFORE they poison dedup scores or training.
+    Distinct from llm_span_dedup_audit, which finds spans repeated
+    ACROSS documents; this finds repetition INSIDE one document.
+
+    Shape: duplicate-word fraction and adjacent-repeat count are pure
+    array expressions riding the scan (codegen, shuffle-free). The
+    most-frequent bigram needs per-(doc, bigram) counting: explode ->
+    groupBy(doc_id, bigram) -> groupBy(doc_id) with max(struct(n,
+    bigram)) — two hash shuffles keyed by doc_id(+bigram), both with
+    map-side partial aggregation, no join back because the per-doc scalar
+    metrics travel as (constant) grouping keys. At 100 TB this is the
+    same bounded-fan-out shape as llm_token_ngram_topk: shuffle volume =
+    distinct (doc, bigram) pairs, never corpus bytes. The (n, bigram)
+    struct max makes the tie-break deterministic in both engines
+    (largest count, then lexicographically largest bigram).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n_words"),
+            F.round(
+                1.0 - F.size(F.array_distinct("w")).cast("double") / F.size("w"), 6
+            ).alias("dup_word_frac"),
+            F.expr(
+                "size(filter(sequence(1, size(w) - 1), i -> w[i] = w[i - 1]))"
+            ).alias("n_adjacent_repeats"),
+        )
+    )
+    counts = (
+        base.select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "n_adjacent_repeats",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "n_words", "dup_word_frac", "n_adjacent_repeats", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.groupBy(
+        "doc_id", "n_words", "dup_word_frac", "n_adjacent_repeats"
+    ).agg(F.max(F.struct("n", "bigram")).alias("t"))
+    return top.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "n_adjacent_repeats",
+        F.col("t.bigram").alias("top_bigram"),
+        F.round(2.0 * F.col("t.n") / F.col("n_words"), 6).alias("top_bigram_frac"),
+    )
+
+
+# --------------------------------------- L6g deterministic shuffle+shard
+N_SHARDS = 8
+SHUFFLE_SEED = 42
+
+
+@register(
+    "llm_corpus_shuffle_shard",
+    sql=f"""WITH keyed AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:' || doc_id::VARCHAR),
+                                  1, 15))::BIGINT AS shuffle_key
+           FROM documents
+         )
+         SELECT doc_id, shuffle_key,
+                shuffle_key % {N_SHARDS} AS shard,
+                row_number() OVER (PARTITION BY shuffle_key % {N_SHARDS}
+                                   ORDER BY shuffle_key, doc_id) AS pos
+         FROM keyed""",
+)
+def llm_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6g: deterministic corpus shuffle + shard assignment — the global
+    example-order randomization every training run needs, with no RNG
+    state: shuffle_key = md5("shuffle:<seed>:" || doc_id), shard =
+    key mod N_SHARDS, pos = rank within the shard by key. Reshuffling is
+    a seed bump; the order is reproducible across reruns, cluster sizes,
+    and partition counts (nothing depends on input row order).
+
+    Scale shape: NO global sort — the plan is one hash exchange on the
+    shard id followed by an independent per-shard local sort, exactly how
+    a 100 TB corpus is written as N training shards (in practice N is
+    thousands, so each local sort fits an executor; the md5 key makes
+    shard sizes uniform, no skew). Within-shard order + uniform random
+    shard membership together give the stochastic global order SGD
+    wants without ever total-ordering the corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(concat('shuffle:{SHUFFLE_SEED}:',"
+            " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", F.col("shuffle_key") % N_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+    )

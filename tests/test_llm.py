@@ -451,3 +451,98 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == expect, f"trial {trial}: mismatch vs union-find"
         ml = {r.doc_id: r.cluster_id for r in _cc_min_label(pairs, 64).collect()}
         assert got == ml, f"trial {trial}: mismatch vs min-label"
+
+
+def test_repetition_matches_python_recompute(spark):
+    """llm_text_repetition's per-doc metrics must equal a direct Python
+    recomputation over the raw text (independent of both SQL engines).
+    Overlapping occurrences mean top_bigram_frac can exceed 1.0 on a
+    degenerate 'a a a a' run — that IS the filter signal, so the check
+    recomputes it exactly rather than clamping."""
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.text import llm_text_repetition
+
+    got = {r.doc_id: r for r in llm_text_repetition(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    checked = 0
+    for d in docs:
+        w = d.text.split(" ")
+        if len(w) < 2:
+            assert d.doc_id not in got
+            continue
+        r = got[d.doc_id]
+        assert r.n_words == len(w)
+        assert abs(r.dup_word_frac - round(1 - len(set(w)) / len(w), 6)) < 1e-9
+        assert r.n_adjacent_repeats == sum(
+            1 for a, b in zip(w, w[1:]) if a == b
+        )
+        counts = Counter(f"{a} {b}" for a, b in zip(w, w[1:]))
+        best_n = max(counts.values())
+        best = max(b for b, n in counts.items() if n == best_n)
+        assert r.top_bigram == best
+        assert abs(r.top_bigram_frac - round(2.0 * best_n / len(w), 6)) < 1e-9
+        checked += 1
+    assert checked == len(got)
+
+
+def test_shuffle_shard_deterministic_partition(spark):
+    """Seeded shuffle+shard must be a permutation invariant: every doc
+    appears exactly once, per-shard positions are contiguous from 1, the
+    assignment is identical across reruns, and the md5 key spreads docs
+    over every shard without gross skew."""
+    from collections import defaultdict
+
+    from pipelinejobs_indexer_spark.llm.text import (
+        N_SHARDS,
+        llm_corpus_shuffle_shard,
+    )
+
+    a = llm_corpus_shuffle_shard(spark, SF).collect()
+    b = llm_corpus_shuffle_shard(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len({r.doc_id for r in a}) == len(a) == n_docs
+    by_shard = defaultdict(list)
+    for r in a:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard[r.shard].append(r)
+    assert len(by_shard) == N_SHARDS  # every shard populated at 60+ docs
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        # pos order must follow the shuffle key order (the shard's sort)
+        keys = [r.shuffle_key for r in rows]
+        assert keys == sorted(keys)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= 1 and sizes[-1] <= 4 * max(1, n_docs // N_SHARDS)
+
+
+def test_incremental_dedup_admits_only_new_content(spark):
+    """Batch-vs-snapshot semantics cross-checked in pure Python: a batch
+    hash is admitted iff no snapshot doc carries the same md5(text), and
+    the kept doc_id/copy-count summarize the batch group exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        INCREMENTAL_MOD,
+        llm_dedup_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    snap = {md5(d.text) for d in docs if d.doc_id % INCREMENTAL_MOD != 0}
+    batch = defaultdict(list)
+    for d in docs:
+        if d.doc_id % INCREMENTAL_MOD == 0:
+            batch[md5(d.text)].append(d.doc_id)
+    expect = {
+        h: (min(ids), len(ids)) for h, ids in batch.items() if h not in snap
+    }
+    got = {
+        r.content_hash: (r.keep_doc_id, r.n_in_batch)
+        for r in llm_dedup_incremental(spark, SF).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should admit at least one new hash"
