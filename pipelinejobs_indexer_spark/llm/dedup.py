@@ -752,17 +752,54 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     vertex points at its component's minimum."""
     from pyspark.sql.window import Window
 
+    from ..session import default_parallelism
+
+    # Scale-aware task sizing for the iterate-over-edges loop: the edge
+    # list shrinks toward a star forest, and each round is several jobs,
+    # so per-task scheduling overhead dominates once edges/task is small.
+    # Clamp partitions to ~EDGES_PER_TASK edges each (floor 1, cap the
+    # session's parallelism): a few-hundred-edge graph runs 1-task rounds
+    # while a billion-edge graph keeps every core busy — the same
+    # runtime re-sizing AQE applies to one-shot shuffles, applied here
+    # across checkpoint boundaries AQE cannot see through.
+    EDGES_PER_TASK = 2_000_000
+
+    def _parts(cnt: int) -> int:
+        return max(1, min(default_parallelism(), 1 + cnt // EDGES_PER_TASK))
+
     verts = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
         .distinct()
         .localCheckpoint()
     )
-    e = _canon(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint()
+    e0 = _canon(pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
+    e = e0.repartition(_parts(pairs.count()), "u").localCheckpoint()
     prev_cnt = e.count()
     w_u = Window.partitionBy("u")
+    # The intra-round window/distinct exchanges also deserve edge-sized
+    # task counts; scope shuffle.partitions to the loop (restored after)
+    # so AQE's coalescing floor doesn't pay 32-task scheduling on a
+    # hundred-edge residual graph. Queries run serially per session, so
+    # the scoped conf cannot leak into a concurrent plan.
+    spark = pairs.sparkSession
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
+        e, prev_cnt = _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    # star forest: non-roots appear as u exactly once, pointing at the root
+    return verts.join(e, verts.v == e.u, "left").select(
+        verts.v.alias("doc_id"),
+        F.coalesce(e.v, verts.v).alias("cluster_id"),
+    )
+
+
+def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds):
+    """The large-star/small-star iteration of connected_components; edge
+    list in, converged star forest out. Split out so the shuffle-partition
+    scope in the caller wraps every lazy plan AND its execution."""
     for _ in range(max_rounds):
         # large-star: every neighbor v > u links to min(N(u) + {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -776,11 +813,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
         withm2 = ls.withColumn("mn", F.min("v").over(w_u))
-        ss = _canon(
-            withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
-                withm2.select("u", F.col("mn").alias("v"))
+        ss = (
+            _canon(
+                withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+                    withm2.select("u", F.col("mn").alias("v"))
+                )
             )
-        ).localCheckpoint()
+            .repartition(_parts(prev_cnt), "u")
+            .localCheckpoint()
+        )
         cnt = ss.count()
         changed = cnt != prev_cnt or ss.join(e, ["u", "v"], "left_anti").limit(
             1
@@ -792,11 +833,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
         raise RuntimeError(
             f"connected_components: not converged in {max_rounds} rounds"
         )
-    # star forest: non-roots appear as u exactly once, pointing at the root
-    return verts.join(e, verts.v == e.u, "left").select(
-        verts.v.alias("doc_id"),
-        F.coalesce(e.v, verts.v).alias("cluster_id"),
-    )
+    return e, prev_cnt
 
 
 @register(
