@@ -43,6 +43,9 @@ SHOWCASE = {
     "win_gapfill_states": "union timeline + one last(ignorenulls) window — no grid×events pair join",
     "llm_similarity_ivf": "inverted-file build is a broadcast centroid-array fold — corpus never shuffles; only candidates reach the top-k window",
     "llm_sequence_pack": "one shard-key exchange + per-shard running-sum Window, all integer",
+    "llm_text_repetition": "array metrics ride the scan; two combiner HashAggregates, no join-back",
+    "llm_corpus_shuffle_shard": "hash exchange on shard + per-shard local sort — no global sort",
+    "llm_dedup_incremental": "map-side batch collapse → anti equi-join (runtime-bloom-prunable snapshot side)",
 }
 
 
