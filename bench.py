@@ -113,6 +113,13 @@ def main() -> None:
                 ),
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
+                "notes": (
+                    "not comparable to BENCH_r01: r1's df.count() let Catalyst "
+                    "prune projection work (advisor finding); runs now hash "
+                    "every output column so all per-row work executes, and the "
+                    "headline grew 21->23 queries (+llm_dedup_clusters, "
+                    "+llm_corpus_curate_full, the two heaviest DAGs)"
+                ),
             }
         )
     )

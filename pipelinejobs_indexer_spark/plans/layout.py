@@ -200,3 +200,78 @@ def sink_partitioned_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.filter(F.col("event_type") == "purchase").select(
         "event_id", "event_type", "value"
     )
+
+
+@register(
+    "sink_training_shards",
+    sql="""WITH kept AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5('shuffle:42:' || doc_id::VARCHAR),
+                                  1, 15))::BIGINT AS shuffle_key
+           FROM documents
+           WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR),
+                                 1, 15))::BIGINT % 1000 <
+                 CASE WHEN lang = 'de' THEN 400 WHEN lang = 'en' THEN 800
+                      WHEN lang = 'es' THEN 400 WHEN lang = 'fr' THEN 400
+                      WHEN lang = 'zh' THEN 400 ELSE 200 END
+         )
+         SELECT doc_id, lang, shuffle_key % 8 AS shard,
+                row_number() OVER (PARTITION BY shuffle_key % 8
+                                   ORDER BY shuffle_key, doc_id) AS pos
+         FROM kept""",
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: the training-corpus materialization capstone — gate the corpus
+    with the deterministic stratified sample (L6a's predicate), assign
+    every kept document a seeded shuffle position and shard (L6g), and
+    WRITE the result as hive-partitioned training shards
+    (shard=K/part-*.parquet, rows sorted by shuffle position within each
+    shard), then answer from the materialized copy. This is the layout a
+    data loader consumes directly: open shard K, read sequentially, get
+    the reproducible shuffled order; re-sharding for a different worker
+    count is a seed/modulus bump away.
+
+    One pass, three plan stages: codegen sample filter riding the scan ->
+    hash exchange on shard -> per-shard local sort
+    (sortWithinPartitions). No global sort, no skew (md5 keys), file
+    count == shard count by construction (repartition(shard) before
+    partitionBy aligns task and directory partitioning, so S7's
+    small-file pathology can't arise). The oracle recomputes the
+    sample+shuffle+rank logically: materialization must not change the
+    answer."""
+    from pyspark.sql.window import Window
+
+    from ..llm.text import N_SHARDS, sample_bucket_col, sample_rate_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        sample_bucket_col() < sample_rate_col()
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(conv(substr(md5(concat('shuffle:42:',"
+            " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ).alias("shuffle_key"),
+    ).withColumn("shard", F.col("shuffle_key") % N_SHARDS)
+    path = _scratch(spark, "training_shards")
+    (
+        keyed.repartition(N_SHARDS, "shard")
+        # shard leads the sort so the dynamic-partition writer's required
+        # ordering is already satisfied and it injects NO extra sort that
+        # would scramble the shuffle order inside each directory
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    shards = spark.read.parquet(path)
+    # pos re-derives from the persisted shuffle_key — a loader reading a
+    # shard's files sequentially sees exactly this rank
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return shards.select(
+        "doc_id",
+        "lang",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )

@@ -98,3 +98,31 @@ def test_partitioned_layout_prunes_partitions(spark):
     # the scan reads only the one partition directory
     scanned = df.select(F.input_file_name().alias("f")).distinct().collect()
     assert scanned and all("event_type=purchase" in r.f for r in scanned)
+
+
+def test_training_shards_layout_and_order(spark):
+    """The materialized training shards must be consumable by a dumb
+    sequential loader: one hive directory per shard, one file per shard
+    (task/directory partitioning aligned), and rows INSIDE each file
+    already in shuffle_key order — the pos column is the file order, not
+    a post-hoc sort."""
+    import pyarrow.parquet as pq
+
+    from pipelinejobs_indexer_spark.llm.text import N_SHARDS
+    from pipelinejobs_indexer_spark.plans.layout import sink_training_shards
+
+    out = sink_training_shards(spark, SF)
+    rows = out.collect()
+    assert rows, "sample gate should keep documents"
+    root = _scratch(spark, "training_shards")
+    shard_dirs = sorted(
+        d for d in os.listdir(root) if d.startswith("shard=")
+    )
+    assert len(shard_dirs) == len({r.shard for r in rows})
+    assert len(shard_dirs) <= N_SHARDS
+    for d in shard_dirs:
+        files = _parquet_files(os.path.join(root, d))
+        assert len(files) == 1, f"{d}: expected exactly one file, got {files}"
+        t = pq.read_table(files[0], columns=["shuffle_key", "doc_id"])
+        keys = list(zip(t["shuffle_key"].to_pylist(), t["doc_id"].to_pylist()))
+        assert keys == sorted(keys), f"{d}: file rows not in shuffle order"
