@@ -54,6 +54,13 @@ _RECHECK_FIRST = [
     # 50-query cap (their module sorts late among the un-evidenced tier)
     "agg_storage_percentiles",
     "agg_state_pivot",
+    # round-2 additions with no correctness evidence yet: repetition
+    # filters, shuffle-sharding, incremental dedup, and the training-shard
+    # sink (whose module registers at the tail of the un-evidenced tier)
+    "llm_text_repetition",
+    "llm_corpus_shuffle_shard",
+    "llm_dedup_incremental",
+    "sink_training_shards",
 ]
 
 # Rows-only by design (no oracle is possible); their driver row carries
