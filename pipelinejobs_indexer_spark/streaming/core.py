@@ -45,17 +45,50 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def run_to_batch(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def replay_partitions(sf_dir: str) -> int:
+    """Stateful-operator parallelism sized from the source bytes: every
+    shuffle partition of a stateful stream carries its own state store
+    (checkpoint files, maintenance, per-batch commit), so partitions
+    should track state volume — ~64 MB of source per store, floor 1, cap
+    session parallelism. A few-MB replay runs 1-2 stores instead of
+    paying 32 stores' bookkeeping per micro-batch; a 100 TB backlog
+    keeps every core busy. Mirrors the edge-count sizing in
+    llm/dedup.connected_components."""
+    import os as _os
+
+    from ..session import default_parallelism
+
+    try:
+        b = _os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        return default_parallelism()
+    return max(1, min(default_parallelism(), 1 + b // (64 << 20)))
+
+
+def run_to_batch(
+    stream_df: DataFrame, output_mode: str, sf_dir: str | None = None
+) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the materialized batch table."""
-    name = f"stream_out_{_uuid.uuid4().hex}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    memory sink and return the materialized batch table. When ``sf_dir``
+    is given, shuffle partitions (== state-store count, fixed at the
+    query's first checkpoint) are scoped to replay_partitions() for the
+    run and restored afterwards."""
     spark = stream_df.sparkSession
+    name = f"stream_out_{_uuid.uuid4().hex}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if sf_dir is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(replay_partitions(sf_dir))
+            )
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

@@ -80,7 +80,7 @@ def stream_ingest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["uuid", "name"])
         .select("uuid", "name")
     )
-    return run_to_batch(deduped, "append")
+    return run_to_batch(deduped, "append", sf_dir)
 
 
 @register(
@@ -98,7 +98,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits, so the streaming result equals the batch group-by."""
     m = _messages_stream(spark, sf_dir)
     agg = m.groupBy(F.window("ts", "5 minutes"), "name").agg(F.count("*").alias("n"))
-    out = run_to_batch(agg, "complete")
+    out = run_to_batch(agg, "complete", sf_dir)
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "name", "n"
     )
@@ -123,7 +123,7 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = m.groupBy(F.window("ts", "10 minutes", "1 minute")).agg(
         F.count("*").alias("n")
     )
-    out = run_to_batch(agg, "complete")
+    out = run_to_batch(agg, "complete", sf_dir)
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
     )
@@ -162,7 +162,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = m.groupBy(F.session_window("ts", "30 minutes"), "job_key").agg(
         F.count("*").alias("n_events")
     )
-    out = run_to_batch(agg, "complete")
+    out = run_to_batch(agg, "complete", sf_dir)
     return out.select(
         "job_key",
         F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
@@ -177,7 +177,7 @@ def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (late/duplicate/illegal transitions) are pinned by
     tests/test_streaming.py with crafted replays."""
     je = _job_events_stream(spark, sf_dir)
-    return run_to_batch(fsm_apply(je), "update")
+    return run_to_batch(fsm_apply(je), "update", sf_dir)
 
 
 @register("stream_late_data")  # watermark tail behavior: rows-only check
@@ -195,7 +195,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "name")
         .agg(F.count("*").alias("n"))
     )
-    out = run_to_batch(agg, "append")
+    out = run_to_batch(agg, "append", sf_dir)
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "name", "n"
     )
@@ -346,7 +346,7 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _messages_stream(spark, sf_dir).select("msg_id", "uuid", "name")
     j = jobs_table(spark, sf_dir).select("uuid", "state", "session")
     joined = m.join(j, "uuid").select("msg_id", "uuid", "name", "state", "session")
-    return run_to_batch(joined, "append")
+    return run_to_batch(joined, "append", sf_dir)
 
 
 @register(
@@ -390,4 +390,4 @@ def stream_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("indexed_ts") >= F.col("a_ts"))
         & (F.col("indexed_ts") < F.col("a_ts") + F.expr("interval 30 minutes")),
     ).select("index_msg", "indexed_msg", "uuid", "indexed_ts")
-    return run_to_batch(joined, "append")
+    return run_to_batch(joined, "append", sf_dir)
