@@ -43,6 +43,8 @@ Scale design (the 100 TB story, per operator):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -982,3 +984,99 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash")
     )
     return batch.join(snapshot_hashes, "content_hash", "left_anti")
+
+
+# ------------------------- L11b incremental near-dup (signature index)
+def _incremental_minhash_sql() -> str:
+    """Oracle: recompute everything logically over the documents table —
+    the persisted index is a physical artifact that must not change the
+    answer."""
+    return f"""WITH sh AS ({_SHINGLES_SQL}),
+         hsh AS ({_HASHED_SHINGLES_SQL}),
+         sig AS ({_minhash_sig_sql()}),
+         bands AS ({_bands_sql()}),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS doc_b, s.doc_id AS doc_s
+           FROM bands b JOIN bands s ON b.b = s.b AND b.v = s.v
+           WHERE b.doc_id % {INCREMENTAL_MOD} = 0
+             AND s.doc_id % {INCREMENTAL_MOD} != 0
+         ),
+         common AS (
+           SELECT c.doc_b, c.doc_s, count(*) AS c
+           FROM cand c
+           JOIN hsh ha ON ha.doc_id = c.doc_b
+           JOIN hsh hb ON hb.doc_id = c.doc_s AND hb.hf = ha.hf
+           GROUP BY c.doc_b, c.doc_s
+         ),
+         dup AS (
+           SELECT DISTINCT doc_b FROM common
+           JOIN sig na ON na.doc_id = doc_b
+           JOIN sig nb ON nb.doc_id = doc_s
+           WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+         )
+         SELECT doc_id, n AS n_shingles FROM sig
+         WHERE doc_id % {INCREMENTAL_MOD} = 0
+           AND doc_id NOT IN (SELECT doc_b FROM dup)"""
+
+
+@register("llm_dedup_incremental_minhash", sql=_incremental_minhash_sql())
+def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11b: incremental NEAR-dup dedup against a persisted signature
+    index — L11's anti-join admits content only when byte-identical text
+    is unseen; this admits a batch document only when the snapshot holds
+    no >=0.8-jaccard near-duplicate of it. The snapshot's minhash
+    signatures (+ hashed shingle sets) are computed once, WRITTEN as a
+    parquet signature index, and the batch LSH-joins against the
+    read-back index: steady-state cost is hashing the BATCH plus an
+    equi-join into the index — the snapshot corpus text is never
+    re-shingled per ingest (the index append is the ingest's byproduct).
+
+    Scale shape: identical to llm_dedup_minhash (banding equi-join +
+    candidate-only verify), except one join side is an O(docs)-row
+    signature table instead of recomputed signatures; band buckets are
+    uniform md5 halves, so no skew. The oracle recomputes everything
+    logically — persistence must not change the answer."""
+    import tempfile as _tmp
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    snap_sig = _minhash_sig(
+        hashed_shingles(docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)),
+        with_sets=True,
+    )
+    app = spark.sparkContext.applicationId
+    idx_path = _os.path.join(
+        _tmp.gettempdir(), f"spark_graft_{app}_minhash_index"
+    )
+    snap_sig.write.mode("overwrite").parquet(idx_path)
+    snap = spark.read.parquet(idx_path)
+
+    batch = _minhash_sig(
+        hashed_shingles(docs.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)),
+        with_sets=True,
+    ).cache()
+    bands_b = batch.select(
+        "doc_id", F.explode(F.array(*_band_cols())).alias("bv")
+    ).select(F.col("doc_id").alias("doc_b"), "bv.b", "bv.v")
+    bands_s = snap.select(
+        "doc_id", F.explode(F.array(*_band_cols())).alias("bv")
+    ).select(F.col("doc_id").alias("doc_s"), "bv.b", "bv.v")
+    cand = bands_b.join(bands_s, ["b", "v"]).select("doc_b", "doc_s").distinct()
+    ha = batch.select(
+        F.col("doc_id").alias("doc_b"), F.col("hfs").alias("ha"), F.col("n").alias("n_b")
+    )
+    hb = snap.select(
+        F.col("doc_id").alias("doc_s"), F.col("hfs").alias("hb"), F.col("n").alias("n_s")
+    )
+    c = F.size(F.array_intersect("ha", "hb"))
+    jac = c / (F.col("n_b") + F.col("n_s") - c)
+    dup = (
+        cand.join(ha, "doc_b")
+        .join(hb, "doc_s")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_b")
+        .distinct()
+    )
+    return (
+        batch.join(dup, batch.doc_id == dup.doc_b, "left_anti")
+        .select("doc_id", F.col("n").alias("n_shingles"))
+    )

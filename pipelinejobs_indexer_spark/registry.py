@@ -60,6 +60,7 @@ _RECHECK_FIRST = [
     "llm_text_repetition",
     "llm_corpus_shuffle_shard",
     "llm_dedup_incremental",
+    "llm_dedup_incremental_minhash",
     "sink_training_shards",
 ]
 

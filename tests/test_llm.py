@@ -546,3 +546,39 @@ def test_incremental_dedup_admits_only_new_content(spark):
     }
     assert got == expect
     assert expect, "fixture should admit at least one new hash"
+
+
+def test_incremental_minhash_rejections_are_true_near_dups(spark):
+    """Every batch doc the incremental near-dup ingest REJECTS must have a
+    genuine >=0.8-jaccard partner in the snapshot (LSH verifies candidates
+    exactly, so no false rejections), and nothing with a true snapshot
+    near-dup may be admitted unless LSH banding missed it — cross-checked
+    against the exact prefix-filtered pair scan."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        INCREMENTAL_MOD,
+        llm_dedup_incremental_minhash,
+        llm_dedup_ngram_jaccard,
+    )
+
+    admitted = {
+        r.doc_id for r in llm_dedup_incremental_minhash(spark, SF).collect()
+    }
+    exact_pairs = {
+        (r.doc_a, r.doc_b) for r in llm_dedup_ngram_jaccard(spark, SF).collect()
+    }
+    cross = set()
+    for a, b in exact_pairs:
+        for batch, snap in ((a, b), (b, a)):
+            if batch % INCREMENTAL_MOD == 0 and snap % INCREMENTAL_MOD != 0:
+                cross.add(batch)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    batch_ids = {
+        d.doc_id
+        for d in docs
+        if d.doc_id % INCREMENTAL_MOD == 0 and len(d.text.split(" ")) >= 3
+    }
+    rejected = batch_ids - admitted
+    assert rejected <= cross, "a rejection lacks a true snapshot near-dup"
+    # the planted near-dups sit at ~0.98 jaccard where banding recall is
+    # ~total; allow at most one miss before calling it a regression
+    assert len(cross - rejected) <= max(1, len(cross) // 10)
