@@ -1047,3 +1047,87 @@ def llm_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "shuffle_key", "shard", "pos")
     )
+
+
+# ---------------------------------------- L6h quality-gate calibration
+KEEP_RATES = (0.9, 0.5, 0.1)  # keep-rate targets -> score quantiles 1-q
+
+
+@register(
+    "llm_quality_calibrate",
+    sql=f"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+                     FROM documents),
+         feat AS (
+           SELECT doc_id, lang,
+                  len(w) AS n_words,
+                  CAST(len(list_filter(w, x -> list_contains({_sw_array_sql()}, x)))
+                       AS DOUBLE) / len(w) AS stop_ratio,
+                  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM t
+         ),
+         scored AS (
+           SELECT lang,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + n_words / 1000.0 + stop_ratio - 0.05 * n_punct)), 6)
+                    AS score
+           FROM feat
+         )
+         SELECT lang, count(*) AS n_docs,
+                round(quantile_cont(score, 0.1), 6) AS thr_keep90,
+                round(quantile_cont(score, 0.5), 6) AS thr_keep50,
+                round(quantile_cont(score, 0.9), 6) AS thr_keep10
+         FROM scored GROUP BY lang""",
+)
+def llm_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6h: quality-gate calibration — the per-language score thresholds
+    that would keep 90% / 50% / 10% of documents. A production curation
+    run doesn't hardcode 0.3 (the L4c gate); it picks the cut from the
+    score DISTRIBUTION to hit a token budget, per stratum so one
+    language's verbose docs don't starve another. Gate with
+    score >= thr_keepQ to keep the top Q fraction.
+
+    One codegen score projection riding the scan + one combiner groupBy:
+    threshold selection costs one aggregation over score values, nothing
+    else. Exact interpolated percentiles match DuckDB's quantile_cont
+    definition bit-for-bit (same pattern as agg_storage_percentiles); at
+    100 TB swap approx_percentile's mergeable t-digest — plan shape
+    unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
+    feat = t.select(
+        "lang",
+        F.size("w").alias("n_words"),
+        (
+            F.expr(f"size(filter(w, x -> array_contains({_sw_array_spark()}, x)))").cast(
+                "double"
+            )
+            / F.size("w")
+        ).alias("stop_ratio"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.2)
+                + F.col("n_words") / 1000.0
+                + F.col("stop_ratio")
+                - 0.05 * F.col("n_punct"),
+            ),
+        ),
+        6,
+    )
+    pct = F.expr("percentile(score, array(0.1D, 0.5D, 0.9D))")
+    return (
+        feat.select("lang", score.alias("score"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), pct.alias("p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("p")[0], 6).alias("thr_keep90"),
+            F.round(F.col("p")[1], 6).alias("thr_keep50"),
+            F.round(F.col("p")[2], 6).alias("thr_keep10"),
+        )
+    )

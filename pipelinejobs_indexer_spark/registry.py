@@ -61,6 +61,7 @@ _RECHECK_FIRST = [
     "llm_corpus_shuffle_shard",
     "llm_dedup_incremental",
     "llm_dedup_incremental_minhash",
+    "llm_quality_calibrate",
     "sink_training_shards",
 ]
 
