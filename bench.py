@@ -48,6 +48,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "llm_dedup_minhash",
     "llm_dedup_clusters",
+    "llm_dedup_incremental_minhash",
     "llm_corpus_curate_full",
     "llm_similarity_topk",
     "llm_similarity_ann",

@@ -193,3 +193,25 @@ def test_gapfill_midnight_event_belongs_to_next_day(spark):
     rows = {r.day.day: r.state for r in gapfill_daily(je).collect()}
     assert rows[1] == "create"  # midnight 'finish' counts toward Jan 2
     assert rows[2] == "finish"
+
+
+def test_round2_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the round-2 operators: no nested-loop or
+    cartesian joins anywhere, no global (single-range) Sort outside a
+    window's per-partition sort, and the shuffle-shard plan exchanges on
+    the shard id rather than range-partitioning."""
+    checks = {
+        "llm_text_repetition": lambda p: "Join" not in p,
+        "llm_corpus_shuffle_shard": lambda p: (
+            "hashpartitioning(shard" in p and "rangepartitioning" not in p
+        ),
+        "llm_dedup_incremental": lambda p: "LeftAnti" in p,
+        "llm_dedup_incremental_minhash": lambda p: "LeftAnti" in p,
+        "llm_quality_calibrate": lambda p: "Join" not in p,
+    }
+    for name, ok in checks.items():
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name + "\n" + plan
+        assert "CartesianProduct" not in plan, name + "\n" + plan
+        assert ok(plan), name + " plan shape regressed:\n" + plan
