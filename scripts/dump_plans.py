@@ -46,6 +46,8 @@ SHOWCASE = {
     "llm_text_repetition": "array metrics ride the scan; two combiner HashAggregates, no join-back",
     "llm_corpus_shuffle_shard": "hash exchange on shard + per-shard local sort — no global sort",
     "llm_dedup_incremental": "map-side batch collapse → anti equi-join (runtime-bloom-prunable snapshot side)",
+    "llm_dedup_incremental_minhash": "batch hashing + band equi-join into the read-back parquet signature index; candidate-only verify, anti-join admit",
+    "llm_quality_calibrate": "codegen score projection + one combiner groupBy (exact interpolated percentiles)",
 }
 
 
