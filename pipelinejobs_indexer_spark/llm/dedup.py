@@ -786,11 +786,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     # the scoped conf cannot leak into a concurrent plan.
     spark = pairs.sparkSession
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
+        # AQE off for the loop: its coalescing duplicates the explicit
+        # edge-count sizing above, window stages get no skew help from it,
+        # and its per-stage re-planning is measurable overhead across many
+        # tiny iteration jobs.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         e, prev_cnt = _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     # star forest: non-roots appear as u exactly once, pointing at the root
     return verts.join(e, verts.v == e.u, "left").select(
         verts.v.alias("doc_id"),
