@@ -170,3 +170,45 @@ def scan_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+@register(
+    "scan_jsonl_export",
+    sql="""SELECT doc_id, lang, source, text FROM documents
+           WHERE source IN ('src0', 'src1')""",
+)
+def scan_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: the JSONL interchange path — export a document slice as
+    line-delimited JSON (the de-facto training-corpus interchange format:
+    one document object per line) and read it back with an EXPLICIT
+    schema and FAILFAST mode; the oracle derives the same slice straight
+    from the parquet fixture, so the check proves round-trip fidelity of
+    the JSON writer/parser pair including text-field escaping.
+
+    Scale notes: like CSV (S9), JSONL is interchange, not storage — no
+    pushdown, no pruning, every byte parsed. But it is what corpus
+    providers ship and what tokenizer/training tooling consumes, so the
+    engine must round-trip it losslessly. The explicit StructType skips
+    Spark's whole-file schema-inference pass (a full extra scan at
+    100 TB) and FAILFAST keeps malformed lines loud instead of silently
+    null; first job in production is always jsonl -> typed parquet."""
+    import os as _os
+    import tempfile as _tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("doc_id", "lang", "source", "text")
+    )
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_{spark.sparkContext.applicationId}_jsonl_export",
+    )
+    docs.write.mode("overwrite").json(path)
+    schema = "doc_id bigint, lang string, source string, text string"
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(path)
+        .select("doc_id", "lang", "source", "text")
+    )

@@ -62,6 +62,7 @@ _RECHECK_FIRST = [
     "llm_dedup_incremental",
     "llm_dedup_incremental_minhash",
     "llm_quality_calibrate",
+    "scan_jsonl_export",
     "sink_training_shards",
 ]
 
