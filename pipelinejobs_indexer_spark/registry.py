@@ -66,6 +66,25 @@ _RECHECK_FIRST = [
     "sink_training_shards",
 ]
 
+# Un-evidenced queries that are single-pass column projections (plus at
+# most a tiny aggregate) with strong local pytest parity: generic
+# expression-parity coverage makes them the lowest-risk rows to spill
+# past a capped sweep, so they cede their slots to un-evidenced sink /
+# UDF / streaming / composed-plan machinery.
+_LOW_RISK_PROJECTIONS = frozenset(
+    {
+        "llm_text_stats",
+        "llm_text_langid",
+        "llm_text_tokens",
+        "llm_text_fingerprint",
+        "llm_corpus_sample",
+        "llm_text_pii_scrub",
+        "llm_token_ngram_topk",
+        "llm_embedding_quantize",
+        "llm_corpus_mix_weights",
+    }
+)
+
 # Rows-only by design (no oracle is possible); their driver row carries
 # little information, so they cede sweep budget to oracled queries.
 _ROWS_ONLY_BY_DESIGN = frozenset(
@@ -166,15 +185,18 @@ def load_all() -> None:
     for mod in _MODULES:
         importlib.import_module(mod)
     # Front-load queries without standing green evidence (see _VERIFIED_R1):
-    # tier 0 = round-1 reds to re-prove, tier 1 = everything un-evidenced,
-    # tier 2 = result-twins, tier 3 = round-1 greens and by-design
-    # rows-only checks.
+    # tier 0 = round-1 reds + round-2 additions, tier 1 = un-evidenced
+    # machinery (sinks/UDFs/streaming/composed plans), tier 2 =
+    # un-evidenced low-risk projections, tier 3 = result-twins, tier 4 =
+    # round-1 greens and by-design rows-only checks.
     def tier(n: str) -> int:
         if n in _RECHECK_FIRST:
             return 0
         if n in _VERIFIED_R1 or n in _ROWS_ONLY_BY_DESIGN:
-            return 3
+            return 4
         if n in _TWINS:
+            return 3
+        if n in _LOW_RISK_PROJECTIONS:
             return 2
         return 1
 
