@@ -1046,10 +1046,12 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile as _tmp
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    snap_sig = _minhash_sig(
-        hashed_shingles(docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)),
-        with_sets=True,
-    )
+    # ONE shingle+hash pass builds both sides (the query is self-contained
+    # so the index build is part of it; a steady-state ingest reads the
+    # index and hashes only its batch): signatures for all docs, split by
+    # the snapshot/batch modulus afterwards.
+    sig_all = _minhash_sig(hashed_shingles(docs), with_sets=True).cache()
+    snap_sig = sig_all.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
     app = spark.sparkContext.applicationId
     idx_path = _os.path.join(
         _tmp.gettempdir(), f"spark_graft_{app}_minhash_index"
@@ -1057,10 +1059,7 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     snap_sig.write.mode("overwrite").parquet(idx_path)
     snap = spark.read.parquet(idx_path)
 
-    batch = _minhash_sig(
-        hashed_shingles(docs.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)),
-        with_sets=True,
-    ).cache()
+    batch = sig_all.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
     bands_b = batch.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("bv")
     ).select(F.col("doc_id").alias("doc_b"), "bv.b", "bv.v")
