@@ -342,3 +342,102 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------- L3d embedding-quality kNN eval
+KNN_EVAL_K = 5
+KNN_PROBE_MOD = 25  # vec_id % 25 == 0 -> 4% of vectors serve as probes
+
+
+@register(
+    "llm_embedding_knn_eval",
+    sql=f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+               WHERE vec_id % {KNN_PROBE_MOD} = 0),
+         scored AS (
+           SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                  round(
+                    list_sum([q.qv[i] * e.v[i] for i in generate_series(1, len(q.qv))]) /
+                    (sqrt(list_sum([x * x for x in q.qv])) *
+                     sqrt(list_sum([x * x for x in e.v]))), 6) AS cosine
+           FROM q CROSS JOIN e
+           WHERE e.vec_id <> q.qid
+         ),
+         nn AS (
+           SELECT qid, qlabel, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored
+           ) WHERE rank <= {KNN_EVAL_K}
+         ),
+         votes AS (
+           SELECT qid, qlabel, label, count(*) AS cnt
+           FROM nn GROUP BY qid, qlabel, label
+         ),
+         pred AS (
+           SELECT qid, qlabel, label AS plabel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY cnt DESC, label) AS r
+             FROM votes
+           ) WHERE r = 1
+         )
+         SELECT qlabel AS label,
+                count(*) AS n_probes,
+                CAST(count(*) FILTER (WHERE plabel = qlabel) AS BIGINT) AS n_correct,
+                round(CAST(count(*) FILTER (WHERE plabel = qlabel) AS DOUBLE)
+                      / count(*), 6) AS accuracy
+         FROM pred GROUP BY qlabel""",
+)
+def llm_embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3d: embedding-quality audit via kNN label consistency — before an
+    embedding column is trusted for ANN dedup or retrieval, sample probe
+    vectors and check that their {KNN_EVAL_K} nearest neighbors (exact
+    cosine) vote the probe's own label; per-label accuracy localizes
+    which classes' embeddings are degenerate. Majority vote breaks ties
+    deterministically (highest count, then lowest label).
+
+    Plan: the probe sample (a pure hash-mod filter, ~4% of vectors) is
+    BROADCAST against the corpus scan — the corpus itself never
+    shuffles or pair-joins, so the cost is one linear scan times the
+    (small) probe count: the llm_similarity_topk shape with an
+    evaluation head. The window/vote aggregations run on probe-sized
+    data only. At 100 TB tune probe rate by modulus; the scan stays
+    single-pass."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel", "vec_id", "label",
+            F.round(_cos("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    nn = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= KNN_EVAL_K)
+        .select("qid", "qlabel", "label")
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(F.count("*").alias("cnt"))
+    w_vote = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .filter(F.col("r") == 1)
+        .select("qid", "qlabel", F.col("label").alias("plabel"))
+    )
+    correct = F.sum((F.col("plabel") == F.col("qlabel")).cast("bigint"))
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            correct.alias("n_correct"),
+            F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+    )

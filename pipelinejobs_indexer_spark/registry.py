@@ -63,6 +63,7 @@ _RECHECK_FIRST = [
     "llm_dedup_incremental_minhash",
     "llm_quality_calibrate",
     "scan_jsonl_export",
+    "llm_embedding_knn_eval",
     "sink_training_shards",
 ]
 
