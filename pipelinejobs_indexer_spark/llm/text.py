@@ -1131,3 +1131,173 @@ def llm_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[2], 6).alias("thr_keep10"),
         )
     )
+
+
+# ------------------------------------------ L10b curation DAG v2
+REP_MAX_BIGRAM_FRAC = 0.5  # drop docs whose top bigram occupies > half the words
+
+
+def _curate_v2_sql() -> str:
+    from .dedup import NORM_SQL, _contamination_sql
+
+    return f"""WITH norm_docs AS (
+           SELECT doc_id, text, lang, {NORM_SQL} AS norm FROM documents
+         ),
+         kept AS (
+           SELECT doc_id, text, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+             FROM norm_docs
+           ) WHERE rn = 1
+         ),
+         contaminated AS (
+           SELECT DISTINCT doc_id FROM ({_contamination_sql()})
+         ),
+         clean AS (
+           SELECT k.* FROM kept k
+           WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ),
+         feat AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> list_contains({_sw_array_sql()}, x)))
+                       AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+                  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM clean
+         ),
+         scored AS (
+           SELECT doc_id, lang, n_words,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + n_words / 1000.0 + stop_ratio - 0.05 * n_punct)), 6)
+                    AS score
+           FROM feat
+         ),
+         rep AS (
+           SELECT doc_id, max(cnt) AS top_cnt FROM (
+             SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram, count(*) AS cnt
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM clean
+                   WHERE len(string_split(text, ' ')) >= 2),
+                  unnest(generate_series(1, len(w) - 1)) AS g(i)
+             GROUP BY doc_id, bigram
+           ) GROUP BY doc_id
+         ),
+         corpus_scored AS (
+           SELECT lang,
+                  round(least(1.0, greatest(0.0,
+                        0.2 + len(string_split(text, ' ')) / 1000.0
+                        + CAST(len(list_filter(string_split(text, ' '),
+                                   x -> list_contains({_sw_array_sql()}, x)))
+                               AS DOUBLE) / len(string_split(text, ' '))
+                        - 0.05 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))), 6)
+                    AS score
+           FROM documents
+         ),
+         thr AS (
+           SELECT lang, round(quantile_cont(score, 0.5), 6) AS thr
+           FROM corpus_scored GROUP BY lang
+         )
+         SELECT s.doc_id, s.lang, s.n_words, s.score
+         FROM scored s
+         JOIN rep r ON r.doc_id = s.doc_id
+         JOIN thr t ON t.lang = s.lang
+         WHERE 2.0 * r.top_cnt / s.n_words <= {REP_MAX_BIGRAM_FRAC}
+           AND s.score >= t.thr
+           AND {_sample_pred_sql().replace("doc_id", "s.doc_id")
+                                   .replace("WHEN lang", "WHEN s.lang")}"""
+
+
+@register("llm_corpus_curate_v2", sql=_curate_v2_sql())
+def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b: curation DAG v2 — v1 (normalize-dedup -> decontaminate ->
+    quality gate -> sample) upgraded with this round's operators: the
+    Gopher repetition gate (drop docs whose top bigram occupies more
+    than half the words; degenerate <2-word docs drop via the inner
+    join) and a CALIBRATED quality threshold — the per-language median
+    score of the FULL corpus (L6h's keep-50 cut) instead of a hardcoded
+    0.3, so the gate adapts to the corpus distribution.
+
+    Plan additions over v1: the repetition sub-DAG's two combiner
+    groupBys keyed by doc_id(+bigram) joined back on doc_id, and the
+    threshold table — a per-language aggregate (5 rows) entering via
+    BROADCAST join. Still zero pair joins; the corpus text is scanned
+    twice (curation chain + threshold calibration), each pass
+    embarrassingly parallel. At 100 TB calibrate on a hash sample or a
+    prior epoch's distribution to get back to one pass."""
+    from .dedup import llm_contamination_check, norm_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w_d = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    kept = (
+        docs.select("doc_id", "text", "lang", norm_expr().alias("norm"))
+        .withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    contaminated = llm_contamination_check(spark, sf_dir).select("doc_id").distinct()
+    clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    def score_over(df):
+        t = df.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
+        feat = t.select(
+            "doc_id",
+            "lang",
+            F.size("w").alias("n_words"),
+            (
+                F.expr(
+                    f"size(filter(w, x -> array_contains({_sw_array_spark()}, x)))"
+                ).cast("double")
+                / F.size("w")
+            ).alias("stop_ratio"),
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+        )
+        return feat.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(0.2)
+                        + F.col("n_words") / 1000.0
+                        + F.col("stop_ratio")
+                        - 0.05 * F.col("n_punct"),
+                    ),
+                ),
+                6,
+            ).alias("score"),
+        )
+
+    scored = score_over(clean)
+    rep = (
+        clean.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    thr = (
+        score_over(docs)
+        .groupBy("lang")
+        .agg(F.round(F.expr("percentile(score, 0.5D)"), 6).alias("thr"))
+    )
+    return (
+        scored.join(rep, "doc_id")
+        .join(F.broadcast(thr), "lang")
+        .filter(
+            (2.0 * F.col("top_cnt") / F.col("n_words") <= REP_MAX_BIGRAM_FRAC)
+            & (F.col("score") >= F.col("thr"))
+            & (sample_bucket_col() < sample_rate_col())
+        )
+        .select("doc_id", "lang", "n_words", "score")
+    )

@@ -64,6 +64,7 @@ _RECHECK_FIRST = [
     "llm_quality_calibrate",
     "scan_jsonl_export",
     "llm_embedding_knn_eval",
+    "llm_corpus_curate_v2",
     "sink_training_shards",
 ]
 

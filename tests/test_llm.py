@@ -582,3 +582,46 @@ def test_incremental_minhash_rejections_are_true_near_dups(spark):
     # the planted near-dups sit at ~0.98 jaccard where banding recall is
     # ~total; allow at most one miss before calling it a regression
     assert len(cross - rejected) <= max(1, len(cross) // 10)
+
+
+def test_curate_v2_gates_consistent_with_operators(spark):
+    """Every v2 survivor must independently satisfy each gate as computed
+    by the standalone operators: dedup keeper, not contaminated, repetition
+    bound, calibrated per-language median score, sample hash."""
+    import hashlib
+    import statistics
+
+    from pipelinejobs_indexer_spark.llm.dedup import llm_contamination_check
+    from pipelinejobs_indexer_spark.llm.text import (
+        REP_MAX_BIGRAM_FRAC,
+        SAMPLE_RATES,
+        _SAMPLE_DEFAULT,
+        llm_corpus_curate_v2,
+        llm_text_quality,
+        llm_text_repetition,
+    )
+
+    kept = {r.doc_id: r for r in llm_corpus_curate_v2(spark, SF).collect()}
+    assert kept, "v2 should keep documents"
+    rep = {r.doc_id: r for r in llm_text_repetition(spark, SF).collect()}
+    quality = {r.doc_id: r for r in llm_text_quality(spark, SF).collect()}
+    contaminated = {
+        r.doc_id for r in llm_contamination_check(spark, SF).collect()
+    }
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    med = {}
+    for lang in {d.lang for d in docs.values()}:
+        med[lang] = round(
+            statistics.median(
+                quality[i].score for i in docs if docs[i].lang == lang
+            ),
+            6,
+        )
+    for doc_id, r in kept.items():
+        assert doc_id not in contaminated
+        assert rep[doc_id].top_bigram_frac <= REP_MAX_BIGRAM_FRAC
+        assert r.score >= med[r.lang], (doc_id, r.score, med[r.lang])
+        bucket = (
+            int(hashlib.md5(f"sample:{doc_id}".encode()).hexdigest()[:15], 16) % 1000
+        )
+        assert bucket < SAMPLE_RATES.get(r.lang, _SAMPLE_DEFAULT)
