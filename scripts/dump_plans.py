@@ -48,6 +48,8 @@ SHOWCASE = {
     "llm_dedup_incremental": "map-side batch collapse → anti equi-join (runtime-bloom-prunable snapshot side)",
     "llm_dedup_incremental_minhash": "batch hashing + band equi-join into the read-back parquet signature index; candidate-only verify, anti-join admit",
     "llm_quality_calibrate": "codegen score projection + one combiner groupBy (exact interpolated percentiles)",
+    "llm_embedding_knn_eval": "broadcast probe set × one corpus scan; vote/accuracy aggs on probe-sized data",
+    "llm_corpus_curate_v2": "v1 DAG + repetition groupBys + broadcast 5-row calibrated threshold; zero pair joins",
 }
 
 
