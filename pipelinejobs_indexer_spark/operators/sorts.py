@@ -37,31 +37,37 @@ def sort_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: total chronological order over the event stream, with an explicit
     position column so order survives the driver's order-insensitive hash.
 
-    (date, event_seq) is a unique key, so local-rank + partition offsets
-    over a range partitioning reproduces row_number() OVER (ORDER BY ...)
-    exactly — with no Exchange SinglePartition in the plan (asserted in
-    tests/test_plans.py)."""
-    ranged = (
+    (date, event_seq) is a unique key, so local-rank + bucket offsets
+    reproduce row_number() OVER (ORDER BY ...) exactly with no Exchange
+    SinglePartition funnel (asserted in tests/test_plans.py). The range
+    bucket is derived FROM THE DATA (calendar day of `date`), never from
+    spark_partition_id() over repartitionByRange: sampled range
+    boundaries (and AQE coalescing) can differ between the two
+    executions of the frame — the count pass and the rank pass — which
+    silently misaligns physical partition ids; a data-derived bucket is
+    identical in every execution by construction. Parallelism = day
+    count; at 100 TB bucket by (day, hour) or finer — the shape is
+    unchanged, only the bucket expression."""
+    ev = (
         job_events(spark, sf_dir)
         .select("event_seq", "job_uuid", "name", "date")
-        .repartitionByRange("date", "event_seq")
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("bucket", F.to_date("date"))
     )
     local = F.row_number().over(
-        Window.partitionBy("pid").orderBy("date", "event_seq")
+        Window.partitionBy("bucket").orderBy("date", "event_seq")
     )
-    counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    counts = ev.groupBy("bucket").agg(F.count("*").alias("cnt"))
     offsets = counts.select(
-        "pid",
+        "bucket",
         (
             F.sum("cnt").over(
-                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
             )
         ).alias("offset"),
     ).fillna({"offset": 0})
     return (
-        ranged.withColumn("local_pos", local)
-        .join(F.broadcast(offsets), "pid")
+        ev.withColumn("local_pos", local)
+        .join(F.broadcast(offsets), "bucket")
         .select(
             (F.col("offset") + F.col("local_pos")).cast("int").alias("pos"),
             "job_uuid",

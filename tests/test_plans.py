@@ -84,9 +84,10 @@ def test_sort_history_has_no_single_partition_funnel(spark, sf_dir):
     under a HashAggregate, never over the event rows themselves."""
     df = registry.QUERIES["sort_history"](spark, sf_dir)
     plan = _formatted_plan(df)
-    # the data path is range-partitioned + pid-partitioned windows
-    assert "rangepartitioning(date" in plan, plan
-    assert "hashpartitioning(pid" in plan, plan
+    # the data path is bucket-partitioned windows over the data-derived
+    # day bucket (deterministic across executions, unlike
+    # spark_partition_id over sampled range boundaries)
+    assert "hashpartitioning(bucket" in plan, plan
     # any SinglePartition exchange must sit on the aggregated counts side
     # (input columns pid/cnt), not on the event rows (job_uuid/date)
     for m in re.finditer(
