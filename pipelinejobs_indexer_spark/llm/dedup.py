@@ -1043,7 +1043,7 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     signature table instead of recomputed signatures; band buckets are
     uniform md5 halves, so no skew. The oracle recomputes everything
     logically — persistence must not change the answer."""
-    import tempfile as _tmp
+    from ..session import scratch_path
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     # ONE shingle+hash pass builds both sides (the query is self-contained
@@ -1052,10 +1052,7 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     # the snapshot/batch modulus afterwards.
     sig_all = _minhash_sig(hashed_shingles(docs), with_sets=True).cache()
     snap_sig = sig_all.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
-    app = spark.sparkContext.applicationId
-    idx_path = _os.path.join(
-        _tmp.gettempdir(), f"spark_graft_{app}_minhash_index"
-    )
+    idx_path = scratch_path(spark, "minhash_index")
     snap_sig.write.mode("overwrite").parquet(idx_path)
     snap = spark.read.parquet(idx_path)
 

@@ -330,10 +330,10 @@ PACK_SHARDS = 8  # independent packing streams; the parallelism knob
            FROM t
          )
          SELECT doc_id, shard, tokens,
-                cum_before // {PACK_MAX_TOKENS} AS seq_id,
-                cum_before % {PACK_MAX_TOKENS} AS seq_offset,
-                (cum_before % {PACK_MAX_TOKENS} + tokens - 1)
-                  // {PACK_MAX_TOKENS} + 1 AS spans
+                CAST(cum_before // {PACK_MAX_TOKENS} AS BIGINT) AS seq_id,
+                CAST(cum_before % {PACK_MAX_TOKENS} AS BIGINT) AS seq_offset,
+                CAST((cum_before % {PACK_MAX_TOKENS} + tokens - 1)
+                  // {PACK_MAX_TOKENS} + 1 AS BIGINT) AS spans
          FROM c""",
 )
 def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,18 +542,22 @@ SAMPLE_RATES: dict[str, int] = {"en": 800, "de": 400, "es": 400, "fr": 400, "zh"
 _SAMPLE_DEFAULT = 200
 
 
-def _sample_rate_sql() -> str:
+def _sample_rate_sql(q: str = "") -> str:
     cases = " ".join(
-        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+        f"WHEN {q}lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
     )
     return f"CASE {cases} ELSE {_SAMPLE_DEFAULT} END"
 
 
-def _sample_pred_sql() -> str:
-    """The deterministic keep-predicate, shared with the curation DAG."""
+def _sample_pred_sql(q: str = "") -> str:
+    """The deterministic keep-predicate, shared with the curation DAGs
+    and the training-shard sink. ``q`` qualifies column references
+    (e.g. "s.") for use inside joins — parameterized rather than
+    post-hoc string surgery so predicate edits can't silently corrupt a
+    qualified call site."""
     return (
-        "('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT"
-        f" % 1000 < {_sample_rate_sql()}"
+        f"('0x' || substr(md5('sample:' || {q}doc_id::VARCHAR), 1, 15))::BIGINT"
+        f" % 1000 < {_sample_rate_sql(q)}"
     )
 
 
@@ -1202,8 +1206,7 @@ def _curate_v2_sql() -> str:
          JOIN thr t ON t.lang = s.lang
          WHERE 2.0 * r.top_cnt / s.n_words <= {REP_MAX_BIGRAM_FRAC}
            AND s.score >= t.thr
-           AND {_sample_pred_sql().replace("doc_id", "s.doc_id")
-                                   .replace("WHEN lang", "WHEN s.lang")}"""
+           AND {_sample_pred_sql("s.")}"""
 
 
 @register("llm_corpus_curate_v2", sql=_curate_v2_sql())

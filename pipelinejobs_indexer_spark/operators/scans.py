@@ -148,9 +148,7 @@ def scan_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit StructType + FAILFAST keeps ingestion errors loud; at 100 TB
     the first job is always csv -> typed parquet, and everything
     downstream reads parquet (S1)."""
-    import os as _os
-    import tempfile as _tempfile
-
+    from ..session import scratch_path
     from ..tables import messages
 
     m = (
@@ -158,10 +156,7 @@ def scan_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("name").isin("index", "indexed"))
         .select("msg_id", "uuid", "name", "level")
     )
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_{spark.sparkContext.applicationId}_csv_export",
-    )
+    path = scratch_path(spark, "csv_export")
     m.write.mode("overwrite").option("header", True).csv(path)
     schema = "msg_id bigint, uuid string, name string, level string"
     return (
@@ -192,18 +187,14 @@ def scan_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's whole-file schema-inference pass (a full extra scan at
     100 TB) and FAILFAST keeps malformed lines loud instead of silently
     null; first job in production is always jsonl -> typed parquet."""
-    import os as _os
-    import tempfile as _tempfile
+    from ..session import scratch_path
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("source").isin("src0", "src1"))
         .select("doc_id", "lang", "source", "text")
     )
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_{spark.sparkContext.applicationId}_jsonl_export",
-    )
+    path = scratch_path(spark, "jsonl_export")
     docs.write.mode("overwrite").json(path)
     schema = "doc_id bigint, lang string, source string, text string"
     return (

@@ -39,11 +39,9 @@ SKEW_TOP_K = 20
 
 
 def _scratch(spark: SparkSession, name: str) -> str:
-    # keyed by applicationId so concurrent sessions on one host never
-    # overwrite each other's layout scratch (stable within a session, so
-    # re-runs still reuse/overwrite their own copy)
-    app = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_layout_{name}")
+    from ..session import scratch_path
+
+    return scratch_path(spark, f"layout_{name}")
 
 
 def _dir_bytes(path: str) -> int:
@@ -202,24 +200,26 @@ def sink_partitioned_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sink_training_shards",
-    sql="""WITH kept AS (
+def _training_shards_sql() -> str:
+    # shares the sample predicate, shuffle seed, and shard count with
+    # llm_corpus_sample / llm_corpus_shuffle_shard so a constant change
+    # can never leave this oracle stale
+    from ..llm.text import N_SHARDS, SHUFFLE_SEED, _sample_pred_sql
+
+    return f"""WITH kept AS (
            SELECT doc_id, lang,
-                  ('0x' || substr(md5('shuffle:42:' || doc_id::VARCHAR),
+                  ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:' || doc_id::VARCHAR),
                                   1, 15))::BIGINT AS shuffle_key
            FROM documents
-           WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR),
-                                 1, 15))::BIGINT % 1000 <
-                 CASE WHEN lang = 'de' THEN 400 WHEN lang = 'en' THEN 800
-                      WHEN lang = 'es' THEN 400 WHEN lang = 'fr' THEN 400
-                      WHEN lang = 'zh' THEN 400 ELSE 200 END
+           WHERE {_sample_pred_sql()}
          )
-         SELECT doc_id, lang, shuffle_key % 8 AS shard,
-                row_number() OVER (PARTITION BY shuffle_key % 8
+         SELECT doc_id, lang, shuffle_key % {N_SHARDS} AS shard,
+                row_number() OVER (PARTITION BY shuffle_key % {N_SHARDS}
                                    ORDER BY shuffle_key, doc_id) AS pos
-         FROM kept""",
-)
+         FROM kept"""
+
+
+@register("sink_training_shards", sql=_training_shards_sql())
 def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: the training-corpus materialization capstone — gate the corpus
     with the deterministic stratified sample (L6a's predicate), assign
@@ -246,11 +246,13 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         sample_bucket_col() < sample_rate_col()
     )
+    from ..llm.text import SHUFFLE_SEED
+
     keyed = docs.select(
         "doc_id",
         "lang",
         F.expr(
-            "cast(conv(substr(md5(concat('shuffle:42:',"
+            f"cast(conv(substr(md5(concat('shuffle:{SHUFFLE_SEED}:',"
             " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
         ).alias("shuffle_key"),
     ).withColumn("shard", F.col("shuffle_key") % N_SHARDS)

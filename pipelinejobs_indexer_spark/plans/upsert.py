@@ -154,15 +154,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-Exchange property; the oracle checks the join itself.
     """
     import os as _os
-    import tempfile as _tempfile
 
+    from ..session import scratch_path
     from ..tables import archive_files as _archive_files
 
-    base = _os.path.join(
-        _tempfile.gettempdir(),
-        f"spark_graft_{spark.sparkContext.applicationId}_bucketed_catalog",
-    )
-    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    base = scratch_path(spark, "bucketed_catalog")
+    # The bucketed scan needs this enabled AT EXECUTION time, and the
+    # returned frame is lazy — a scoped save/restore here would silently
+    # re-shuffle the join when the caller finally acts on it. It defaults
+    # to true, so only touch the session when a foreign session disabled
+    # it (the one case the sticky write is observable is also the one
+    # case the query cannot honor its zero-Exchange contract without it).
+    if spark.conf.get("spark.sql.sources.bucketing.enabled") != "true":
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     sides = [
         ("cat_jobs_bucketed", jobs(spark, sf_dir).select("uuid", "state"), "uuid"),
         (

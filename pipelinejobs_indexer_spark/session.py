@@ -71,3 +71,32 @@ def get_spark(app_name: str = "pipelinejobs-indexer-spark") -> SparkSession:
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+_scratch_cleanup_registered = False
+
+
+def scratch_path(spark: SparkSession, name: str) -> str:
+    """Session-scoped scratch location for sink/index/export artifacts:
+    keyed by applicationId so concurrent sessions on one host never
+    collide (and re-runs within a session reuse/overwrite their own
+    copy), and registered for removal at interpreter exit so repeated
+    bench/sweep sessions do not accumulate unbounded data under the
+    temp dir."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    global _scratch_cleanup_registered
+    app = spark.sparkContext.applicationId
+    if not _scratch_cleanup_registered:
+        prefix = os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_")
+
+        def _cleanup(prefix: str = prefix) -> None:
+            for p in glob.glob(prefix + "*"):
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _scratch_cleanup_registered = True
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_{name}")

@@ -88,7 +88,12 @@ def run_to_batch(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # awaitTermination returns False on timeout with the query still
+        # running — returning the half-filled sink then would look like a
+        # real (wrong) answer. Stop it and fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"streaming replay {name} exceeded 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

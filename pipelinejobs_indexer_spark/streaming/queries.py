@@ -238,9 +238,16 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
 
-    import tempfile
+    import os
+    import uuid
 
-    outbox = tempfile.mkdtemp(prefix="outbox_")
+    from ..session import scratch_path
+
+    # fresh per invocation (appends must never land in a prior run's
+    # outbox), but under the session scratch prefix so it is removed at
+    # interpreter exit instead of accumulating in the temp dir
+    outbox = scratch_path(spark, f"outbox_{uuid.uuid4().hex}")
+    os.makedirs(outbox)
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         # idempotent per epoch: one append per micro-batch, distributed write
@@ -288,10 +295,14 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_upsert(je: DataFrame) -> DataFrame:
     """Drive a job_events-shaped stream through the delta-append upsert
     and return the compacted catalog (see stream_incremental_upsert)."""
-    import tempfile
+    import os
+    import uuid
+
+    from ..session import scratch_path
 
     spark = je.sparkSession
-    outbox = tempfile.mkdtemp(prefix="upsert_delta_")
+    outbox = scratch_path(spark, f"upsert_delta_{uuid.uuid4().hex}")
+    os.makedirs(outbox)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         delta = batch_df.groupBy("job_uuid").agg(
