@@ -42,6 +42,19 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"duck={sorted(duck_pdf.columns)}"
     )
+    # int-vs-float dtype divergence gate: the local %.12g canonicalization
+    # renders 123.0 and 123 identically, but the EXTERNAL driver's hash is
+    # type-sensitive (round-1 reds: DuckDB HUGEINT sums → pandas float64
+    # vs Spark int64). Catch the class here so it can't pass locally and
+    # fail the driver. (A column whose NULLs float-ify both engines' ints
+    # identically does not trip this — both sides land float64.)
+    for c in spark_pdf.columns:
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        assert not ({sk, dk} <= {"i", "u", "f"} and (sk == "f") != (dk == "f")), (
+            f"{name}.{c}: int-vs-float dtype divergence spark={spark_pdf[c].dtype} "
+            f"duck={duck_pdf[c].dtype} — breaks the driver's type-sensitive hash "
+            f"(CAST the oracle aggregate to BIGINT or align the Spark type)"
+        )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
