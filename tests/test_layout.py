@@ -126,3 +126,38 @@ def test_training_shards_layout_and_order(spark):
         t = pq.read_table(files[0], columns=["shuffle_key", "doc_id"])
         keys = list(zip(t["shuffle_key"].to_pylist(), t["doc_id"].to_pylist()))
         assert keys == sorted(keys), f"{d}: file rows not in shuffle order"
+
+
+def test_scratch_path_cleans_up_at_exit(tmp_path):
+    """scratch_path must remove every session-prefixed artifact at
+    interpreter exit — repeated bench/sweep sessions must not accumulate
+    temp-dir data. Run in a subprocess (no JVM: only applicationId is
+    consulted) and check the dir is gone afterwards."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    code = textwrap.dedent(
+        f"""
+        import os, types, tempfile
+        tempfile.gettempdir = lambda: {str(tmp_path)!r}
+        from pipelinejobs_indexer_spark.session import scratch_path
+        fake = types.SimpleNamespace(
+            sparkContext=types.SimpleNamespace(applicationId="scrubtest")
+        )
+        p = scratch_path(fake, "artifact")
+        os.makedirs(p)
+        open(os.path.join(p, "part-0.parquet"), "w").write("x")
+        print(p)
+        """
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    made = out.stdout.strip().splitlines()[-1]
+    assert made.startswith(str(tmp_path))
+    assert not os.path.exists(made), "atexit cleanup did not remove scratch dir"
