@@ -8,7 +8,8 @@ A5 agg_distinct_entities — exact catalog cardinalities
 A6 agg_dedup_exact      — at-most-one-doc-per-uuid upsert semantics
                           (install_pipeline.py:23)
 A7 agg_storage_stats    — bytes/counts per extension+level (uploads tree)
-agg_approx_distinct     — HLL cardinalities for the 100 TB path (rows-only)
+agg_approx_distinct     — HLL cardinalities for the 100 TB path
+                          (self-certifying within-rsd-band oracle)
 
 Scale notes: every groupBy here is a partial (map-side) + final hash
 aggregate — one shuffle of the already-reduced partials. A2 uses max_by on
@@ -134,15 +135,60 @@ def agg_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimates have no exact oracle
+@register(
+    "agg_approx_distinct",
+    sql=with_fixtures(
+        """SELECT count(DISTINCT job_uuid) AS n_jobs,
+                  count(DISTINCT file_uuid) AS n_files,
+                  count(DISTINCT path) AS n_paths,
+                  TRUE AS hll_jobs_ok, TRUE AS hll_files_ok, TRUE AS hll_paths_ok
+           FROM archive_files""",
+        "archive_files",
+    ),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5b [X]: HyperLogLog++ cardinalities — the scale path. Sketches are
     fixed-size and merge associatively: one narrow shuffle regardless of
-    key cardinality."""
-    return archive_files(spark, sf_dir).agg(
-        F.approx_count_distinct("job_uuid", 0.01).alias("n_jobs_approx"),
-        F.approx_count_distinct("file_uuid", 0.01).alias("n_files_approx"),
-        F.approx_count_distinct("path", 0.01).alias("n_paths_approx"),
+    key cardinality.
+
+    Oracle shape: an HLL estimate has no exact SQL twin, so the query
+    certifies itself — it emits the exact cardinalities plus booleans
+    asserting each HLL estimate (rsd=0.01) lands within a 5x-rsd band of
+    the exact count. The oracle recomputes the exact counts and expects
+    every boolean TRUE; a sketch drifting out of band breaks the hash.
+    The exact columns are certification harness only — at 100 TB a user
+    runs the HLL projection alone (see agg_distinct_entities for exact).
+
+    Plan shape: exact and approx run as SEPARATE single-row aggregates
+    joined at the end — putting countDistinct and approx_count_distinct in
+    one agg would Expand the input 7x (one branch per distinct column),
+    which spills at scale; split, the exact side Expands 3x (same as
+    agg_distinct_entities) and the sketch side is a plain combiner agg."""
+    src = archive_files(spark, sf_dir)
+    exact = src.agg(
+        F.countDistinct("job_uuid").alias("n_jobs"),
+        F.countDistinct("file_uuid").alias("n_files"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+    approx = src.agg(
+        F.approx_count_distinct("job_uuid", 0.01).alias("a_jobs"),
+        F.approx_count_distinct("file_uuid", 0.01).alias("a_files"),
+        F.approx_count_distinct("path", 0.01).alias("a_paths"),
+    )
+    est = exact.crossJoin(approx)  # two 1-row aggregates
+
+    def ok(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * 0.05
+        )
+
+    return est.select(
+        "n_jobs",
+        "n_files",
+        "n_paths",
+        ok("a_jobs", "n_jobs").alias("hll_jobs_ok"),
+        ok("a_files", "n_files").alias("hll_files_ok"),
+        ok("a_paths", "n_paths").alias("hll_paths_ok"),
     )
 
 

@@ -41,127 +41,143 @@ _MODULES = [
     "pipelinejobs_indexer_spark.functions.scalars",
 ]
 
-# Round-1 reds (2 oracle-type hash fails + 1 canonicalizer error) now fixed,
-# plus the scan whose round-1 rows-only check was upgraded to a full oracle:
-# these MUST land in even a tightly capped sweep, so they enumerate first.
+# The 19 oracled queries that have never appeared in a driver CORRECTNESS
+# sweep (rounds 1+2 covered 95 of 117 under the 50-query/round cap). They
+# MUST land in even a tightly capped round-3 sweep, so they enumerate first;
+# a 50-cap sweep then still has ~28 slots left for re-verification.
 _RECHECK_FIRST = [
-    "agg_count_indexed",
-    "agg_storage_stats",
-    "udaf_history_fold",
-    "scan_archive_listing",
-    "pipeline_index_job",  # latent: same oracle-type bug class, never reached
-    # new round-2 aggregates that would otherwise enumerate just past a
-    # 50-query cap (their module sorts late among the un-evidenced tier)
-    "agg_storage_percentiles",
-    "agg_state_pivot",
-    # round-2 additions with no correctness evidence yet: repetition
-    # filters, shuffle-sharding, incremental dedup, and the training-shard
-    # sink (whose module registers at the tail of the un-evidenced tier)
-    "llm_text_repetition",
-    "llm_corpus_shuffle_shard",
-    "llm_dedup_incremental",
-    "llm_dedup_incremental_minhash",
-    "llm_quality_calibrate",
-    "scan_jsonl_export",
-    "llm_embedding_knn_eval",
-    "llm_corpus_curate_v2",
-    "sink_training_shards",
+    "scan_csv_export",
+    "sink_compact_small_files",
+    "win_gapfill_states",
+    "stream_sliding_rates",
+    "udtf_expand_listing_py",
+    "llm_dedup_exact",
+    "llm_dedup_embedding",
+    "llm_multimodal_features_arrow",
+    "llm_text_stats",
+    "llm_text_langid",
+    "llm_text_langid_ngram",
+    "llm_text_quality",
+    "llm_text_tokens",
+    "llm_text_fingerprint",
+    "llm_corpus_sample",
+    "llm_text_pii_scrub",
+    "llm_token_ngram_topk",
+    "llm_embedding_quantize",
+    "llm_corpus_mix_weights",
 ]
 
-# Un-evidenced queries that are single-pass column projections (plus at
-# most a tiny aggregate) with strong local pytest parity: generic
-# expression-parity coverage makes them the lowest-risk rows to spill
-# past a capped sweep, so they cede their slots to un-evidenced sink /
-# UDF / streaming / composed-plan machinery.
-_LOW_RISK_PROJECTIONS = frozenset(
-    {
-        "llm_text_stats",
-        "llm_text_langid",
-        "llm_text_tokens",
-        "llm_text_fingerprint",
-        "llm_corpus_sample",
-        "llm_text_pii_scrub",
-        "llm_token_ngram_topk",
-        "llm_embedding_quantize",
-        "llm_corpus_mix_weights",
-    }
-)
+# Rows-only by design (no value-hash oracle is possible); their driver row
+# carries little information, so they cede sweep budget to oracled queries.
+_ROWS_ONLY_BY_DESIGN = frozenset({"stream_fsm_state", "stream_late_data"})
 
-# Rows-only by design (no oracle is possible); their driver row carries
-# little information, so they cede sweep budget to oracled queries.
-_ROWS_ONLY_BY_DESIGN = frozenset(
-    {"agg_approx_distinct", "stream_fsm_state", "stream_late_data"}
-)
-
-# Queries whose evidence is largely subsumed by a sibling earlier in the
-# sweep (result-twins, oracle-baselines, or logic embedded in a checked
-# composition) — lowest marginal evidence, so they spill past a capped
-# sweep before anything first-of-its-kind does.
-_TWINS = frozenset(
+# Queries whose only green driver row is from round 1 (they were not
+# re-checked in round 2, so their evidence is the stalest). They re-verify
+# ahead of round-2 greens once the never-checked tier is exhausted.
+_VERIFIED_R1_ONLY = frozenset(
     {
-        "udtf_expand_listing_py",  # same answer set as udtf_expand_listing
-        "llm_multimodal_features_arrow",  # Arrow twin of llm_multimodal_features
-        "llm_text_langid_ngram",  # variant of llm_text_langid
-        "llm_dedup_embedding",  # exact baseline FOR llm_dedup_embedding_lsh
-        "llm_dedup_exact",  # plain subset of llm_dedup_normalized's logic
-        "llm_text_quality",  # score path embedded in llm_corpus_curate_full
-        "stream_sliding_rates",  # same window machinery as stream_tumbling_counts
-        "sink_compact_small_files",  # trivial content oracle; real check is file-count test
-    }
-)
-
-# Queries with a green hash_match row in CORRECTNESS_r01.json. An external
-# correctness sweep that enumerates the registry front-to-back and caps its
-# query count must reach un-evidenced queries first, so load_all() reorders
-# the registry: everything NOT in this set (new operators, round-1 reds now
-# fixed, rows-only entries) enumerates before these already-proven names.
-_VERIFIED_R1 = frozenset(
-    {
-        "scan_parquet",
-        "scan_json_messages",
-        "project_minify",
-        "filter_regex",
-        "filter_level",
-        "filter_state",
-        "coalesce_params",
-        "validate_schema",
-        "url_decode_filters",
-        "join_job_pipeline",
-        "join_files_job_provenance",
-        "join_provenance_salted",
-        "join_semi_validate_uuid",
-        "join_anti_orphans",
-        "join_self_provenance_hop",
-        "join_provenance_closure",
-        "join_range_events_in_run",
-        "join_asof_state",
-        "join_outer_diff",
+        "agg_dedup_exact",
+        "agg_distinct_entities",
+        "agg_grouping_sets",
         "agg_last_event",
         "agg_state_rollup",
-        "agg_grouping_sets",
-        "agg_distinct_entities",
-        "agg_dedup_exact",
-        "win_latest_history",
-        "win_transition_pairs",
-        "win_running_counts",
-        "sort_history",
-        "topk_recent_jobs",
-        "set_union_batches",
+        "coalesce_params",
+        "filter_level",
+        "filter_regex",
+        "filter_state",
+        "fn_array_ops",
+        "fn_json_extract",
+        "fn_map_ops",
+        "fn_math_elapsed",
+        "fn_path_parts",
+        "fn_session_name",
+        "fn_slugify",
+        "fn_string_format",
+        "fn_timestamp_parse",
+        "fn_token_hash",
+        "fn_typed_uuid",
+        "join_anti_orphans",
+        "join_asof_state",
+        "join_files_job_provenance",
+        "join_job_pipeline",
+        "join_outer_diff",
+        "join_provenance_closure",
+        "join_provenance_salted",
+        "join_range_events_in_run",
+        "join_self_provenance_hop",
+        "join_semi_validate_uuid",
+        "project_minify",
+        "scan_json_messages",
+        "scan_parquet",
         "set_except_unindexed",
         "set_intersect_verified",
-        "fn_timestamp_parse",
-        "fn_path_parts",
-        "fn_slugify",
-        "fn_typed_uuid",
-        "fn_token_hash",
-        "fn_session_name",
-        "fn_json_extract",
-        "fn_array_ops",
-        "fn_map_ops",
-        "fn_string_format",
-        "fn_math_elapsed",
+        "set_union_batches",
+        "sort_history",
+        "topk_recent_jobs",
         "udf_regex_multi",
         "udtf_expand_listing",
+        "url_decode_filters",
+        "validate_schema",
+        "win_latest_history",
+        "win_running_counts",
+        "win_transition_pairs",
+    }
+)
+
+# Queries with a green hash_match row in CORRECTNESS_r02.json — the
+# freshest evidence, so they re-verify last among oracled queries.
+_VERIFIED_R2 = frozenset(
+    {
+        "agg_count_indexed",
+        "agg_key_skew_profile",
+        "agg_state_pivot",
+        "agg_storage_percentiles",
+        "agg_storage_stats",
+        "fn_filetype_sniff",
+        "join_bucketed_colocated",
+        "llm_contamination_check",
+        "llm_corpus_curate",
+        "llm_corpus_curate_full",
+        "llm_corpus_curate_v2",
+        "llm_corpus_shuffle_shard",
+        "llm_dedup_clusters",
+        "llm_dedup_embedding_lsh",
+        "llm_dedup_incremental",
+        "llm_dedup_incremental_minhash",
+        "llm_dedup_minhash",
+        "llm_dedup_ngram_jaccard",
+        "llm_dedup_normalized",
+        "llm_dedup_simhash",
+        "llm_embedding_knn_eval",
+        "llm_multimodal_features",
+        "llm_multimodal_frames",
+        "llm_multimodal_thumbnail",
+        "llm_quality_calibrate",
+        "llm_sequence_pack",
+        "llm_similarity_ann",
+        "llm_similarity_ivf",
+        "llm_similarity_topk",
+        "llm_span_dedup_audit",
+        "llm_text_repetition",
+        "pipeline_index_job",
+        "pipeline_reindex_batch",
+        "scan_archive_listing",
+        "scan_jsonl_export",
+        "sink_catalog_upsert",
+        "sink_event_emit",
+        "sink_partitioned_catalog",
+        "sink_sorted_layout",
+        "sink_training_shards",
+        "stream_enrich_static",
+        "stream_event_forward",
+        "stream_incremental_upsert",
+        "stream_ingest_dedupe",
+        "stream_session_windows",
+        "stream_stream_pair_join",
+        "stream_tumbling_counts",
+        "udaf_history_fold",
+        "udf_regex_python_only",
+        "udf_validate_json",
     }
 )
 
@@ -186,19 +202,19 @@ def load_all() -> None:
         return
     for mod in _MODULES:
         importlib.import_module(mod)
-    # Front-load queries without standing green evidence (see _VERIFIED_R1):
-    # tier 0 = round-1 reds + round-2 additions, tier 1 = un-evidenced
-    # machinery (sinks/UDFs/streaming/composed plans), tier 2 =
-    # un-evidenced low-risk projections, tier 3 = result-twins, tier 4 =
-    # round-1 greens and by-design rows-only checks.
+    # Front-load queries without standing green evidence: tier 0 = the 19
+    # oracled queries with no driver row ever, tier 1 = new round-3 queries
+    # (anything not in a verified set — the default), tier 2 = round-1-only
+    # greens (stalest standing evidence), tier 3 = round-2 greens (freshest),
+    # tier 4 = by-design rows-only checks (no hash evidence to gain).
     def tier(n: str) -> int:
         if n in _RECHECK_FIRST:
             return 0
-        if n in _VERIFIED_R1 or n in _ROWS_ONLY_BY_DESIGN:
+        if n in _ROWS_ONLY_BY_DESIGN:
             return 4
-        if n in _TWINS:
+        if n in _VERIFIED_R2:
             return 3
-        if n in _LOW_RISK_PROJECTIONS:
+        if n in _VERIFIED_R1_ONLY:
             return 2
         return 1
 
