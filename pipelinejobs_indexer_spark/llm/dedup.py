@@ -745,13 +745,16 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
 
     Every round is two single-shuffle window passes over the edge list
     (min-over-neighborhood as a window aggregate on the vertex key — one
-    exchange per phase instead of a groupBy + join-back pair), all
-    equi-shuffles on the vertex key, localCheckpoint'ed so the driver
-    loop stays constant-cost. Convergence is detected from the
-    checkpointed edge count (near-free) with a left-anti probe only when
-    counts match (|A|=|B| and A∖B=∅ ⇔ A=B for deduped sets) — no
-    per-round exceptAll shuffles. Terminal state is a star forest: each
-    vertex points at its component's minimum."""
+    exchange per phase instead of a groupBy + join-back pair) plus one
+    dedup exchange, all equi-shuffles on vertex keys, localCheckpoint'ed
+    so the driver loop stays constant-cost. The large-star output feeds
+    the small-star window RAW (no intermediate distinct): min-over-window
+    is duplicate-insensitive and the round's terminal canon dedups anyway,
+    so each round runs three exchanges, not five. Convergence is detected
+    from the checkpointed edge count (near-free) with a left-anti probe
+    only when counts match (|A|=|B| and A∖B=∅ ⇔ A=B for deduped sets) —
+    no per-round exceptAll shuffles. Terminal state is a star forest:
+    each vertex points at its component's minimum."""
     from pyspark.sql.window import Window
 
     from ..session import default_parallelism
@@ -763,38 +766,46 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     # session's parallelism): a few-hundred-edge graph runs 1-task rounds
     # while a billion-edge graph keeps every core busy — the same
     # runtime re-sizing AQE applies to one-shot shuffles, applied here
-    # across checkpoint boundaries AQE cannot see through.
+    # across checkpoint boundaries AQE cannot see through. The scoped
+    # shuffle.partitions conf is re-pointed every round as the edge list
+    # shrinks, which sizes the round's exchanges directly — no explicit
+    # repartition() pass (that was a fourth exchange per round).
     EDGES_PER_TASK = 2_000_000
 
     def _parts(cnt: int) -> int:
         return max(1, min(default_parallelism(), 1 + cnt // EDGES_PER_TASK))
 
+    # One materialization of the (potentially expensive) candidate-pair
+    # DAG: everything below — vertex set, canonical edges, counts — derives
+    # from this checkpoint, never from a re-run of the LSH plan.
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
     verts = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
         .distinct()
         .localCheckpoint()
     )
-    e0 = _canon(pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
-    e = e0.repartition(_parts(pairs.count()), "u").localCheckpoint()
-    prev_cnt = e.count()
     w_u = Window.partitionBy("u")
-    # The intra-round window/distinct exchanges also deserve edge-sized
-    # task counts; scope shuffle.partitions to the loop (restored after)
-    # so AQE's coalescing floor doesn't pay 32-task scheduling on a
+    # The intra-round window/distinct exchanges deserve edge-sized task
+    # counts; scope shuffle.partitions to the loop (restored after) so
+    # AQE's coalescing floor doesn't pay 32-task scheduling on a
     # hundred-edge residual graph. Queries run serially per session, so
     # the scoped conf cannot leak into a concurrent plan.
     spark = pairs.sparkSession
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(n_pairs)))
         # AQE off for the loop: its coalescing duplicates the explicit
         # edge-count sizing above, window stages get no skew help from it,
         # and its per-stage re-planning is measurable overhead across many
         # tiny iteration jobs.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        e, prev_cnt = _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds)
+        e = _canon(
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        ).localCheckpoint()
+        e, prev_cnt = _cc_rounds(e, e.count(), w_u, _parts, max_rounds, spark)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
@@ -805,32 +816,31 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     )
 
 
-def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds):
+def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
     """The large-star/small-star iteration of connected_components; edge
     list in, converged star forest out. Split out so the shuffle-partition
     scope in the caller wraps every lazy plan AND its execution."""
     for _ in range(max_rounds):
+        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
         # large-star: every neighbor v > u links to min(N(u) + {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         withm = sym.withColumn(
             "m", F.least(F.min("v").over(w_u), F.col("u"))
         )
-        ls = _canon(
-            withm.filter(F.col("v") > F.col("u")).select(
-                F.col("v").alias("u"), F.col("m").alias("v")
-            )
+        # Raw large-star edges (u > v by construction: v > u ≥ m before the
+        # rename). Duplicates are left in: the small-star window min below
+        # is duplicate-insensitive, and skipping the intermediate
+        # distinct's (u,v)-exchange saves a full shuffle per round.
+        ls = withm.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
         withm2 = ls.withColumn("mn", F.min("v").over(w_u))
-        ss = (
-            _canon(
-                withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
-                    withm2.select("u", F.col("mn").alias("v"))
-                )
+        ss = _canon(
+            withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+                withm2.select("u", F.col("mn").alias("v"))
             )
-            .repartition(_parts(prev_cnt), "u")
-            .localCheckpoint()
-        )
+        ).localCheckpoint()
         cnt = ss.count()
         changed = cnt != prev_cnt or ss.join(e, ["u", "v"], "left_anti").limit(
             1
@@ -881,11 +891,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_cc_min_label) and a pure-Python union-find on random graphs."""
     from pyspark.sql.window import Window
 
-    # checkpoint the pair list once so the minhash DAG never re-runs
-    # under the component loop
-    pairs = (
-        llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
+    # connected_components checkpoints the pair list once itself; the
+    # minhash DAG is never re-run under the component loop
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     w_size = F.count("*").over(Window.partitionBy("cluster_id"))
     return labels.withColumn("n_members", w_size)

@@ -73,7 +73,7 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_scratch_cleanup_registered = False
+_scratch_cleanup_appids: set[str] = set()
 
 
 def scratch_path(spark: SparkSession, name: str) -> str:
@@ -82,15 +82,16 @@ def scratch_path(spark: SparkSession, name: str) -> str:
     collide (and re-runs within a session reuse/overwrite their own
     copy), and registered for removal at interpreter exit so repeated
     bench/sweep sessions do not accumulate unbounded data under the
-    temp dir."""
+    temp dir. One cleanup hook per applicationId: a stop/restart cycle
+    within one interpreter gets a fresh appId, which needs its own hook
+    or its scratch dirs would outlive the process."""
     import atexit
     import glob
     import shutil
     import tempfile
 
-    global _scratch_cleanup_registered
     app = spark.sparkContext.applicationId
-    if not _scratch_cleanup_registered:
+    if app not in _scratch_cleanup_appids:
         prefix = os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_")
 
         def _cleanup(prefix: str = prefix) -> None:
@@ -98,5 +99,5 @@ def scratch_path(spark: SparkSession, name: str) -> str:
                 shutil.rmtree(p, ignore_errors=True)
 
         atexit.register(_cleanup)
-        _scratch_cleanup_registered = True
+        _scratch_cleanup_appids.add(app)
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}_{name}")
