@@ -115,11 +115,12 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "notes": (
-                    "not comparable to BENCH_r01: r1's df.count() let Catalyst "
-                    "prune projection work (advisor finding); runs now hash "
-                    "every output column so all per-row work executes, and the "
-                    "headline grew 21->23 queries (+llm_dedup_clusters, "
-                    "+llm_corpus_curate_full, the two heaviest DAGs)"
+                    "methodology frozen as of round 3 (full-output-hash via "
+                    "xxhash64+bit_xor, best of 2, cache cleared between runs); "
+                    "compare 1:1 against the pinned BENCH_BASE.json (= the "
+                    "round-2 sf0.1 local[32] numbers). Not comparable to "
+                    "BENCH_r01, whose df.count() let Catalyst prune "
+                    "projection work."
                 ),
             }
         )
