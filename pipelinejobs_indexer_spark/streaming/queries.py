@@ -6,6 +6,7 @@ T2 stream_tumbling_counts — events per state per fixed window
 T3 stream_sliding_rates  — moving throughput windows (reactor.py:182-183)
 T4 stream_session_windows — session grouping (init-job.json:32)
 T5 stream_fsm_state      — the job state machine (fsm.py)
+T5b stream_fsm_final     — final FSM snapshot, hash-level SQL oracle
 T6 stream_late_data      — watermark semantics: late windows held back
 T7 stream_event_forward  — foreachBatch outbox (config.yml:2-3 gates)
 T8 stream_incremental_upsert — delta-append catalog materialization
@@ -178,6 +179,90 @@ def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py with crafted replays."""
     je = _job_events_stream(spark, sf_dir)
     return run_to_batch(fsm_apply(je), "update", sf_dir)
+
+
+@register(
+    "stream_fsm_final",
+    sql=with_fixtures(
+        """WITH ev AS (
+             SELECT job_uuid, name, event_seq AS seq,
+                    row_number() OVER (PARTITION BY job_uuid
+                                       ORDER BY date, event_seq) AS rn
+             FROM job_events
+           ),
+           c AS (
+             SELECT job_uuid, min(rn) AS c_rn
+             FROM ev WHERE name = 'create' GROUP BY job_uuid
+           ),
+           cs AS (
+             SELECT ev.job_uuid, c.c_rn, ev.seq AS c_seq
+             FROM c JOIN ev ON ev.job_uuid = c.job_uuid AND ev.rn = c.c_rn
+           ),
+           t2 AS (
+             SELECT ev.job_uuid, min(ev.rn) AS t2_rn
+             FROM ev JOIN cs ON ev.job_uuid = cs.job_uuid
+             WHERE ev.rn > cs.c_rn AND ev.seq > cs.c_seq
+                   AND ev.name IN ('run', 'finish')
+             GROUP BY ev.job_uuid
+           ),
+           t2s AS (
+             SELECT ev.job_uuid, t2.t2_rn, ev.name AS t2_name, ev.seq AS t2_seq
+             FROM t2 JOIN ev ON ev.job_uuid = t2.job_uuid AND ev.rn = t2.t2_rn
+           ),
+           t3s AS (
+             SELECT ev.job_uuid, arg_min(ev.seq, ev.rn) AS t3_seq
+             FROM ev JOIN t2s ON ev.job_uuid = t2s.job_uuid
+             WHERE t2s.t2_name = 'run' AND ev.rn > t2s.t2_rn
+                   AND ev.seq > t2s.t2_seq AND ev.name = 'finish'
+             GROUP BY ev.job_uuid
+           ),
+           tot AS (SELECT job_uuid, count(*) AS n_events FROM ev GROUP BY job_uuid)
+           SELECT tot.job_uuid,
+                  CASE WHEN cs.job_uuid IS NULL THEN 'INIT'
+                       WHEN t2s.job_uuid IS NULL THEN 'CREATED'
+                       WHEN t2s.t2_name = 'finish'
+                            OR t3s.job_uuid IS NOT NULL THEN 'FINISHED'
+                       ELSE 'RUNNING' END AS state,
+                  tot.n_events,
+                  tot.n_events
+                    - (CASE WHEN cs.job_uuid IS NULL THEN 0 ELSE 1 END)
+                    - (CASE WHEN t2s.job_uuid IS NULL THEN 0 ELSE 1 END)
+                    - (CASE WHEN t3s.job_uuid IS NULL THEN 0 ELSE 1 END)
+                    AS n_rejected,
+                  coalesce(t3s.t3_seq, t2s.t2_seq, cs.c_seq,
+                           CAST(-1 AS BIGINT)) AS last_seq
+           FROM tot
+           LEFT JOIN cs  ON cs.job_uuid = tot.job_uuid
+           LEFT JOIN t2s ON t2s.job_uuid = tot.job_uuid
+           LEFT JOIN t3s ON t3s.job_uuid = tot.job_uuid""",
+        "job_events",
+    ),
+)
+def stream_fsm_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5b: FINAL FSM snapshot per job with a hash-level oracle — the
+    driver-checkable twin of stream_fsm_state (whose per-batch update
+    emissions are rows-only by design).
+
+    Determinism: the availableNow replay of the single events.parquet file
+    is one micro-batch, and the FSM sorts rows by (date, event_seq) within
+    a batch (fsm.py), so the accepted-transition sequence is a pure
+    function of the data. The oracle replays the same machine in SQL: the
+    accepted chain is at most create -> run/finish -> finish, each step
+    being the FIRST event (in (date, event_seq) order) that is legal from
+    the current state AND passes the seq > last_seq redelivery guard, so
+    three nested arg-min CTEs reproduce state, n_rejected, and last_seq
+    exactly. The groupBy below folds update-mode emissions to the final
+    snapshot (max n_events per key is the last batch) — a no-op for the
+    single-batch replay but correct under any batch split whose order
+    respects the source file order."""
+    je = _job_events_stream(spark, sf_dir)
+    out = run_to_batch(fsm_apply(je), "update", sf_dir)
+    return out.groupBy("job_uuid").agg(
+        F.expr("max_by(state, n_events)").alias("state"),
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(n_rejected, n_events)").alias("n_rejected"),
+        F.expr("max_by(last_seq, n_events)").alias("last_seq"),
+    )
 
 
 @register("stream_late_data")  # watermark tail behavior: rows-only check
