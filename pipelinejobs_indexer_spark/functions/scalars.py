@@ -155,7 +155,9 @@ def fn_typed_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_token_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: generate + validate short hex update tokens (16-hex exemplars:
     index01.json:12, Makefile:12; admin key + TTL: Dockerfile:12-13).
-    UDF-free approximation of the hashids scheme: truncated keyed sha256."""
+    UDF-free approximation of the hashids scheme: truncated keyed sha256.
+    For EXACT hashids interop see fn_token_hashid (udfs.py) — the
+    Arrow-batched slow path implementing the published algorithm."""
     m = messages(spark, sf_dir)
     return m.select(
         "msg_id",

@@ -7,6 +7,7 @@ X3 udtf_expand_listing — one job row → many listed-file rows
                         (store.index fan-out, reactor.py:180-183)
 X4 udf_validate_json  — full JSON-Schema validation as a column fn
                         (jsonschema pin, requirements-dev.txt:2)
+X5 fn_token_hashid    — EXACT public-hashids tokens (requirements-dev.txt:9)
 F12 fn_filetype_sniff — magic-byte MIME detection (filetype dep)
 
 Scale notes: every Python crossing here is an Arrow-batched pandas_udf —
@@ -28,7 +29,8 @@ from pyspark.sql.types import BooleanType, StringType
 
 from ..oracle import with_fixtures
 from ..registry import register
-from ..tables import archive_files, job_events, jobs
+from ..tables import archive_files, job_events, jobs, messages
+from .hashids_impl import Hashids
 
 # --- X1: Python-regex multi-pattern filter with a native fast path -------
 
@@ -330,4 +332,84 @@ def _apply_udtf(spark: SparkSession, cls, j: DataFrame) -> DataFrame:
         """SELECT t.uuid, t.listed_path
            FROM jobs_for_udtf,
                 LATERAL expand_listing_py(uuid, archive_path, job_key) t"""
+    )
+
+
+# --- X5: exact Hashids tokens (the reference's id-token scheme) ----------
+
+_HASHID_SALT = "pipelinejobs-indexer"
+_HASHID_MINLEN = 8
+_HASHID_DOMAIN = 256
+
+
+def _hashid_oracle_sql() -> str:
+    """Precomputed expected-token lookup: the query reduces its input to a
+    256-value domain, so the oracle can carry the exact hashids output for
+    every possible input as a VALUES table and join on the reduced key —
+    DuckDB never needs the algorithm."""
+    h = Hashids(salt=_HASHID_SALT, min_length=_HASHID_MINLEN)
+    rows = ",".join(
+        f"({k},'{h.encode(k)}','{h.encode(k, k % 7)}')"
+        for k in range(_HASHID_DOMAIN)
+    )
+    return with_fixtures(
+        f"""WITH lut(k, token_hashid, token_pair) AS (VALUES {rows})
+            SELECT m.msg_id, m.msg_id % {_HASHID_DOMAIN} AS k,
+                   lut.token_hashid, lut.token_pair
+            FROM messages m JOIN lut ON lut.k = m.msg_id % {_HASHID_DOMAIN}""",
+        "messages",
+    )
+
+
+@register("fn_token_hashid", sql=_hashid_oracle_sql())
+def fn_token_hashid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: EXACT public-hashids tokens — closes the documented sha2
+    approximation in fn_token_hash (scalars.py). The reference pins the
+    hashids package for its short non-sequential tokens
+    (requirements-dev.txt:9; exemplars tests/data/index01.json:12);
+    hashids_impl.py implements the published algorithm and reproduces the
+    canonical hashids.org test vectors (tests/test_udfs.py).
+
+    Dual-path shape (mirrors udf_regex_multi): fn_token_hash's keyed-sha2
+    projection stays the all-JVM fast path for mere uniqueness; THIS query
+    is the slow path for exact interop with ids minted by reference
+    deployments — an Arrow-batched pandas_udf with a per-batch memo, so
+    cost scales with DISTINCT inputs per batch, not rows. The single-value
+    and multi-value encodings both execute (the pair column exercises the
+    separator branch of the algorithm)."""
+
+    @F.pandas_udf(StringType())
+    def hashid_one(v: pd.Series) -> pd.Series:
+        h = Hashids(salt=_HASHID_SALT, min_length=_HASHID_MINLEN)
+        memo: dict[int, str] = {}
+
+        def enc(x) -> str:
+            x = int(x)
+            if x not in memo:
+                memo[x] = h.encode(x)
+            return memo[x]
+
+        return v.map(enc)
+
+    @F.pandas_udf(StringType())
+    def hashid_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        h = Hashids(salt=_HASHID_SALT, min_length=_HASHID_MINLEN)
+        memo: dict[tuple[int, int], str] = {}
+
+        def enc(xy) -> str:
+            if xy not in memo:
+                memo[xy] = h.encode(*xy)
+            return memo[xy]
+
+        return pd.Series(
+            [enc((int(x), int(y))) for x, y in zip(a, b)], index=a.index
+        )
+
+    m = messages(spark, sf_dir)
+    k = F.col("msg_id") % _HASHID_DOMAIN
+    return m.select(
+        "msg_id",
+        k.alias("k"),
+        hashid_one(k).alias("token_hashid"),
+        hashid_pair(k, k % 7).alias("token_pair"),
     )

@@ -62,3 +62,37 @@ def test_sniffer_on_real_fixture_bytes(spark):
         "protein.png": "image/png",
         "ansible.yml": "text/plain",
     }
+
+
+# --- X5: hashids ---------------------------------------------------------
+
+
+def test_hashids_known_vectors():
+    """The canonical test vectors published in the hashids documentation:
+    reproducing them proves hashids_impl IS the public algorithm (the
+    hashids package itself is not installed in this container)."""
+    from pipelinejobs_indexer_spark.functions.hashids_impl import Hashids
+
+    h = Hashids(salt="this is my salt")
+    assert h.encode(12345) == "NkK9"
+    assert h.encode(1) == "NV"
+    assert h.encode(683, 94108, 123, 5) == "aBMswoO2UB3Sj"
+    assert h.decode("NkK9") == (12345,)
+    assert Hashids(salt="this is my salt", min_length=8).encode(1) == "gB0NV05e"
+
+
+def test_hashids_round_trip_and_padding():
+    import random
+
+    from pipelinejobs_indexer_spark.functions.hashids_impl import Hashids
+
+    rng = random.Random(7)
+    for salt, minlen in [("", 0), ("pipelinejobs-indexer", 8), ("x", 30)]:
+        h = Hashids(salt=salt, min_length=minlen)
+        for _ in range(100):
+            n = rng.randrange(0, 10**12)
+            enc = h.encode(n)
+            assert len(enc) >= minlen
+            assert h.decode(enc) == (n,)
+        ns = tuple(rng.randrange(0, 10**6) for _ in range(5))
+        assert h.decode(h.encode(*ns)) == ns
