@@ -9,8 +9,10 @@ per-item compute (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched pandas over `mapInPandas`, so Python touches each batch
 once and the exchange is columnar.
 
-The decode layer for real media (image/audio/video) needs codec libraries
-that are NOT in this container — those entry points are STUBS raising
+Decode layer: PNG is decoded for REAL — pure stdlib zlib + defiltering
+(png.py), exercised end-to-end by llm_multimodal_thumbnail_png with a
+value-level oracle. Audio/video (and non-PNG image) decode needs codec
+libraries NOT in this container — those entry points are stubs raising
 NotImplementedError with the exact contract documented; the Spark-side
 plumbing (schema, batch iteration, partitioning, output shape) is real
 and tested (tests/test_llm.py).
@@ -77,15 +79,24 @@ def sniff_mime(head: bytes) -> str:
     return "application/octet-stream"
 
 
-# ------------------------------------------------------------- stubs
-# Real decoders need libs absent from this container (Pillow, ffmpeg,
-# librosa). The signatures below ARE the contract the pandas stages call;
-# they raise until the dependency is provisioned.
+# --------------------------------------------------- decoders and stubs
+# PNG decode is REAL — pure stdlib zlib inflate + per-row defiltering
+# (png.py), validated by encode/decode round trips over every filter type
+# and by parsing the reference's own 512x512 RGB fixture
+# (tests/store/uploads/emerald/201808/protein.png). Other codecs need
+# libs absent from this container (Pillow, ffmpeg, librosa) and keep the
+# documented NotImplementedError contract — swap the function, the
+# pandas-stage plumbing is shared.
 
 def decode_image(content: bytes, mime: str) -> "object":
-    """STUB: decode an image payload to HxWxC uint8. Needs Pillow/cv2."""
+    """Decode an image payload to HxWxC uint8. PNG: real (png.py).
+    JPEG/other: needs Pillow/cv2 (not in container)."""
+    from .png import SIGNATURE, decode_png
+
+    if mime == "image/png" or content[:8] == SIGNATURE:
+        return decode_png(content)
     raise NotImplementedError(
-        "image decode requires Pillow/cv2 (not in container); "
+        "non-PNG image decode requires Pillow/cv2 (not in container); "
         "plumbing is real — swap this function only"
     )
 
@@ -278,12 +289,82 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(content: bytes, mime: str, w: int, h: int) -> "object":
-    """STUB: decode + resample an image to (w, h). Needs Pillow/cv2."""
-    raise NotImplementedError(
-        "image resize requires Pillow/cv2 (not in container); "
-        "llm_multimodal_thumbnail exercises the identical plumbing with a "
-        "deterministic block-mean fake"
-    )
+    """Decode + area-average resample to (h, w, C). Real for PNG
+    (decode_image -> png.block_mean_resize); other formats keep the
+    NotImplementedError contract until a codec lib is provisioned."""
+    from .png import block_mean_resize
+
+    return block_mean_resize(decode_image(content, mime), w, h)
+
+
+PNG_SIDE = 16  # synthesized fixture images are PNG_SIDE x PNG_SIDE gray
+PNG_GRID = 2   # thumbnail grid: PNG_GRID x PNG_GRID quadrants
+
+
+def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a deterministic grayscale PNG per doc (pixel(y, x) =
+    (doc_id*7 + y*W + x) % 256, scanline filters cycling 0..4), then run
+    the REAL decode — zlib inflate + per-row defiltering including Paeth —
+    and emit quadrant pixel means. The oracle recomputes the means straight
+    from the pixel formula, so a defiltering bug in any branch breaks the
+    value hash."""
+    import numpy as np
+
+    from .png import decode_png, encode_png_gray
+
+    w = PNG_SIDE
+    q = PNG_SIDE // PNG_GRID
+    for pdf in batches:
+        out = {"doc_id": [], "cell": [], "mean_px": []}
+        for doc_id in pdf["doc_id"]:
+            yy, xx = np.mgrid[0:w, 0:w]
+            img = ((int(doc_id) * 7 + yy * w + xx) % 256).astype(np.uint8)
+            dec = decode_png(encode_png_gray(img, row_filters=(0, 1, 2, 3, 4)))
+            dec = dec[:, :, 0].astype(np.int64)
+            for k in range(PNG_GRID * PNG_GRID):
+                qy, qx = divmod(k, PNG_GRID)
+                cell = dec[qy * q : (qy + 1) * q, qx * q : (qx + 1) * q]
+                out["doc_id"].append(int(doc_id))
+                out["cell"].append(k)
+                out["mean_px"].append(int(cell.sum()) // cell.size)
+        yield pd.DataFrame(out)
+
+
+THUMB_PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("mean_px", LongType()),
+    ]
+)
+
+
+@register(
+    "llm_multimodal_thumbnail_png",
+    sql=f"""SELECT d.doc_id, c.k AS cell,
+                   CAST(sum((d.doc_id * 7
+                             + ((c.k // {PNG_GRID}) * {PNG_SIDE // PNG_GRID} + j.j)
+                               * {PNG_SIDE}
+                             + ((c.k % {PNG_GRID}) * {PNG_SIDE // PNG_GRID} + i.i))
+                            % 256)
+                        // {(PNG_SIDE // PNG_GRID) ** 2} AS BIGINT) AS mean_px
+            FROM (SELECT doc_id FROM documents) d,
+                 generate_series(0, {PNG_GRID * PNG_GRID - 1}) AS c(k),
+                 generate_series(0, {PNG_SIDE // PNG_GRID - 1}) AS i(i),
+                 generate_series(0, {PNG_SIDE // PNG_GRID - 1}) AS j(j)
+            GROUP BY d.doc_id, c.k""",
+)
+def llm_multimodal_thumbnail_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d: REAL image decode in the thumbnail path — per doc, a grayscale
+    PNG is synthesized from a closed-form pixel formula (using every PNG
+    scanline filter type), decoded by the pure-stdlib codec (png.py), and
+    reduced to quadrant means. The DuckDB oracle never sees a PNG: it
+    recomputes the expected means from the same closed form, so the hash
+    certifies the inflate+defilter pipeline end-to-end. Non-PNG media keep
+    the block-mean byte path (llm_multimodal_thumbnail) and the documented
+    codec-absent stubs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_png_thumbs, schema=THUMB_PNG_SCHEMA)
 
 
 def _thumbnail_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
