@@ -169,14 +169,18 @@ def test_multimodal_magic_sniff():
 
 
 def test_multimodal_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
+    # PNG decode is real now (png.py); a truncated payload is a data error,
+    # not a missing-codec error.
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG", "image/png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xffjpeg", "image/jpeg")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF", "audio/wav")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00", "video/mp4")
     with pytest.raises(NotImplementedError):
-        multimodal.resize_image(b"\x89PNG", "image/png", 32, 32)
+        multimodal.resize_image(b"\xff\xd8\xffjpeg", "image/jpeg", 32, 32)
 
 
 def test_multimodal_frame_fanout_shape(spark):
@@ -683,3 +687,56 @@ def test_decode_image_and_resize_real_for_png():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xffnot-really-jpeg", "image/jpeg")
+
+
+def test_connected_components_planted_star_skew(spark):
+    """Adversarial skew (VERDICT r2 item 5): one hub vertex appears in
+    EVERY edge, so the window-over-u inside the CC loop concentrates the
+    entire symmetric neighborhood of the hub in ONE task — the worst case
+    the loop's AQE-off windows get no runtime help with. The design holds
+    because the skewed work is a single linear min-scan per round and the
+    star converges immediately (it already IS the terminal star forest);
+    this pins correctness plus a generous wall-clock bound so a regression
+    to quadratic or non-converging behavior fails loudly. At cluster
+    scale the same shape costs one task a linear pass over the hub's
+    edges; salt the window key only if profiles show that scan dominating
+    a round."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import connected_components
+
+    n = 200_000
+    pairs = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    t0 = time.time()
+    rows = connected_components(pairs).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == n + 1
+    assert {r.cluster_id for r in rows} == {0}
+    assert elapsed < 60, f"star-skew CC took {elapsed:.1f}s"
+
+
+def test_connected_components_two_hub_barbell(spark):
+    """Two planted stars bridged by one edge: the hubs' neighborhoods are
+    both maximally skewed AND the components must merge across the bridge
+    — exercises skewed windows in a case that actually needs iteration."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import connected_components
+
+    n = 50_000
+    star0 = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    hub2 = 10_000_000
+    star1 = spark.range(1, n + 1).select(
+        F.lit(hub2).cast("long").alias("doc_a"),
+        (F.col("id") + hub2).alias("doc_b"),
+    )
+    bridge = spark.createDataFrame([(n, hub2 + n)], "doc_a long, doc_b long")
+    rows = connected_components(star0.union(star1).union(bridge)).collect()
+    assert len(rows) == 2 * n + 2
+    assert {r.cluster_id for r in rows} == {0}
