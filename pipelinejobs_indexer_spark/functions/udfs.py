@@ -46,14 +46,51 @@ def is_java_safe(pattern: str) -> bool:
     return _PY_ONLY.search(pattern) is None
 
 
+_REGEX_META = set(".^$*+?{}[]|()")
+
+
+def suffix_literal(pattern: str) -> str | None:
+    """The literal suffix S when *pattern* is exactly 'escaped-literal
+    anchored at $' (e.g. r'\\.bam$' -> '.bam'), else None.
+
+    Such patterns lower to an ``endswith`` string compare — no regex
+    engine per row (the same literal-extraction rewrite engines apply to
+    LIKE; Catalyst's LikeSimplification does not cover RLIKE). Caveat:
+    regex '$' also matches before a trailing newline while endswith does
+    not — the lowering is used on path/name columns, which cannot carry
+    newlines (and the reference's own filters target file paths,
+    reactor.py:90-114)."""
+    if not pattern.endswith("$") or len(pattern) < 2:
+        return None
+    body = pattern[:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            if i + 1 >= len(body) or body[i + 1].isalnum():
+                return None  # dangling escape or a class like \d, \w
+            out.append(body[i + 1])
+            i += 2
+        elif c in _REGEX_META:
+            return None
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out) or None
+
+
 def regex_any_filter(col, patterns: list[str]):
-    """OR-of-patterns filter: native rlike per Java-safe pattern, one
-    Arrow-batched pandas UDF covering the Python-only remainder."""
+    """OR-of-patterns filter, fastest expressible form per pattern:
+    suffix-literal patterns lower to ``endswith`` (pure string compare),
+    other Java-safe patterns run as native rlike, and one Arrow-batched
+    pandas UDF covers the Python-only remainder."""
     fast = [p for p in patterns if is_java_safe(p)]
     slow = [p for p in patterns if not is_java_safe(p)]
     cond = None
     for p in fast:
-        c = col.rlike(p)
+        suffix = suffix_literal(p)
+        c = col.endswith(suffix) if suffix is not None else col.rlike(p)
         cond = c if cond is None else (cond | c)
     if slow:
 
@@ -100,9 +137,9 @@ def udf_regex_python_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1b: the same match set expressed with genuinely Python-only regex
     syntax — the named group ``(?P<ext>...)`` cannot run as Java rlike, so
     the classifier routes it to the Arrow-batched pandas_udf slow path,
-    while ``\\.tsv$`` stays on native rlike. The fast|slow OR therefore
-    executes BOTH branches end-to-end against the oracle (the oracle spells
-    the identical match set in DuckDB regex syntax)."""
+    while ``\\.tsv$`` lowers to the endswith fast path. The fast|slow OR
+    therefore executes BOTH branches end-to-end against the oracle (the
+    oracle spells the identical match set in DuckDB regex syntax)."""
     af = archive_files(spark, sf_dir)
     patterns = [r"(?P<ext>\.bam)$", r"\.tsv$"]
     assert not is_java_safe(patterns[0]) and is_java_safe(patterns[1])

@@ -96,3 +96,15 @@ def test_hashids_round_trip_and_padding():
             assert h.decode(enc) == (n,)
         ns = tuple(rng.randrange(0, 10**6) for _ in range(5))
         assert h.decode(h.encode(*ns)) == ns
+
+
+def test_suffix_literal_classifier():
+    from pipelinejobs_indexer_spark.functions.udfs import suffix_literal
+
+    assert suffix_literal(r"\.bam$") == ".bam"
+    assert suffix_literal(r"_v2\.txt$") == "_v2.txt"
+    assert suffix_literal(r"\$cost$") == "$cost"
+    assert suffix_literal(r"a\\$") == "a\\"  # escaped backslash is a literal
+    # must NOT lower: real metacharacters, classes, alternation, no anchor
+    for p in [r"\.(sam|tsv)$", r"\.bam", r".bam$", r"\d+$", r"x*$", r"$"]:
+        assert suffix_literal(p) is None, p
