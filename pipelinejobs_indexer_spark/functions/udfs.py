@@ -450,3 +450,104 @@ def fn_token_hashid(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashid_one(k).alias("token_hashid"),
         hashid_pair(k, k % 7).alias("token_pair"),
     )
+
+
+# --- X4b: JSON-Schema validation with cross-document $ref resolution -----
+
+# The reference's index.jsonschema $ref's sub-schemas that live in a
+# SEPARATE repo (python-datacatalog, COPY'd in at Dockerfile:8;
+# schemas/index.jsonschema:22,25) — the validator must resolve refs from a
+# schema STORE, not the referring document. Mirrored here: two standalone
+# schema documents + a referring schema, resolved in-memory.
+_REF_STORE = {
+    "https://schemas.example.org/defs/typed_uuid.json": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "type": "string",
+        "pattern": "^107[0-9a-f]{64}$",
+    },
+    "https://schemas.example.org/defs/level.json": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "enum": ["1", "2", "3"],
+    },
+}
+
+_REF_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "$id": "https://schemas.example.org/index.json",
+    "type": "object",
+    "properties": {
+        "uuid": {"$ref": "https://schemas.example.org/defs/typed_uuid.json"},
+        "level": {"$ref": "https://schemas.example.org/defs/level.json"},
+    },
+    "required": ["uuid", "level"],
+    "additionalProperties": False,
+}
+
+
+def _ref_validator():
+    """A Draft7 validator resolving $refs from the in-memory store —
+    modern `referencing` registry first, legacy RefResolver fallback."""
+    import jsonschema
+
+    try:
+        from referencing import Registry, Resource
+
+        reg = Registry().with_resources(
+            (uri, Resource.from_contents(s)) for uri, s in _REF_STORE.items()
+        )
+        return jsonschema.Draft7Validator(_REF_SCHEMA, registry=reg)
+    except ImportError:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            resolver = jsonschema.RefResolver(
+                base_uri=_REF_SCHEMA["$id"], referrer=_REF_SCHEMA, store=_REF_STORE
+            )
+            return jsonschema.Draft7Validator(_REF_SCHEMA, resolver=resolver)
+
+
+@register(
+    "udf_validate_json_ref",
+    sql=with_fixtures(
+        """SELECT msg_id,
+                  (msg_id % 5 <> 0 AND msg_id % 7 <> 0) AS payload_valid
+           FROM messages""",
+        "messages",
+    ),
+)
+def udf_validate_json_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: JSON-Schema validation where the schema $ref's sub-schemas in
+    OTHER documents (reference: schemas/index.jsonschema:22,25 pulls
+    sub-schemas from the external python-datacatalog repo) — the ref
+    resolution the plain X4 schema never exercises.
+
+    Payloads are synthesized JVM-side (to_json over struct) with planted
+    corruptions: every 5th message carries an out-of-enum level, every 7th
+    a uuid stripped of its type prefix — so BOTH $ref'd sub-schemas must
+    actually reject to match the oracle, which predicts validity from the
+    planting rule alone. Arrow-batched pandas_udf; validator built once
+    per batch."""
+    m = messages(spark, sf_dir)
+    level_j = F.when(F.col("msg_id") % 5 == 0, F.lit("9")).otherwise(F.col("level"))
+    uuid_j = (
+        F.when(F.col("msg_id") % 7 == 0, F.expr("substring(uuid, 4)"))
+        .otherwise(F.col("uuid"))
+    )
+    payload = F.to_json(F.struct(uuid_j.alias("uuid"), level_j.alias("level")))
+
+    @F.pandas_udf(BooleanType())
+    def validate_ref(p: pd.Series) -> pd.Series:
+        import json
+
+        v = _ref_validator()
+
+        def check(s: str) -> bool:
+            try:
+                return not list(v.iter_errors(json.loads(s)))
+            except Exception:
+                return False
+
+        return p.map(check)
+
+    return m.select("msg_id", validate_ref(payload).alias("payload_valid"))

@@ -108,3 +108,21 @@ def test_suffix_literal_classifier():
     # must NOT lower: real metacharacters, classes, alternation, no anchor
     for p in [r"\.(sam|tsv)$", r"\.bam", r".bam$", r"\d+$", r"x*$", r"$"]:
         assert suffix_literal(p) is None, p
+
+
+def test_ref_validator_resolves_cross_document_refs():
+    """Both planted corruption classes must be rejected BY THE $REF'D
+    SUB-SCHEMAS (pattern in one document, enum in another) — proving the
+    resolver fetches across schema documents, not just the referrer."""
+    from pipelinejobs_indexer_spark.functions.udfs import _ref_validator
+
+    v = _ref_validator()
+    good = {"uuid": "107" + "a" * 64, "level": "2"}
+    assert not list(v.iter_errors(good))
+    bad_uuid = dict(good, uuid="a" * 64)  # prefix stripped -> pattern ref fails
+    bad_level = dict(good, level="9")     # out of enum ref
+    extra = dict(good, junk=1)            # additionalProperties: false
+    assert list(v.iter_errors(bad_uuid))
+    assert list(v.iter_errors(bad_level))
+    assert list(v.iter_errors(extra))
+    assert list(v.iter_errors({"uuid": good["uuid"]}))  # required level
