@@ -50,6 +50,10 @@ SHOWCASE = {
     "llm_quality_calibrate": "codegen score projection + one combiner groupBy (exact interpolated percentiles)",
     "llm_embedding_knn_eval": "broadcast probe set × one corpus scan; vote/accuracy aggs on probe-sized data",
     "llm_corpus_curate_v2": "v1 DAG + repetition groupBys + broadcast 5-row calibrated threshold; zero pair joins",
+    "fn_token_hashid": "one ArrowEvalPython stage over a pruned scan — the exact-hashids slow path, batched",
+    "llm_multimodal_thumbnail_png": "MapInPandas over a single pruned column (doc_id) — decode fan-out, content never shuffled",
+    "udf_validate_json_ref": "JVM to_json projection feeding one ArrowEvalPython validation stage",
+    "agg_approx_distinct": "exact Expand(3x) agg and sketch-side plain agg as separate single-row branches, cross-joined",
 }
 
 
