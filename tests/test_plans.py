@@ -216,3 +216,24 @@ def test_round2_ops_plan_shapes(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name + "\n" + plan
         assert "CartesianProduct" not in plan, name + "\n" + plan
         assert ok(plan), name + " plan shape regressed:\n" + plan
+
+
+def test_filter_regex_lowers_to_endswith(spark, sf_dir):
+    """The suffix-literal classifier must remove the regex engine from
+    filter_regex's scan stage entirely: the plan's Filter carries EndsWith
+    compares and no RLIKE."""
+    plan = _formatted_plan(registry.QUERIES["filter_regex"](spark, sf_dir))
+    assert "EndsWith" in plan, plan
+    assert "RLIKE" not in plan and "rlike" not in plan, plan
+
+
+def test_approx_distinct_splits_exact_and_sketch(spark, sf_dir):
+    """agg_approx_distinct must keep the 3-way-Expand exact branch and the
+    expand-free HLL branch in SEPARATE aggregates (a merged agg is a 7-way
+    Expand that OOMs a 1 GB driver heap): exactly one Expand node, and it
+    must not feed the approx aggregation."""
+    plan = _formatted_plan(registry.QUERIES["agg_approx_distinct"](spark, sf_dir))
+    expands = re.findall(r"\(\d+\) Expand", plan)
+    assert len(expands) == 1, plan
+    # the sketch side appears as its own aggregate with approx fns
+    assert "approx_count_distinct" in plan
