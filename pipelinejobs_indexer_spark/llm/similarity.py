@@ -222,6 +222,38 @@ _COS_LIST_SQL = (
 )
 
 
+def _centroid_array(seed: DataFrame) -> DataFrame:
+    """1-row frame holding the sorted centroid array (cid, cv) drawn from
+    the strided seed rule vec_id % CENT_STRIDE == 3 — deterministic, so
+    the oracle replays the 'training'."""
+    return seed.filter(F.pmod("vec_id", F.lit(CENT_STRIDE)) == 3).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+        ).alias("cents")
+    )
+
+
+def _ivf_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment as a PURE PROJECTION —
+    the centroid array is broadcast and the argmax folds per row inside
+    codegen, so building the inverted file never shuffles the corpus.
+    Ties keep the lowest cid (fold scans cid-ascending, strict >)."""
+    cos_c = (
+        "aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /"
+        " (sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) *"
+        "  sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x)))"
+    )
+    scored_cents = f"transform(cents, c -> named_struct('cid', c.cid, 'c', round({cos_c}, 6)))"
+    best = (
+        f"aggregate({scored_cents},"
+        " named_struct('cid', cast(-1 as bigint), 'c', cast(-2 as double)),"
+        " (acc, s) -> if(s.c > acc.c, s, acc)).cid"
+    )
+    return corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", F.expr(best).alias("cell")
+    )
+
+
 @register(
     "llm_similarity_ivf",
     sql=f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -279,29 +311,8 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = (
-        e.filter(F.pmod("vec_id", F.lit(CENT_STRIDE)) == 3)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
-            ).alias("cents")
-        )
-    )
-    cos_c = (
-        "aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (a, x) -> a + x) /"
-        " (sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) *"
-        "  sqrt(aggregate(c.cv, 0D, (a, x) -> a + x * x)))"
-    )
-    scored_cents = f"transform(cents, c -> named_struct('cid', c.cid, 'c', round({cos_c}, 6)))"
-    best = (
-        f"aggregate({scored_cents},"
-        " named_struct('cid', cast(-1 as bigint), 'c', cast(-2 as double)),"
-        " (acc, s) -> if(s.c > acc.c, s, acc)).cid"
-    )
-    cells = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", F.expr(best).alias("cell"))
-    )
+    cents = _centroid_array(e)
+    cells = _ivf_cells(e, cents)
     # query probing: N_QUERIES rows — the cross-join + window shape is fine
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -439,5 +450,92 @@ def llm_embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_probes"),
             correct.alias("n_correct"),
             F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+    )
+
+
+# ------------------------------------------- L2f semantic dedup (SemDeDup)
+SEM_THRESH = 0.95       # within-cell cosine at/above this = semantic dup
+SEM_CLONE_MOD = 50      # planted duplicates: every 50th vector cloned...
+SEM_CLONE_OFFSET = 1_000_000  # ...at vec_id + offset (ids stay disjoint)
+
+_SEM_CELLS_SQL = f"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+               UNION ALL
+               SELECT vec_id + {SEM_CLONE_OFFSET}, v FROM e0
+               WHERE vec_id % {SEM_CLONE_MOD} = 0),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e0
+               WHERE vec_id % {CENT_STRIDE} = 3),
+         ass AS (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_COS_LIST_SQL.format(a='e.v', b='c.cv')} DESC, c.cid
+                  ) AS r
+           FROM e CROSS JOIN c
+         ),
+         cells AS (SELECT vec_id, v, cid AS cell FROM ass WHERE r = 1)"""
+
+
+@register(
+    "llm_dedup_semantic",
+    sql=f"""WITH {_SEM_CELLS_SQL},
+         dup AS (
+           SELECT DISTINCT a.vec_id
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND b.vec_id < a.vec_id
+           WHERE {_COS_LIST_SQL.format(a='a.v', b='b.v')} >= {SEM_THRESH}
+         )
+         SELECT cells.vec_id, cells.cell,
+                (dup.vec_id IS NULL) AS keep
+         FROM cells LEFT JOIN dup ON dup.vec_id = cells.vec_id""",
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: SEMANTIC dedup a la SemDeDup (Abbas et al., arXiv:2303.09540):
+    cluster the embedding space, then drop any item whose cluster holds a
+    higher-priority member within cosine >= SEM_THRESH — near-duplicate
+    MEANING (re-encodes, paraphrases, exact re-uploads) that text-level
+    shingling cannot see. Keep rule: lowest vec_id in each dup group.
+
+    The corpus is the embeddings table plus planted clones (every
+    SEM_CLONE_MOD-th vector re-inserted under a disjoint id) so the
+    operator demonstrably fires: natural within-cell cosines in this
+    fixture top out ~0.51, each clone scores 1.0 against its source.
+
+    Plan shape (100 TB): cluster assignment is the zero-shuffle broadcast
+    centroid fold shared with llm_similarity_ivf (_ivf_cells); the only
+    corpus-scale movement is ONE hash exchange on the cell id, and the
+    pairwise check runs within cells only — cost is sum of |cell|^2,
+    bounded by growing the centroid count ~sqrt(n) exactly as SemDeDup
+    prescribes (k-means with large k keeps cells small). The corpus never
+    pair-joins itself globally, mirroring llm_contamination_check's
+    broadcast discipline."""
+    e0 = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    clones = e0.filter(F.pmod("vec_id", F.lit(SEM_CLONE_MOD)) == 0).select(
+        (F.col("vec_id") + SEM_CLONE_OFFSET).alias("vec_id"), "v"
+    )
+    corpus = e0.unionByName(clones)
+    cells = _ivf_cells(corpus, _centroid_array(e0))
+    a = cells.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(F.round(_cos("a_v", "b_v"), 6) >= F.lit(SEM_THRESH))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("is_dup") == F.lit(False), F.lit(True)).alias("keep"),
         )
     )

@@ -740,3 +740,19 @@ def test_connected_components_two_hub_barbell(spark):
     rows = connected_components(star0.union(star1).union(bridge)).collect()
     assert len(rows) == 2 * n + 2
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_semantic_dedup_drops_exactly_the_planted_clones(spark):
+    """Every planted clone must be dropped (its source shares a cell and
+    scores cosine 1.0), every original kept (natural within-cell cosines
+    in this fixture stay far below the 0.95 threshold)."""
+    from pipelinejobs_indexer_spark.llm.similarity import (
+        SEM_CLONE_OFFSET,
+        llm_dedup_semantic,
+    )
+
+    rows = llm_dedup_semantic(spark, SF).collect()
+    clones = [r for r in rows if r.vec_id >= SEM_CLONE_OFFSET]
+    originals = [r for r in rows if r.vec_id < SEM_CLONE_OFFSET]
+    assert clones and all(not r.keep for r in clones)
+    assert originals and all(r.keep for r in originals)
