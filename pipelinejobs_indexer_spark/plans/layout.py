@@ -93,6 +93,34 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compact_path)
 
 
+def _footer_min_ts(path: str, col: str):
+    """Global minimum of *col* from the parquet row-group statistics under
+    *path* — footers only, zero data pages. None when any row group lacks
+    min/max stats (caller falls back to a scalar agg). Local-path glob;
+    on a DFS deployment the same footers come through the filesystem
+    client equally metadata-only."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(_os.path.join(path, "part-*.parquet"))
+    if not files:
+        return None
+    lo = None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = st.min
+            if lo is None or v < lo:
+                lo = v
+    return lo
+
+
 @register(
     "sink_sorted_layout",
     sql="""SELECT event_id, ts::TIMESTAMP AS ts, event_type FROM events
@@ -118,9 +146,15 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     sorted_ev = spark.read.parquet(path)
-    # one tiny agg to anchor the range; inlined as ntz literals so the
-    # pushed-down filter can prune files/row groups by min/max stats
-    lo = ev.agg(F.min("ts")).collect()[0][0]
+    # Anchor the range from the sorted copy's parquet FOOTERS — a
+    # metadata-only read of O(files) statistics, not a second scan of ev
+    # (Spark's own parquet aggregate pushdown would be the native route,
+    # but it excludes timestamp MIN/MAX, verified on this build). Falls
+    # back to a 1-row scalar agg if any footer lacks stats. Inlined as
+    # ntz literals so the pushed-down filter prunes files/row groups.
+    lo = _footer_min_ts(path, "ts")
+    if lo is None:
+        lo = ev.agg(F.min("ts")).collect()[0][0]
     hi = lo + datetime.timedelta(hours=1)
     fmt = "%Y-%m-%d %H:%M:%S.%f"
     lo_c = F.to_timestamp_ntz(F.lit(lo.strftime(fmt)))
