@@ -54,6 +54,7 @@ SHOWCASE = {
     "llm_multimodal_thumbnail_png": "MapInPandas over a single pruned column (doc_id) — decode fan-out, content never shuffled",
     "udf_validate_json_ref": "JVM to_json projection feeding one ArrowEvalPython validation stage",
     "agg_approx_distinct": "exact Expand(3x) agg and sketch-side plain agg as separate single-row branches, cross-joined",
+    "llm_dedup_semantic": "broadcast-centroid assignment fold + within-cell pair check — one hash exchange on cell, no global pair join",
 }
 
 
