@@ -44,3 +44,41 @@ def test_entry(spark):
     keys = set(e.queries())
     oracle = e.oracle_sql()
     assert set(oracle) <= keys
+
+
+def test_registry_front_loads_unproven_queries():
+    """The external driver caps its correctness sweep at ~50 queries per
+    round, so the registry MUST enumerate queries with no green driver row
+    (across all CORRECTNESS_r*.json so far) before queries that already
+    have one — otherwise coverage evidence stalls. This meta-test reads
+    whatever correctness files exist, so each round's rotation is checked
+    against the actual accumulated evidence, not a hand-maintained list."""
+    import glob
+    import json
+    import os
+
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    names = [n for n in registry.QUERIES if n in registry.ORACLE]
+    positions = {n: i for i, n in enumerate(names)}
+    unproven = [n for n in names if n not in green]
+    proven = [n for n in names if n in green]
+    assert unproven, "sanity: some queries should still lack driver rows"
+    worst_unproven = max(positions[n] for n in unproven)
+    best_proven = min(positions[n] for n in proven)
+    assert worst_unproven < best_proven, (
+        f"unproven query '{max(unproven, key=positions.get)}' enumerates after "
+        f"proven '{min(proven, key=positions.get)}' — rotate registry tiers "
+        "from the CORRECTNESS files (see registry.load_all)"
+    )
