@@ -74,7 +74,8 @@ def test_registry_front_loads_unproven_queries():
     positions = {n: i for i, n in enumerate(names)}
     unproven = [n for n in names if n not in green]
     proven = [n for n in names if n in green]
-    assert unproven, "sanity: some queries should still lack driver rows"
+    if not unproven or not proven:
+        return  # everything proven (the goal state) or no evidence yet
     worst_unproven = max(positions[n] for n in unproven)
     best_proven = min(positions[n] for n in proven)
     assert worst_unproven < best_proven, (
