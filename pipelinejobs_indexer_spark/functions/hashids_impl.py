@@ -74,6 +74,8 @@ class Hashids:
         seps = _reorder(seps, salt)
         if not seps or len(alphabet) / len(seps) > _RATIO_SEPS:
             need = int(math.ceil(len(alphabet) / _RATIO_SEPS))
+            if need == 1:  # the published algorithm clamps a lone separator to 2
+                need = 2
             if need > len(seps):
                 diff = need - len(seps)
                 seps += alphabet[:diff]
@@ -130,6 +132,7 @@ class Hashids:
 
     # ------------------------------------------------------------ decode
     def decode(self, encoded: str) -> tuple[int, ...]:
+        original = encoded
         if not encoded:
             return ()
         for g in self._guards:
@@ -143,9 +146,15 @@ class Hashids:
             encoded = encoded.replace(s, " ")
         alphabet = self._alphabet
         values = []
-        for chunk in encoded.split(" "):
-            alphabet_salt = (lottery + self._salt + alphabet)[: len(alphabet)]
-            alphabet = _reorder(alphabet, alphabet_salt)
-            values.append(_unhash(chunk, alphabet))
+        try:
+            for chunk in encoded.split(" "):
+                alphabet_salt = (lottery + self._salt + alphabet)[: len(alphabet)]
+                alphabet = _reorder(alphabet, alphabet_salt)
+                values.append(_unhash(chunk, alphabet))
+        except ValueError:  # character outside the shuffled alphabet
+            return ()
         out = tuple(values)
-        return out if self.encode(*out) else out
+        # round-trip guard, per the published semantics: a token minted
+        # under a different salt (or corrupted) decodes to garbage whose
+        # re-encode differs — return () instead of the garbage
+        return out if self.encode(*out) == original else ()

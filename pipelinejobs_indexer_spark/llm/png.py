@@ -123,6 +123,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG: chunk length exceeds data")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])

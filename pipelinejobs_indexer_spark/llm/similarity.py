@@ -531,11 +531,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
     )
-    return (
-        cells.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(F.col("is_dup") == F.lit(False), F.lit(True)).alias("keep"),
-        )
-    )
+    # left join + null-check mirrors the oracle's `dup.vec_id IS NULL`
+    return cells.join(
+        dup.select("vec_id", F.lit(True).alias("is_dup")), "vec_id", "left"
+    ).select("vec_id", "cell", F.col("is_dup").isNull().alias("keep"))

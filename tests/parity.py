@@ -10,16 +10,19 @@ import pandas as pd
 
 
 def _canon_val(v):
-    # Missing values canonicalize uniformly: an engine may surface a NULL
-    # as None, NaN (pandas floatified int column), pd.NA (nullable dtype),
-    # or NaT — all the same logical absence.
+    # None/NA/NaT canonicalize uniformly (engines spell NULL differently),
+    # but float NaN stays its own token: a genuine NaN-vs-NULL divergence
+    # between engines must FAIL here (the driver's hash distinguishes
+    # them). The floatified-int exemption in assert_frames_match converts
+    # its columns to nullable Int64 first, so its NaNs become pd.NA before
+    # they ever reach this function.
     if v is None or v is pd.NA or v is pd.NaT:
         return "∅"
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(_canon_val(x) for x in v) + "]"
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "∅"
+            return "NaN"
         return "%.12g" % v
     if isinstance(v, (int, np.integer)):
         return str(int(v))
@@ -55,21 +58,26 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
         sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
         if {sk, dk} <= {"i", "u", "f"} and (sk == "f") != (dk == "f"):
             # Exemption: pandas float-ifies an integer column that carries
-            # NULLs on one engine only (the other keeps int64 because its
-            # materialization path had no NULL to force the cast). If the
-            # float side is all-integral and both sides agree on the NULL
-            # count, the frames are value-identical and the logical type is
-            # integer on both engines — not the round-1 HUGEINT bug class.
-            # (Counts, not positions: rows are compared order-insensitively.)
-            fcol = spark_pdf[c] if sk == "f" else duck_pdf[c]
-            icol = duck_pdf[c] if sk == "f" else spark_pdf[c]
+            # NULLs when the other engine's materialization kept a NULLABLE
+            # int dtype (plain numpy int64 cannot hold NA, so the int side
+            # having NAs proves its logical type is integer — this cannot
+            # be the round-1 HUGEINT/double bug class, where the int side
+            # is NA-free). Requires the float side all-integral and equal
+            # NULL counts (counts, not positions: rows are compared
+            # order-insensitively); both columns are then normalized to
+            # nullable Int64 so NaN/NA compare as the same logical NULL.
+            fname, iname = (c, c)
+            fframe, iframe = (spark_pdf, duck_pdf) if sk == "f" else (duck_pdf, spark_pdf)
+            fcol, icol = fframe[fname], iframe[iname]
             fnull = fcol.isna()
             vals = fcol[~fnull].to_numpy()
             if (
-                fnull.sum() == icol.isna().sum()
-                and fnull.any()
+                fnull.any()
+                and fnull.sum() == icol.isna().sum()
                 and (len(vals) == 0 or np.all(np.mod(vals, 1) == 0))
             ):
+                fframe[fname] = fcol.astype("Int64")
+                iframe[iname] = icol.astype("Int64")
                 continue
             raise AssertionError(
                 f"{name}.{c}: int-vs-float dtype divergence spark={spark_pdf[c].dtype} "

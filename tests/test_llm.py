@@ -756,3 +756,15 @@ def test_semantic_dedup_drops_exactly_the_planted_clones(spark):
     originals = [r for r in rows if r.vec_id < SEM_CLONE_OFFSET]
     assert clones and all(not r.keep for r in clones)
     assert originals and all(r.keep for r in originals)
+
+
+def test_png_truncated_chunk_raises_value_error():
+    import struct
+
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.png import SIGNATURE, decode_png
+
+    junk = SIGNATURE + struct.pack(">I", 1000) + b"IHDR" + b"\x00" * 10
+    with pytest.raises(ValueError):
+        decode_png(junk)

@@ -126,3 +126,15 @@ def test_ref_validator_resolves_cross_document_refs():
     assert list(v.iter_errors(bad_level))
     assert list(v.iter_errors(extra))
     assert list(v.iter_errors({"uuid": good["uuid"]}))  # required level
+
+
+def test_hashids_decode_rejects_foreign_and_corrupt_tokens():
+    from pipelinejobs_indexer_spark.functions.hashids_impl import Hashids
+
+    a = Hashids(salt="salt-a", min_length=8)
+    b = Hashids(salt="salt-b", min_length=8)
+    tok = b.encode(12345)
+    assert a.decode(tok) == ()         # wrong salt -> round-trip guard fires
+    assert b.decode(tok) == (12345,)
+    assert b.decode(tok[:-1] + ("x" if tok[-1] != "x" else "y")) == ()
+    assert a.decode("!!!") == ()       # chars outside the alphabet
