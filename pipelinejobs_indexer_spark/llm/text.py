@@ -1304,3 +1304,67 @@ def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_words", "score")
     )
+
+
+# ------------------------------------------ L4g unigram-LM logprob score
+# The count-based cousin of KenLM-perplexity quality filters (CCNet /
+# Gopher keep docs whose LM score is unsurprising): score every doc by
+# its add-one-smoothed corpus unigram log-likelihood.
+
+
+@register(
+    "llm_text_logprob",
+    sql="""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         tc AS (SELECT doc_id, w, count(*) AS k FROM t GROUP BY doc_id, w),
+         vocab AS (SELECT w, CAST(sum(k) AS BIGINT) AS n FROM tc GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                        count(*) AS vv FROM vocab)
+         SELECT tc.doc_id,
+                CAST(sum(tc.k) AS BIGINT) AS n_tokens,
+                CAST(sum(tc.k * CAST(round(
+                       ln(CAST(vocab.n + 1 AS DOUBLE)
+                          / CAST(tot.nn + tot.vv AS DOUBLE)) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS logprob_micro
+         FROM tc JOIN vocab USING (w), tot
+         GROUP BY tc.doc_id""",
+)
+def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4g: unigram-LM log-likelihood per doc — the count-based form of
+    the perplexity quality gate (CCNet-style: docs whose token
+    distribution is far from the corpus LM are noise or boilerplate
+    candidates). Add-one smoothing: p(w) = (n_w + 1) / (N + V).
+
+    Cross-engine float discipline: the ONLY floating-point step is the
+    per-token ln(), whose argument is an exactly-representable double
+    ratio of integers — each token's logprob is immediately rounded to
+    integer MICRO-units (BIGINT), so the per-doc aggregate is an exact,
+    summation-order-independent integer sum. No avg-of-doubles whose
+    distributed reduction order could flip a rounded digit.
+
+    Plan shape (100 TB): explode → one combiner groupBy to (doc, word)
+    counts (shuffle volume = distinct pairs, not corpus bytes) → one
+    combiner groupBy to the vocabulary → equi-join back on the word (AQE
+    broadcasts it when the vocab is small; stays a hash join when web
+    noise makes it huge) + a broadcast 1-row total → final per-doc
+    combiner groupBy. Everything JVM-side codegen; counts are the LM."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tc = t.groupBy("doc_id", "w").agg(F.count("*").alias("k"))
+    vocab = tc.groupBy("w").agg(F.sum("k").alias("n"))
+    tot = vocab.agg(
+        F.sum("n").alias("nn"), F.count("*").alias("vv")
+    )
+    t_micro = F.round(
+        F.log((F.col("n") + 1).cast("double") / (F.col("nn") + F.col("vv")).cast("double"))
+        * 1000000
+    ).cast("bigint")
+    return (
+        tc.join(vocab, "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * t_micro).alias("logprob_micro"),
+        )
+    )

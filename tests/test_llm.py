@@ -768,3 +768,29 @@ def test_png_truncated_chunk_raises_value_error():
     junk = SIGNATURE + struct.pack(">I", 1000) + b"IHDR" + b"\x00" * 10
     with pytest.raises(ValueError):
         decode_png(junk)
+
+
+def test_logprob_matches_python_unigram_lm(spark):
+    """Recompute the add-one-smoothed unigram log-likelihood for a few
+    docs in plain Python and pin the distributed result to it exactly
+    (the per-token micro-rounding makes the sums integer-exact)."""
+    import math
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.text import llm_text_logprob
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    vocab = Counter()
+    for text in docs.values():
+        vocab.update(text.split(" "))
+    big_n, big_v = sum(vocab.values()), len(vocab)
+    got = {r.doc_id: r for r in llm_text_logprob(spark, SF).collect()}
+    for doc_id in list(docs)[:25]:
+        toks = docs[doc_id].split(" ")
+        expect = sum(
+            round(math.log((vocab[w] + 1) / (big_n + big_v)) * 1_000_000)
+            for w in toks
+        )
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].logprob_micro == expect, doc_id
