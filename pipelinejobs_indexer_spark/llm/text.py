@@ -1312,9 +1312,8 @@ def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its add-one-smoothed corpus unigram log-likelihood.
 
 
-@register(
-    "llm_text_logprob",
-    sql="""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+def _logprob_sql() -> str:
+    return """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),
          tc AS (SELECT doc_id, w, count(*) AS k FROM t GROUP BY doc_id, w),
          vocab AS (SELECT w, CAST(sum(k) AS BIGINT) AS n FROM tc GROUP BY w),
@@ -1327,8 +1326,10 @@ def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / CAST(tot.nn + tot.vv AS DOUBLE)) * 1000000)
                      AS BIGINT)) AS BIGINT) AS logprob_micro
          FROM tc JOIN vocab USING (w), tot
-         GROUP BY tc.doc_id""",
-)
+         GROUP BY tc.doc_id"""
+
+
+@register("llm_text_logprob", sql=_logprob_sql())
 def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4g: unigram-LM log-likelihood per doc — the count-based form of
     the perplexity quality gate (CCNet-style: docs whose token
@@ -1367,4 +1368,56 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("n_tokens"),
             F.sum(F.col("k") * t_micro).alias("logprob_micro"),
         )
+    )
+
+
+# ----------------------------------------- L10c curation DAG v3 (+LM gate)
+LOGPROB_DROP_Q = 0.1  # drop the lowest-likelihood 10% of the corpus
+
+
+def _curate_v3_sql() -> str:
+    return f"""WITH v2 AS ({_curate_v2_sql()}),
+         lp AS (
+           SELECT doc_id,
+                  round(logprob_micro / CAST(n_tokens AS DOUBLE), 6) AS avg_lp
+           FROM ({_logprob_sql()})
+         ),
+         thr AS (
+           SELECT round(quantile_cont(avg_lp, {LOGPROB_DROP_Q}), 6) AS lp_thr
+           FROM lp
+         )
+         SELECT v2.doc_id, v2.lang, v2.n_words, v2.score, lp.avg_lp
+         FROM v2 JOIN lp ON lp.doc_id = v2.doc_id, thr
+         WHERE lp.avg_lp >= thr.lp_thr"""
+
+
+@register("llm_corpus_curate_v3", sql=_curate_v3_sql())
+def llm_corpus_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10c: curation DAG v3 — v2 (normalized dedup + decontamination +
+    calibrated per-language quality gates + repetition gate) plus the
+    unigram-LM likelihood gate: docs in the lowest LOGPROB_DROP_Q tail of
+    per-token corpus log-likelihood (llm_text_logprob) are dropped, the
+    CCNet-style 'too surprising to be clean text' filter.
+
+    The LM threshold is an exact interpolated percentile over the WHOLE
+    corpus (same A8 pattern as llm_quality_calibrate — at 100 TB swap in
+    approx_percentile's t-digest), broadcast as one row. Adds to v2: the
+    logprob sub-DAG's two combiner groupBys + word equi-join, one
+    doc_id equi-join, and a 1-row broadcast — still zero pair joins
+    anywhere in the composed plan."""
+    v2 = llm_corpus_curate_v2(spark, sf_dir)
+    lp = llm_text_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.col("logprob_micro") / F.col("n_tokens").cast("double"), 6
+        ).alias("avg_lp"),
+    )
+    thr = lp.agg(
+        F.round(F.expr(f"percentile(avg_lp, {LOGPROB_DROP_Q}D)"), 6).alias("lp_thr")
+    )
+    return (
+        v2.join(lp, "doc_id")
+        .join(F.broadcast(thr))
+        .filter(F.col("avg_lp") >= F.col("lp_thr"))
+        .select("doc_id", "lang", "n_words", "score", "avg_lp")
     )

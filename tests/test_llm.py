@@ -794,3 +794,31 @@ def test_logprob_matches_python_unigram_lm(spark):
         )
         assert got[doc_id].n_tokens == len(toks)
         assert got[doc_id].logprob_micro == expect, doc_id
+
+
+def test_curate_v3_is_v2_minus_logprob_tail(spark):
+    """v3 must be exactly v2's survivors whose per-token corpus
+    log-likelihood clears the corpus-wide 10th-percentile threshold."""
+    from pipelinejobs_indexer_spark.llm.text import (
+        LOGPROB_DROP_Q,
+        llm_corpus_curate_v2,
+        llm_corpus_curate_v3,
+        llm_text_logprob,
+    )
+
+    v2 = {r.doc_id for r in llm_corpus_curate_v2(spark, SF).collect()}
+    v3 = {r.doc_id for r in llm_corpus_curate_v3(spark, SF).collect()}
+    lp = {
+        r.doc_id: r.logprob_micro / r.n_tokens
+        for r in llm_text_logprob(spark, SF).collect()
+    }
+    import math
+
+    vals = sorted(lp.values())
+    # exact interpolated percentile (the A8 pattern both engines use)
+    idx = LOGPROB_DROP_Q * (len(vals) - 1)
+    lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+    thr = vals[lo] + (idx - lo) * (vals[hi] - vals[lo])
+    expect = {d for d in v2 if round(lp[d], 6) >= round(thr, 6)}
+    assert v3 == expect
+    assert v3 <= v2
