@@ -1,0 +1,88 @@
+"""Engine tuning parameters — config, not constants (SURVEY.md §7.4).
+
+The sketch/index families (hyperplane-LSH, IVF-Flat, MinHash banding) have
+recall/cost knobs that MUST scale with the corpus: 2^planes LSH buckets at
+16 is fine for a 500-row fixture and a scale-killer at 100 TB (bucket
+population ~n/2^planes makes the within-bucket candidate join effectively
+quadratic). A cluster job sets these through environment variables
+(`spark-submit --conf spark.yarn.appMasterEnv.*` / driver env) without
+editing source; defaults reproduce the pinned differential-oracle output.
+
+Both the Spark plan builders AND the DuckDB oracle-SQL generators read the
+same :data:`CONFIG`, captured once at import, so a knob change keeps the
+differential oracle in lock-step automatically — there is no way to tune
+the Spark side out from under its correctness gate.
+
+Sizing guidance (docstring-level, enforced nowhere — the right value is
+data-dependent):
+
+* ``lsh_planes`` — target mean bucket occupancy; buckets ~ 2^planes, so
+  planes ~ log2(n / desired_bucket_size). 500 rows / 4 planes ~ 31/bucket;
+  1e9 vectors want ~24 planes for the same occupancy.
+* ``ivf_cent_stride`` — centroids ~ n/stride; SemDeDup-style sqrt(n)
+  centroids means stride ~ sqrt(n).
+* ``minhash_hashes`` / ``minhash_bands`` — the S-curve knob:
+  P(candidate | jaccard s) = 1-(1-s^r)^b with r = hashes/bands.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return default
+    try:
+        v = int(raw)
+    except ValueError as exc:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from exc
+    if v <= 0:
+        raise ValueError(f"{name} must be positive, got {v}")
+    return v
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Scale knobs for the sketch/index operators.
+
+    ``lsh_planes``      — hyperplane count for sign-LSH (L2e, L3b): 2^p buckets.
+    ``ivf_cent_stride`` — IVF centroid seed stride (L3c, L2f): ~n/stride cells.
+    ``ivf_nprobe``      — IVF cells probed per query (L3c).
+    ``minhash_hashes``  — minhash family size (L2a, L11b).
+    ``minhash_bands``   — LSH band count; must divide ``minhash_hashes``.
+    """
+
+    lsh_planes: int = 4
+    ivf_cent_stride: int = 61
+    ivf_nprobe: int = 2
+    minhash_hashes: int = 16
+    minhash_bands: int = 4
+
+    def __post_init__(self) -> None:
+        if self.minhash_hashes % self.minhash_bands != 0:
+            raise ValueError(
+                f"minhash_bands ({self.minhash_bands}) must divide "
+                f"minhash_hashes ({self.minhash_hashes})"
+            )
+
+
+def from_env() -> EngineConfig:
+    """Build an :class:`EngineConfig` from ``SPARK_GRAFT_*`` env vars,
+    falling back to the fixture-scale defaults."""
+    d = EngineConfig()
+    return EngineConfig(
+        lsh_planes=_env_int("SPARK_GRAFT_LSH_PLANES", d.lsh_planes),
+        ivf_cent_stride=_env_int("SPARK_GRAFT_IVF_CENT_STRIDE", d.ivf_cent_stride),
+        ivf_nprobe=_env_int("SPARK_GRAFT_IVF_NPROBE", d.ivf_nprobe),
+        minhash_hashes=_env_int("SPARK_GRAFT_MINHASH_HASHES", d.minhash_hashes),
+        minhash_bands=_env_int("SPARK_GRAFT_MINHASH_BANDS", d.minhash_bands),
+    )
+
+
+#: Process-wide configuration, captured once at import. Operator modules
+#: bake these values into both their Spark plans and their registered
+#: oracle SQL, so a differential sweep always tests the active config.
+CONFIG = from_env()

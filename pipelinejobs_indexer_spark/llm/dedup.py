@@ -52,8 +52,14 @@ from ..oracle import with_fixtures  # noqa: F401  (kept for symmetry with peers)
 from ..registry import register
 from ..tables import load_table, spread
 
-N_MINHASH = 16
-N_BANDS = 4  # 4 bands x 4 rows; P(candidate | jaccard s) = 1-(1-s^4)^4
+from ..config import CONFIG
+
+# Minhash family size and LSH band count (defaults: 16 hashes x 4 bands;
+# P(candidate | jaccard s) = 1-(1-s^r)^b with r = hashes/bands). Scale
+# knobs via SPARK_GRAFT_MINHASH_HASHES / SPARK_GRAFT_MINHASH_BANDS — see
+# config.py for the S-curve sizing rule.
+N_MINHASH = CONFIG.minhash_hashes
+N_BANDS = CONFIG.minhash_bands
 SHINGLE_K = 3
 # Mersenne prime modulus for Kirsch-Mitzenmacher double hashing: the i-th
 # minhash family is g_i(s) = (h1(s) + i*h2(s)) mod P, with h1/h2 the two
@@ -174,7 +180,9 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- L2 MinHash
-def _minhash_sig(sh: DataFrame, with_sets: bool = False) -> DataFrame:
+def _minhash_sig(
+    sh: DataFrame, with_sets: bool = False, n_minhash: int | None = None
+) -> DataFrame:
     """16 minhash signatures + shingle count per doc from hashed_shingles,
     one aggregation (combiner-friendly integer mins; the count rides along
     so set sizes need no second pass over the shingle table). With
@@ -191,7 +199,7 @@ def _minhash_sig(sh: DataFrame, with_sets: bool = False) -> DataFrame:
     """
     aggs = [
         F.min((F.col("hf") % MINHASH_P + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_minhash or N_MINHASH)
     ] + [F.count("*").alias("n")]
     if with_sets:
         aggs.append(F.collect_set("hf").alias("hfs"))
@@ -216,10 +224,11 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _band_cols():
-    rows = N_MINHASH // N_BANDS
+def _band_cols(n_minhash: int | None = None, n_bands: int | None = None):
+    n_minhash, n_bands = n_minhash or N_MINHASH, n_bands or N_BANDS
+    rows = n_minhash // n_bands
     out = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
         out.append(
             F.struct(F.lit(b).alias("b"), F.md5(F.concat_ws("|", *parts)).alias("v"))
@@ -235,10 +244,10 @@ _HASHED_SHINGLES_SQL = f"""
 """
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(n_minhash: int | None = None) -> str:
     mins = ",\n         ".join(
         f"min((hf % {MINHASH_P} + {i} * h2) % {MINHASH_P}) AS h{i}"
-        for i in range(N_MINHASH)
+        for i in range(n_minhash or N_MINHASH)
     )
     return (
         f"SELECT doc_id,\n         {mins},\n         count(*) AS n"
@@ -246,22 +255,25 @@ def _minhash_sig_sql() -> str:
     )
 
 
-def _bands_sql() -> str:
-    rows = N_MINHASH // N_BANDS
+def _bands_sql(n_minhash: int | None = None, n_bands: int | None = None) -> str:
+    n_minhash, n_bands = n_minhash or N_MINHASH, n_bands or N_BANDS
+    rows = n_minhash // n_bands
     selects = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cat = " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
         selects.append(f"SELECT doc_id, {b} AS b, md5({cat}) AS v FROM sig")
     return "\n  UNION ALL ".join(selects)
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(
+    n_minhash: int | None = None, n_bands: int | None = None
+) -> str:
     """The full minhash-LSH pair query (shared by the pair registration
     and the cluster oracle, which wraps it in a recursive CTE)."""
     return f"""WITH sh AS ({_SHINGLES_SQL}),
          hsh AS ({_HASHED_SHINGLES_SQL}),
-         sig AS ({_minhash_sig_sql()}),
-         bands AS ({_bands_sql()}),
+         sig AS ({_minhash_sig_sql(n_minhash)}),
+         bands AS ({_bands_sql(n_minhash, n_bands)}),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
            FROM bands a JOIN bands b2
@@ -284,7 +296,12 @@ def _minhash_pairs_sql() -> str:
 
 
 @register("llm_dedup_minhash", sql=_minhash_pairs_sql())
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
     """L2: near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard on the candidate set only (never all pairs).
 
@@ -298,10 +315,10 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer, more shuffles; web-scale docs (~1k shingles ≈ 8 KB/row) fit
     comfortably."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sig = _minhash_sig(hashed_shingles(docs), with_sets=True).cache()
-    bands = sig.select("doc_id", F.explode(F.array(*_band_cols())).alias("bv")).select(
-        "doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
-    )
+    sig = _minhash_sig(hashed_shingles(docs), with_sets=True, n_minhash=n_minhash).cache()
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*_band_cols(n_minhash, n_bands))).alias("bv")
+    ).select("doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
     a, b = bands.alias("a"), bands.alias("b2")
     cand = (
         a.join(
@@ -549,14 +566,14 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------- embedding dedup, LSH-bucketed
-def _embedding_lsh_sql() -> str:
-    from .similarity import _PROBES_SQL, _bucket_expr_sql
+def _embedding_lsh_sql(n_planes: int | None = None) -> str:
+    from .similarity import _bucket_expr_sql, probes_sql
 
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         hashed AS (SELECT vec_id, v, {_bucket_expr_sql('v')} AS bucket FROM e),
+         hashed AS (SELECT vec_id, v, {_bucket_expr_sql('v', n_planes)} AS bucket FROM e),
          probes AS (
            SELECT vec_id, pb FROM (
-             SELECT vec_id, bucket, {_PROBES_SQL} AS ps FROM hashed
+             SELECT vec_id, bucket, {probes_sql(n_planes)} AS ps FROM hashed
            ), unnest(ps) AS t(pb)
          ),
          cand AS (
@@ -578,7 +595,9 @@ def _embedding_lsh_sql() -> str:
 
 
 @register("llm_dedup_embedding_lsh", sql=_embedding_lsh_sql())
-def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_embedding_lsh(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """Embedding near-dup, LSH-bucketed — the PRIMARY (100 TB) plan; the
     exact pair scan above is its correctness baseline.
 
@@ -592,14 +611,14 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the identical bucketing, so the gate checks
     exact plan parity, not just the (approximate) answer.
     """
-    from .similarity import _PROBES_SPARK, _bucket_expr_spark, _cos as _sim_cos
+    from .similarity import _bucket_expr_spark, _cos as _sim_cos, probes_spark
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    hashed = emb.withColumn("bucket", _bucket_expr_spark("v"))
+    hashed = emb.withColumn("bucket", _bucket_expr_spark("v", n_planes))
     probes = hashed.select(
-        "vec_id", F.explode(F.expr(_PROBES_SPARK)).alias("pb")
+        "vec_id", F.explode(F.expr(probes_spark(n_planes))).alias("pb")
     )
     right = hashed.select(
         F.col("vec_id").alias("vid_b"), F.col("bucket").alias("hb")

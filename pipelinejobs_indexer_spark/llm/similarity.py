@@ -33,13 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..config import CONFIG
 from ..registry import register
 from ..tables import load_table, spread
 
 TOP_K = 10
 N_QUERIES = 5  # query set: vec_id < 5
-N_PLANES = 4  # 2^4 buckets ~ 31 vectors/bucket at the 500-row test scale;
-# raise at real scale (planes are the recall/cost knob, not a constant)
+# 2^planes buckets ~ 31 vectors/bucket at the 500-row fixture scale with
+# the default 4; a cluster job raises it via SPARK_GRAFT_LSH_PLANES
+# (see config.py for the occupancy sizing rule).
+N_PLANES = CONFIG.lsh_planes
 
 _HEX = "0123456789abcdef"
 
@@ -114,10 +117,11 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr_spark(vcol: str):
-    """8-char '0'/'1' bucket string from hyperplane projection signs."""
+def _bucket_expr_spark(vcol: str, n_planes: int | None = None):
+    """n_planes-char '0'/'1' bucket string from hyperplane projection signs."""
+    n_planes = n_planes or N_PLANES
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         w = ", ".join("%.1fD" % _plane_weight(p, d) for d in range(64))
         proj = (
             f"aggregate(zip_with({vcol}, array({w}), (x, y) -> x * y),"
@@ -127,9 +131,10 @@ def _bucket_expr_spark(vcol: str):
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
-def _bucket_expr_sql(valias: str) -> str:
+def _bucket_expr_sql(valias: str, n_planes: int | None = None) -> str:
+    n_planes = n_planes or N_PLANES
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         proj = (
             f"list_sum([(strpos('{_HEX}', substr(md5('{p}:' || (i-1)), 1, 1)) - 8.5)"
             f" * {valias}[i] for i in generate_series(1, 64)])"
@@ -138,26 +143,38 @@ def _bucket_expr_sql(valias: str) -> str:
     return " || ".join(bits)
 
 
-_PROBES_SQL = f"""[bucket] || [substr(bucket, 1, i-1)
+def probes_sql(n_planes: int | None = None) -> str:
+    """DuckDB list expr: own bucket + every hamming-1 neighbor bucket."""
+    p = n_planes or N_PLANES
+    return f"""[bucket] || [substr(bucket, 1, i-1)
        || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
-       || substr(bucket, i+1, {N_PLANES}-i)
-       for i in generate_series(1, {N_PLANES})]"""
-
-_PROBES_SPARK = (
-    f"concat(array(bucket), transform(sequence(1, {N_PLANES}),"
-    " i -> concat(substring(bucket, 1, i-1),"
-    " if(substring(bucket, i, 1) = '1', '0', '1'),"
-    f" substring(bucket, i+1, {N_PLANES}-i))))"
-)
+       || substr(bucket, i+1, {p}-i)
+       for i in generate_series(1, {p})]"""
 
 
-@register(
-    "llm_similarity_ann",
-    sql=f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         hashed AS (SELECT vec_id, label, v, {_bucket_expr_sql('v')} AS bucket FROM e),
+def probes_spark(n_planes: int | None = None) -> str:
+    p = n_planes or N_PLANES
+    return (
+        f"concat(array(bucket), transform(sequence(1, {p}),"
+        " i -> concat(substring(bucket, 1, i-1),"
+        " if(substring(bucket, i, 1) = '1', '0', '1'),"
+        f" substring(bucket, i+1, {p}-i))))"
+    )
+
+
+# Default-config renderings (what the registered oracles bake in).
+_PROBES_SQL = probes_sql()
+_PROBES_SPARK = probes_spark()
+
+
+def ann_oracle_sql(n_planes: int | None = None) -> str:
+    """DuckDB replay of the multi-probe LSH plan for any plane count —
+    the registered oracle is this at the active CONFIG."""
+    return f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         hashed AS (SELECT vec_id, label, v, {_bucket_expr_sql('v', n_planes)} AS bucket FROM e),
          q AS (
            SELECT qid, qv, unnest(probes) AS pb FROM (
-             SELECT vec_id AS qid, v AS qv, {_PROBES_SQL} AS probes
+             SELECT vec_id AS qid, v AS qv, {probes_sql(n_planes)} AS probes
              FROM hashed WHERE vec_id < {N_QUERIES}
            )
          ),
@@ -173,26 +190,31 @@ _PROBES_SPARK = (
            SELECT *, row_number() OVER (PARTITION BY qid
                                         ORDER BY cosine DESC, vec_id) AS rank
            FROM scored
-         ) WHERE rank <= {TOP_K}""",
-)
-def llm_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+         ) WHERE rank <= {TOP_K}"""
+
+
+@register("llm_similarity_ann", sql=ann_oracle_sql())
+def llm_similarity_ann(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """Approximate top-k: multi-probe hyperplane-LSH. Each query probes
     its own bucket plus every hamming-1 neighbor bucket (the standard
     multi-probe recall lever — more probes, not more replicas), then
     exact-cosine re-ranks the candidates. Recall vs brute force is pinned
     by tests/test_llm.py; the bucket equi-join replaces the cross join —
-    the scale win that makes this the 100 TB plan.
+    the scale win that makes this the 100 TB plan. ``n_planes`` defaults
+    to CONFIG.lsh_planes (env SPARK_GRAFT_LSH_PLANES).
     """
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    hashed = e.withColumn("bucket", _bucket_expr_spark("v"))
+    hashed = e.withColumn("bucket", _bucket_expr_spark("v", n_planes))
     q = (
         hashed.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
-            F.explode(F.expr(_PROBES_SPARK)).alias("pb"),
+            F.explode(F.expr(probes_spark(n_planes))).alias("pb"),
         )
     )
     scored = (
@@ -212,8 +234,11 @@ def llm_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- L3c IVF-Flat
-CENT_STRIDE = 61  # centroid seed rule: vec_id % 61 == 3 (~n/61 cells)
-N_PROBE = 2  # cells searched per query (the IVF recall/cost knob)
+# Centroid seed rule vec_id % stride == 3 (~n/stride cells) and cells
+# searched per query — the IVF recall/cost knobs, set via
+# SPARK_GRAFT_IVF_CENT_STRIDE / SPARK_GRAFT_IVF_NPROBE (config.py).
+CENT_STRIDE = CONFIG.ivf_cent_stride
+N_PROBE = CONFIG.ivf_nprobe
 
 _COS_LIST_SQL = (
     "round(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))]) /"

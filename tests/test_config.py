@@ -1,0 +1,80 @@
+"""Engine config (SURVEY §7.4: parameters are config, not constants).
+
+The sketch/index knobs (LSH planes, IVF stride/nprobe, minhash
+hashes/bands) come from ``config.CONFIG`` (env-overridable) and the
+operator builders accept explicit overrides. These tests pin that a
+NON-default knob value still verifies against its replayed DuckDB oracle
+— i.e. tuning for scale cannot silently break the differential gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark import config as cfg  # noqa: E402
+from pipelinejobs_indexer_spark.llm import dedup, similarity  # noqa: E402
+
+from parity import assert_frames_match  # noqa: E402
+
+
+def test_from_env_reads_overrides(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "8")
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CENT_STRIDE", "101")
+    monkeypatch.setenv("SPARK_GRAFT_IVF_NPROBE", "3")
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_HASHES", "32")
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_BANDS", "8")
+    c = cfg.from_env()
+    assert (c.lsh_planes, c.ivf_cent_stride, c.ivf_nprobe) == (8, 101, 3)
+    assert (c.minhash_hashes, c.minhash_bands) == (32, 8)
+
+
+def test_from_env_defaults(monkeypatch):
+    for v in (
+        "SPARK_GRAFT_LSH_PLANES",
+        "SPARK_GRAFT_IVF_CENT_STRIDE",
+        "SPARK_GRAFT_IVF_NPROBE",
+        "SPARK_GRAFT_MINHASH_HASHES",
+        "SPARK_GRAFT_MINHASH_BANDS",
+    ):
+        monkeypatch.delenv(v, raising=False)
+    assert cfg.from_env() == cfg.EngineConfig()
+
+
+def test_invalid_config_rejected(monkeypatch):
+    with pytest.raises(ValueError):
+        cfg.EngineConfig(minhash_hashes=16, minhash_bands=5)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "zero")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "-2")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+
+
+def test_ann_nondefault_planes_matches_oracle(spark, ddb, sf_dir):
+    """6 hyperplanes (64 buckets) instead of the default 4: the Spark plan
+    and the regenerated oracle SQL must still agree bit-for-bit."""
+    assert similarity.N_PLANES != 6, "pick a non-default plane count"
+    sdf = similarity.llm_similarity_ann(spark, sf_dir, n_planes=6)
+    duck = ddb.execute(similarity.ann_oracle_sql(n_planes=6)).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_similarity_ann[planes=6]")
+
+
+def test_embedding_lsh_nondefault_planes_matches_oracle(spark, ddb, sf_dir):
+    assert similarity.N_PLANES != 5
+    sdf = dedup.llm_dedup_embedding_lsh(spark, sf_dir, n_planes=5)
+    duck = ddb.execute(dedup._embedding_lsh_sql(n_planes=5)).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_embedding_lsh[planes=5]")
+
+
+def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
+    """8 hashes x 2 bands (r=4 rows/band) instead of 16x4: a different
+    S-curve, same differential-parity requirement."""
+    assert (dedup.N_MINHASH, dedup.N_BANDS) != (8, 2)
+    sdf = dedup.llm_dedup_minhash(spark, sf_dir, n_minhash=8, n_bands=2)
+    duck = ddb.execute(dedup._minhash_pairs_sql(n_minhash=8, n_bands=2)).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_minhash[8x2]")
