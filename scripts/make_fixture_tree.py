@@ -25,6 +25,27 @@ def make_zip(path: str) -> None:
         z.writestr(info, "archive fixture for listing tests\n")
 
 
+def make_multi_zip(path: str) -> None:
+    """Multi-member archive for scan_archive_members: nested paths, a
+    directory entry, stored AND deflated members — deterministic bytes
+    (fixed timestamps, fixed content), committed once."""
+    with zipfile.ZipFile(path, "w") as z:
+        members = [
+            ("results/summary.csv", b"job,state\n1,FINISHED\n2,CREATED\n",
+             zipfile.ZIP_STORED),
+            ("results/logs/run.log", b"INFO start\n" * 40, zipfile.ZIP_DEFLATED),
+            ("results/logs/err.log", b"", zipfile.ZIP_STORED),
+            ("manifest.yml", b"version: 2\nfiles: 4\n", zipfile.ZIP_STORED),
+            ("data/part-000.tsv", b"k\tv\n" + b"0\tx\n" * 25, zipfile.ZIP_DEFLATED),
+        ]
+        dirinfo = zipfile.ZipInfo("results/", date_time=(2018, 8, 2, 0, 0, 0))
+        dirinfo.external_attr = 0o40755 << 16
+        z.writestr(dirinfo, b"")
+        for name, content, method in members:
+            info = zipfile.ZipInfo(name, date_time=(2018, 8, 2, 0, 0, 0))
+            z.writestr(info, content, compress_type=method)
+
+
 def make_pdf(path: str) -> None:
     # minimal but structurally honest single-page PDF
     body = b"""%PDF-1.4
@@ -68,6 +89,7 @@ def make_text(path: str) -> None:
 def main() -> None:
     os.makedirs(os.path.join(ROOT, "emerald", "201808"), exist_ok=True)
     make_zip(os.path.join(ROOT, "potato.zip"))
+    make_multi_zip(os.path.join(ROOT, "emerald", "bundle.zip"))
     make_pdf(os.path.join(ROOT, "austin.pdf"))
     make_png(os.path.join(ROOT, "emerald", "201808", "protein.png"))
     make_text(os.path.join(ROOT, "emerald", "ansible.yml"))

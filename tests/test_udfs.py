@@ -138,3 +138,31 @@ def test_hashids_decode_rejects_foreign_and_corrupt_tokens():
     assert b.decode(tok) == (12345,)
     assert b.decode(tok[:-1] + ("x" if tok[-1] != "x" else "y")) == ()
     assert a.decode("!!!") == ()       # chars outside the alphabet
+
+
+def test_scan_archive_members_expands_all_fixture_zips(spark, sf_dir):
+    """1 archive row -> N member rows: both fixture zips expand, deflated
+    and stored members are distinguished, and the explicit directory
+    entry is flagged — all without extracting any member content."""
+    from pipelinejobs_indexer_spark.operators.scans import scan_archive_members
+
+    rows = {
+        (r.archive, r.member): r
+        for r in scan_archive_members(spark, sf_dir).collect()
+    }
+    assert ("potato.zip", "readme.txt") in rows
+    bundle = {m for a, m in rows if a == "emerald/bundle.zip"}
+    assert bundle == {
+        "results/", "results/summary.csv", "results/logs/run.log",
+        "results/logs/err.log", "manifest.yml", "data/part-000.tsv",
+    }
+    run_log = rows[("emerald/bundle.zip", "results/logs/run.log")]
+    assert run_log.method == "deflated"
+    assert run_log.size_bytes == 440 and run_log.compress_size < 440
+    assert rows[("emerald/bundle.zip", "results/")].is_dir
+    assert not rows[("potato.zip", "readme.txt")].is_dir
+    # crc32 is content-derived ground truth, not zipfile echo
+    import zlib
+    assert rows[("emerald/bundle.zip", "manifest.yml")].crc32 == (
+        zlib.crc32(b"version: 2\nfiles: 4\n") & 0xFFFFFFFF
+    )
