@@ -172,19 +172,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_fsm_state")  # custom stateful operator: rows-only check
-def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: the job FSM via applyInPandasWithState (see fsm.py). Unit-level
-    semantics (late/duplicate/illegal transitions) are pinned by
-    tests/test_streaming.py with crafted replays."""
-    je = _job_events_stream(spark, sf_dir)
-    return run_to_batch(fsm_apply(je), "update", sf_dir)
-
-
-@register(
-    "stream_fsm_final",
-    sql=with_fixtures(
-        """WITH ev AS (
+# The SQL replay of the FSM's final per-job snapshot (see
+# stream_fsm_final's docstring for the derivation). Shared by T5 and T5b:
+# under the driver's availableNow replay of the single events.parquet file
+# the update-mode stream runs exactly ONE micro-batch, so every key emits
+# exactly one row — the final snapshot — and the same oracle applies to
+# the raw emissions (T5) and the explicitly folded snapshot (T5b).
+_FSM_FINAL_SQL = """WITH ev AS (
              SELECT job_uuid, name, event_seq AS seq,
                     row_number() OVER (PARTITION BY job_uuid
                                        ORDER BY date, event_seq) AS rn
@@ -234,10 +228,26 @@ def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tot
            LEFT JOIN cs  ON cs.job_uuid = tot.job_uuid
            LEFT JOIN t2s ON t2s.job_uuid = tot.job_uuid
-           LEFT JOIN t3s ON t3s.job_uuid = tot.job_uuid""",
-        "job_events",
-    ),
-)
+           LEFT JOIN t3s ON t3s.job_uuid = tot.job_uuid"""
+
+
+@register("stream_fsm_state", sql=with_fixtures(_FSM_FINAL_SQL, "job_events"))
+def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the job FSM via applyInPandasWithState (see fsm.py). Unit-level
+    semantics (late/duplicate/illegal transitions, multi-batch state
+    carry) are pinned by tests/test_streaming.py with crafted replays.
+
+    Oracle: the driver replays ONE parquet file with availableNow, which
+    the file source delivers as a single micro-batch, so update mode
+    emits exactly one snapshot per job — the final state — and the T5b
+    SQL replay applies verbatim. (Under multi-batch splits a key emits
+    once per batch it appears in; that path is pytest-covered, and
+    stream_fsm_final folds it explicitly.)"""
+    je = _job_events_stream(spark, sf_dir)
+    return run_to_batch(fsm_apply(je), "update", sf_dir)
+
+
+@register("stream_fsm_final", sql=with_fixtures(_FSM_FINAL_SQL, "job_events"))
 def stream_fsm_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5b: FINAL FSM snapshot per job with a hash-level oracle — the
     driver-checkable twin of stream_fsm_state (whose per-batch update
@@ -265,15 +275,36 @@ def stream_fsm_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_late_data")  # watermark tail behavior: rows-only check
+@register(
+    "stream_late_data",
+    sql=with_fixtures(
+        """WITH hi AS (SELECT max(ts) AS mx FROM messages)
+           SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                  name, count(*) AS n
+           FROM messages, hi
+           GROUP BY 1, 2, hi.mx
+           HAVING window_start + INTERVAL '5 minutes'
+                    <= mx - INTERVAL '10 minutes'""",
+        "messages",
+    ),
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6: append-mode watermarked aggregation — only windows the watermark
-    has passed emit; the tail stays in the state store. NOTE the engine
-    does NOT promise to drop below-watermark arrivals (they can
-    store-then-evict and emit at once — pinned by tests/test_streaming.py)
-    so production routes rows below the watermark to a dead-letter sink
-    with an explicit filter. Deliberately NOT oracled: the held-back tail
-    is the semantics."""
+    """T6: append-mode watermarked aggregation — only windows the
+    watermark has passed emit; the tail stays in the state store. NOTE
+    the engine does NOT promise to drop below-watermark arrivals (they
+    can store-then-evict and emit at once — pinned by
+    tests/test_streaming.py), so production routes rows below the
+    watermark through the explicit dead-letter filter (T6b,
+    stream_dead_letter).
+
+    Oracle: the held-back tail IS the semantics, and under the driver's
+    single-file availableNow replay it is a pure function of the data —
+    the one data batch sees watermark 0 (nothing dropped), then the final
+    watermark advances to max(ts) - delay and availableNow's closing
+    no-data batch emits exactly the windows with window.end <= that
+    watermark (boundary pinned <=, not <, by an exact-edge replay in
+    tests/test_streaming.py). The SQL replays that rule with a
+    max(ts)-derived HAVING."""
     m = _messages_stream(spark, sf_dir)
     agg = (
         m.withWatermark("ts", "10 minutes")
@@ -284,6 +315,96 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "name", "n"
     )
+
+
+_DEAD_LETTER_DELAY_US = 600_000_000  # 10 minutes, matching T6's watermark
+
+
+def _dead_letter_fn(key, pdfs, state):
+    """Per-job running watermark: a row is dead-lettered when it arrives
+    (msg_id order) more than the allowed delay below the highest event
+    time already seen for its job. State = that high-water mark (micros),
+    carried across micro-batches."""
+    import pandas as pd
+
+    high = state.get[0] if state.exists else None
+    out_msg, out_uuid, out_name, out_late = [], [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("msg_id")
+        for msg_id, uuid_, name, ts in zip(
+            pdf["msg_id"], pdf["uuid"], pdf["name"], pdf["ts"]
+        ):
+            ts_us = ts.value // 1000
+            if high is not None and ts_us < high - _DEAD_LETTER_DELAY_US:
+                out_msg.append(int(msg_id))
+                out_uuid.append(uuid_)
+                out_name.append(name)
+                out_late.append(high - ts_us - _DEAD_LETTER_DELAY_US)
+            if high is None or ts_us > high:
+                high = ts_us
+    state.update((high,))
+    yield pd.DataFrame(
+        {
+            "msg_id": pd.Series(out_msg, dtype="int64"),
+            "uuid": pd.Series(out_uuid, dtype="object"),
+            "name": pd.Series(out_name, dtype="object"),
+            "lateness_us": pd.Series(out_late, dtype="int64"),
+        }
+    )
+
+
+@register(
+    "stream_dead_letter",
+    sql=with_fixtures(
+        """WITH w AS (
+             SELECT msg_id, uuid, name, ts,
+                    max(ts) OVER (PARTITION BY job_key ORDER BY msg_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS high
+             FROM messages
+           )
+           SELECT msg_id, uuid, name,
+                  CAST(epoch_us(high) - epoch_us(ts) - 600000000 AS BIGINT)
+                    AS lateness_us
+           FROM w
+           WHERE high IS NOT NULL
+             AND epoch_us(high) - epoch_us(ts) > 600000000""",
+        "messages",
+    ),
+)
+def stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6b: the dead-letter route for late data — the production pattern
+    T6's docstring prescribes, made deterministic and hash-checkable.
+
+    The engine's global watermark does not PROMISE to drop
+    below-watermark arrivals (T6), so a pipeline that must account for
+    every record routes late rows explicitly. This operator keeps a
+    per-job high-water mark (the highest event time seen so far in
+    arrival order — arrival = msg_id, the ingest sequence) in the state
+    store via applyInPandasWithState and emits exactly the rows that
+    arrive more than the allowed delay below it, tagged with their
+    lateness. Per-key watermarks are deterministic under ANY batch split
+    that respects arrival order (state carries across batches — pinned by
+    a forced multi-batch replay in tests/test_streaming.py), unlike the
+    engine-global watermark whose drop set is batch-dependent.
+
+    Scale: state is one timestamp per live key, hash-partitioned by
+    job_key across state stores — no global choke point; the emitted
+    dead-letter stream is a tiny fraction of input and lands in its own
+    sink for replay/audit. Oracle: a running-max window over arrival
+    order replays the exact per-key mark; lateness compares in integer
+    microseconds, so both engines agree bit-for-bit."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    m = _messages_stream(spark, sf_dir)
+    dead = m.groupBy("job_key").applyInPandasWithState(
+        _dead_letter_fn,
+        outputStructType="msg_id bigint, uuid string, name string, lateness_us bigint",
+        stateStructType="high bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_batch(dead, "update", sf_dir)
 
 
 @register(

@@ -172,3 +172,84 @@ def test_incremental_upsert_equals_batch_across_batches(spark, tmp_path):
         "jobA": ("finish", 4, 3),
         "jobB": ("run", 5, 2),
     }
+
+
+def test_append_emission_boundary_is_inclusive(spark, tmp_path):
+    """T6's oracle encodes 'emit when window.end <= final watermark'.
+    Pin the <= (not <) with a replay where max(ts) - delay lands EXACTLY
+    on a window end: events at 0:00/0:04/0:07/0:20 with a 10-minute
+    delay put the final watermark at 0:10 — the [0:05,0:10) window must
+    emit, the [0:20,0:25) tail must hold."""
+    from pyspark.sql import functions as F
+
+    schema = "ts timestamp"
+    rows = [
+        (T0,),
+        (T0 + timedelta(minutes=4),),
+        (T0 + timedelta(minutes=7),),
+        (T0 + timedelta(minutes=20),),
+    ]
+    src = tmp_path / "edge_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .count()
+    )
+    got = {
+        (r.start.minute, r["count"])
+        for r in run_to_batch(agg, "append").select("window.start", "count").collect()
+    }
+    assert got == {(0, 2), (5, 1)}
+
+
+def test_dead_letter_state_carries_across_batches(spark, tmp_path):
+    """T6b: the per-key high-water mark must persist in the state store —
+    a row arriving in a LATER batch below an earlier batch's mark is
+    dead-lettered; keys never cross-contaminate."""
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pipelinejobs_indexer_spark.streaming.queries import _dead_letter_fn
+
+    schema = "msg_id long, uuid string, name string, ts timestamp, job_key long"
+    batches = [
+        # b0: jobs 1 and 2 establish marks at 2:00 and 0:00
+        [(1, "u1", "index", T0 + timedelta(hours=2), 1),
+         (2, "u2", "index", T0, 2)],
+        # b1: msg 3 is 2h below job 1's mark -> dead-lettered with
+        # lateness = 2h - 10min; msg 4 (same ts, job 2) is ON TIME for
+        # job 2's 0:00 mark -> per-key isolation
+        [(3, "u1", "index", T0, 1),
+         (4, "u2", "indexed", T0, 2)],
+        # b2: job 1 on-time advance; then a within-tolerance row (9 min
+        # below the new 3:00 mark) must NOT dead-letter
+        [(5, "u1", "index", T0 + timedelta(hours=3), 1),
+         (6, "u1", "index", T0 + timedelta(hours=3) - timedelta(minutes=9), 1)],
+    ]
+    src = tmp_path / "dl_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes fix the micro-batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    dead = stream.groupBy("job_key").applyInPandasWithState(
+        _dead_letter_fn,
+        outputStructType="msg_id bigint, uuid string, name string, lateness_us bigint",
+        stateStructType="high bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {r.msg_id: r.lateness_us for r in run_to_batch(dead, "update").collect()}
+    assert got == {3: (2 * 3600 - 600) * 1_000_000}
