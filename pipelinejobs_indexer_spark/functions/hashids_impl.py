@@ -93,9 +93,9 @@ class Hashids:
 
     # ------------------------------------------------------------ encode
     def encode(self, *values: int) -> str:
-        if not values or any(
-            not isinstance(v, int) or isinstance(v, bool) or v < 0 for v in values
-        ):
+        # bools pass through as 1/0 (bool is an int subclass), matching
+        # the published hashids-python behavior exactly.
+        if not values or any(not isinstance(v, int) or v < 0 for v in values):
             return ""
         alphabet = self._alphabet
         values_hash = sum(v % (i + 100) for i, v in enumerate(values))

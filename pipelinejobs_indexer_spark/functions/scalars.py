@@ -182,7 +182,17 @@ def fn_token_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_session_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: deterministic petname session tags ("fond-bug",
     init-job.json:32; petname dep) — hash-indexed word-array pick, here
-    aggregated to show the distribution over the 8x7 name space."""
+    aggregated to show the distribution over the 8x7 name space.
+
+    Vocabulary note: the reference draws from the petname package's
+    published adjective/animal word lists; this engine uses a committed
+    8x7 subset (oracle.py PET_ADJ_SQL/PET_NOUN_SQL, including the
+    exemplar's own words) because the package is absent from the build
+    environment and its exact lists cannot be verified offline —
+    substituting recalled-from-memory lists would risk silently wrong
+    vocabulary. The pick rule (hash mod adjectives, hash mod nouns,
+    hyphen-joined) matches petname's generation shape; swapping in the
+    full lists is a two-constant change in oracle.py/tables.py."""
     return jobs(spark, sf_dir).groupBy("session").agg(F.count("*").alias("n_jobs"))
 
 

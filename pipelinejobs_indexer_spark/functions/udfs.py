@@ -80,16 +80,22 @@ def suffix_literal(pattern: str) -> str | None:
     return "".join(out) or None
 
 
-def regex_any_filter(col, patterns: list[str]):
+def regex_any_filter(col, patterns: list[str], newline_free: bool = False):
     """OR-of-patterns filter, fastest expressible form per pattern:
     suffix-literal patterns lower to ``endswith`` (pure string compare),
     other Java-safe patterns run as native rlike, and one Arrow-batched
-    pandas UDF covers the Python-only remainder."""
+    pandas UDF covers the Python-only remainder.
+
+    ``newline_free`` is the caller's assertion that the column cannot
+    contain newlines (true for path/filename columns). Only then do
+    anchored-literal patterns lower to ``endswith`` — regex ``$`` also
+    matches before a trailing newline, so the lowering is unsound on
+    free-text columns and stays off by default."""
     fast = [p for p in patterns if is_java_safe(p)]
     slow = [p for p in patterns if not is_java_safe(p)]
     cond = None
     for p in fast:
-        suffix = suffix_literal(p)
+        suffix = suffix_literal(p) if newline_free else None
         c = col.endswith(suffix) if suffix is not None else col.rlike(p)
         cond = c if cond is None else (cond | c)
     if slow:
@@ -119,9 +125,11 @@ def udf_regex_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     them to native rlike — the pandas_udf path only engages for
     Python-only syntax (tested in tests/test_udfs.py)."""
     af = archive_files(spark, sf_dir)
-    return af.filter(regex_any_filter(F.col("path"), [r"\.bam$", r"\.(sam|tsv)$"])).select(
-        "file_uuid", "path"
-    )
+    return af.filter(
+        regex_any_filter(
+            F.col("path"), [r"\.bam$", r"\.(sam|tsv)$"], newline_free=True
+        )
+    ).select("file_uuid", "path")
 
 
 @register(
@@ -143,9 +151,9 @@ def udf_regex_python_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     af = archive_files(spark, sf_dir)
     patterns = [r"(?P<ext>\.bam)$", r"\.tsv$"]
     assert not is_java_safe(patterns[0]) and is_java_safe(patterns[1])
-    return af.filter(regex_any_filter(F.col("path"), patterns)).select(
-        "file_uuid", "path"
-    )
+    return af.filter(
+        regex_any_filter(F.col("path"), patterns, newline_free=True)
+    ).select("file_uuid", "path")
 
 
 @register(
@@ -398,7 +406,7 @@ def _hashid_oracle_sql() -> str:
     )
 
 
-@register("fn_token_hashid", sql=_hashid_oracle_sql())
+@register("fn_token_hashid", sql=_hashid_oracle_sql)  # lazy: 512-encode LUT
 def fn_token_hashid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: EXACT public-hashids tokens — closes the documented sha2
     approximation in fn_token_hash (scalars.py). The reference pins the

@@ -76,7 +76,8 @@ def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     basename = F.concat(F.col("file_seq").cast("string"), F.lit("."), F.col("ext"))
     return af.filter(
-        regex_any_filter(basename, [r"\.bam$", r"\.sam$"])
+        # newline_free: basename derives from an int and a 3-char ext
+        regex_any_filter(basename, [r"\.bam$", r"\.sam$"], newline_free=True)
     ).select("file_uuid", "job_uuid", "path", "length")
 
 

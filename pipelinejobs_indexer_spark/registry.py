@@ -80,7 +80,14 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
-def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, sql: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query and (optionally) its DuckDB oracle. ``sql`` may be
+    a zero-arg callable for oracles that are expensive to render (e.g. a
+    precomputed VALUES LUT): it is resolved once in :func:`load_all`, so
+    merely importing an operator module for its helpers stays cheap."""
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
@@ -114,4 +121,7 @@ def load_all() -> None:
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
         mapping.clear()
         mapping.update(snapshot)
+    for n, v in ORACLE.items():  # resolve lazily-rendered oracle SQL
+        if callable(v):
+            ORACLE[n] = v()
     _loaded = True

@@ -66,6 +66,26 @@ def test_sorted_layout_files_are_time_disjoint(spark):
         assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
 
 
+def test_sorted_layout_footer_fast_path_is_live(spark):
+    """sink_sorted_layout anchors its range query from _footer_min_ts —
+    a metadata-only footer read. Pin that the written layout actually
+    serves that path (non-None, equal to the true min), so the 1-row
+    scalar-agg fallback in layout.py is provably dead code on the
+    supported write path."""
+    from pipelinejobs_indexer_spark.plans.layout import _footer_min_ts
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    sink_sorted_layout(spark, SF).count()  # materialize the layout
+    lo = _footer_min_ts(_scratch(spark, "sorted"), "ts")
+    assert lo is not None, "footer stats missing — fallback collect would run"
+    true_min = (
+        load_table(spark, SF, "events").agg(F.min("ts")).collect()[0][0]
+    )
+    assert lo == true_min
+
+
 def test_skew_profile_flags_heavy_hitters(spark):
     rows = agg_key_skew_profile(spark, SF).collect()
     assert rows

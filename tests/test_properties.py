@@ -67,7 +67,12 @@ def test_rlike_fast_path_matches_python_re(spark, pattern, paths):
     assert is_java_safe(pattern), pattern
     df = spark.createDataFrame([(p,) for p in paths], ["path"])
     got = sorted(
-        r.path for r in df.filter(regex_any_filter(F.col("path"), [pattern])).collect()
+        r.path
+        # newline_free: the path alphabet above has no newline, so the
+        # property also exercises the endswith lowering branch
+        for r in df.filter(
+            regex_any_filter(F.col("path"), [pattern], newline_free=True)
+        ).collect()
     )
     want = sorted(p for p in paths if re.search(pattern, p))
     assert got == want, f"pattern={pattern!r} paths={paths!r}"

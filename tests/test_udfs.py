@@ -27,7 +27,9 @@ def test_fast_slow_agree(spark):
     df = spark.createDataFrame(
         [("/a/1.bam",), ("/a/2.sam",), ("/a/3.txt",), ("/b/x.tsv",)], ["path"]
     )
-    fast = df.filter(regex_any_filter(F.col("path"), [r"\.bam$", r"\.sam$"]))
+    fast = df.filter(
+        regex_any_filter(F.col("path"), [r"\.bam$", r"\.sam$"], newline_free=True)
+    )
     # same patterns, but routed through the pandas_udf path via a named group
     slow = df.filter(
         regex_any_filter(F.col("path"), [r"(?P<e>\.bam)$", r"(?P<f>\.sam)$"])
@@ -58,6 +60,7 @@ def test_sniffer_on_real_fixture_bytes(spark):
     got = {r.fn: r.mime for r in rows}
     assert got == {
         "potato.zip": "application/zip",
+        "bundle.zip": "application/zip",
         "austin.pdf": "application/pdf",
         "protein.png": "image/png",
         "ansible.yml": "text/plain",
