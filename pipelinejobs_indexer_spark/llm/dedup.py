@@ -522,6 +522,89 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- L2g shingle containment
+CONTAIN_THRESHOLD = 0.9  # |A∩B| / min(|A|,|B|) at/above this = contained
+CONTAIN_DF_CAP = 64  # shingles in more docs than this are boilerplate
+CONTAIN_MIN_SHINGLES = 5  # ignore docs too short to judge
+
+
+@register(
+    "llm_dedup_containment",
+    sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+         hsh AS ({_HASHED_SHINGLES_SQL}),
+         disc AS (
+           SELECT doc_id, hf FROM (
+             SELECT doc_id, hf, count(*) OVER (PARTITION BY hf) AS df FROM hsh
+           ) WHERE df <= {CONTAIN_DF_CAP}
+         ),
+         sizes AS (SELECT doc_id, count(*) AS n FROM disc GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM disc a JOIN disc b ON a.hf = b.hf AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT doc_a, doc_b,
+                round(c / least(na.n, nb.n), 6) AS containment
+         FROM common
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE least(na.n, nb.n) >= {CONTAIN_MIN_SHINGLES}
+           AND c / least(na.n, nb.n) >= {CONTAIN_THRESHOLD}""",
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g: ASYMMETRIC containment dedup — pairs where the smaller doc's
+    discriminative shingles are almost all inside the other doc
+    (|A∩B| / min(|A|,|B|) >= {0.9}). Catches doc-contains-doc relations
+    that symmetric Jaccard structurally misses: a quote-heavy article, a
+    concatenation, or a superset re-crawl can contain a document verbatim
+    while jaccard = |A∩B|/|A∪B| stays far below any dedup threshold
+    because the union is dominated by the larger doc.
+
+    Scale discipline: candidate generation is the inverted-index
+    equi-join over DISCRIMINATIVE shingles only — shingles appearing in
+    more than CONTAIN_DF_CAP documents are boilerplate (headers, license
+    blocks) and excluded BEFORE the join, so per-shingle fan-out is
+    bounded by the cap and the join never degenerates on hot shingles
+    (the same hazard L2c's prefix filter addresses; here the cap also
+    changes the MEASURE — containment over boilerplate alone is not a
+    duplication signal, which is exactly the semantics wanted). The df
+    pass, pair count, and size join are all combiner-friendly
+    aggregations / equi-joins on 8-byte shingle hashes. Oracle replays
+    the identical df-capped universe."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window
+
+    hsh = hashed_shingles(docs).select("doc_id", "hf")
+    disc = (
+        hsh.withColumn("df", F.count("*").over(Window.partitionBy("hf")))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("doc_id", "hf")
+    )
+    sizes = disc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = disc.alias("a"), disc.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.hf") == F.col("b.hf"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    containment = F.col("c") / F.least("n_a", "n_b")
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.least("n_a", "n_b") >= CONTAIN_MIN_SHINGLES)
+        .filter(containment >= CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )
+
+
 # ------------------------------------------------- embedding cosine dedup
 @register(
     "llm_dedup_embedding",

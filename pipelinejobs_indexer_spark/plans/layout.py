@@ -162,6 +162,132 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_ev.filter((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))
 
 
+# --- S14: Z-order (2-dim data-skipping) layout ---------------------------
+Z_BITS = 11  # 2048 rank buckets per dimension after domain normalization
+Z_RANGES = 32  # range partitions of the z-curve == written files
+
+
+def _z_terms(div: str) -> str:
+    """Bit-interleave ub (even bits) and tb (odd bits) using pure integer
+    arithmetic — identical in Spark SQL (`div`) and DuckDB (`//`)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((ub {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((tb {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _events_bounds(spark: SparkSession, sf_dir: str):
+    """(umin, umax, tmin_us, tmax_us) for events — parquet footers only
+    (the _footer_min_ts pattern: metadata, zero data pages), falling back
+    to a 1-row scalar agg if any row group lacks stats. Z-order needs
+    each dimension's domain to normalize its rank buckets; at real scale
+    these come from the table's column statistics for free."""
+    import pyarrow.parquet as pq
+
+    def _us(v):  # nanos-int (legacy reader) or datetime -> epoch micros
+        if isinstance(v, int):
+            return v // 1000
+        return int(v.timestamp() * 1_000_000) if v.tzinfo else int(
+            (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+
+    try:
+        md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+        ui = md.schema.names.index("user_id")
+        ti = md.schema.names.index("ts")
+        umin = umax = tmin = tmax = None
+        for rg in range(md.num_row_groups):
+            us_ = md.row_group(rg).column(ui).statistics
+            ts_ = md.row_group(rg).column(ti).statistics
+            if not (us_ and us_.has_min_max and ts_ and ts_.has_min_max):
+                raise ValueError("missing stats")
+            umin = us_.min if umin is None else min(umin, us_.min)
+            umax = us_.max if umax is None else max(umax, us_.max)
+            tmin = _us(ts_.min) if tmin is None else min(tmin, _us(ts_.min))
+            tmax = _us(ts_.max) if tmax is None else max(tmax, _us(ts_.max))
+        return umin, umax, tmin, tmax
+    except Exception:
+        ev = load_table(spark, sf_dir, "events")
+        r = ev.agg(
+            F.min("user_id"),
+            F.max("user_id"),
+            F.expr("min(unix_micros(cast(ts as timestamp)))"),
+            F.expr("max(unix_micros(cast(ts as timestamp)))"),
+        ).collect()[0]
+        return r[0], r[1], r[2], r[3]
+
+
+@register(
+    "sink_zorder_layout",
+    sql="""WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                  min(epoch_us(ts::TIMESTAMP)) AS tmin,
+                  max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events)
+           SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type
+           FROM events, b
+           WHERE user_id <= b.umin + (b.umax - b.umin) // 4
+             AND epoch_us(ts::TIMESTAMP) < b.tmin + (b.tmax - b.tmin) // 4""",
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: Z-ORDER layout — multi-dimensional data skipping, the lakehouse
+    companion to S8's single-dimension sorted layout. Each dimension is
+    first normalized onto 2^{Z_BITS} rank buckets over its OWN domain
+    (footer-derived min/max — without normalization a narrow dimension's
+    bits sink to low z positions and never drive file splits), then the
+    bucket bits interleave into the z-value; the layout is written
+    range-partitioned + sorted by z. Rows close in EITHER dimension
+    co-locate, per-file parquet min/max stats on BOTH raw columns become
+    tight, and a 2-dim box query (bottom quarter of each domain here)
+    prunes files through both pushed-down literal predicates — a
+    ts-sorted layout can only ever prune on time. Two-dimensional
+    skipping is pinned from the real footers in tests/test_layout.py.
+
+    The z-value is pure integer arithmetic (rank-bucket + (x div 2^i)%2
+    folded to even/odd bit positions) — codegen-friendly, shuffle-free.
+    The oracle is the box query on the raw table (re-layout must never
+    change answers), with the same quarter-domain box derived in SQL.
+    One repartitionByRange exchange writes the layout, same cost shape
+    as S8 at any scale."""
+    umin, umax, tmin, tmax = _events_bounds(spark, sf_dir)
+    uspan = umax - umin + 1
+    tspan = tmax - tmin + 1
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    z = (
+        ev.withColumn(
+            "ub", F.expr(f"((user_id - {umin}) * {1 << Z_BITS}) div {uspan}")
+        )
+        .withColumn(
+            "tb",
+            F.expr(
+                f"((unix_micros(cast(ts as timestamp)) - {tmin})"
+                f" * {1 << Z_BITS}) div {tspan}"
+            ),
+        )
+        .withColumn("zvalue", F.expr(_z_terms("div")))
+        .drop("ub", "tb")
+    )
+    path = _scratch(spark, "zorder")
+    (
+        z.repartitionByRange(Z_RANGES, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    zev = spark.read.parquet(path)
+    user_hi = umin + (umax - umin) // 4
+    t_hi_us = tmin + (tmax - tmin) // 4
+    t_hi = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=t_hi_us
+    )
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    return zev.filter(
+        (F.col("user_id") <= F.lit(user_hi))
+        & (F.col("ts") < F.to_timestamp_ntz(F.lit(t_hi.strftime(fmt))))
+    ).select("event_id", "user_id", "ts", "event_type")
+
+
 @register(
     "agg_key_skew_profile",
     sql=with_fixtures(

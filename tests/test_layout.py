@@ -181,3 +181,48 @@ def test_scratch_path_cleans_up_at_exit(tmp_path):
     made = out.stdout.strip().splitlines()[-1]
     assert made.startswith(str(tmp_path))
     assert not os.path.exists(made), "atexit cleanup did not remove scratch dir"
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark):
+    """S14: the z-ordered copy must expose per-file parquet stats tight
+    enough that the 2-dim box query prunes files through EACH pushed
+    predicate independently — including the user dimension, which a
+    ts-sorted layout can never prune on."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from pipelinejobs_indexer_spark.plans.layout import (
+        _events_bounds,
+        sink_zorder_layout,
+    )
+
+    assert sink_zorder_layout(spark, SF).count() > 0
+    files = _parquet_files(_scratch(spark, "zorder"))
+    assert len(files) > 4, "expected a multi-file z layout"
+    umin, umax, tmin, tmax = _events_bounds(spark, SF)
+    Z_BOX_USER_LO, Z_BOX_USER_HI = umin, umin + (umax - umin) // 4
+    t_lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=tmin)
+    t_hi = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=tmin + (tmax - tmin) // 4
+    )
+    user_hits, ts_hits, both = 0, 0, 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.row_group(0).column(i).path_in_schema: i
+                 for i in range(md.num_columns)}
+        u_ok, t_ok = False, False
+        for rg in range(md.num_row_groups):
+            us = md.row_group(rg).column(names["user_id"]).statistics
+            tss = md.row_group(rg).column(names["ts"]).statistics
+            if us.min <= Z_BOX_USER_HI and us.max >= Z_BOX_USER_LO:
+                u_ok = True
+            if tss.min < t_hi and tss.max >= t_lo:
+                t_ok = True
+        user_hits += u_ok
+        ts_hits += t_ok
+        both += u_ok and t_ok
+    n = len(files)
+    assert user_hits < n, "no user-dimension skipping — z interleave broken"
+    assert ts_hits < n, "no time-dimension skipping"
+    assert both < min(user_hits, ts_hits) + 1  # intersection prunes further

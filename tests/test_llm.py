@@ -832,3 +832,33 @@ def test_curate_v3_is_v2_minus_logprob_tail(spark):
     expect = {d for d in v2 if round(lp[d], 6) >= round(thr, 6)}
     assert v3 == expect
     assert v3 <= v2
+
+
+def test_containment_catches_doc_contains_doc_that_jaccard_misses(spark, tmp_path):
+    """A small doc fully contained in a much larger one: jaccard stays far
+    below the 0.8 dedup threshold (union dominated by the big doc) but
+    containment = 1.0 — the asymmetric case L2g exists for."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        llm_dedup_containment,
+        llm_dedup_ngram_jaccard,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    big = " ".join(words)
+    small = " ".join(words[10:22])  # contiguous slice -> shingle subset
+    other = " ".join(f"x{i}" for i in range(40))
+    rows = [(0, big, "en", "src0", len(big)),
+            (1, small, "en", "src0", len(small)),
+            (2, other, "en", "src0", len(other))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in llm_dedup_containment(spark, str(tmp_path)).collect()}
+    assert got == {(0, 1): 1.0}
+    # the symmetric-jaccard operator must NOT pair them (that's the gap)
+    jac = llm_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert jac == [], f"jaccard unexpectedly >= {JACCARD_THRESHOLD}: {jac}"
