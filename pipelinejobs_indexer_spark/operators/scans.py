@@ -234,6 +234,110 @@ def scan_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(expand, ARCHIVE_MEMBER_SCHEMA)
 
 
+MEMBER_CONTENT_MAX_BYTES = 1 << 20  # skip members larger than 1 MB
+
+
+def _member_content_oracle_sql() -> str:
+    """Ground-truth extraction table off the committed fixtures (direct
+    filesystem reads, not Spark): sha256 + sniffed mime per extracted
+    member. Lazily rendered (registry resolves at load_all)."""
+    import hashlib
+    import io
+    import zipfile
+
+    from ..llm.multimodal import sniff_mime
+
+    rows = []
+    for dirpath, _, files in sorted(os.walk(_UPLOADS)):
+        for fn in sorted(files):
+            if not fn.endswith(".zip"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, _UPLOADS)
+            with open(p, "rb") as f, zipfile.ZipFile(io.BytesIO(f.read())) as zf:
+                for info in zf.infolist():
+                    if info.is_dir() or info.file_size > MEMBER_CONTENT_MAX_BYTES:
+                        continue
+                    data = zf.read(info)
+                    rows.append(
+                        f"('{rel}', '{info.filename}', {len(data)},"
+                        f" '{hashlib.sha256(data).hexdigest()}',"
+                        f" '{sniff_mime(data[:16])}')"
+                    )
+    values = ",\n           ".join(rows)
+    return f"""SELECT archive, member, CAST(n_bytes AS BIGINT) AS n_bytes,
+           sha256, mime_sniffed
+    FROM (VALUES {values})
+         t(archive, member, n_bytes, sha256, mime_sniffed)"""
+
+
+@register("scan_archive_member_content", sql=_member_content_oracle_sql)
+def scan_archive_member_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: member EXTRACTION — the step after S13's expansion: decompress
+    each (size-capped, non-directory) zip member where its archive's
+    bytes land and emit content-derived columns (sha256, sniffed mime),
+    completing the reference's archive indexing flow (list → type →
+    index, reactor.py:162-167) and feeding the multimodal decode path
+    (llm/multimodal.py) with member-level rows.
+
+    Plan shape: same distributed binaryFile + Arrow mapInPandas as S13,
+    but this one DOES inflate member bytes — cost scales with archive
+    content volume, so the size cap (MEMBER_CONTENT_MAX_BYTES) bounds
+    per-row memory and giant members route to a dedicated large-object
+    path instead of a 2 GB-limited column. Only scalar digests leave the
+    executor: content is hashed/sniffed in place and dropped, so shuffle
+    and result volume stay O(members), not O(bytes). The oracle is the
+    same extraction off the committed fixtures via direct file reads —
+    proving the distributed path byte-identical with ground truth."""
+    import hashlib
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ..llm.multimodal import sniff_mime
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rel = path.split("/uploads/", 1)[-1]
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if (
+                            info.is_dir()
+                            or info.file_size > MEMBER_CONTENT_MAX_BYTES
+                        ):
+                            continue
+                        data = zf.read(info)
+                        out.append(
+                            (
+                                rel,
+                                info.filename,
+                                len(data),
+                                hashlib.sha256(data).hexdigest(),
+                                sniff_mime(data[:16]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["archive", "member", "n_bytes", "sha256", "mime_sniffed"],
+            )
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.zip")
+        .load(_UPLOADS)
+        .select("path", "content")
+    )
+    return df.mapInPandas(
+        extract,
+        "archive string, member string, n_bytes bigint, sha256 string,"
+        " mime_sniffed string",
+    )
+
+
 @register(
     "scan_csv_export",
     sql=with_fixtures(

@@ -169,3 +169,27 @@ def test_scan_archive_members_expands_all_fixture_zips(spark, sf_dir):
     assert rows[("emerald/bundle.zip", "manifest.yml")].crc32 == (
         zlib.crc32(b"version: 2\nfiles: 4\n") & 0xFFFFFFFF
     )
+
+
+def test_scan_archive_member_content_extracts_and_digests(spark, sf_dir):
+    """S15: extraction must produce content-true digests (hand-computed
+    sha256 of a known member), sniff member mime from member bytes, and
+    exclude directory entries."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.operators.scans import (
+        scan_archive_member_content,
+    )
+
+    rows = {
+        (r.archive, r.member): r
+        for r in scan_archive_member_content(spark, sf_dir).collect()
+    }
+    manifest = rows[("emerald/bundle.zip", "manifest.yml")]
+    assert manifest.sha256 == hashlib.sha256(b"version: 2\nfiles: 4\n").hexdigest()
+    assert manifest.n_bytes == 20
+    assert manifest.mime_sniffed == "text/plain"
+    run_log = rows[("emerald/bundle.zip", "results/logs/run.log")]
+    assert run_log.n_bytes == 440  # inflated size, not compressed
+    assert ("emerald/bundle.zip", "results/") not in rows  # dirs excluded
+    assert ("potato.zip", "readme.txt") in rows
