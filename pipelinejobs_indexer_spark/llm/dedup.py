@@ -575,10 +575,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     hsh = hashed_shingles(docs).select("doc_id", "hf")
+    # cached: the discriminative-shingle table feeds three consumers (both
+    # join sides + the size agg) — one materialization, not three
+    # recomputes of the shingle scan + df window (minhash's sig pattern)
     disc = (
         hsh.withColumn("df", F.count("*").over(Window.partitionBy("hf")))
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("doc_id", "hf")
+        .cache()
     )
     sizes = disc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = disc.alias("a"), disc.alias("b")

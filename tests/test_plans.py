@@ -237,3 +237,37 @@ def test_approx_distinct_splits_exact_and_sketch(spark, sf_dir):
     assert len(expands) == 1, plan
     # the sketch side appears as its own aggregate with approx fns
     assert "approx_count_distinct" in plan
+
+
+def test_containment_plan_is_bounded_equi_joins(spark, sf_dir):
+    """L2g must stay equi-join + combiner aggregations — no pair scan:
+    a nested-loop or cartesian anywhere means the df cap regressed."""
+    df = registry.QUERIES["llm_dedup_containment"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    # df window + pair-count agg + two size joins + spread: generous cap
+    assert n_exchanges <= 8, plan
+
+
+def test_zorder_box_query_pushes_both_predicates(spark, sf_dir):
+    """S14's box query must reach the z-layout scan as pushed-down
+    literal filters on BOTH raw columns — that is the mechanism by which
+    tight per-file stats become file skipping."""
+    df = registry.QUERIES["sink_zorder_layout"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "user_id" in pushed and "ts" in pushed, pushed
+    assert "Join" not in plan, plan
+
+
+def test_archive_scans_list_only_zip_files(spark, sf_dir):
+    """S13/S15's pathGlobFilter must prune non-archives at the LISTING:
+    the scan's file set contains only .zip paths, so pdf/png/yaml bytes
+    are never read by the archive operators."""
+    for name in ("scan_archive_members", "scan_archive_member_content"):
+        files = registry.QUERIES[name](spark, sf_dir).inputFiles()
+        assert files and all(f.endswith(".zip") for f in files), (name, files)
