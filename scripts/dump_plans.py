@@ -55,6 +55,10 @@ SHOWCASE = {
     "udf_validate_json_ref": "JVM to_json projection feeding one ArrowEvalPython validation stage",
     "agg_approx_distinct": "exact Expand(3x) agg and sketch-side plain agg as separate single-row branches, cross-joined",
     "llm_dedup_semantic": "broadcast-centroid assignment fold + within-cell pair check — one hash exchange on cell, no global pair join",
+    "llm_dedup_containment": "df-capped inverted-index equi-join over the cached discriminative-shingle table; pair-count + size joins, no pair scan",
+    "sink_zorder_layout": "box query over the z-ordered copy: both literal predicates pushed to the scan (2-dim file skipping), no join",
+    "scan_archive_members": "binaryFile zip-only listing feeding one MapInPandas central-directory parse",
+    "stream_dead_letter": "per-key high-water mark via FlatMapGroupsInPandasWithState — one hash exchange on job_key",
 }
 
 
