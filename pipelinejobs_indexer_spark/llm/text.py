@@ -1421,3 +1421,171 @@ def llm_corpus_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_lp") >= F.col("lp_thr"))
         .select("doc_id", "lang", "n_words", "score", "avg_lp")
     )
+
+
+# --------------------------------------------- L4h RAG document chunking
+CHUNK_WORDS = 64  # words per chunk (the retrieval context unit)
+CHUNK_OVERLAP = 16  # words shared between consecutive chunks
+CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
+
+
+@register(
+    "llm_doc_chunk",
+    sql=f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS nw,
+                      greatest(1, CAST(ceil((len(w) - {CHUNK_OVERLAP})
+                                            / {CHUNK_STRIDE}.0) AS BIGINT)) AS nc
+               FROM t)
+         SELECT doc_id,
+                k AS chunk_id,
+                k * {CHUNK_STRIDE} AS start_word,
+                least({CHUNK_WORDS}, nw - k * {CHUNK_STRIDE}) AS n_chunk_words,
+                array_to_string(w[k * {CHUNK_STRIDE} + 1 :
+                                  k * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ')
+                  AS chunk_text
+         FROM n, unnest(generate_series(0, nc - 1)) AS u(k)""",
+)
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4h: RAG-style document chunking — explode each document into
+    fixed-width overlapping word windows (CHUNK_WORDS words, stride
+    CHUNK_STRIDE) with byte-free bookkeeping (doc_id, chunk_id,
+    start_word) so chunks join back to their source exactly. The chunk
+    count is ceil((n - overlap) / stride) (min 1): the final window may
+    run short, and no window starting past n - overlap is emitted (it
+    would be wholly contained in its predecessor).
+
+    This is the indexing-side prerequisite for chunk-level embedding /
+    ANN retrieval (L3*) and chunk-level dedup: every downstream operator
+    keys on (doc_id, chunk_id). Pure codegen — split, sequence explode,
+    slice, concat — zero shuffles, zero UDFs; at 100 TB it runs at scan
+    speed with output rows ~ tokens/stride."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("nw"),
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"cast(ceil((size(w) - {CHUNK_OVERLAP}) / {CHUNK_STRIDE}.0)"
+                " as bigint)"
+            ),
+        ).alias("nc"),
+    )
+    return t.select(
+        "doc_id",
+        "nw",
+        "w",
+        F.explode(F.expr("sequence(0, nc - 1)")).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        (F.col("k") * CHUNK_STRIDE).alias("start_word"),
+        F.least(
+            F.lit(CHUNK_WORDS), F.col("nw") - F.col("k") * CHUNK_STRIDE
+        ).alias("n_chunk_words"),
+        F.expr(
+            f"array_join(slice(w, k * {CHUNK_STRIDE} + 1, {CHUNK_WORDS}), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+# ----------------------------------------------- L4i BM25 keyword scoring
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "sort", "query")  # fixture-vocabulary query terms
+BM25_TOP_K = 15
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+                WHERE w IN ({terms}) GROUP BY doc_id, w),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(round(
+                    ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * (tf.tf * ({BM25_K1} + 1))
+                    / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * dl.dl / stats.avgdl))
+                    * 1000000) AS BIGINT) AS term_micro
+           FROM tf
+           JOIN df USING (w)
+           JOIN dl USING (doc_id), stats
+         )
+         SELECT doc_id, bm25_micro, rank FROM (
+           SELECT doc_id,
+                  CAST(sum(term_micro) AS BIGINT) AS bm25_micro,
+                  row_number() OVER (ORDER BY sum(term_micro) DESC, doc_id)
+                    AS rank
+           FROM scored GROUP BY doc_id
+         ) WHERE rank <= {BM25_TOP_K}"""
+
+
+@register("llm_text_bm25", sql=_bm25_sql())
+def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4i: BM25 keyword retrieval over the corpus — the lexical
+    complement to embedding ANN (L3*): idf(t) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)) summed over the query terms, top-k docs.
+
+    Cross-engine float discipline (the llm_text_logprob pattern): the
+    only transcendental is one ln() per (doc, term), immediately rounded
+    to integer MICRO units; sums, ranking, and output are then exact
+    64-bit integer arithmetic, so both engines agree bit-for-bit.
+
+    Plan shape: term filter rides the token explode (only query-term
+    rows survive into the tf aggregate — O(matches), not O(tokens)); dl
+    is one combiner groupBy over the corpus; df and the corpus stats are
+    term-count-sized and broadcast. Nothing corpus-sized joins or sorts:
+    the final top-k is a TakeOrderedAndProject over matching docs only.
+    At 100 TB this is one scan + one combiner agg + broadcast joins."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        t.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(term * 1_000_000).cast("bigint").alias("term_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("bm25_micro")
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "bm25_micro", "rank")
+    )

@@ -862,3 +862,90 @@ def test_containment_catches_doc_contains_doc_that_jaccard_misses(spark, tmp_pat
     # the symmetric-jaccard operator must NOT pair them (that's the gap)
     jac = llm_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     assert jac == [], f"jaccard unexpectedly >= {JACCARD_THRESHOLD}: {jac}"
+
+
+def test_doc_chunk_covers_every_word_exactly(spark):
+    """Chunk windows must tile each document: stride-aligned starts,
+    full coverage of the word stream, the advertised overlap between
+    consecutive chunks, and no chunk wholly contained in its
+    predecessor."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.text import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        llm_doc_chunk,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF, "documents").limit(50).collect()
+    }
+    chunks = [
+        r
+        for r in llm_doc_chunk(spark, SF).collect()
+        if r.doc_id in texts
+    ]
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for did, rows in by_doc.items():
+        words = texts[did]
+        rows.sort(key=lambda r: r.chunk_id)
+        for i, r in enumerate(rows):
+            assert r.chunk_id == i and r.start_word == i * CHUNK_STRIDE
+            expect = words[r.start_word : r.start_word + CHUNK_WORDS]
+            assert r.chunk_text.split(" ") == expect
+            assert r.n_chunk_words == len(expect)
+        # coverage: last chunk reaches the end; no start beyond n-overlap
+        last = rows[-1]
+        assert last.start_word + last.n_chunk_words == len(words)
+        if len(rows) > 1:
+            assert last.start_word < len(words) - CHUNK_OVERLAP
+
+
+def test_bm25_matches_python_reference(spark):
+    """Recompute BM25 in plain Python over the full corpus and pin the
+    distributed top-k exactly (micro-int scores make it bit-stable)."""
+    import math
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_K,
+        llm_text_bm25,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n_docs
+    df = Counter(
+        t for w in docs.values() for t in set(w) if t in BM25_QUERY
+    )
+    scores = {}
+    for did, words in docs.items():
+        tf = Counter(t for t in words if t in BM25_QUERY)
+        s = 0
+        for t, k in tf.items():
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            term = idf * (k * (BM25_K1 + 1)) / (
+                k + BM25_K1 * (1 - BM25_B + BM25_B * len(words) / avgdl)
+            )
+            s += int(round(term * 1_000_000))
+        if s:
+            scores[did] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP_K]
+    got = [
+        (r.doc_id, r.bm25_micro)
+        for r in sorted(llm_text_bm25(spark, SF).collect(), key=lambda r: r.rank)
+    ]
+    assert got == expect
