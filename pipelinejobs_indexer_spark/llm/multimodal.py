@@ -11,8 +11,10 @@ once and the exchange is columnar.
 
 Decode layer: PNG is decoded for REAL — pure stdlib zlib + defiltering
 (png.py), exercised end-to-end by llm_multimodal_thumbnail_png with a
-value-level oracle. Audio/video (and non-PNG image) decode needs codec
-libraries NOT in this container — those entry points are stubs raising
+value-level oracle — and so is WAV audio (stdlib ``wave`` RIFF/PCM
+parsing, exercised by llm_multimodal_audio with a closed-form oracle).
+Compressed audio, video, and non-PNG image decode need codec libraries
+NOT in this container — those entry points are stubs raising
 NotImplementedError with the exact contract documented; the Spark-side
 plumbing (schema, batch iteration, partitioning, output shape) is real
 and tested (tests/test_llm.py).
@@ -40,7 +42,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, spread
 
 # magic-number table (reference analog: `filetype` sniffing; same table as
 # functions/udfs.py F12 but over raw bytes here)
@@ -101,9 +103,40 @@ def decode_image(content: bytes, mime: str) -> "object":
     )
 
 
-def decode_audio(content: bytes, mime: str) -> "object":
-    """STUB: decode audio to (samples float32, rate). Needs soundfile/ffmpeg."""
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in container)")
+def decode_audio(content: bytes, mime: str) -> dict:
+    """Decode an audio payload. WAV (RIFF/PCM 8- or 16-bit): REAL, via the
+    stdlib ``wave`` parser — returns {rate, channels, frames, samples}
+    with samples as signed ints. Compressed formats (mp3/ogg/flac) need
+    codec libs absent from this container and keep the documented
+    NotImplementedError contract."""
+    import io
+    import struct
+    import wave
+
+    if mime in ("audio/wav", "audio/x-wav") or (
+        content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+    ):
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            nframes = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(nframes)
+        if width == 2:
+            samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        elif width == 1:
+            samples = tuple(b - 128 for b in raw)  # WAV 8-bit is unsigned
+        else:
+            raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+        return {
+            "rate": rate,
+            "channels": nch,
+            "frames": nframes,
+            "samples": samples,
+        }
+    raise NotImplementedError(
+        "compressed audio decode requires soundfile/ffmpeg (not in container)"
+    )
 
 
 def sample_frames(content: bytes, mime: str, every_n: int = 30) -> "object":
@@ -413,3 +446,109 @@ def llm_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         _thumbnail_fake, schema=THUMB_SCHEMA
     )
+
+
+# ------------------------------------------------ L5e real WAV audio path
+AUDIO_RATE = 8000  # PCM sample rate of the synthesized fixtures
+AUDIO_PERIOD = 16  # square-wave period in frames
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def _audio_frames(doc_id: int) -> int:
+    return 400 + (doc_id % 50) * 16  # divisible by rate/1000 -> exact ms
+
+
+def _audio_amp(doc_id: int) -> int:
+    return 1000 + (doc_id % 97) * 64
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM square-wave WAV, RIFF container
+    hand-assembled with struct (NOT the wave writer — so the stdlib
+    parser in decode_audio is an independent check of every header
+    field)."""
+    import struct
+
+    n = _audio_frames(doc_id)
+    amp = _audio_amp(doc_id)
+    half = AUDIO_PERIOD // 2
+    pcm = b"".join(
+        struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+        for i in range(n)
+    )
+    byte_rate = AUDIO_RATE * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_RATE, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_channels", "n_frames",
+            "duration_ms", "rms", "peak",
+        )}
+        for doc_id in pdf["doc_id"]:
+            audio = decode_audio(synth_wav(int(doc_id)), "audio/wav")
+            s = audio["samples"]
+            out["doc_id"].append(int(doc_id))
+            out["sample_rate"].append(audio["rate"])
+            out["n_channels"].append(audio["channels"])
+            out["n_frames"].append(audio["frames"])
+            out["duration_ms"].append(audio["frames"] * 1000 // audio["rate"])
+            out["rms"].append(round(math.sqrt(sum(v * v for v in s) / len(s))))
+            out["peak"].append(max(abs(v) for v in s))
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+@register(
+    "llm_multimodal_audio",
+    sql=f"""SELECT doc_id,
+                  CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+                  CAST(1 AS BIGINT) AS n_channels,
+                  400 + (doc_id % 50) * 16 AS n_frames,
+                  (400 + (doc_id % 50) * 16) * 1000 // {AUDIO_RATE} AS duration_ms,
+                  1000 + (doc_id % 97) * 64 AS rms,
+                  1000 + (doc_id % 97) * 64 AS peak
+           FROM documents""",
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5e: REAL audio decode path — per-doc synthesized RIFF/PCM WAV
+    bytes are parsed by the stdlib ``wave`` module (decode_audio) and the
+    decoded sample stream reduced to signal features (rate, channels,
+    frames, duration, RMS, peak) in an Arrow mapInPandas stage.
+
+    Evidence shape (the png.py closed-form pattern): the WAV container is
+    hand-assembled byte-by-byte while CPython's independent wave parser
+    decodes it — any header/layout error fails the parse or corrupts the
+    frame count; and a ±A square wave has RMS exactly A, so the oracle
+    states every feature in closed form from doc_id arithmetic alone. A
+    wrong sample width, byte order, or sign convention shifts RMS/peak
+    off the closed form and the hash gate catches it.
+
+    Scale: content is synthesized and decoded in place — only the 7-int
+    feature row leaves the Python worker, so shuffle volume is O(rows),
+    never O(audio bytes); with a real archive the same stage reads the
+    binary column (S15 feeds it) instead of synthesizing."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(_audio_features, schema=AUDIO_SCHEMA)

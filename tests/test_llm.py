@@ -175,8 +175,12 @@ def test_multimodal_decode_stubs_raise():
         multimodal.decode_image(b"\x89PNG", "image/png")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xffjpeg", "image/jpeg")
-    with pytest.raises(NotImplementedError):
+    # WAV decode is real now (stdlib wave); a truncated RIFF is a data
+    # error, while compressed formats keep the missing-codec contract.
+    with pytest.raises(EOFError):
         multimodal.decode_audio(b"RIFF", "audio/wav")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xff\xfbmp3-frame", "audio/mpeg")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00", "video/mp4")
     with pytest.raises(NotImplementedError):
@@ -949,3 +953,56 @@ def test_bm25_matches_python_reference(spark):
         for r in sorted(llm_text_bm25(spark, SF).collect(), key=lambda r: r.rank)
     ]
     assert got == expect
+
+
+def test_decode_audio_parses_wave_writer_output_exactly():
+    """Cross-check: a WAV produced by the stdlib wave WRITER (independent
+    of synth_wav's hand-assembled RIFF) must decode to the exact sample
+    values, for both 16-bit and 8-bit PCM."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    samples16 = [0, 1000, -1000, 32767, -32768, 7]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"".join(struct.pack("<h", v) for v in samples16))
+    audio = multimodal.decode_audio(buf.getvalue(), "audio/wav")
+    assert audio["rate"] == 44100 and audio["channels"] == 1
+    assert audio["frames"] == len(samples16)
+    assert list(audio["samples"]) == samples16
+
+    buf8 = io.BytesIO()
+    with wave_mod.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))  # unsigned 8-bit
+    audio8 = multimodal.decode_audio(buf8.getvalue(), "audio/wav")
+    assert list(audio8["samples"]) == [-128, 0, 127]
+
+
+def test_synth_wav_is_valid_riff_for_stdlib_parser():
+    """The hand-assembled RIFF container must satisfy CPython's wave
+    parser header-for-header, and the square wave's RMS must equal its
+    amplitude exactly (the closed-form oracle's premise)."""
+    import math
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        AUDIO_RATE,
+        _audio_amp,
+        _audio_frames,
+        synth_wav,
+    )
+
+    for doc_id in (0, 7, 49, 96, 12345):
+        audio = multimodal.decode_audio(synth_wav(doc_id), "audio/wav")
+        assert audio["rate"] == AUDIO_RATE and audio["channels"] == 1
+        assert audio["frames"] == _audio_frames(doc_id)
+        s = audio["samples"]
+        amp = _audio_amp(doc_id)
+        assert max(abs(v) for v in s) == amp
+        assert round(math.sqrt(sum(v * v for v in s) / len(s))) == amp
