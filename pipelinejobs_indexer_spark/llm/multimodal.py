@@ -140,8 +140,61 @@ def decode_audio(content: bytes, mime: str) -> dict:
 
 
 def sample_frames(content: bytes, mime: str, every_n: int = 30) -> "object":
-    """STUB: sample every-nth video frame. Needs ffmpeg bindings."""
+    """STUB: sample every-nth video frame. Needs ffmpeg bindings (frame
+    PIXELS require a codec; container METADATA does not — probe_video)."""
     raise NotImplementedError("video frame sampling requires ffmpeg (not in container)")
+
+
+def probe_video(content: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container probe — no codec needed: the box
+    structure (4-byte big-endian size + 4-char type, children nested in
+    container boxes) is pure struct parsing, exactly like zip central
+    directories. Returns brand (ftyp), movie timescale/duration from
+    mvhd (v0 and v1 layouts), and the track count (trak boxes under
+    moov). Frame pixels still need ffmpeg (sample_frames stub)."""
+    import struct
+
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload (no leading ftyp box)")
+
+    def boxes(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, = struct.unpack_from(">I", buf, off)
+            btype = buf[off + 4 : off + 8]
+            if size == 1:  # 64-bit largesize
+                size, = struct.unpack_from(">Q", buf, off + 8)
+            if size < 8 or off + size > end:
+                raise ValueError(f"malformed box {btype!r} at {off}")
+            yield btype, off + 8, off + size
+            off += size
+
+    brand = content[8:12].decode("ascii", "replace")
+    timescale = duration = None
+    n_tracks = 0
+    for btype, body, bend in boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(content, body, bend):
+            if ctype == b"mvhd":
+                version = content[cbody]
+                if version == 1:
+                    timescale, = struct.unpack_from(">I", content, cbody + 20)
+                    duration, = struct.unpack_from(">Q", content, cbody + 24)
+                else:
+                    timescale, = struct.unpack_from(">I", content, cbody + 12)
+                    duration, = struct.unpack_from(">I", content, cbody + 16)
+            elif ctype == b"trak":
+                n_tracks += 1
+    if timescale is None:
+        raise ValueError("no mvhd box — movie header missing")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+    }
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -552,3 +605,104 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column (S15 feeds it) instead of synthesizing."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id").mapInPandas(_audio_features, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------- L5f MP4 container probing
+VIDEO_TIMESCALE = 1000  # movie timescale of the synthesized fixtures
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", LongType()),
+    ]
+)
+
+
+def _video_duration(doc_id: int) -> int:
+    return 2_000 + (doc_id % 113) * 40  # movie units == ms at timescale 1000
+
+
+def _video_tracks(doc_id: int) -> int:
+    return 1 + doc_id % 3
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Deterministic minimal ISO-BMFF tree: ftyp + moov{mvhd, trak...},
+    hand-assembled with struct so probe_video's independent box walker
+    checks sizes/nesting/field offsets. mvhd v1 for odd docs and v0 for
+    even docs, so BOTH header layouts are exercised."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    dur = _video_duration(doc_id)
+    if doc_id % 2:  # version 1: 64-bit times
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQIQ", 0, 0, VIDEO_TIMESCALE, dur),
+        )
+    else:  # version 0: 32-bit times
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, VIDEO_TIMESCALE, dur),
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 8) for _ in range(_video_tracks(doc_id)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def _video_probe_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "brand", "timescale", "duration_ms", "n_tracks")}
+        for doc_id in pdf["doc_id"]:
+            meta = probe_video(synth_mp4(int(doc_id)))
+            out["doc_id"].append(int(doc_id))
+            out["brand"].append(meta["brand"])
+            out["timescale"].append(meta["timescale"])
+            out["duration_ms"].append(meta["duration_ms"])
+            out["n_tracks"].append(meta["n_tracks"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "brand": pd.Series(out["brand"], dtype="object"),
+                "timescale": pd.Series(out["timescale"], dtype="int64"),
+                "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                "n_tracks": pd.Series(out["n_tracks"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "llm_multimodal_video_probe",
+    sql=f"""SELECT doc_id,
+                  'isom' AS brand,
+                  CAST({VIDEO_TIMESCALE} AS BIGINT) AS timescale,
+                  2000 + (doc_id % 113) * 40 AS duration_ms,
+                  1 + doc_id % 3 AS n_tracks
+           FROM documents""",
+)
+def llm_multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5f: REAL video-container metadata — the half of video processing
+    that needs no codec: a per-doc synthesized ISO-BMFF/MP4 box tree is
+    walked by probe_video (pure struct parsing of the size+type box
+    grammar, the zip-central-directory pattern) to recover brand, movie
+    timescale, duration, and track count in an Arrow mapInPandas stage.
+    Both mvhd layouts (v0 32-bit / v1 64-bit times) are exercised —
+    odd/even docs alternate versions, so a field-offset mistake in
+    either layout breaks half the rows against the closed-form oracle
+    (duration and track count are doc_id arithmetic).
+
+    Frame PIXELS still require ffmpeg (sample_frames keeps its stub
+    contract) — this operator is the metadata triage a 100 TB video
+    corpus runs FIRST, precisely because it reads only box headers:
+    with binaryFile input the scan can stop after the moov box instead
+    of fetching teravytes of mdat payload."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(
+        _video_probe_features, schema=VIDEO_SCHEMA
+    )

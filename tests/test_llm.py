@@ -1006,3 +1006,28 @@ def test_synth_wav_is_valid_riff_for_stdlib_parser():
         amp = _audio_amp(doc_id)
         assert max(abs(v) for v in s) == amp
         assert round(math.sqrt(sum(v * v for v in s) / len(s))) == amp
+
+
+def test_probe_video_box_walker_and_errors():
+    """probe_video must recover both mvhd layouts from the hand-built
+    trees and reject malformed/non-MP4 payloads loudly."""
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        VIDEO_TIMESCALE,
+        _video_duration,
+        _video_tracks,
+        probe_video,
+        synth_mp4,
+    )
+
+    for doc_id in (0, 1, 2, 113, 226):  # even=v0 mvhd, odd=v1 mvhd
+        meta = probe_video(synth_mp4(doc_id))
+        assert meta["brand"] == "isom"
+        assert meta["timescale"] == VIDEO_TIMESCALE
+        assert meta["duration"] == _video_duration(doc_id)
+        assert meta["n_tracks"] == _video_tracks(doc_id)
+    with pytest.raises(ValueError):
+        probe_video(b"\x00" * 16)  # no ftyp
+    with pytest.raises(ValueError):
+        # ftyp present but a box claims to run past the payload end
+        probe_video(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+                    b"\xff\xff\xff\xffmoov")
