@@ -1,0 +1,435 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) decoder — pure stdlib.
+
+Companion to png.py: closes the JPEG half of decode_image without
+Pillow/cv2. Supports the baseline feature set a training-data pipeline
+meets in practice:
+
+  * SOF0 (baseline sequential), 8-bit samples;
+  * 1 component (grayscale) or 3 components (YCbCr -> RGB, JFIF
+    convention) with arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2 —
+    chroma upsampled by pixel replication);
+  * Huffman entropy coding (DHT), byte-stuffing-aware bit reader,
+    restart markers (DRI / RSTn);
+  * DQT 8-bit and 16-bit quantization tables.
+
+Not supported (loud errors, not wrong pixels): progressive (SOF2),
+arithmetic coding, 12-bit precision, hierarchical modes.
+
+Evidence strategy (the png.py pattern): unit tests hand-assemble
+bitstreams whose decoded pixels are KNOWN IN CLOSED FORM — a DC-only
+block decodes to the flat value round(DC*q/8) + 128 on every pixel, DC
+prediction chains across blocks, negative diffs exercise the
+ones-complement encoding, and a 3-component DC-only image lands exact
+YCbCr->RGB values. llm_multimodal_jpeg (multimodal.py) runs the decoder
+distributed under a closed-form DuckDB oracle.
+
+Public-spec provenance: the marker grammar, zigzag order, Huffman code
+construction (Annex C), and the standard Annex K tables are from the
+published T.81 specification; no third-party code.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# Zigzag scan order: index i in the entropy stream -> (row, col) raster
+# position, per T.81 Figure 5.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard Huffman tables, T.81 Annex K.3 (public spec constants).
+STD_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+STD_DC_LUM_VALS = list(range(12))
+STD_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+STD_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Precomputed IDCT basis: cos((2x+1)*u*pi/16) for x,u in 0..7.
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.marker: int | None = None
+
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            self.marker = nxt
+            raise _MarkerHit()
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.bit == 0:
+            self.cur = self._next_byte()
+            self.bit = 8
+        self.bit -= 1
+        return (self.cur >> self.bit) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.bit = 0
+
+    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+class _MarkerHit(Exception):
+    pass
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t low bits to the signed coefficient value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coef: list[int]) -> list[int]:
+    """8x8 inverse DCT + level shift + clamp, direct separable form."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cy = _C[v] * _COS[y][v]
+                for u in range(8):
+                    f = coef[v * 8 + u]
+                    if f:
+                        s += _C[u] * cy * _COS[x][u] * f
+            val = int(round(s / 4)) + 128
+            out.append(0 if val < 0 else 255 if val > 255 else val)
+    return out
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline JPEG. Returns (height, width, n_components,
+    pixels) with pixels as a list of rows; each row a list of ints
+    (grayscale) or (r, g, b) tuples. Truncated or corrupt payloads raise
+    ValueError (data error), unsupported modes raise with the mode named."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes):
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg_end = pos + seglen
+        body = pos + 2
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < seg_end:
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = data[p : p + n]
+                vals = (
+                    list(struct.unpack(f">{64}H", raw)) if pq else list(raw)
+                )
+                table = [0] * 64
+                for i, zz in enumerate(ZIGZAG):
+                    table[zz] = vals[i]
+                qt[tq] = table
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < seg_end:
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                bits = list(data[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(data[p + 17 : p + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = build_huffman(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, body)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, body)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision not baseline")
+            comps = []
+            p = body + 6
+            for _ in range(nc):
+                cid, hv, tq_ = data[p], data[p + 1], data[p + 2]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq_}
+                )
+                p += 3
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2,):
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"SOF{marker - 0xC0} mode not supported")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = data[body]
+            p = body + 1
+            scan = []
+            for _ in range(ns):
+                cs, tables = data[p], data[p + 1]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tables >> 4, tables & 0x0F))
+                p += 2
+            pixels = _decode_scan(
+                data, seg_end, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+            return frame["h"], frame["w"], len(frame["comps"]), pixels
+        pos = seg_end
+    raise ValueError("no scan data (missing SOS)")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component sample planes at full (upsampled) resolution
+    planes = [
+        [[0] * (mcux * 8 * hmax) for _ in range(mcuy * 8 * vmax)] for _ in comps
+    ]
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align()
+                if reader.pos + 1 < len(data) and data[reader.pos] == 0xFF:
+                    m = data[reader.pos + 1]
+                    if 0xD0 <= m <= 0xD7:
+                        reader.pos += 2
+                        pred = {c["id"]: 0 for c in comps}
+            try:
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coef = _decode_block(
+                                reader, huff_dc[td], huff_ac[ta],
+                                qt[comp["tq"]], pred, comp["id"],
+                            )
+                            block = _idct_block(coef)
+                            # replicate into the full-res plane
+                            sx = hmax // comp["h"]
+                            sy = vmax // comp["v"]
+                            ox = (mx * comp["h"] + bx) * 8
+                            oy = (my * comp["v"] + by) * 8
+                            plane = planes[ci]
+                            for yy in range(8):
+                                row_vals = block[yy * 8 : yy * 8 + 8]
+                                for ry in range(sy):
+                                    prow = plane[(oy + yy) * sy + ry]
+                                    for xx in range(8):
+                                        v = row_vals[xx]
+                                        base = (ox + xx) * sx
+                                        for rx in range(sx):
+                                            prow[base + rx] = v
+            except _MarkerHit:
+                raise ValueError(
+                    f"entropy stream ended early at marker {reader.marker:#x}"
+                ) from None
+            mcu_count += 1
+    # crop to (h, w) and convert color
+    if len(comps) == 1:
+        return [planes[0][y][:w] for y in range(h)]
+    if len(comps) == 3:
+        out = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                yy = planes[0][y][x]
+                cb = planes[1][y][x] - 128
+                cr = planes[2][y][x] - 128
+                r = int(round(yy + 1.402 * cr))
+                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yy + 1.772 * cb))
+                row.append(tuple(max(0, min(255, v)) for v in (r, g, b)))
+            out.append(row)
+        return out
+    raise ValueError(f"{len(comps)}-component images not supported")
+
+
+def _decode_block(reader, dc_table, ac_table, q, pred, cid):
+    coef = [0] * 64
+    t = reader.read_huffman(dc_table)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    coef[0] = pred[cid] * q[0]
+    k = 1
+    while k < 64:
+        rs = reader.read_huffman(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz = ZIGZAG[k]
+        coef[zz] = _extend(reader.read_bits(s), s) * q[zz]
+        k += 1
+    return coef
+
+
+# ------------------------------------------------- fixture synthesis side
+# Hand-assembled bitstreams for tests and the distributed operator: the
+# encoder below shares NOTHING with the decoder above except the public
+# constants (zigzag order, Annex K tables) — headers are packed field by
+# field, Huffman codes are emitted from the inverse table, so the decoder
+# independently re-derives block layout, code assignment, EXTEND
+# semantics, and byte stuffing.
+
+
+def _inverse_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    return {sym: (ln, code) for (ln, code), sym in build_huffman(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def synth_dc_jpeg(
+    dc_blocks: list[list[int]], width: int, height: int, q: int = 16
+) -> bytes:
+    """Minimal baseline JPEG: DC-only blocks (all AC zero), one quant
+    table with every entry = q, standard Annex K Huffman tables.
+
+    ``dc_blocks``: per component, the quantized DC value of each 8x8
+    block in raster order (width*height/64 entries for 1x1 sampling).
+    1 entry = grayscale, 3 = YCbCr 4:4:4. Every pixel of a block decodes
+    to clamp(round(q * DC / 8) + 128) — the closed-form the tests and
+    the DuckDB oracle rely on."""
+    nc = len(dc_blocks)
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, nc) + sof_comps)
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+        + bytes([0, 63, 0]),
+    )
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+    bw = _BitWriter()
+    n_blocks = (width // 8) * (height // 8)
+    preds = [0] * nc
+    for b in range(n_blocks):
+        for ci in range(nc):  # interleaved MCU order == raster for 1x1
+            diff = dc_blocks[ci][b] - preds[ci]
+            preds[ci] = dc_blocks[ci][b]
+            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            ln, code = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            eln, ecode = ac_codes[0x00]  # EOB
+            bw.write(ecode, eln)
+    return (
+        b"\xff\xd8" + qtab + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )

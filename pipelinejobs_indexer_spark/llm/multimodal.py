@@ -91,14 +91,21 @@ def sniff_mime(head: bytes) -> str:
 # pandas-stage plumbing is shared.
 
 def decode_image(content: bytes, mime: str) -> "object":
-    """Decode an image payload to HxWxC uint8. PNG: real (png.py).
-    JPEG/other: needs Pillow/cv2 (not in container)."""
+    """Decode an image payload. PNG: real (png.py, stdlib zlib +
+    defiltering). Baseline JPEG: real (jpeg.py, pure-stdlib T.81
+    sequential decoder — Huffman, dequant, IDCT, 4:2:0/4:2:2 upsample,
+    YCbCr->RGB). Other formats (webp, progressive JPEG re-raised from
+    jpeg.py as ValueError data errors) need Pillow/cv2."""
     from .png import SIGNATURE, decode_png
 
     if mime == "image/png" or content[:8] == SIGNATURE:
         return decode_png(content)
+    if mime == "image/jpeg" or content[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "non-PNG image decode requires Pillow/cv2 (not in container); "
+        "non-PNG/JPEG image decode requires Pillow/cv2 (not in container); "
         "plumbing is real — swap this function only"
     )
 
@@ -375,9 +382,10 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(content: bytes, mime: str, w: int, h: int) -> "object":
-    """Decode + area-average resample to (h, w, C). Real for PNG
-    (decode_image -> png.block_mean_resize); other formats keep the
-    NotImplementedError contract until a codec lib is provisioned."""
+    """Decode + area-average resample to (h, w, C). Real for PNG and
+    baseline JPEG (decode_image -> png.block_mean_resize); other formats
+    keep the NotImplementedError contract until a codec lib is
+    provisioned."""
     from .png import block_mean_resize
 
     return block_mean_resize(decode_image(content, mime), w, h)
@@ -706,3 +714,90 @@ def llm_multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _video_probe_features, schema=VIDEO_SCHEMA
     )
+
+
+# ----------------------------------------------- L5g real JPEG decode path
+JPEG_Q = 16  # flat quant table: every pixel of a DC-only block = 2*DC + 128
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_components", LongType()),
+        StructField("px_tl", LongType()),
+        StructField("px_tr", LongType()),
+        StructField("px_bl", LongType()),
+        StructField("px_br", LongType()),
+    ]
+)
+
+
+def _jpeg_dcs(doc_id: int) -> list[int]:
+    """Four quantized DC values (one per 8x8 block of a 16x16 image),
+    mixing signs so the ones-complement diff encoding and the DC
+    prediction chain are both exercised on every row."""
+    return [
+        doc_id % 41 - 20,
+        (doc_id // 7) % 53 - 26,
+        -(doc_id % 31),
+        doc_id % 23,
+    ]
+
+
+def _jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .jpeg import decode_jpeg, synth_dc_jpeg
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_components",
+            "px_tl", "px_tr", "px_bl", "px_br",
+        )}
+        for doc_id in pdf["doc_id"]:
+            jpg = synth_dc_jpeg([_jpeg_dcs(int(doc_id))], 16, 16, q=JPEG_Q)
+            h, w, nc, px = decode_jpeg(jpg)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_components"].append(nc)
+            out["px_tl"].append(px[0][0])
+            out["px_tr"].append(px[0][15])
+            out["px_bl"].append(px[15][0])
+            out["px_br"].append(px[15][15])
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+@register(
+    "llm_multimodal_jpeg",
+    sql=f"""SELECT doc_id,
+                  CAST(16 AS BIGINT) AS width,
+                  CAST(16 AS BIGINT) AS height,
+                  CAST(1 AS BIGINT) AS n_components,
+                  128 + 2 * (doc_id % 41 - 20) AS px_tl,
+                  128 + 2 * ((doc_id // 7) % 53 - 26) AS px_tr,
+                  128 - 2 * (doc_id % 31) AS px_bl,
+                  128 + 2 * (doc_id % 23) AS px_br
+           FROM documents""",
+)
+def llm_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5g: REAL JPEG decode path — per-doc hand-assembled baseline JPEG
+    bitstreams (jpeg.py synth: DQT/SOF0/DHT/SOS markers, standard Annex K
+    Huffman tables, DC-per-block entropy data) decoded by the pure-stdlib
+    T.81 decoder in an Arrow mapInPandas stage.
+
+    Evidence shape (png.py pattern): a DC-only block decodes to the flat
+    value 2*DC + 128 under the flat q=16 table, so each corner pixel of
+    the 16x16 / 4-block image is closed-form doc_id arithmetic the
+    DuckDB oracle states directly. The four DCs mix signs per row, so a
+    mistake in Huffman code assignment, the ones-complement EXTEND, the
+    DC prediction chain, dequantization, or the IDCT's DC term shifts a
+    corner off its closed form and the hash gate catches it. Full-AC
+    coverage (zigzag, run-lengths, ZRL/EOB) is pinned by unit tests.
+
+    Scale: same story as L5e — bytes synthesized and decoded in place,
+    only the 8-int feature row leaves the Python worker. With a real
+    corpus the stage reads the binary column (S15 feeds it); a
+    production deployment swaps jpeg.py for libjpeg-turbo bindings with
+    the identical stage shape — the engine-side contract is unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(_jpeg_features, schema=JPEG_SCHEMA)

@@ -173,8 +173,12 @@ def test_multimodal_decode_stubs_raise():
     # not a missing-codec error.
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG", "image/png")
-    with pytest.raises(NotImplementedError):
+    # JPEG decode is real now (jpeg.py); a truncated payload is a data
+    # error, while formats with no stdlib path keep the codec contract
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xffjpeg", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF....WEBPVP8 ", "image/webp")
     # WAV decode is real now (stdlib wave); a truncated RIFF is a data
     # error, while compressed formats keep the missing-codec contract.
     with pytest.raises(EOFError):
@@ -183,8 +187,10 @@ def test_multimodal_decode_stubs_raise():
         multimodal.decode_audio(b"\xff\xfbmp3-frame", "audio/mpeg")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00", "video/mp4")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # JPEG is decodable; payload truncated
         multimodal.resize_image(b"\xff\xd8\xffjpeg", "image/jpeg", 32, 32)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"RIFF....WEBPVP8 ", "image/webp", 32, 32)
 
 
 def test_multimodal_frame_fanout_shape(spark):
