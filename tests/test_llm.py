@@ -695,8 +695,12 @@ def test_decode_image_and_resize_real_for_png():
 
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    # JPEG decode is real now (jpeg.py): a corrupt payload is a data
+    # error; only formats with no stdlib decoder keep the codec contract
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffnot-really-jpeg", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ", "image/webp")
 
 
 def test_connected_components_planted_star_skew(spark):
