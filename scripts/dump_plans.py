@@ -59,6 +59,9 @@ SHOWCASE = {
     "sink_zorder_layout": "box query over the z-ordered copy: both literal predicates pushed to the scan (2-dim file skipping), no join",
     "scan_archive_members": "binaryFile zip-only listing feeding one MapInPandas central-directory parse",
     "stream_dead_letter": "per-key high-water mark via FlatMapGroupsInPandasWithState — one hash exchange on job_key",
+    "llm_doc_chunk": "pure codegen chunking: split → sequence explode → slice/concat, zero shuffles",
+    "llm_text_bm25": "term filter rides the token explode; df/stats broadcast; TakeOrderedAndProject top-k",
+    "llm_multimodal_jpeg": "one MapInPandas decode stage over the pruned doc_id scan — bytes never shuffle",
 }
 
 

@@ -233,3 +233,55 @@ def test_sixteen_bit_quant_table():
     _, _, _, px = decode_jpeg(data)
     expect = max(0, min(255, round(2 * q / 8) + 128))
     assert all(v == expect for row in px for v in row)
+
+
+def test_chroma_subsampled_422_halves():
+    """4:2:2 (Y 2x1 per MCU): horizontal-only chroma subsampling — the
+    decoder must replicate chroma horizontally but not vertically."""
+    q = 16
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 16, 3)
+        + bytes([1, 0x21, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+    bw = _BitWriter()
+    preds = {0: 0, 1: 0, 2: 0}
+
+    def block(comp, dc):
+        diff = dc - preds[comp]
+        preds[comp] = dc
+        t = abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        ln, code = ac_codes[0x00]
+        bw.write(code, ln)
+
+    block(0, 15)   # Y left half
+    block(0, -15)  # Y right half
+    block(1, 8)    # Cb
+    block(2, 0)    # Cr
+    data = b"\xff\xd8" + qtab + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    h, w, nc, px = decode_jpeg(data)
+    assert (h, w, nc) == (8, 16, 3)
+    cb = 2 * 8
+
+    def rgb(ydc):
+        y = 128 + 2 * ydc
+        r = round(y)
+        g = round(y - 0.344136 * cb)
+        b = round(y + 1.772 * cb)
+        return tuple(max(0, min(255, v)) for v in (r, g, b))
+
+    assert px[0][0] == rgb(15) and px[7][0] == rgb(15)     # left half
+    assert px[0][15] == rgb(-15) and px[7][15] == rgb(-15)  # right half
