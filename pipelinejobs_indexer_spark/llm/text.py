@@ -1589,3 +1589,53 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("doc_id", "bm25_micro", "rank")
     )
+
+
+_CHUNK_SQL = f"""SELECT doc_id,
+                k AS chunk_id,
+                array_to_string(w[k * {CHUNK_STRIDE} + 1 :
+                                  k * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ')
+                  AS chunk_text
+         FROM (SELECT doc_id, w,
+                      greatest(1, CAST(ceil((len(w) - {CHUNK_OVERLAP})
+                                            / {CHUNK_STRIDE}.0) AS BIGINT)) AS nc
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              unnest(generate_series(0, nc - 1)) AS u(k)"""
+
+
+@register(
+    "llm_chunk_dedup",
+    sql=f"""WITH c AS ({_CHUNK_SQL})
+         SELECT md5(chunk_text) AS chunk_hash,
+                count(*) AS n_copies,
+                count(DISTINCT doc_id) AS n_docs,
+                min(doc_id) AS keep_doc_id
+         FROM c
+         GROUP BY md5(chunk_text)
+         HAVING count(*) >= 2""",
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4h2: CHUNK-level exact dedup — L4h's windows fed through L1's
+    hash-groupBy: chunk windows repeated across (or within) documents
+    are boilerplate/template material that document-level dedup cannot
+    see when the surrounding text differs (the inverse blind spot of
+    L2g's containment, which needs most of a doc to repeat). Emits each
+    duplicated window's hash with its copy/document counts and the
+    keeper — the audit a curation pass consumes to strip repeated
+    passages without dropping whole documents.
+
+    Plan: the chunk explode is pure codegen (zero shuffles, pinned in
+    tests/test_plans.py), so the ONLY exchange is the hash-partitioned
+    groupBy on the chunk hash with map-side partial aggregation —
+    shuffle volume is O(distinct duplicated windows), not O(tokens).
+    Same single-shuffle scaling as llm_dedup_exact."""
+    chunks = llm_doc_chunk(spark, sf_dir)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -271,3 +271,16 @@ def test_archive_scans_list_only_zip_files(spark, sf_dir):
     for name in ("scan_archive_members", "scan_archive_member_content"):
         files = registry.QUERIES[name](spark, sf_dir).inputFiles()
         assert files and all(f.endswith(".zip") for f in files), (name, files)
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """L4h's claim: the chunk explode is pure codegen — zero Exchange
+    nodes anywhere in the plan (the spread repartition is excluded by
+    checking the post-scan operators only... it IS an Exchange, so the
+    budget is exactly the one spread exchange and nothing else)."""
+    df = registry.QUERIES["llm_doc_chunk"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan  # only the test-scale spread repartition
+    assert "Generate" in plan  # the sequence explode
+    assert "Join" not in plan and "Window" not in plan, plan
