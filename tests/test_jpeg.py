@@ -285,3 +285,40 @@ def test_chroma_subsampled_422_halves():
 
     assert px[0][0] == rgb(15) and px[7][0] == rgb(15)     # left half
     assert px[0][15] == rgb(-15) and px[7][15] == rgb(-15)  # right half
+
+
+# ---------------------------------------------------- property coverage
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    zz=st.lists(st.integers(min_value=-40, max_value=40), min_size=64, max_size=64),
+    q=st.sampled_from([1, 2, 4, 16, 24]),
+)
+def test_random_coefficient_blocks_round_trip(zz, q):
+    """Any quantized coefficient block must decode to the reference IDCT
+    of its dequantized raster layout — randomized sweep over the whole
+    run-length coding space (random zero runs, signs, magnitudes)."""
+    px = decode_jpeg(_synth_gray_coef(zz, q=q))[3]
+    coef = [0] * 64
+    for i, c in enumerate(zz):
+        coef[ZIGZAG[i]] = c * q
+    assert px == _ref_idct(coef)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dcs=st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=12),
+)
+def test_random_dc_sequences_chain_prediction(dcs):
+    """Multi-block images with random DC sequences: every block must land
+    its own flat value (prediction differences span sign changes and
+    category sizes); width grows with the block count."""
+    w = 8 * len(dcs)
+    px = decode_jpeg(synth_dc_jpeg([list(dcs)], w, 8, q=16))[3]
+    for b, dc in enumerate(dcs):
+        expect = max(0, min(255, 2 * dc + 128))
+        got = {px[y][x] for y in range(8) for x in range(8 * b, 8 * b + 8)}
+        assert got == {expect}, (b, dc, got)
