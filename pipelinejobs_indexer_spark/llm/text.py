@@ -1639,3 +1639,135 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ------------------------------------------------ L4j BPE merge training
+BPE_MERGES = 5  # merge rules to learn (the tokenizer-training step count)
+
+
+def _bpe_sql(k_merges: int = BPE_MERGES) -> str:
+    """K unrolled merge steps as chained CTEs. Words are padded
+    single-space-delimited symbol strings (' s p a r k </w> '); applying
+    a merge is a plain left-to-right non-overlapping string replace —
+    identical semantics in DuckDB and Spark, so parity is exact."""
+    parts = [
+        """wc AS (
+  SELECT w AS word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+w0 AS (
+  SELECT ' ' || array_to_string([c for c in string_split_regex(word, '')], ' ')
+         || ' </w> ' AS s, cnt
+  FROM wc
+)"""
+    ]
+    for k in range(k_merges):
+        parts.append(
+            f"""p{k} AS (
+  SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS support
+  FROM (SELECT string_split(trim(s), ' ') AS sym, cnt FROM w{k}),
+       unnest(generate_series(1, len(sym)-1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT {k} AS step, l, r, l || r AS merged, support
+         FROM p{k} ORDER BY support DESC, l, r LIMIT 1)"""
+        )
+        if k + 1 < k_merges:
+            parts.append(
+                f"""w{k + 1} AS (
+  SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                    ' ' || b.l || b.r || ' ') AS s, cnt
+  FROM w{k}, b{k} b
+)"""
+            )
+    union = "\n         UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(k_merges)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n         {union}"
+
+
+@register("llm_bpe_train", sql=_bpe_sql())
+def llm_bpe_train(
+    spark: SparkSession, sf_dir: str, k_merges: int = BPE_MERGES
+) -> DataFrame:
+    """L4j: BPE merge-rule training (Sennrich et al. 2016) over the
+    corpus — the tokenizer-construction step of a training-data
+    pipeline, distributed: per step, count adjacent symbol pairs
+    (weighted by word frequency), take the argmax (ties broken
+    lexicographically), and apply the merge to every word; K steps emit
+    K (step, left, right, merged, support) rules.
+
+    Merge application is a left-to-right non-overlapping string replace
+    over space-delimited symbol strings — when repeated adjacent
+    occurrences share a delimiter ('e r e r'), the second merges on a
+    later step rather than the same pass (a documented variant of
+    canonical BPE; both engines implement the identical replace
+    semantics, so the differential oracle checks the full loop
+    bit-for-bit).
+
+    Plan shape (the 100 TB story): the CORPUS is touched exactly once —
+    the initial word-frequency groupBy (combiner-friendly; shuffle
+    O(distinct words)). Every merge step then operates on the cached
+    distinct-word table: a pair explode + combiner groupBy + a 1-row
+    TakeOrdered argmax broadcast back into a codegen replace projection.
+    K steps = K tiny shuffles over vocab-sized data. At web scale the
+    word table is millions of rows (still thousands of times smaller
+    than the corpus) and gets checkpointed every few tens of steps to
+    bound plan depth."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    w = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.expr("array_join(filter(split(word, ''), x -> x <> ''), ' ')"),
+            F.lit(" </w> "),
+        ).alias("s"),
+        "cnt",
+    )
+    merges = []
+    for k in range(k_merges):
+        sym = F.expr("split(trim(s), ' ')")
+        pairs = (
+            w.select(sym.alias("sym"), "cnt")
+            .select(
+                F.explode(F.expr("sequence(1, size(sym) - 1)")).alias("i"),
+                "sym",
+                "cnt",
+            )
+            .select(
+                F.expr("sym[i-1]").alias("l"),
+                F.expr("sym[i]").alias("r"),
+                "cnt",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("support"))
+        )
+        best = (
+            pairs.orderBy(F.desc("support"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.lit(k).alias("step"),
+                "l",
+                "r",
+                F.concat("l", "r").alias("merged"),
+                "support",
+            )
+        )
+        merges.append(best)
+        w = w.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            F.expr(
+                "replace(s, ' ' || l || ' ' || r || ' ',"
+                " ' ' || l || r || ' ')"
+            ).alias("s"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1041,3 +1041,50 @@ def test_probe_video_box_walker_and_errors():
         # ftyp present but a box claims to run past the payload end
         probe_video(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
                     b"\xff\xff\xff\xffmoov")
+
+
+def test_bpe_train_matches_python_reference(spark, tmp_path):
+    """Pin the distributed BPE loop against a plain-Python reference with
+    identical replace semantics, on a crafted corpus that exercises
+    frequency-weighted argmax, lexicographic tie-breaks, and merges that
+    build on earlier merges ('l'+'o' then 'lo'+'w')."""
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.text import llm_bpe_train
+
+    words = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    rows = [(i, " ".join(words), "en", "src0", 1) for i in range(2)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def py_bpe(word_counts, k):
+        ws = {" " + " ".join(w) + " </w> ": c for w, c in word_counts.items()}
+        out = []
+        for step in range(k):
+            pc = Counter()
+            for s, c in ws.items():
+                sym = s.strip().split(" ")
+                for a, b in zip(sym, sym[1:]):
+                    pc[(a, b)] += c
+            (left, right), support = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((step, left, right, left + right, support))
+            ws = {
+                s.replace(f" {left} {right} ", f" {left}{right} "): c
+                for s, c in ws.items()
+            }
+        return out
+
+    expect = py_bpe(Counter(words * 2), 5)
+    got = [
+        (r.step, r.l, r.r, r.merged, r.support)
+        for r in sorted(llm_bpe_train(spark, str(tmp_path)).collect(),
+                        key=lambda r: r.step)
+    ]
+    assert got == expect
+    # the crafted corpus must force a chained merge (a merged symbol
+    # participating in a later rule) so the loop is proven iterative
+    merged_syms = {m for _, _, _, m, _ in expect}
+    assert any(l in merged_syms or r in merged_syms for _, l, r, _, _ in expect)
