@@ -1645,11 +1645,12 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 5  # merge rules to learn (the tokenizer-training step count)
 
 
-def _bpe_sql(k_merges: int = BPE_MERGES) -> str:
-    """K unrolled merge steps as chained CTEs. Words are padded
-    single-space-delimited symbol strings (' s p a r k </w> '); applying
-    a merge is a plain left-to-right non-overlapping string replace —
-    identical semantics in DuckDB and Spark, so parity is exact."""
+def _bpe_cte_parts(k_merges: int, through: int | None = None) -> list[str]:
+    """Shared CTE prefix for the BPE queries: wc (word counts), w0..wK
+    (symbol strings after each merge, word column carried), p*/b* (pair
+    supports and per-step best pair). ``through`` caps how many w CTEs
+    to emit (encode needs w{K}, train stops at w{K-1})."""
+    last_w = k_merges - 1 if through is None else through
     parts = [
         """wc AS (
   SELECT w AS word, count(*) AS cnt
@@ -1657,7 +1658,8 @@ def _bpe_sql(k_merges: int = BPE_MERGES) -> str:
   GROUP BY w
 ),
 w0 AS (
-  SELECT ' ' || array_to_string([c for c in string_split_regex(word, '')], ' ')
+  SELECT word,
+         ' ' || array_to_string([c for c in string_split_regex(word, '')], ' ')
          || ' </w> ' AS s, cnt
   FROM wc
 )"""
@@ -1673,18 +1675,26 @@ w0 AS (
 b{k} AS (SELECT {k} AS step, l, r, l || r AS merged, support
          FROM p{k} ORDER BY support DESC, l, r LIMIT 1)"""
         )
-        if k + 1 < k_merges:
+        if k + 1 <= last_w:
             parts.append(
                 f"""w{k + 1} AS (
-  SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
-                    ' ' || b.l || b.r || ' ') AS s, cnt
+  SELECT word, replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                          ' ' || b.l || b.r || ' ') AS s, cnt
   FROM w{k}, b{k} b
 )"""
             )
+    return parts
+
+
+def _bpe_sql(k_merges: int = BPE_MERGES) -> str:
+    """K unrolled merge steps as chained CTEs. Words are padded
+    single-space-delimited symbol strings (' s p a r k </w> '); applying
+    a merge is a plain left-to-right non-overlapping string replace —
+    identical semantics in DuckDB and Spark, so parity is exact."""
     union = "\n         UNION ALL ".join(
         f"SELECT * FROM b{k}" for k in range(k_merges)
     )
-    return "WITH " + ",\n".join(parts) + f"\n         {union}"
+    return "WITH " + ",\n".join(_bpe_cte_parts(k_merges)) + f"\n         {union}"
 
 
 @register("llm_bpe_train", sql=_bpe_sql())
@@ -1715,6 +1725,16 @@ def llm_bpe_train(
     word table is millions of rows (still thousands of times smaller
     than the corpus) and gets checkpointed every few tens of steps to
     bound plan depth."""
+    merges, _ = _bpe_learn(spark, sf_dir, k_merges)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, k_merges: int):
+    """Run the K-step merge loop; returns ([per-step best-pair frames],
+    final word->symbol-string table AFTER all K merges applied)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1723,6 +1743,7 @@ def llm_bpe_train(
         .cache()
     )
     w = wc.select(
+        "word",
         F.concat(
             F.lit(" "),
             F.expr("array_join(filter(split(word, ''), x -> x <> ''), ' ')"),
@@ -1761,13 +1782,63 @@ def llm_bpe_train(
         )
         merges.append(best)
         w = w.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            "word",
             F.expr(
                 "replace(s, ' ' || l || ' ' || r || ' ',"
                 " ' ' || l || r || ' ')"
             ).alias("s"),
             "cnt",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, w
+
+
+def _bpe_encode_sql(k_merges: int = BPE_MERGES) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_cte_parts(k_merges, through=k_merges))
+        + f"""
+         SELECT t.doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(trim(w.s), ' '))) AS BIGINT)
+                  AS n_tokens
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents) t
+         JOIN w{k_merges} w USING (word)
+         GROUP BY t.doc_id"""
+    )
+
+
+@register("llm_bpe_encode", sql=_bpe_encode_sql())
+def llm_bpe_encode(
+    spark: SparkSession, sf_dir: str, k_merges: int = BPE_MERGES
+) -> DataFrame:
+    """L4j2: apply the learned BPE merges — tokenize every document with
+    the K rules llm_bpe_train produced (train ∘ encode is the full
+    tokenizer lifecycle) and emit per-doc word and BPE-token counts
+    (token count includes the fused end-of-word marker). This is the
+    REAL subword count the sequence packer (L4f) and context budgeting
+    want, replacing L4d's ceil(len/4) estimate.
+
+    Plan: encoding is a corpus token explode equi-joined to the final
+    word->segmentation table (vocab-sized: broadcastable here, an
+    equi-join on word at web scale) + one combiner groupBy per doc —
+    the merge loop itself runs once on vocab-sized data (see
+    llm_bpe_train). Oracle: the same K-step CTE chain extended with the
+    join+count head."""
+    _, w_final = _bpe_learn(spark, sf_dir, k_merges)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    seg = w_final.select(
+        "word",
+        F.expr("size(split(trim(s), ' '))").cast("long").alias("n_sub"),
+    )
+    return (
+        tokens.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_tokens"),
+        )
+    )
