@@ -1197,3 +1197,146 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         batch.join(dup, batch.doc_id == dup.doc_b, "left_anti")
         .select("doc_id", F.col("n").alias("n_shingles"))
     )
+
+
+# ---------------------------------------- L12 exact substring-span dedup
+ANCHOR_MOD = 8  # shingle is an anchor when hf % 8 == 0 (~1/8 sampled)
+ANCHOR_DF_CAP = 64  # anchors in more docs than this are boilerplate
+MIN_SPAN_WORDS = 15  # report pairs sharing a verbatim run at least this long
+
+_POS_SHINGLES_SQL = f"""
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')), 1, 15))::BIGINT AS hf
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w)-{SHINGLE_K - 1})) AS t(i)
+  WHERE len(w) >= {SHINGLE_K}
+"""
+
+
+@register(
+    "llm_dedup_substring",
+    sql=f"""WITH ps AS ({_POS_SHINGLES_SQL}),
+         anch AS (
+           SELECT doc_id, hf FROM (
+             SELECT DISTINCT doc_id, hf FROM ps WHERE hf % {ANCHOR_MOD} = 0
+           )
+           QUALIFY count(*) OVER (PARTITION BY hf) <= {ANCHOR_DF_CAP}
+         ),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM anch a JOIN anch b
+             ON a.hf = b.hf AND a.doc_id < b.doc_id
+         ),
+         m AS (
+           SELECT c.doc_a, c.doc_b, pb.i - pa.i AS diag, pa.i
+           FROM cand c
+           JOIN ps pa ON pa.doc_id = c.doc_a
+           JOIN ps pb ON pb.doc_id = c.doc_b AND pb.hf = pa.hf
+         ),
+         runs AS (
+           SELECT doc_a, doc_b,
+                  i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                         ORDER BY i) AS grp,
+                  diag
+           FROM (SELECT DISTINCT doc_a, doc_b, diag, i FROM m)
+         ),
+         spans AS (
+           SELECT doc_a, doc_b,
+                  CAST(max(run_len) + {SHINGLE_K - 1} AS BIGINT) AS span_words
+           FROM (
+             SELECT doc_a, doc_b, count(*) AS run_len
+             FROM runs GROUP BY doc_a, doc_b, diag, grp
+           ) GROUP BY doc_a, doc_b
+         )
+         SELECT doc_a, doc_b, span_words
+         FROM spans WHERE span_words >= {MIN_SPAN_WORDS}""",
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: EXACT substring-span dedup (Lee et al. 2107.06499: verbatim
+    repeated passages matter even when whole-document similarity is low
+    — a 50-token boilerplate block inside two otherwise-unrelated pages
+    is invisible to jaccard/minhash, whose unions drown it). Reports
+    pairs sharing a verbatim word run of at least MIN_SPAN_WORDS, with
+    the longest shared span length.
+
+    Plan (never all-pairs): candidates come from ANCHOR shingles — the
+    deterministic 1/ANCHOR_MOD hash-sample of positioned shingles,
+    df-capped like L2g so hot boilerplate anchors cannot quadratically
+    fan out; only candidate pairs reach the verify. The verify is the
+    suffix-array-free diagonal trick: positioned matches grouped by
+    diagonal (j - i), where a verbatim run of length L is exactly a
+    consecutive i-run on one diagonal — two window-free combiner
+    groupBys after the positional equi-join, no per-pair alignment
+    loops. Recall: a span of L >= MIN_SPAN_WORDS contains L-k+1 shingle
+    starts, missing the anchor sample only if ALL of them hash off the
+    1/8 residue (~(7/8)^(L-2): <17% at L=15, vanishing for real
+    boilerplate blocks); the VERIFIED spans are exact. At 100 TB the
+    anchor table is 1/8 of shingle volume, 8-byte hashes."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window
+
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= SHINGLE_K
+    )
+    parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(SHINGLE_K))
+    ps = w.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(w)-{SHINGLE_K - 1})")).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            f"cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10) as bigint)"
+        ).alias("hf"),
+    )
+    anch = (
+        ps.filter(F.col("hf") % ANCHOR_MOD == 0)
+        .select("doc_id", "hf")
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("hf")))
+        .filter(F.col("df") <= ANCHOR_DF_CAP)
+        .select("doc_id", "hf")
+    )
+    a, b = anch.alias("a"), anch.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hf") == F.col("b.hf"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = ps.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "hf"
+    )
+    pb = ps.select(
+        F.col("doc_id").alias("db"), F.col("i").alias("ib"),
+        F.col("hf").alias("hfb"),
+    )
+    m = (
+        cand.join(pa, "doc_a")
+        .join(pb, (F.col("doc_b") == F.col("db")) & (F.col("hf") == F.col("hfb")))
+        .select(
+            "doc_a", "doc_b", (F.col("ib") - F.col("ia")).alias("diag"),
+            F.col("ia").alias("i"),
+        )
+        .distinct()
+    )
+    runs = m.withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+        ),
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + (SHINGLE_K - 1)).cast("bigint").alias("span_words")
+        )
+    )
+    return spans.filter(F.col("span_words") >= MIN_SPAN_WORDS)

@@ -1088,3 +1088,38 @@ def test_bpe_train_matches_python_reference(spark, tmp_path):
     # participating in a later rule) so the loop is proven iterative
     merged_syms = {m for _, _, _, m, _ in expect}
     assert any(l in merged_syms or r in merged_syms for _, l, r, _, _ in expect)
+
+
+def test_substring_dedup_catches_shared_span_jaccard_misses(spark, tmp_path):
+    """Two long documents sharing one verbatim 20-word block in otherwise
+    disjoint text: whole-document jaccard is tiny (must NOT pair), the
+    span detector must report exactly that block's length."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        llm_dedup_ngram_jaccard,
+        llm_dedup_substring,
+    )
+
+    rng = random.Random(3)
+    # 'c'-prefixed block: verified to contain an anchor shingle
+    # (hf % ANCHOR_MOD == 0) so the deterministic 1/8 sample finds it —
+    # the probabilistic-recall caveat the operator docstring states
+    block = [f"c{i}" for i in range(20)]
+    docA = [f"a{i}" for i in range(60)]
+    docB = [f"x{i}" for i in range(60)]
+    # insert the block mid-document in both
+    ta = " ".join(docA[:30] + block + docA[30:])
+    tb = " ".join(docB[:12] + block + docB[12:])
+    tc = " ".join(f"d{i}" for i in range(80))  # unrelated control
+    rows = [(0, ta, "en", "src0", len(ta)),
+            (1, tb, "en", "src0", len(tb)),
+            (2, tc, "en", "src0", len(tc))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r.span_words
+           for r in llm_dedup_substring(spark, str(tmp_path)).collect()}
+    assert got == {(0, 1): 20}
+    assert llm_dedup_ngram_jaccard(spark, str(tmp_path)).collect() == []
