@@ -30,6 +30,10 @@ QUERIES = [
     "llm_dedup_clusters",
     "llm_corpus_curate_v3",
     "llm_similarity_ann",
+    # round-4 additions with corpus-shaped cost profiles
+    "llm_dedup_substring",
+    "llm_dedup_containment",
+    "llm_bpe_train",
 ]
 
 
