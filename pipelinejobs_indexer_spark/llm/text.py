@@ -1643,6 +1643,11 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ L4j BPE merge training
 BPE_MERGES = 5  # merge rules to learn (the tokenizer-training step count)
+# Truncate the word table's lineage every N steps: without it the plan
+# depth (and the recompute cost of every step's argmax branch) grows
+# quadratically with K — the same localCheckpoint discipline as the CC
+# loop (dedup.connected_components).
+BPE_CHECKPOINT_EVERY = 8
 
 
 def _bpe_cte_parts(k_merges: int, through: int | None = None) -> list[str]:
@@ -1789,6 +1794,8 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, k_merges: int):
             ).alias("s"),
             "cnt",
         )
+        if (k + 1) % BPE_CHECKPOINT_EVERY == 0 and k + 1 < k_merges:
+            w = w.localCheckpoint()
     return merges, w
 
 

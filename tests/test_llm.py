@@ -1123,3 +1123,24 @@ def test_substring_dedup_catches_shared_span_jaccard_misses(spark, tmp_path):
            for r in llm_dedup_substring(spark, str(tmp_path)).collect()}
     assert got == {(0, 1): 20}
     assert llm_dedup_ngram_jaccard(spark, str(tmp_path)).collect() == []
+
+
+def test_bpe_deep_merge_loop_with_checkpoint_matches_oracle(spark, ddb, sf_dir):
+    """k=10 merges crosses the BPE_CHECKPOINT_EVERY=8 lineage truncation:
+    the checkpointed loop must still match the 10-step unrolled DuckDB
+    CTE chain exactly (checkpointing is a physical-plan change only)."""
+    import sys as _sys
+
+    from pipelinejobs_indexer_spark.llm.text import (
+        BPE_CHECKPOINT_EVERY,
+        _bpe_sql,
+        llm_bpe_train,
+    )
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from parity import assert_frames_match
+
+    assert BPE_CHECKPOINT_EVERY < 10 <= 2 * BPE_CHECKPOINT_EVERY
+    got = llm_bpe_train(spark, sf_dir, k_merges=10).toPandas()
+    expect = ddb.execute(_bpe_sql(10)).df()
+    assert_frames_match(got, expect, "llm_bpe_train[k=10]")
