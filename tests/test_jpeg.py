@@ -322,3 +322,44 @@ def test_random_dc_sequences_chain_prediction(dcs):
         expect = max(0, min(255, 2 * dc + 128))
         got = {px[y][x] for y in range(8) for x in range(8 * b, 8 * b + 8)}
         assert got == {expect}, (b, dc, got)
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI + RSTn: entropy data split into restart intervals — the
+    decoder must byte-align at each marker and reset the DC predictors,
+    so block 3's DC is absolute, not a diff from block 2."""
+    q = 16
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    dri = _seg(0xDD, struct.pack(">H", 2))  # restart every 2 MCUs
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+
+    def interval(dcs):
+        bw = _BitWriter()
+        pred = 0
+        for dc in dcs:
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            ln, code = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            ln, code = ac_codes[0x00]
+            bw.write(code, ln)
+        return bw.flush()
+
+    dcs = [10, 20, 30, 40]  # 4 blocks = 4 MCUs, restart after 2
+    scan = interval(dcs[:2]) + b"\xff\xd0" + interval(dcs[2:])
+    data = b"\xff\xd8" + qtab + dri + sof + dht + sos + scan + b"\xff\xd9"
+    h, w, nc, px = decode_jpeg(data)
+    assert (h, w) == (8, 32)
+    for b, dc in enumerate(dcs):
+        assert px[0][8 * b] == 2 * dc + 128, (b, dc, px[0][8 * b])
