@@ -1213,9 +1213,10 @@ _POS_SHINGLES_SQL = f"""
 """
 
 
-@register(
-    "llm_dedup_substring",
-    sql=f"""WITH ps AS ({_POS_SHINGLES_SQL}),
+def _substring_sql() -> str:
+    """The full substring-span pair query (shared by the registration and
+    the v4 curation oracle, which nests it as a subquery)."""
+    return f"""WITH ps AS ({_POS_SHINGLES_SQL}),
          anch AS (
            SELECT doc_id, hf FROM (
              SELECT DISTINCT doc_id, hf FROM ps WHERE hf % {ANCHOR_MOD} = 0
@@ -1249,8 +1250,10 @@ _POS_SHINGLES_SQL = f"""
            ) GROUP BY doc_a, doc_b
          )
          SELECT doc_a, doc_b, span_words
-         FROM spans WHERE span_words >= {MIN_SPAN_WORDS}""",
-)
+         FROM spans WHERE span_words >= {MIN_SPAN_WORDS}"""
+
+
+@register("llm_dedup_substring", sql=_substring_sql())
 def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L12: EXACT substring-span dedup (Lee et al. 2107.06499: verbatim
     repeated passages matter even when whole-document similarity is low

@@ -1849,3 +1849,42 @@ def llm_bpe_encode(
             F.sum("n_sub").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------- L10d curation DAG v4 (+span gate)
+def _curate_v4_sql() -> str:
+    from .dedup import _substring_sql
+
+    return f"""WITH v3 AS ({_curate_v3_sql()}),
+         span_drop AS (
+           SELECT DISTINCT doc_b AS doc_id FROM ({_substring_sql()})
+         )
+         SELECT v3.doc_id, v3.lang, v3.n_words, v3.score, v3.avg_lp
+         FROM v3 LEFT JOIN span_drop d ON d.doc_id = v3.doc_id
+         WHERE d.doc_id IS NULL"""
+
+
+@register("llm_corpus_curate_v4", sql=_curate_v4_sql())
+def llm_corpus_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10d: curation DAG v4 — v3 (normalized dedup + decontamination +
+    calibrated quality + repetition + LM-likelihood gates) plus the
+    SUBSTRING-SPAN gate: the later document of every verbatim
+    shared-span pair (llm_dedup_substring, Lee et al. 2107.06499) is
+    dropped — repeated-passage contamination the document-level dedup
+    stages structurally miss.
+
+    Plan shape: the span pair set is tiny (pairs, not documents), so it
+    enters as a broadcast LEFT ANTI join on the keep side — same
+    discipline as v1's contamination anti-join; no new corpus-scale
+    shuffle. The full capstone remains free of pair joins over the
+    corpus: every candidate generation inside (minhash bands, anchor
+    shingles) is an equi-join on a bounded-fan-out key."""
+    from .dedup import llm_dedup_substring
+
+    v3 = llm_corpus_curate_v3(spark, sf_dir)
+    drop = llm_dedup_substring(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return v3.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_words", "score", "avg_lp"
+    )
