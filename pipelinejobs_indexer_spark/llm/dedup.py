@@ -1282,6 +1282,10 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w") >= SHINGLE_K
     )
     parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(SHINGLE_K))
+    # cached: the positioned-shingle table feeds FOUR consumers (both
+    # anchor self-join sides via cand, plus the pa/pb positional joins)
+    # — one materialization of the corpus shingle scan, not four
+    # recomputes (the L2g disc-table pattern)
     ps = w.select(
         "doc_id",
         F.explode(F.expr(f"sequence(1, size(w)-{SHINGLE_K - 1})")).alias("i"),
@@ -1292,7 +1296,7 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10) as bigint)"
         ).alias("hf"),
-    )
+    ).cache()
     anch = (
         ps.filter(F.col("hf") % ANCHOR_MOD == 0)
         .select("doc_id", "hf")

@@ -167,8 +167,10 @@ def decode_jpeg(data: bytes):
         raise ValueError("not a JPEG (missing SOI)")
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as exc:
-        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+    except (IndexError, struct.error, KeyError, StopIteration) as exc:
+        # KeyError: scan references an undefined Huffman/quant table id;
+        # StopIteration: scan references a component the frame lacks.
+        raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
 
 
 def _decode_jpeg(data: bytes):
@@ -245,6 +247,18 @@ def _decode_jpeg(data: bytes):
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
                 p += 2
+            # one interleaved scan covering every component IN FRAME
+            # ORDER is the only supported shape — anything else (legal
+            # non-interleaved baseline: one scan per component) must
+            # fail LOUDLY, never return zero-filled planes.
+            if len(scan) != len(frame["comps"]) or any(
+                s[0] is not c for s, c in zip(scan, frame["comps"])
+            ):
+                raise ValueError(
+                    "non-interleaved / reordered scans not supported "
+                    f"(scan covers {len(scan)} of {len(frame['comps'])} "
+                    "components)"
+                )
             pixels = _decode_scan(
                 data, seg_end, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
@@ -301,8 +315,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                                         for rx in range(sx):
                                             prow[base + rx] = v
             except _MarkerHit:
+                where = (
+                    f"marker {reader.marker:#x}"
+                    if reader.marker is not None
+                    else "a lone trailing 0xFF"  # truncated mid-stuffing
+                )
                 raise ValueError(
-                    f"entropy stream ended early at marker {reader.marker:#x}"
+                    f"entropy stream ended early at {where}"
                 ) from None
             mcu_count += 1
     # crop to (h, w) and convert color

@@ -169,11 +169,17 @@ def probe_video(content: bytes) -> dict:
         while off + 8 <= end:
             size, = struct.unpack_from(">I", buf, off)
             btype = buf[off + 4 : off + 8]
-            if size == 1:  # 64-bit largesize
+            hdr = 8
+            if size == 1:  # 64-bit largesize: header grows to 16 bytes
+                if off + 16 > end:
+                    raise ValueError(f"truncated largesize box at {off}")
                 size, = struct.unpack_from(">Q", buf, off + 8)
-            if size < 8 or off + size > end:
+                hdr = 16
+            elif size == 0:  # box extends to the end of the enclosure
+                size = end - off
+            if size < hdr or off + size > end:
                 raise ValueError(f"malformed box {btype!r} at {off}")
-            yield btype, off + 8, off + size
+            yield btype, off + hdr, off + size
             off += size
 
     brand = content[8:12].decode("ascii", "replace")
@@ -195,6 +201,8 @@ def probe_video(content: bytes) -> dict:
                 n_tracks += 1
     if timescale is None:
         raise ValueError("no mvhd box — movie header missing")
+    if timescale == 0:
+        raise ValueError("mvhd timescale is zero — corrupt movie header")
     return {
         "brand": brand,
         "timescale": timescale,

@@ -162,11 +162,6 @@ def probes_spark(n_planes: int | None = None) -> str:
     )
 
 
-# Default-config renderings (what the registered oracles bake in).
-_PROBES_SQL = probes_sql()
-_PROBES_SPARK = probes_spark()
-
-
 def ann_oracle_sql(n_planes: int | None = None) -> str:
     """DuckDB replay of the multi-probe LSH plan for any plane count —
     the registered oracle is this at the active CONFIG."""

@@ -1429,9 +1429,11 @@ CHUNK_OVERLAP = 16  # words shared between consecutive chunks
 CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
 
 
-@register(
-    "llm_doc_chunk",
-    sql=f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _chunk_windows_sql() -> str:
+    """The ONE chunk-window derivation — the llm_doc_chunk oracle and the
+    llm_chunk_dedup oracle both derive from this builder, so the window
+    arithmetic cannot silently drift between them."""
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          n AS (SELECT doc_id, w, len(w) AS nw,
                       greatest(1, CAST(ceil((len(w) - {CHUNK_OVERLAP})
                                             / {CHUNK_STRIDE}.0) AS BIGINT)) AS nc
@@ -1443,8 +1445,10 @@ CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
                 array_to_string(w[k * {CHUNK_STRIDE} + 1 :
                                   k * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ')
                   AS chunk_text
-         FROM n, unnest(generate_series(0, nc - 1)) AS u(k)""",
-)
+         FROM n, unnest(generate_series(0, nc - 1)) AS u(k)"""
+
+
+@register("llm_doc_chunk", sql=_chunk_windows_sql())
 def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4h: RAG-style document chunking — explode each document into
     fixed-width overlapping word windows (CHUNK_WORDS words, stride
@@ -1591,21 +1595,9 @@ def llm_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CHUNK_SQL = f"""SELECT doc_id,
-                k AS chunk_id,
-                array_to_string(w[k * {CHUNK_STRIDE} + 1 :
-                                  k * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ')
-                  AS chunk_text
-         FROM (SELECT doc_id, w,
-                      greatest(1, CAST(ceil((len(w) - {CHUNK_OVERLAP})
-                                            / {CHUNK_STRIDE}.0) AS BIGINT)) AS nc
-               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-              unnest(generate_series(0, nc - 1)) AS u(k)"""
-
-
 @register(
     "llm_chunk_dedup",
-    sql=f"""WITH c AS ({_CHUNK_SQL})
+    sql=f"""WITH c AS ({_chunk_windows_sql()})
          SELECT md5(chunk_text) AS chunk_hash,
                 count(*) AS n_copies,
                 count(DISTINCT doc_id) AS n_docs,

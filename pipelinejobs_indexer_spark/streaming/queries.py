@@ -329,10 +329,18 @@ def _dead_letter_fn(key, pdfs, state):
 
     high = state.get[0] if state.exists else None
     out_msg, out_uuid, out_name, out_late = [], [], [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("msg_id")
+    # Arrow delivers the batch as MULTIPLE chunks with no cross-chunk
+    # order guarantee; sorting per chunk would evaluate a later chunk's
+    # earlier msg_ids against a mark that already saw later rows.
+    # Materialize the whole per-key batch, sort ONCE globally.
+    chunks = [p for p in pdfs if len(p)]
+    batch = (
+        pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    )
+    if len(batch):
+        batch = batch.sort_values("msg_id")
         for msg_id, uuid_, name, ts in zip(
-            pdf["msg_id"], pdf["uuid"], pdf["name"], pdf["ts"]
+            batch["msg_id"], batch["uuid"], batch["name"], batch["ts"]
         ):
             ts_us = ts.value // 1000
             if high is not None and ts_us < high - _DEAD_LETTER_DELAY_US:

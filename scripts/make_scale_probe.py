@@ -9,10 +9,11 @@ This generator reproduces sf0.1's MEASURED marginals at 10x:
 
   documents  (50,000 rows): the same 31-word vocabulary with sf0.1's
       empirical word frequencies, 10-100 words/doc, ~0.16% exact
-      duplicate rows, ~2.5% planted near-duplicates (2-word edits of an
-      earlier doc — sf0.1 carries 255 jaccard>=0.8 pairs / 5000 docs,
-      this yields a matching per-row edge density), lang/source drawn
-      with sf0.1's proportions.
+      duplicate rows, ~4% planted near-duplicates (ONE-word edits of an
+      earlier doc — jaccard stays >=0.8 except for the shortest docs;
+      sf0.1 carries 255 jaccard>=0.8 pairs / 5000 docs, the probe
+      yields 1772 / 50,000, the same order of magnitude), lang/source
+      drawn with sf0.1's proportions.
   embeddings (20,000 rows): unit-norm isotropic 64-d float32 vectors,
       label uniform over 10 — sf0.1's embeddings measure ZERO label
       cluster structure (within-label mean cosine == cross-label), so

@@ -363,3 +363,53 @@ def test_restart_markers_reset_dc_prediction():
     assert (h, w) == (8, 32)
     for b, dc in enumerate(dcs):
         assert px[0][8 * b] == 2 * dc + 128, (b, dc, px[0][8 * b])
+
+
+def test_corrupt_payload_classes_all_raise_valueerror():
+    """Every corrupt-payload class must surface as ValueError (the
+    documented data-error contract), never TypeError/KeyError/etc."""
+    base = synth_dc_jpeg([[1]], 8, 8)
+    # entropy stream truncated so it ends in a lone 0xFF (mid-stuffing)
+    scan_at = base.index(b"\xff\xda") + 10
+    lone_ff = base[:scan_at] + b"\x6a\xff"
+    with pytest.raises(ValueError, match="lone trailing 0xFF|truncated"):
+        decode_jpeg(lone_ff)
+    # SOS layout: FF DA len(2) ns(1) cs(1) tables(1) ss se ah/al
+    sos_at = base.index(b"\xff\xda")
+    # scan references an undefined Huffman table id (no DHT for id 3)
+    bad_tables = base[: sos_at + 6] + b"\x33" + base[sos_at + 7 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad_tables)
+    # scan references a component id absent from the frame
+    bad_comp = base[: sos_at + 5] + b"\x09" + base[sos_at + 6 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad_comp)
+
+
+def test_non_interleaved_scan_raises_not_garbage():
+    """A 3-component frame whose first SOS covers only component 1
+    (legal non-interleaved baseline) must raise loudly — silently
+    returning zero chroma planes would violate the module contract."""
+    q = 16
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    sos_y_only = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+    bw = _BitWriter()
+    ln, code = dc_codes[0]
+    bw.write(code, ln)
+    ln, code = ac_codes[0x00]
+    bw.write(code, ln)
+    data = b"\xff\xd8" + qtab + sof + dht + sos_y_only + bw.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(data)

@@ -225,4 +225,7 @@ def test_zorder_layout_skips_on_both_dimensions(spark):
     n = len(files)
     assert user_hits < n, "no user-dimension skipping — z interleave broken"
     assert ts_hits < n, "no time-dimension skipping"
-    assert both < min(user_hits, ts_hits) + 1  # intersection prunes further
+    # the 2-dim box must prune strictly beyond the WEAKER single
+    # predicate: candidate files for the conjunction < the larger
+    # single-dimension candidate set (both <= min holds trivially)
+    assert both < max(user_hits, ts_hits), (both, user_hits, ts_hits)

@@ -1144,3 +1144,69 @@ def test_bpe_deep_merge_loop_with_checkpoint_matches_oracle(spark, ddb, sf_dir):
     got = llm_bpe_train(spark, sf_dir, k_merges=10).toPandas()
     expect = ddb.execute(_bpe_sql(10)).df()
     assert_frames_match(got, expect, "llm_bpe_train[k=10]")
+
+
+def test_probe_video_largesize_and_corrupt_headers():
+    """64-bit largesize boxes carry a 16-byte header — fields must be
+    read past it; size==0 means to-end-of-enclosure; zero timescale is a
+    ValueError data error, not ZeroDivisionError."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.multimodal import probe_video
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(
+        b"mvhd", bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, 1000, 4000)
+    )
+    trak = box(b"trak", b"\x00" * 8)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    inner = mvhd + trak
+    # moov as a 64-bit largesize box: size field = 1, 8-byte largesize
+    moov_large = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner
+    )
+    meta = probe_video(ftyp + moov_large)
+    assert (meta["timescale"], meta["duration"], meta["n_tracks"]) == (1000, 4000, 1)
+    # size==0: moov extends to end of payload
+    moov_zero = struct.pack(">I", 0) + b"moov" + inner
+    meta = probe_video(ftyp + moov_zero)
+    assert meta["duration_ms"] == 4000
+    # timescale 0 -> ValueError, not ZeroDivisionError
+    bad_mvhd = box(
+        b"mvhd", bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, 0, 4000)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="timescale"):
+        probe_video(ftyp + box(b"moov", bad_mvhd))
+
+
+def test_dead_letter_fn_sorts_across_arrow_chunks():
+    """Rows of one key arriving as multiple Arrow chunks out of msg_id
+    order must still be evaluated in global arrival order — the
+    high-water mark may not see a later chunk's earlier rows late."""
+    import pandas as pd
+
+    from pipelinejobs_indexer_spark.streaming.queries import (
+        _DEAD_LETTER_DELAY_US,
+        _dead_letter_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    t_high = pd.Timestamp("2024-01-01 02:00:00")
+    t_low = pd.Timestamp("2024-01-01 00:00:00")
+    # chunk boundaries deliver msg 2 (late) BEFORE msg 1 (the mark)
+    chunk_a = pd.DataFrame({"msg_id": [2], "uuid": ["u"], "name": ["x"], "ts": [t_low]})
+    chunk_b = pd.DataFrame({"msg_id": [1], "uuid": ["u"], "name": ["x"], "ts": [t_high]})
+    out = pd.concat(list(_dead_letter_fn((1,), iter([chunk_a, chunk_b]), FakeState())))
+    assert list(out["msg_id"]) == [2]
+    assert list(out["lateness_us"]) == [
+        (t_high.value - t_low.value) // 1000 - _DEAD_LETTER_DELAY_US
+    ]
