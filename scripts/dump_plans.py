@@ -62,6 +62,9 @@ SHOWCASE = {
     "llm_doc_chunk": "pure codegen chunking: split → sequence explode → slice/concat, zero shuffles",
     "llm_text_bm25": "term filter rides the token explode; df/stats broadcast; TakeOrderedAndProject top-k",
     "llm_multimodal_jpeg": "one MapInPandas decode stage over the pruned doc_id scan — bytes never shuffle",
+    "llm_dedup_substring": "anchor-sample candidates + cached positional table + diagonal-run combiner groupBys; no per-pair alignment",
+    "llm_corpus_curate_v4": "v3 stack + broadcast LEFT ANTI span gate — still zero corpus pair joins",
+    "llm_bpe_train": "K-step unrolled merge loop over the cached vocab-sized word table; argmax broadcast into codegen replace",
 }
 
 
