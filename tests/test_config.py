@@ -78,3 +78,17 @@ def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
     sdf = dedup.llm_dedup_minhash(spark, sf_dir, n_minhash=8, n_bands=2)
     duck = ddb.execute(dedup._minhash_pairs_sql(n_minhash=8, n_bands=2)).df()
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_minhash[8x2]")
+
+
+def test_module_constants_track_the_active_config():
+    """similarity/dedup capture CONFIG at import; if someone edits a
+    default in one place only, the captured constants and the config
+    must not silently diverge."""
+    from pipelinejobs_indexer_spark.config import CONFIG
+    from pipelinejobs_indexer_spark.llm import dedup, similarity
+
+    assert similarity.N_PLANES == CONFIG.lsh_planes
+    assert similarity.CENT_STRIDE == CONFIG.ivf_cent_stride
+    assert similarity.N_PROBE == CONFIG.ivf_nprobe
+    assert dedup.N_MINHASH == CONFIG.minhash_hashes
+    assert dedup.N_BANDS == CONFIG.minhash_bands

@@ -229,3 +229,29 @@ def test_zorder_layout_skips_on_both_dimensions(spark):
     # predicate: candidate files for the conjunction < the larger
     # single-dimension candidate set (both <= min holds trivially)
     assert both < max(user_hits, ts_hits), (both, user_hits, ts_hits)
+
+
+def test_z_interleave_is_bijective_and_monotone():
+    """The z-value arithmetic must be an exact bit interleave: reversible
+    (distinct (ub,tb) -> distinct z) and bit-faithful, else per-file z
+    ranges stop implying per-dimension ranges."""
+    import random
+
+    from pipelinejobs_indexer_spark.plans.layout import Z_BITS, _z_terms
+
+    expr = _z_terms("//")  # python // == SQL div for non-negative ints
+
+    def z(ub, tb):
+        return eval(expr, {}, {"ub": ub, "tb": tb})
+
+    rng = random.Random(11)
+    seen = {}
+    for _ in range(500):
+        ub = rng.randrange(1 << Z_BITS)
+        tb = rng.randrange(1 << Z_BITS)
+        v = z(ub, tb)
+        # exact bit interleave: even bits = ub, odd bits = tb
+        back_ub = sum(((v >> (2 * i)) & 1) << i for i in range(Z_BITS))
+        back_tb = sum(((v >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
+        assert (back_ub, back_tb) == (ub, tb)
+        assert seen.setdefault(v, (ub, tb)) == (ub, tb)
