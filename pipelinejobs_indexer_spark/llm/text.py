@@ -1880,3 +1880,77 @@ def llm_corpus_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v3.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_words", "score", "avg_lp"
     )
+
+
+# ------------------------------------------- L6i corpus distribution drift
+DRIFT_REF_SOURCES = tuple(f"src{i}" for i in range(10))  # reference slice
+
+
+@register(
+    "llm_corpus_drift",
+    sql=f"""WITH t AS (
+           SELECT CASE WHEN source IN {DRIFT_REF_SOURCES} THEN 'ref'
+                       ELSE 'cand' END AS slice,
+                  unnest(string_split(text, ' ')) AS w
+           FROM documents
+         ),
+         c AS (
+           SELECT w,
+                  CAST(count(*) FILTER (WHERE slice = 'ref') AS BIGINT) AS n_ref,
+                  CAST(count(*) FILTER (WHERE slice = 'cand') AS BIGINT) AS n_cand
+           FROM t GROUP BY w
+         ),
+         tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                        CAST(sum(n_cand) AS BIGINT) AS nc FROM c)
+         SELECT w AS word, n_ref, n_cand,
+                CAST(round(abs(n_ref / CAST(nr AS DOUBLE)
+                               - n_cand / CAST(nc AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS delta_micro
+         FROM c, tot""",
+)
+def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6i: corpus distribution drift — per-word probability deltas
+    between a reference slice (sources src0..src9, the 'yesterday'
+    stand-in) and the candidate slice (the rest): the data-quality
+    monitor a continuously-ingesting pipeline runs before admitting a
+    new batch, localizing WHICH tokens shifted (L1 contribution in
+    integer micro units) rather than just flagging that something did.
+
+    Cross-engine float discipline: the only float step is two IEEE
+    divisions + one subtraction on exact integers (all correctly
+    rounded, hence engine-identical), immediately micro-rounded —
+    no transcendentals.
+
+    Plan: one token explode + one combiner groupBy with conditional
+    counts + a 1-row broadcast total — the llm_text_logprob shape;
+    shuffle is O(vocabulary). At 100 TB this runs per ingest batch at
+    the cost of one word count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        F.when(F.col("source").isin(*DRIFT_REF_SOURCES), "ref")
+        .otherwise("cand")
+        .alias("slice"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    c = t.groupBy("w").agg(
+        F.count(F.when(F.col("slice") == "ref", 1)).cast("bigint").alias("n_ref"),
+        F.count(F.when(F.col("slice") == "cand", 1)).cast("bigint").alias("n_cand"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("bigint").alias("nr"),
+        F.sum("n_cand").cast("bigint").alias("nc"),
+    )
+    delta = F.round(
+        F.abs(
+            F.col("n_ref") / F.col("nr").cast("double")
+            - F.col("n_cand") / F.col("nc").cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"), "n_ref", "n_cand",
+            delta.alias("delta_micro"),
+        )
+    )
