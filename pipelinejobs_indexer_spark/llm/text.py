@@ -1656,7 +1656,7 @@ def _bpe_cte_parts(k_merges: int, through: int | None = None) -> list[str]:
 ),
 w0 AS (
   SELECT word,
-         ' ' || array_to_string([c for c in string_split_regex(word, '')], ' ')
+         ' ' || array_to_string(string_split_regex(word, ''), ' ')
          || ' </w> ' AS s, cnt
   FROM wc
 )"""
@@ -1753,6 +1753,13 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, k_merges: int):
         sym = F.expr("split(trim(s), ' ')")
         pairs = (
             w.select(sym.alias("sym"), "cnt")
+            # fully-merged / single-symbol words contribute no pairs.
+            # The filter is REQUIRED, not cosmetic: Spark's
+            # sequence(1, 0) DESCENDS to [1, 0] (DuckDB's
+            # generate_series(1, 0) is empty), so without it a
+            # 1-symbol word indexes sym[0] out of range — an ANSI
+            # crash / silent-null divergence from the oracle.
+            .filter(F.expr("size(sym) >= 2"))
             .select(
                 F.explode(F.expr("sequence(1, size(sym) - 1)")).alias("i"),
                 "sym",
@@ -1903,8 +1910,9 @@ DRIFT_REF_SOURCES = tuple(f"src{i}" for i in range(10))  # reference slice
          tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
                         CAST(sum(n_cand) AS BIGINT) AS nc FROM c)
          SELECT w AS word, n_ref, n_cand,
-                CAST(round(abs(n_ref / CAST(nr AS DOUBLE)
-                               - n_cand / CAST(nc AS DOUBLE)) * 1000000)
+                CAST(round(abs(n_ref / CAST(nullif(nr, 0) AS DOUBLE)
+                               - n_cand / CAST(nullif(nc, 0) AS DOUBLE))
+                           * 1000000)
                      AS BIGINT) AS delta_micro
          FROM c, tot""",
 )
@@ -1940,10 +1948,13 @@ def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").cast("bigint").alias("nr"),
         F.sum("n_cand").cast("bigint").alias("nc"),
     )
+    # nullif guards the degenerate one-slice corpus: a zero total makes
+    # delta_micro NULL (undefined drift) in BOTH engines instead of an
+    # Infinity cast crash
     delta = F.round(
         F.abs(
-            F.col("n_ref") / F.col("nr").cast("double")
-            - F.col("n_cand") / F.col("nc").cast("double")
+            F.col("n_ref") / F.expr("cast(nullif(nr, 0) as double)")
+            - F.col("n_cand") / F.expr("cast(nullif(nc, 0) as double)")
         )
         * 1_000_000
     ).cast("bigint")

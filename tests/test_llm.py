@@ -1210,3 +1210,51 @@ def test_dead_letter_fn_sorts_across_arrow_chunks():
     assert list(out["lateness_us"]) == [
         (t_high.value - t_low.value) // 1000 - _DEAD_LETTER_DELAY_US
     ]
+
+
+def test_bpe_survives_fully_merged_and_empty_words(spark, tmp_path):
+    """A corpus whose words fully merge before K steps (1-symbol word
+    strings) and a text with a double space (empty word) must not crash
+    the pair explode — Spark's sequence(1,0) descends where DuckDB's is
+    empty. Steps past the full merge emit no rule in EITHER engine."""
+    import duckdb as _duckdb
+
+    from pipelinejobs_indexer_spark.llm.text import _bpe_sql, llm_bpe_train
+
+    _sql_dir = str(tmp_path)
+    rows = [(0, "low low  lower", "en", "src0", 14),
+            (1, "lo lo lo", "en", "src1", 8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = llm_bpe_train(spark, _sql_dir, k_merges=8).toPandas()
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_sql_dir}/documents.parquet/*.parquet')"
+    )
+    expect = con.execute(_bpe_sql(8)).df()
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from parity import assert_frames_match
+
+    assert_frames_match(got, expect, "llm_bpe_train[degenerate]")
+    assert len(got) < 8, "full merge should exhaust the rule stream early"
+
+
+def test_corpus_drift_single_slice_corpus_yields_null_not_crash(spark, tmp_path):
+    """All documents in one slice: drift is undefined, so delta_micro is
+    NULL — never an Infinity cast crash."""
+    from pipelinejobs_indexer_spark.llm.text import llm_corpus_drift
+
+    rows = [(0, "alpha beta", "en", "src0", 10),
+            (1, "beta gamma", "en", "src3", 10)]  # both in the ref slice
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = llm_corpus_drift(spark, str(tmp_path)).collect()
+    assert {r.word for r in out} == {"alpha", "beta", "gamma"}
+    assert all(r.delta_micro is None for r in out)
+    assert all(r.n_cand == 0 for r in out)
