@@ -313,7 +313,13 @@ def llm_dedup_minhash(
     pathologically large documents (shingle sets too big for a row),
     switch the verify back to the equi-join over hashed_shingles — same
     answer, more shuffles; web-scale docs (~1k shingles ≈ 8 KB/row) fit
-    comfortably."""
+    comfortably.
+
+    Non-None ``n_minhash``/``n_bands`` overrides are TEST-ONLY: the
+    registered oracle stays pinned at CONFIG, so overrides bypass the
+    driver gate — pair them with ``_minhash_pairs_sql(n_minhash,
+    n_bands)`` (tests/test_config.py); production tuning goes through
+    SPARK_GRAFT_MINHASH_* env knobs, which move both sides."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     sig = _minhash_sig(hashed_shingles(docs), with_sets=True, n_minhash=n_minhash).cache()
     bands = sig.select(
@@ -697,6 +703,11 @@ def llm_dedup_embedding_lsh(
     recall vs the exact baseline is pinned in tests/test_llm.py. The
     DuckDB oracle replays the identical bucketing, so the gate checks
     exact plan parity, not just the (approximate) answer.
+
+    A non-None ``n_planes`` override is TEST-ONLY: the registered oracle
+    stays pinned at CONFIG, so overrides bypass the driver gate — pair
+    them with ``_embedding_lsh_sql(n_planes)`` (tests/test_config.py);
+    production tuning goes through SPARK_GRAFT_LSH_PLANES, moving both.
     """
     from .similarity import _bucket_expr_spark, _cos as _sim_cos, probes_spark
 

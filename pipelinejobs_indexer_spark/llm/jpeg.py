@@ -183,6 +183,10 @@ def _decode_jpeg(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; skip them so 0xFF is never misread as the marker itself.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -284,12 +288,34 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # T.81 E.1.4: when DRI is active an RSTn marker MUST sit at
+                # every interval boundary, cycling D0..D7.  A missing or
+                # out-of-sequence RSTn means the stream is corrupt; decoding
+                # on would desync predictors and emit wrong pixels silently,
+                # so fail loudly instead (module contract: loud errors, not
+                # wrong pixels).
                 reader.byte_align()
-                if reader.pos + 1 < len(data) and data[reader.pos] == 0xFF:
-                    m = data[reader.pos + 1]
-                    if 0xD0 <= m <= 0xD7:
-                        reader.pos += 2
-                        pred = {c["id"]: 0 for c in comps}
+                expected = 0xD0 + (mcu_count // restart_interval - 1) % 8
+                rpos = reader.pos
+                while (  # B.1.1.2 fill bytes may precede the marker
+                    rpos + 1 < len(data)
+                    and data[rpos] == 0xFF
+                    and data[rpos + 1] == 0xFF
+                ):
+                    rpos += 1
+                got = (
+                    data[rpos + 1]
+                    if rpos + 1 < len(data) and data[rpos] == 0xFF
+                    else None
+                )
+                if got != expected:
+                    raise ValueError(
+                        f"expected RST{expected - 0xD0} at MCU {mcu_count} "
+                        f"(restart interval {restart_interval}), found "
+                        + (f"marker {got:#x}" if got is not None else "none")
+                    )
+                reader.pos = rpos + 2
+                pred = {c["id"]: 0 for c in comps}
             try:
                 for ci, (comp, td, ta) in enumerate(scan):
                     for by in range(comp["v"]):

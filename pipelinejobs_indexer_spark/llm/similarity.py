@@ -199,6 +199,12 @@ def llm_similarity_ann(
     by tests/test_llm.py; the bucket equi-join replaces the cross join —
     the scale win that makes this the 100 TB plan. ``n_planes`` defaults
     to CONFIG.lsh_planes (env SPARK_GRAFT_LSH_PLANES).
+
+    A non-None ``n_planes`` override is TEST-ONLY: the registered oracle
+    stays pinned at the CONFIG value, so an override bypasses the driver
+    differential gate. Callers passing an override must compare against
+    ``ann_oracle_sql(n_planes)`` themselves (tests/test_config.py does);
+    production tuning goes through the env knob, which moves BOTH sides.
     """
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")

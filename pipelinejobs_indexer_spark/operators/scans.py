@@ -160,6 +160,12 @@ def _zip_member_rows(archive_rel: str, content: bytes):
             )
 
 
+def _sql_str(s: str) -> str:
+    """Render s as a SQL string literal, doubling embedded single quotes
+    so a fixture member named e.g. it's.txt can't break the VALUES SQL."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _members_oracle_sql() -> str:
     """Ground-truth member table, read straight off the committed fixture
     files (not through Spark), rendered as VALUES. Cost: two sub-KB zips
@@ -174,8 +180,9 @@ def _members_oracle_sql() -> str:
             with open(p, "rb") as f:
                 for r in _zip_member_rows(rel, f.read()):
                     rows.append(
-                        f"('{r[0]}', '{r[1]}', {r[2]}, {r[3]}, {r[4]},"
-                        f" '{r[5]}', {str(r[6]).lower()})"
+                        f"({_sql_str(r[0])}, {_sql_str(r[1])}, {r[2]},"
+                        f" {r[3]}, {r[4]}, {_sql_str(r[5])},"
+                        f" {str(r[6]).lower()})"
                     )
     values = ",\n           ".join(rows)
     return f"""SELECT archive, member,
@@ -260,7 +267,8 @@ def _member_content_oracle_sql() -> str:
                         continue
                     data = zf.read(info)
                     rows.append(
-                        f"('{rel}', '{info.filename}', {len(data)},"
+                        f"({_sql_str(rel)}, {_sql_str(info.filename)},"
+                        f" {len(data)},"
                         f" '{hashlib.sha256(data).hexdigest()}',"
                         f" '{sniff_mime(data[:16])}')"
                     )

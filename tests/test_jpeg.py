@@ -324,10 +324,9 @@ def test_random_dc_sequences_chain_prediction(dcs):
         assert got == {expect}, (b, dc, got)
 
 
-def test_restart_markers_reset_dc_prediction():
-    """DRI + RSTn: entropy data split into restart intervals — the
-    decoder must byte-align at each marker and reset the DC predictors,
-    so block 3's DC is absolute, not a diff from block 2."""
+def _build_dri_stream(sep: bytes, dcs=(10, 20, 30, 40)):
+    """4-MCU grayscale stream with DRI=2: two restart intervals joined by
+    `sep` (the bytes standing where RST0 belongs)."""
     q = 16
     qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
     sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
@@ -341,10 +340,10 @@ def test_restart_markers_reset_dc_prediction():
     dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
     ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
 
-    def interval(dcs):
+    def interval(vals):
         bw = _BitWriter()
         pred = 0
-        for dc in dcs:
+        for dc in vals:
             diff = dc - pred
             pred = dc
             t = abs(diff).bit_length()
@@ -356,13 +355,54 @@ def test_restart_markers_reset_dc_prediction():
             bw.write(code, ln)
         return bw.flush()
 
+    dcs = list(dcs)
+    scan = interval(dcs[:2]) + sep + interval(dcs[2:])
+    return b"\xff\xd8" + qtab + dri + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI + RSTn: entropy data split into restart intervals — the
+    decoder must byte-align at each marker and reset the DC predictors,
+    so block 3's DC is absolute, not a diff from block 2."""
     dcs = [10, 20, 30, 40]  # 4 blocks = 4 MCUs, restart after 2
-    scan = interval(dcs[:2]) + b"\xff\xd0" + interval(dcs[2:])
-    data = b"\xff\xd8" + qtab + dri + sof + dht + sos + scan + b"\xff\xd9"
-    h, w, nc, px = decode_jpeg(data)
+    h, w, nc, px = decode_jpeg(_build_dri_stream(b"\xff\xd0", dcs))
     assert (h, w) == (8, 32)
     for b, dc in enumerate(dcs):
         assert px[0][8 * b] == 2 * dc + 128, (b, dc, px[0][8 * b])
+
+
+def test_missing_rst_at_interval_boundary_raises():
+    """T.81 E.1.4: with DRI active, a missing RSTn at the interval
+    boundary is stream corruption — decode must fail loudly (the old
+    behavior decoded on with unreset predictors: silent wrong pixels)."""
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(_build_dri_stream(b""))  # no marker at all
+
+
+def test_out_of_sequence_rst_raises():
+    """RSTn must cycle RST0..RST7 from RST0; an out-of-sequence RST3
+    where RST0 belongs indicates dropped data and must raise."""
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(_build_dri_stream(b"\xff\xd3"))
+
+
+def test_fill_bytes_before_rst_are_skipped():
+    """B.1.1.2: 0xFF fill bytes may pad ahead of any marker, including
+    RSTn inside the entropy stream."""
+    dcs = [10, 20, 30, 40]
+    h, w, nc, px = decode_jpeg(_build_dri_stream(b"\xff\xff\xff\xd0", dcs))
+    assert (h, w) == (8, 32)
+    for b, dc in enumerate(dcs):
+        assert px[0][8 * b] == 2 * dc + 128, (b, dc, px[0][8 * b])
+
+
+def test_fill_bytes_before_segment_marker_are_skipped():
+    """B.1.1.2: fill bytes before a table/frame segment marker (here the
+    DQT of a stock stream) must not be misread as marker 0xFF."""
+    base = synth_dc_jpeg([[7]], 8, 8, q=16)
+    at = base.index(b"\xff\xdb")
+    padded = base[:at] + b"\xff\xff" + base[at:]
+    assert decode_jpeg(padded) == decode_jpeg(base)
 
 
 def test_corrupt_payload_classes_all_raise_valueerror():
