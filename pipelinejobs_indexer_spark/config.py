@@ -31,6 +31,17 @@ import os
 from dataclasses import dataclass
 
 
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.environ.get(name, "").strip().lower()
+    if not raw:
+        return default
+    if raw in ("1", "true", "yes", "on"):
+        return True
+    if raw in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"{name} must be a boolean (0/1/true/false), got {raw!r}")
+
+
 def _env_int(name: str, default: int) -> int:
     raw = os.environ.get(name, "").strip()
     if not raw:
@@ -53,6 +64,15 @@ class EngineConfig:
     ``ivf_nprobe``      — IVF cells probed per query (L3c).
     ``minhash_hashes``  — minhash family size (L2a, L11b).
     ``minhash_bands``   — LSH band count; must divide ``minhash_hashes``.
+    ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
+    reliable ``checkpoint()`` to a checkpoint directory instead of
+    executor-local ``localCheckpoint()``. Off by default (local mode:
+    localCheckpoint is faster and loss-free in one JVM); turn ON for any
+    real cluster run — executor loss mid-loop otherwise kills the job,
+    because localCheckpoint blocks die with their executor. The
+    checkpoint dir comes from SPARK_GRAFT_CHECKPOINT_DIR (point it at
+    HDFS/S3 on a cluster; defaults to a session-scoped local temp dir,
+    which demonstrates the mechanics but not cross-host durability).
     """
 
     lsh_planes: int = 4
@@ -60,6 +80,7 @@ class EngineConfig:
     ivf_nprobe: int = 2
     minhash_hashes: int = 16
     minhash_bands: int = 4
+    resilient_checkpoints: bool = False
 
     def __post_init__(self) -> None:
         if self.minhash_hashes % self.minhash_bands != 0:
@@ -79,6 +100,9 @@ def from_env() -> EngineConfig:
         ivf_nprobe=_env_int("SPARK_GRAFT_IVF_NPROBE", d.ivf_nprobe),
         minhash_hashes=_env_int("SPARK_GRAFT_MINHASH_HASHES", d.minhash_hashes),
         minhash_bands=_env_int("SPARK_GRAFT_MINHASH_BANDS", d.minhash_bands),
+        resilient_checkpoints=_env_bool(
+            "SPARK_GRAFT_RESILIENT_CHECKPOINTS", d.resilient_checkpoints
+        ),
     )
 
 

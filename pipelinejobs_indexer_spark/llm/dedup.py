@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import with_fixtures  # noqa: F401  (kept for symmetry with peers)
 from ..registry import register
+from ..session import iter_checkpoint
 from ..tables import load_table, spread
 
 from ..config import CONFIG
@@ -895,13 +896,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     # One materialization of the (potentially expensive) candidate-pair
     # DAG: everything below — vertex set, canonical edges, counts — derives
     # from this checkpoint, never from a re-run of the LSH plan.
-    pairs = pairs.localCheckpoint()
+    pairs = iter_checkpoint(pairs)
     n_pairs = pairs.count()
-    verts = (
+    verts = iter_checkpoint(
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     w_u = Window.partitionBy("u")
     # The intra-round window/distinct exchanges deserve edge-sized task
@@ -919,9 +919,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
         # and its per-stage re-planning is measurable overhead across many
         # tiny iteration jobs.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        e = _canon(
-            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        ).localCheckpoint()
+        e = iter_checkpoint(
+            _canon(
+                pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            )
+        )
         e, prev_cnt = _cc_rounds(e, e.count(), w_u, _parts, max_rounds, spark)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
@@ -953,11 +955,13 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
         withm2 = ls.withColumn("mn", F.min("v").over(w_u))
-        ss = _canon(
-            withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
-                withm2.select("u", F.col("mn").alias("v"))
+        ss = iter_checkpoint(
+            _canon(
+                withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+                    withm2.select("u", F.col("mn").alias("v"))
+                )
             )
-        ).localCheckpoint()
+        )
         cnt = ss.count()
         changed = cnt != prev_cnt or ss.join(e, ["u", "v"], "left_anti").limit(
             1
@@ -1023,11 +1027,10 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    labels = (
+    labels = iter_checkpoint(
         edges.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         nbr = (
@@ -1035,13 +1038,12 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = iter_checkpoint(
             labels.join(nbr, labels.v == nbr.a, "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -1794,7 +1794,9 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, k_merges: int):
             "cnt",
         )
         if (k + 1) % BPE_CHECKPOINT_EVERY == 0 and k + 1 < k_merges:
-            w = w.localCheckpoint()
+            from ..session import iter_checkpoint
+
+            w = iter_checkpoint(w)
     return merges, w
 
 

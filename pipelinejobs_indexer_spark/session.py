@@ -73,6 +73,46 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_checkpoint_dir_appids: set[str] = set()
+
+
+def iter_checkpoint(df):
+    """Materialize an iterative-loop intermediate and cut its lineage.
+
+    The CC loop (llm/dedup.py) and BPE trainer (llm/text.py) re-derive a
+    frame from itself each round; without a checkpoint the lazy plan
+    grows linearly (quadratic total work) and the driver's plan-compile
+    time explodes. Two lineage-cut strategies, selected by
+    ``CONFIG.resilient_checkpoints`` (env SPARK_GRAFT_RESILIENT_CHECKPOINTS):
+
+    * off (default) — ``localCheckpoint()``: blocks live on executors,
+      no filesystem round-trip. Fastest, and in local mode (one JVM)
+      loss-free. NON-resilient on a cluster: losing any executor loses
+      blocks with no lineage to rebuild them, killing the job mid-loop.
+    * on — reliable ``checkpoint()``: blocks persist to the checkpoint
+      directory (``SPARK_GRAFT_CHECKPOINT_DIR``; defaults to a
+      session-scoped temp dir — point it at HDFS/S3 on a real cluster),
+      surviving executor loss. The extra filesystem write per round is
+      the price of restartability on a 100 TB run.
+
+    Both forms are eager, so the caller's count()-after-checkpoint
+    convergence probes see materialized data either way.
+    """
+    from . import config as _config
+
+    if not _config.CONFIG.resilient_checkpoints:
+        return df.localCheckpoint()
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    if app not in _checkpoint_dir_appids:
+        ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "").strip()
+        if not ckdir:
+            ckdir = scratch_path(spark, "checkpoints")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        _checkpoint_dir_appids.add(app)
+    return df.checkpoint()
+
+
 _scratch_cleanup_appids: set[str] = set()
 
 

@@ -80,6 +80,48 @@ def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_minhash[8x2]")
 
 
+def test_resilient_checkpoint_env_parsing(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_RESILIENT_CHECKPOINTS", "1")
+    assert cfg.from_env().resilient_checkpoints is True
+    monkeypatch.setenv("SPARK_GRAFT_RESILIENT_CHECKPOINTS", "false")
+    assert cfg.from_env().resilient_checkpoints is False
+    monkeypatch.delenv("SPARK_GRAFT_RESILIENT_CHECKPOINTS")
+    assert cfg.from_env().resilient_checkpoints is False
+    monkeypatch.setenv("SPARK_GRAFT_RESILIENT_CHECKPOINTS", "maybe")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+
+
+def test_resilient_checkpoints_identical_results(spark, sf_dir, monkeypatch):
+    """VERDICT r4 item 2: the CC loop and BPE trainer must produce
+    IDENTICAL output whether lineage cuts are executor-local
+    (localCheckpoint, the local-mode default) or reliable checkpoint()s
+    to a checkpoint dir (the cluster/resilience path) — the flag changes
+    durability, never semantics."""
+    import dataclasses
+
+    from pipelinejobs_indexer_spark.llm.dedup import llm_dedup_clusters
+    from pipelinejobs_indexer_spark.llm.text import llm_bpe_train
+
+    def run_both(fn):
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, resilient_checkpoints=False)
+        )
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, resilient_checkpoints=True)
+        )
+        resilient = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        return base, resilient
+
+    cc_base, cc_res = run_both(llm_dedup_clusters)
+    assert cc_base == cc_res and len(cc_base) > 0
+    bpe_base, bpe_res = run_both(llm_bpe_train)
+    assert bpe_base == bpe_res and len(bpe_base) > 0
+    # the resilient path must actually have set a checkpoint dir
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+
 def test_module_constants_track_the_active_config():
     """similarity/dedup capture CONFIG at import; if someone edits a
     default in one place only, the captured constants and the config
