@@ -711,6 +711,70 @@ def test_decode_image_and_resize_real_for_png():
         decode_image(b"RIFF....WEBPVP8 ", "image/webp")
 
 
+# --- L5h: MJPEG-in-AVI frame-pixel decode -------------------------------
+
+
+def test_avi_walk_and_frame_decode_closed_form():
+    """Writer and walker share only the published RIFF/AVI spec; every
+    sampled frame's corner pixels must land the closed-form DC values."""
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        _avi_frame_dcs,
+        _avi_n_frames,
+        avi_mjpeg_frames,
+        sample_frames,
+        synth_avi_mjpeg,
+    )
+
+    for doc_id in (0, 3, 11, 58):
+        avi = synth_avi_mjpeg(doc_id)
+        meta = avi_mjpeg_frames(avi)
+        assert meta["n_frames"] == _avi_n_frames(doc_id)
+        assert (meta["width"], meta["height"]) == (16, 16)
+        # every_n=1: ALL frames decode; every_n=3 subsamples
+        all_frames = sample_frames(avi, "video/x-msvideo", 1)
+        assert [i for i, _ in all_frames] == list(range(meta["n_frames"]))
+        sub = sample_frames(avi, "video/x-msvideo", 3)
+        assert [i for i, _ in sub] == list(range(0, meta["n_frames"], 3))
+        for idx, px in all_frames:
+            tl, tr, bl, br = _avi_frame_dcs(doc_id, idx)
+            assert px[0][0] == 128 + 2 * tl
+            assert px[0][15] == 128 + 2 * tr
+            assert px[15][0] == 128 + 2 * bl
+            assert px[15][15] == 128 + 2 * br
+
+
+def test_avi_corrupt_container_classes_raise():
+    """Malformed AVI containers must surface as ValueError (loud errors,
+    not wrong frames), and non-AVI video keeps the ffmpeg stub contract."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        avi_mjpeg_frames,
+        sample_frames,
+        synth_avi_mjpeg,
+        synth_mp4,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF AVI"):
+        avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    base = synth_avi_mjpeg(5)
+    # truncation mid-chunk
+    with pytest.raises(ValueError, match="truncated"):
+        avi_mjpeg_frames(base[:-7])
+    # avih frame count disagreeing with the movi chunk count
+    at = base.index(b"avih") + 8 + 16  # dwTotalFrames (5th DWORD of avih)
+    lied = base[:at] + struct.pack("<I", 99) + base[at + 4 :]
+    with pytest.raises(ValueError, match="declares 99 frames"):
+        avi_mjpeg_frames(lied)
+    # headerless: movi only
+    no_hdrl = base.replace(b"hdrl", b"xxxx", 1)
+    with pytest.raises(ValueError, match="no avih"):
+        avi_mjpeg_frames(no_hdrl)
+    # inter-frame codecs still need ffmpeg: stub contract preserved
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_frames(synth_mp4(1), "video/mp4", 2)
+
+
 def test_connected_components_planted_star_skew(spark):
     """Adversarial skew (VERDICT r2 item 5): one hub vertex appears in
     EVERY edge, so the window-over-u inside the CC loop concentrates the
