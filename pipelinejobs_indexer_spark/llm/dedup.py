@@ -579,6 +579,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations / equi-joins on 8-byte shingle hashes. Oracle replays
     the identical df-capped universe."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(docs)
+
+
+def containment_pairs(docs: DataFrame, df_cap: int = CONTAIN_DF_CAP) -> DataFrame:
+    """llm_dedup_containment's core over any (doc_id, text) frame —
+    separated so adversarial tests can plant hot-shingle corpora
+    (tests/test_llm.py pins that the df cap bounds per-shingle join
+    fan-out BEFORE the candidate join, the L2g scale guarantee)."""
     from pyspark.sql.window import Window
 
     hsh = hashed_shingles(docs).select("doc_id", "hf")
@@ -587,7 +595,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes of the shingle scan + df window (minhash's sig pattern)
     disc = (
         hsh.withColumn("df", F.count("*").over(Window.partitionBy("hf")))
-        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .filter(F.col("df") <= df_cap)
         .select("doc_id", "hf")
         .cache()
     )
@@ -1289,6 +1297,17 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate blocks); the VERIFIED spans are exact. At 100 TB the
     anchor table is 1/8 of shingle volume, 8-byte hashes."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return substring_span_pairs(docs)
+
+
+def substring_span_pairs(
+    docs: DataFrame, anchor_df_cap: int = ANCHOR_DF_CAP
+) -> DataFrame:
+    """llm_dedup_substring's core over any (doc_id, text) frame —
+    separated so adversarial tests can plant hot-boilerplate corpora
+    (tests/test_llm.py pins that the anchor df cap keeps a block shared
+    by hundreds of docs from quadratically fanning out the candidate
+    join, the L12 scale guarantee)."""
     from pyspark.sql.window import Window
 
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
@@ -1315,7 +1334,7 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "hf")
         .distinct()
         .withColumn("df", F.count("*").over(Window.partitionBy("hf")))
-        .filter(F.col("df") <= ANCHOR_DF_CAP)
+        .filter(F.col("df") <= anchor_df_cap)
         .select("doc_id", "hf")
     )
     a, b = anch.alias("a"), anch.alias("b")

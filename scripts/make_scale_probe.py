@@ -26,16 +26,24 @@ rerun this script to materialize the probe.
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(os.path.dirname(HERE), ".scale_probe", "sf1")
 SRC = "/root/testdata/sf0.1"
 
-N_DOCS = 50_000
+# sf10 (a second decade, documents at 100x sf0.1) exists for the curation
+# family, the one group whose sf1 ratio (2.43x at 10x data) warranted a
+# trend check (VERDICT r4 item 7); embeddings stay at sf1 size — the
+# curation DAGs never read them.
+SCALES = {"sf1": 50_000, "sf10": 500_000}
+SCALE = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+OUT = os.path.join(os.path.dirname(HERE), ".scale_probe", SCALE)
+
+N_DOCS = SCALES[SCALE]
 N_VECS = 20_000
 EXACT_DUP_RATE = 8 / 5000
 NEAR_DUP_RATE = 0.04  # with one single-word edit -> jaccard>=0.8 pair

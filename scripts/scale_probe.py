@@ -23,7 +23,6 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-PROBE = os.path.join(ROOT, ".scale_probe", "sf1")
 SF01 = "/root/testdata/sf0.1"
 QUERIES = [
     "llm_dedup_minhash",
@@ -35,18 +34,40 @@ QUERIES = [
     "llm_dedup_containment",
     "llm_bpe_train",
 ]
+# second-decade mode (`scale_probe.py sf10`): sf1 -> sf10 on the curation
+# family only — the group whose sf1 ratio warranted a trend check
+CURATION = [
+    "llm_corpus_curate_full",
+    "llm_corpus_curate_v2",
+    "llm_corpus_curate_v3",
+    "llm_corpus_curate_v4",
+]
 
 
-def _link_missing_tables() -> None:
+def _link_missing_tables(probe: str) -> None:
     for f in os.listdir(SF01):
-        dst = os.path.join(PROBE, f)
+        dst = os.path.join(probe, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
             os.symlink(os.path.join(SF01, f), dst)
 
 
-def _exchanges(df) -> int:
+def _plan_stats(df) -> dict:
+    """Exchange census of the (pre-execution) physical plan. Broadcast
+    and shuffle exchanges are split: a join whose build side outgrows
+    autoBroadcastJoinThreshold at the larger scale flips BHJ -> SMJ,
+    converting one BroadcastExchange into up to two shuffle Exchanges —
+    correct adaptive planning, not a plan regression, so the pass
+    criterion charges shuffle-exchange growth against observed flips."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    total = plan.count("Exchange")
+    bcast = plan.count("BroadcastExchange")
+    return {
+        "exchanges": total,
+        "broadcast": bcast,
+        "shuffle": total - bcast,
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+    }
 
 
 def main() -> None:
@@ -55,18 +76,32 @@ def main() -> None:
 
     from bench import force_full_eval
 
-    _link_missing_tables()
+    sf10_mode = len(sys.argv) > 1 and sys.argv[1] == "sf10"
+    probe_lo = os.path.join(ROOT, ".scale_probe", "sf1")
+    _link_missing_tables(probe_lo)
+    if sf10_mode:
+        probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
+        _link_missing_tables(probe_hi)
+        scales = (("sf1", probe_lo), ("sf10", probe_hi))
+        queries = CURATION
+    else:
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = QUERIES
+    lo, hi = scales[0][0], scales[1][0]
     spark = get_spark("scale-probe")
     registry.load_all()
     spark.read.parquet(f"{SF01}/nation.parquet").count()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         row: dict = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", PROBE)):
+        stats: dict[str, dict] = {}
+        for label, sf_dir in scales:
             spark.catalog.clearCache()
             df = registry.QUERIES[name](spark, sf_dir)
-            row[f"{label}_exchanges"] = _exchanges(df)
+            stats[label] = _plan_stats(df)
+            row[f"{label}_exchanges"] = stats[label]["exchanges"]
+            row[f"{label}_shuffle_exchanges"] = stats[label]["shuffle"]
             best = None
             for _ in range(2):  # best-of-2 warm, matching bench.py
                 spark.catalog.clearCache()
@@ -77,9 +112,15 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             row[f"{label}_sec"] = round(best, 3)
             row[f"{label}_rows"] = n
-        row["ratio"] = round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+        row["ratio"] = round(row[f"{hi}_sec"] / row[f"{lo}_sec"], 2)
         row["superlinear"] = row["ratio"] >= 10
-        row["new_exchanges"] = row["sf1_exchanges"] > row["sf0.1_exchanges"]
+        # broadcast->SMJ flips at the larger scale each add up to 2 shuffle
+        # exchanges; only growth beyond that is an actual plan regression
+        flips = max(0, stats[lo]["bhj"] - stats[hi]["bhj"])
+        row["broadcast_flips"] = flips
+        row["new_exchanges"] = (
+            stats[hi]["shuffle"] - stats[lo]["shuffle"] > 2 * flips
+        )
         results[name] = row
         print(name, json.dumps(row))
     print(json.dumps({"probe": results}))

@@ -711,6 +711,137 @@ def test_decode_image_and_resize_real_for_png():
         decode_image(b"RIFF....WEBPVP8 ", "image/webp")
 
 
+# --- adversarial skew: df-capped candidate joins (VERDICT r4 item 8) ----
+
+
+def test_containment_hot_shingle_fanout_bounded(spark):
+    """Planted hot shingle (one boilerplate sentence in 300 docs): without
+    the df cap the candidate join would fan out ~C(300,2) pairs from that
+    shingle alone. Pins that (a) the cap excludes it BEFORE the join —
+    max per-shingle df in the capped universe <= CONTAIN_DF_CAP, the
+    per-task fan-out bound; (b) the adversarial pressure is real (the hot
+    shingle's raw df is 300); (c) the answer is exactly the planted
+    true-containment pair, not boilerplate noise."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        CONTAIN_DF_CAP,
+        containment_pairs,
+        hashed_shingles,
+    )
+
+    n_hot = 300
+    boiler = "this content is provided under the standard license terms"
+    rows = [
+        (d, f"u{d}a u{d}b u{d}c u{d}d u{d}e u{d}f u{d}g {boiler}")
+        for d in range(n_hot)
+    ]
+    x_words = " ".join(f"x{k}" for k in range(20))
+    rows.append((9000, x_words))                      # the contained doc
+    rows.append((9001, x_words + " y0 y1 y2 y3 y4"))  # its superset
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hsh = hashed_shingles(docs).select("doc_id", "hf")
+    df_per_shingle = hsh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("hf"))
+    )
+    # (b) adversarial pressure: the boilerplate shingles really are hot
+    assert df_per_shingle.agg(F.max("df")).collect()[0][0] == n_hot
+    # (a) the fan-out bound the join actually sees
+    capped_max = (
+        df_per_shingle.filter(F.col("df") <= CONTAIN_DF_CAP)
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= CONTAIN_DF_CAP
+    # (c) exact answer: only the planted containment pair
+    got = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(docs).collect()}
+    assert set(got) == {(9000, 9001)}
+    assert got[(9000, 9001)] == 1.0
+
+
+def test_substring_hot_boilerplate_fanout_bounded(spark):
+    """Planted hot 20-word block in 300 docs: its anchors' df is 300, so
+    without the cap the anchor self-join alone yields ~C(300,2) = 44850
+    candidate pairs to positionally verify. Pins that the capped anchor
+    table bounds per-anchor df (per-task candidate bound), that the block
+    really is hot, and that the answer is exactly the planted unique-run
+    pair (hot-block pairs route to the L8 span-audit/blocklist path —
+    the documented recall tradeoff of the cap)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        ANCHOR_DF_CAP,
+        ANCHOR_MOD,
+        SHINGLE_K,
+        substring_span_pairs,
+    )
+
+    def hf(words, i):  # mirrors the positioned-shingle hash expression
+        s = " ".join(words[i : i + SHINGLE_K])
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # find a deterministic 18-word run whose shingles include >=1 anchor
+    seed = 0
+    while True:
+        run = [f"r{seed}w{k}" for k in range(18)]
+        if any(hf(run, i) % ANCHOR_MOD == 0 for i in range(len(run) - SHINGLE_K + 1)):
+            break
+        seed += 1
+    block = [f"boiler{seed}w{k}" for k in range(20)]
+    assert any(  # the hot block must itself carry an anchor to be a threat
+        hf(block, i) % ANCHOR_MOD == 0 for i in range(len(block) - SHINGLE_K + 1)
+    ), "pick a block that anchors (bump seed)"
+
+    n_hot = 300
+    rows = [
+        (
+            d,
+            " ".join(
+                [f"p{d}x{k}" for k in range(8)]
+                + block
+                + [f"s{d}x{k}" for k in range(8)]
+            ),
+        )
+        for d in range(n_hot)
+    ]
+    rows.append((9000, " ".join([f"pa{k}" for k in range(5)] + run)))
+    rows.append((9001, " ".join(run + [f"sb{k}" for k in range(5)])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # per-anchor df bound the candidate join actually sees
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(SHINGLE_K))
+    anch = (
+        w.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(w)-{SHINGLE_K - 1})")).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10) as bigint)"
+            ).alias("hf"),
+        )
+        .filter(F.col("hf") % ANCHOR_MOD == 0)
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("hf")))
+    )
+    assert anch.agg(F.max("df")).collect()[0][0] == n_hot  # pressure is real
+    capped_max = (
+        anch.filter(F.col("df") <= ANCHOR_DF_CAP).agg(F.max("df")).collect()[0][0]
+    )
+    assert capped_max <= ANCHOR_DF_CAP
+    got = {(r.doc_a, r.doc_b): r.span_words for r in substring_span_pairs(docs).collect()}
+    assert set(got) == {(9000, 9001)}
+    assert got[(9000, 9001)] == 18
+
+
 # --- L5h: MJPEG-in-AVI frame-pixel decode -------------------------------
 
 
