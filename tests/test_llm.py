@@ -874,6 +874,36 @@ def test_avi_walk_and_frame_decode_closed_form():
             assert px[15][15] == 128 + 2 * br
 
 
+def test_avi_roundtrip_property():
+    """Property sweep over doc ids: every synthesized AVI must walk and
+    fully decode with frame count, dimensions, and all four corner
+    pixels on their closed forms — JPEG payload lengths vary with the
+    DC magnitudes, so odd-length chunks exercise RIFF word-alignment
+    padding across the sweep."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        _avi_frame_dcs,
+        _avi_n_frames,
+        sample_frames,
+        synth_avi_mjpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(doc_id=st.integers(min_value=0, max_value=100_000))
+    def check(doc_id):
+        frames = sample_frames(synth_avi_mjpeg(doc_id), "video/x-msvideo", 1)
+        assert len(frames) == _avi_n_frames(doc_id)
+        for idx, px in frames:
+            tl, tr, bl, br = _avi_frame_dcs(doc_id, idx)
+            assert (px[0][0], px[0][15], px[15][0], px[15][15]) == (
+                128 + 2 * tl, 128 + 2 * tr, 128 + 2 * bl, 128 + 2 * br,
+            )
+
+    check()
+
+
 def test_avi_corrupt_container_classes_raise():
     """Malformed AVI containers must surface as ValueError (loud errors,
     not wrong frames), and non-AVI video keeps the ffmpeg stub contract."""
