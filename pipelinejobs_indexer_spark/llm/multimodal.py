@@ -216,10 +216,18 @@ def avi_mjpeg_frames(content: bytes) -> dict:
                     vals = struct.unpack_from("<14I", content, b2)
                     total, width, height = vals[4], vals[8], vals[9]
         elif ltype == b"movi":
-            for f2, b2, e2 in chunks(content, body + 4, bend):
-                # '##dc' compressed / '##db' uncompressed video chunks
-                if f2[2:4] in (b"dc", b"db"):
-                    frames.append(content[b2:e2])
+
+            def collect(start: int, end: int) -> None:
+                for f2, b2, e2 in chunks(content, start, end):
+                    # '##dc' compressed / '##db' uncompressed video chunks
+                    if f2[2:4] in (b"dc", b"db"):
+                        frames.append(content[b2:e2])
+                    elif f2 == b"LIST" and content[b2 : b2 + 4] == b"rec ":
+                        # AVI-RIFF interleave grouping: frame chunks may
+                        # nest one level inside 'rec ' LISTs
+                        collect(b2 + 4, e2)
+
+            collect(body + 4, bend)
     if total is None:
         raise ValueError("no avih main header (missing LIST hdrl)")
     if total != len(frames):
@@ -992,13 +1000,21 @@ def _video_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         "doc_id", "frame_idx", "n_frames", "width", "height",
         "px_tl", "px_tr", "px_bl", "px_br",
     )
+    from .jpeg import decode_jpeg
+
     for pdf in batches:
         out = {k: [] for k in cols}
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
-            avi = synth_avi_mjpeg(doc_id)
-            meta = avi_mjpeg_frames(avi)
-            for idx, px in sample_frames(avi, "video/x-msvideo", AVI_FRAME_EVERY):
+            # one container walk per doc: decode the sampled frames off
+            # the walked frame list directly (sample_frames would re-walk)
+            meta = avi_mjpeg_frames(synth_avi_mjpeg(doc_id))
+            sampled = (
+                (idx, decode_jpeg(frame)[3])
+                for idx, frame in enumerate(meta["frames"])
+                if idx % AVI_FRAME_EVERY == 0
+            )
+            for idx, px in sampled:
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(idx)
                 out["n_frames"].append(meta["n_frames"])

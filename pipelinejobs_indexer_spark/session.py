@@ -61,6 +61,10 @@ def get_spark(app_name: str = "pipelinejobs-indexer-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # reap superseded reliable-checkpoint files (iter_checkpoint's
+        # resilient mode) when their RDDs are GC'd; context-creation conf,
+        # so a cluster spark-submit must set it too
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -97,11 +101,27 @@ def iter_checkpoint(df):
 
     Both forms are eager, so the caller's count()-after-checkpoint
     convergence probes see materialized data either way.
+
+    The resilient path persists the frame before checkpointing:
+    ``Dataset.checkpoint`` materializes with one job and then writes
+    checkpoint files in a SECOND job that would otherwise re-execute
+    the whole unpersisted lineage — i.e. every loop round would pay
+    ~2x its plan cost, on exactly the cluster runs the flag exists
+    for. Persist -> checkpoint -> unpersist makes the write job read
+    cached blocks instead.
+
+    Checkpoint-file lifecycle: superseded rounds' files are reaped
+    only when ``spark.cleaner.referenceTracking.cleanCheckpoints`` is
+    true (a context-creation conf; get_spark sets it, and a cluster
+    submit should too) — otherwise a long iterative job accumulates
+    rounds x O(data) under the checkpoint dir.
     """
     from . import config as _config
 
     if not _config.CONFIG.resilient_checkpoints:
         return df.localCheckpoint()
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
     if app not in _checkpoint_dir_appids:
@@ -110,7 +130,11 @@ def iter_checkpoint(df):
             ckdir = scratch_path(spark, "checkpoints")
         spark.sparkContext.setCheckpointDir(ckdir)
         _checkpoint_dir_appids.add(app)
-    return df.checkpoint()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return df.checkpoint()
+    finally:
+        df.unpersist()
 
 
 _scratch_cleanup_appids: set[str] = set()

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -45,6 +46,17 @@ CURATION = [
 
 
 def _link_missing_tables(probe: str) -> None:
+    # The PROBE tables (documents/embeddings) must come from
+    # make_scale_probe.py — if they are missing, symlinking sf0.1's
+    # copies here would silently run both scales on IDENTICAL data and
+    # fabricate a perfect ~1.0x "linear scaling" result. Only the
+    # non-probe tables (loaders' region/nation/... lookups) get links.
+    for t in ("documents", "embeddings"):
+        if not os.path.exists(os.path.join(probe, f"{t}.parquet")):
+            raise SystemExit(
+                f"{probe}/{t}.parquet missing — run "
+                f"`python scripts/make_scale_probe.py {os.path.basename(probe)}` first"
+            )
     for f in os.listdir(SF01):
         dst = os.path.join(probe, f)
         if f.endswith(".parquet") and not os.path.exists(dst):
@@ -59,14 +71,22 @@ def _plan_stats(df) -> dict:
     correct adaptive planning, not a plan regression, so the pass
     criterion charges shuffle-exchange growth against observed flips."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    total = plan.count("Exchange")
-    bcast = plan.count("BroadcastExchange")
+    # token-level census: a bare substring count would misclassify
+    # ReusedExchange (exchange REUSE — a plan improvement) as a new
+    # exchange and double-count "ReusedExchange ..., Exchange ..." lines
+    tokens = re.findall(
+        r"\b(ReusedExchange|BroadcastExchange|Exchange|BroadcastHashJoin|"
+        r"SortMergeJoin)\b",
+        plan,
+    )
+    bcast = tokens.count("BroadcastExchange")
+    shuffle = tokens.count("Exchange")
     return {
-        "exchanges": total,
+        "exchanges": bcast + shuffle,
         "broadcast": bcast,
-        "shuffle": total - bcast,
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
+        "shuffle": shuffle,
+        "bhj": tokens.count("BroadcastHashJoin"),
+        "smj": tokens.count("SortMergeJoin"),
     }
 
 

@@ -904,6 +904,43 @@ def test_avi_roundtrip_property():
     check()
 
 
+def test_avi_rec_grouped_frames_decode():
+    """AVI-RIFF interleave grouping: frame chunks may nest one level
+    inside 'LIST rec ' groups (standard for A/V-interleaved files) —
+    the walker must find them there too."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        avi_mjpeg_frames,
+        synth_avi_mjpeg,
+    )
+
+    flat = synth_avi_mjpeg(7)
+    meta = avi_mjpeg_frames(flat)
+
+    def chunk(fcc, payload):
+        data = fcc + struct.pack("<I", len(payload)) + payload
+        return data + (b"\x00" if len(payload) % 2 else b"")
+
+    # rebuild: same header, movi rebuilt with each 00dc inside LIST rec
+    movi_at = flat.index(b"LIST", 12)
+    while flat[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = flat.index(b"LIST", movi_at + 4)
+    head = flat[12:movi_at]
+    rec_movi = chunk(
+        b"LIST",
+        b"movi"
+        + b"".join(
+            chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in meta["frames"]
+        ),
+    )
+    body = b"AVI " + head + rec_movi
+    regrouped = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta2 = avi_mjpeg_frames(regrouped)
+    assert meta2["n_frames"] == meta["n_frames"]
+    assert meta2["frames"] == meta["frames"]
+
+
 def test_avi_corrupt_container_classes_raise():
     """Malformed AVI containers must surface as ValueError (loud errors,
     not wrong frames), and non-AVI video keeps the ffmpeg stub contract."""
