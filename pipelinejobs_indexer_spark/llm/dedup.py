@@ -1379,3 +1379,109 @@ def substring_span_pairs(
         )
     )
     return spans.filter(F.col("span_words") >= MIN_SPAN_WORDS)
+
+
+# ------------------------------------------- L13 content-defined chunking
+CDC_WINDOW = 8    # rolling content window, chars
+CDC_DIVISOR = 32  # boundary when window-hash % divisor == 0 (~32-char chunks)
+CDC_MIN_DOCS = 2  # report chunks appearing in at least this many docs
+
+_CDC_START = "CASE WHEN k = 1 THEN 1 ELSE bl[k-1] + 1 END"
+
+
+@register(
+    "llm_dedup_cdc",
+    sql=f"""WITH d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) >= 1
+         ),
+         b AS (
+           SELECT doc_id, text,
+                  list_append(
+                    [i for i in generate_series({CDC_WINDOW}, n)
+                     if ('0x' || substr(md5(substr(text, i - {CDC_WINDOW - 1},
+                                                   {CDC_WINDOW})), 1, 15))::BIGINT
+                        % {CDC_DIVISOR} = 0 and i < n],
+                    n) AS bl
+           FROM d
+         ),
+         c AS (
+           SELECT doc_id,
+                  unnest([md5(substr(text, {_CDC_START},
+                                     bl[k] - ({_CDC_START}) + 1))
+                          for k in generate_series(1, len(bl))]) AS h,
+                  unnest([bl[k] - ({_CDC_START}) + 1
+                          for k in generate_series(1, len(bl))]) AS clen
+           FROM b
+         )
+         SELECT h AS chunk_md5,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                CAST(max(clen) AS BIGINT) AS chunk_chars
+         FROM c GROUP BY h
+         HAVING count(DISTINCT doc_id) >= {CDC_MIN_DOCS}""",
+)
+def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: content-defined chunking (CDC) dedup — chunk boundaries are
+    picked by CONTENT (positions whose trailing CDC_WINDOW-char window
+    hashes to 0 mod CDC_DIVISOR), so an insertion near the top of a
+    document shifts only the chunk it lands in and every later chunk
+    REALIGNS — the storage-dedup property fixed-width chunking (L4h2)
+    structurally lacks, where one inserted word shifts every subsequent
+    window (the planted-prefix test pins exactly this gap). Reports
+    chunks shared across >= CDC_MIN_DOCS documents with copy counts —
+    the chunk-store dedup ratio audit of an FastCDC/rsync-style system,
+    here over text corpora (LLM training decks carry near-identical
+    documents differing by headers/injected prefixes).
+
+    Plan shape (100 TB story): boundary selection and chunk hashing are
+    PURE per-doc array expressions — filter(sequence) + an indexed
+    transform, whole-stage codegen, no explode of per-position rows, so
+    nothing position-sized ever shuffles. The only exchange is the
+    combiner groupBy on the 32-hex chunk hash (shuffle O(chunks), ~n/32
+    of corpus chars). The window-hash-per-position projection is the
+    honest cost of CDC (every byte examined); a production deployment
+    swaps the md5 window for a gear rolling hash in the same shape.
+    Oracle replays the identical boundary rule, so the gate checks the
+    full chunking decision, not just the aggregate."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return cdc_duplicate_chunks(docs)
+
+
+def cdc_duplicate_chunks(docs: DataFrame) -> DataFrame:
+    """llm_dedup_cdc's core over any (doc_id, text) frame — separated so
+    tests can plant insertion-shifted duplicates and verify realignment."""
+    start = "IF(k = 1, 1, element_at(bl, k - 1) + 1)"
+    b = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"""concat(
+                  filter(sequence({CDC_WINDOW}, length(text)),
+                         i -> cast(conv(substr(md5(substring(text,
+                                  i - {CDC_WINDOW - 1}, {CDC_WINDOW})), 1, 15),
+                                  16, 10) as bigint) % {CDC_DIVISOR} = 0
+                              AND i < length(text)),
+                  array(length(text)))"""
+        ).alias("bl"),
+    )
+    chunks = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, size(bl)), k -> struct(
+                      md5(substring(text, {start},
+                          element_at(bl, k) - ({start}) + 1)) AS h,
+                      element_at(bl, k) - ({start}) + 1 AS clen))"""
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.clen").alias("clen"))
+    return (
+        chunks.groupBy(F.col("h").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.max("clen").cast("bigint").alias("chunk_chars"),
+        )
+        .filter(F.col("n_docs") >= CDC_MIN_DOCS)
+    )

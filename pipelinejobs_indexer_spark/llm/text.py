@@ -1967,3 +1967,63 @@ def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.alias("delta_micro"),
         )
     )
+
+
+# ---------------------------------------------- L14 n-gram novelty audit
+from .dedup import _SHINGLES_SQL as _NOVELTY_SHINGLES_SQL  # noqa: E402
+
+
+@register(
+    "llm_ngram_novelty",
+    sql=f"""WITH sh AS ({_NOVELTY_SHINGLES_SQL}),
+         fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+         SELECT sh.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      ::DOUBLE / count(*), 6) AS novelty
+         FROM sh JOIN fo USING (s)
+         GROUP BY sh.doc_id""",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: per-document n-gram novelty — the fraction of a doc's
+    distinct 3-word shingles whose FIRST corpus occurrence (minimum
+    doc_id) is the doc itself. The dataset-diversity audit a curation
+    pipeline runs alongside dedup: a long low-novelty tail means the
+    corpus is recombining existing phrasing (template farms, spun
+    content) even where no pairwise dedup threshold fires, and the
+    aggregate novelty-vs-position curve is the standard check that a
+    crawl's later additions still contribute new text (data-age /
+    memorization studies track exactly this statistic).
+
+    Plan shape (100 TB story): one combiner groupBy over the exploded
+    distinct-shingle table keyed by shingle (min(doc_id) — the same
+    df-aggregation shape as L8's span audit) + one equi-join back on
+    the shingle key (both sides co-partitioned by the SAME key: at
+    scale the exchange is reused) + one per-doc combiner agg. No pair
+    joins, no windows; shuffle is O(distinct shingles). Float
+    discipline: novelty is one IEEE division of exact ints, rounded to
+    6 — engine-identical."""
+    from .dedup import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingles(docs)
+    fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(fo, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

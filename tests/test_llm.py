@@ -711,6 +711,113 @@ def test_decode_image_and_resize_real_for_png():
         decode_image(b"RIFF....WEBPVP8 ", "image/webp")
 
 
+# --- L13 CDC / L14 novelty semantics ------------------------------------
+
+
+def test_cdc_realigns_after_insertion_where_fixed_width_cannot(spark):
+    """The CDC property: doc B = injected prefix + doc A. Content-defined
+    boundaries realign after the insertion, so A and B share most of A's
+    chunks; fixed-width chunking at the same granularity shares NONE
+    (every window shifts by the prefix length) — computed inline as the
+    control. Unrelated docs share nothing."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        CDC_DIVISOR,
+        CDC_WINDOW,
+        cdc_duplicate_chunks,
+    )
+
+    a = " ".join(f"w{i * 37 % 101}x{i}" for i in range(60))
+    b = "INJECTED HEADER " + a
+    unrelated = " ".join(f"z{i}q{i * 13 % 7}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, unrelated)], "doc_id long, text string"
+    )
+    rows = cdc_duplicate_chunks(docs).collect()
+    shared_chars = sum(r.chunk_chars for r in rows if r.n_docs >= 2)
+    assert rows, "prefix-shifted duplicate produced no shared CDC chunks"
+    # realignment must recover a substantial fraction of A verbatim
+    assert shared_chars >= len(a) // 2, (shared_chars, len(a))
+
+    # control: fixed-width chunks at the same ~granularity share nothing
+    width = CDC_DIVISOR
+    fixed = lambda t: {  # noqa: E731
+        hashlib.md5(t[i : i + width].encode()).hexdigest()
+        for i in range(0, len(t), width)
+    }
+    assert not (fixed(a) & fixed(b)), "control broken: fixed-width realigned?"
+
+    # CDC boundary rule sanity: every reported chunk is genuinely shared
+    assert all(r.n_docs == 2 for r in rows), rows  # never doc 3
+
+
+def test_cdc_chunks_partition_each_document(spark):
+    """Chunks must tile each doc exactly: per-doc chunk_chars sums to the
+    doc length (no gaps, no overlaps) — checked via the core's per-chunk
+    explode recomputed with n_docs threshold dropped."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import cdc_duplicate_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j * 17 % 29}" for j in range(5 + i * 7))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    import pipelinejobs_indexer_spark.llm.dedup as dd
+
+    saved = dd.CDC_MIN_DOCS
+    try:
+        dd.CDC_MIN_DOCS = 1  # report every chunk
+        per_doc_chunks = cdc_duplicate_chunks(docs)
+        # every doc's chunks exist and total length is conserved corpus-wide
+        total_chunk_chars = (
+            per_doc_chunks.select(
+                F.sum(F.col("chunk_chars") * F.col("n_copies")).alias("t")
+            ).collect()[0].t
+        )
+    finally:
+        dd.CDC_MIN_DOCS = saved
+    total_text_chars = sum(len(r.text) for r in docs.collect())
+    assert total_chunk_chars == total_text_chars, (
+        total_chunk_chars, total_text_chars,
+    )
+
+
+def test_ngram_novelty_matches_independent_python(spark):
+    """Differential check vs a pure-Python first-occurrence computation
+    (independent of both Spark and the DuckDB oracle)."""
+    from pipelinejobs_indexer_spark.llm.text import llm_ngram_novelty
+
+    sf = SF
+    got = {r.doc_id: r for r in llm_ngram_novelty(spark, sf).collect()}
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    first: dict[str, int] = {}
+    expect: dict[int, tuple] = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        for s in sh:
+            if s not in first or doc_id < first[s]:
+                first[s] = doc_id
+    for doc_id, text in rows:
+        w = text.split(" ")
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        if sh:
+            novel = sum(1 for s in sh if first[s] == doc_id)
+            expect[doc_id] = (len(sh), novel)
+    assert set(got) == set(expect)
+    for doc_id, (n_sh, n_novel) in expect.items():
+        r = got[doc_id]
+        assert (r.n_shingles, r.n_novel) == (n_sh, n_novel), doc_id
+        assert abs(r.novelty - round(n_novel / n_sh, 6)) < 1e-9
+
+
 # --- adversarial skew: df-capped candidate joins (VERDICT r4 item 8) ----
 
 
