@@ -2000,15 +2000,16 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (100 TB story): one combiner groupBy over the exploded
     distinct-shingle table keyed by shingle (min(doc_id) — the same
     df-aggregation shape as L8's span audit) + one equi-join back on
-    the shingle key (both sides co-partitioned by the SAME key: at
-    scale the exchange is reused) + one per-doc combiner agg. No pair
-    joins, no windows; shuffle is O(distinct shingles). Float
-    discipline: novelty is one IEEE division of exact ints, rounded to
-    6 — engine-identical."""
+    the shingle key + one per-doc combiner agg. No pair joins, no
+    windows; shuffle is O(distinct shingles). The shingle table is
+    cached — it feeds both join sides, one materialization of the
+    corpus shingle scan instead of two (the minhash sig / containment
+    disc pattern). Float discipline: novelty is one IEEE division of
+    exact ints, rounded to 6 — engine-identical."""
     from .dedup import shingles
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingles(docs)
+    sh = shingles(docs).cache()
     fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
