@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -138,10 +139,7 @@ def main() -> None:
         # statistics), so best-of-4 rows carry a small one-sided edge vs
         # the best-of-2 baseline; the warm median is reported alongside
         # as the bias-free location estimate for those rows.
-        warm = sorted(times[1:]) or times
-        med[name] = round(
-            (warm[len(warm) // 2] + warm[(len(warm) - 1) // 2]) / 2, 4
-        )
+        med[name] = round(statistics.median(times[1:] or times), 4)
 
     print(
         json.dumps(

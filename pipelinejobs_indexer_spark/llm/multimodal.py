@@ -159,19 +159,25 @@ def sample_frames(content: bytes, mime: str, every_n: int = 30) -> "object":
     Inter-frame-compressed codecs (H.264/VP9/...) genuinely require
     ffmpeg bindings and keep the documented NotImplementedError
     contract."""
-    from .jpeg import decode_jpeg
-
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-        meta = avi_mjpeg_frames(content)
-        return [
-            (idx, decode_jpeg(frame)[3])
-            for idx, frame in enumerate(meta["frames"])
-            if idx % every_n == 0
-        ]
+        return _sample_from_meta(avi_mjpeg_frames(content), every_n)
     raise NotImplementedError(
         "inter-frame video codecs require ffmpeg (not in container); "
         "MJPEG-in-AVI decodes for real via avi_mjpeg_frames + jpeg.py"
     )
+
+
+def _sample_from_meta(meta: dict, every_n: int) -> list:
+    """Decode every n-th frame of an already-walked AVI (single source of
+    the sampling rule — sample_frames and the frames query both use it,
+    the latter with its own walk so the container is parsed once)."""
+    from .jpeg import decode_jpeg
+
+    return [
+        (idx, decode_jpeg(frame)[3])
+        for idx, frame in enumerate(meta["frames"])
+        if idx % every_n == 0
+    ]
 
 
 def avi_mjpeg_frames(content: bytes) -> dict:
@@ -1000,21 +1006,14 @@ def _video_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         "doc_id", "frame_idx", "n_frames", "width", "height",
         "px_tl", "px_tr", "px_bl", "px_br",
     )
-    from .jpeg import decode_jpeg
-
     for pdf in batches:
         out = {k: [] for k in cols}
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
-            # one container walk per doc: decode the sampled frames off
-            # the walked frame list directly (sample_frames would re-walk)
+            # one container walk per doc: sample off the walked meta
+            # directly (calling sample_frames would re-walk the bytes)
             meta = avi_mjpeg_frames(synth_avi_mjpeg(doc_id))
-            sampled = (
-                (idx, decode_jpeg(frame)[3])
-                for idx, frame in enumerate(meta["frames"])
-                if idx % AVI_FRAME_EVERY == 0
-            )
-            for idx, px in sampled:
+            for idx, px in _sample_from_meta(meta, AVI_FRAME_EVERY):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(idx)
                 out["n_frames"].append(meta["n_frames"])

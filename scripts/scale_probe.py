@@ -34,6 +34,9 @@ QUERIES = [
     "llm_dedup_substring",
     "llm_dedup_containment",
     "llm_bpe_train",
+    # round-5 additions
+    "llm_dedup_cdc",
+    "llm_ngram_novelty",
 ]
 # second-decade mode (`scale_probe.py sf10`): sf1 -> sf10 on the curation
 # family only — the group whose sf1 ratio warranted a trend check
