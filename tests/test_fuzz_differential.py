@@ -1,0 +1,96 @@
+"""Cross-engine differential fuzz: random SMALL corpora through the
+dedup cores vs the SAME registered oracle SQL executed by DuckDB over
+the identical frame.
+
+The per-round driver gate runs each oracle against the fixed testdata
+corpus only — one data point per operator. These tests register
+hypothesis-generated corpora as the DuckDB `documents` view and replay
+the module-level oracle SQL against them, so the Spark plan and the SQL
+are compared across many adversarially-shaped inputs: exact duplicate
+docs, prefix/containment relationships, docs shorter than the shingle
+width, single-word docs, heavy word-collision alphabets (a 6-word
+vocabulary forces shared shingles everywhere).
+
+Spark-side cost bounds the example count: each example is a handful of
+local jobs (~1s), so max_examples stays small but each example carries
+many edge classes at once.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark.llm import dedup  # noqa: E402
+
+from parity import assert_frames_match  # noqa: E402
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+# one doc: 0..20 words off a tiny vocabulary (max shingle collisions);
+# the corpus strategy then plants exact dups and prefix containments
+_doc = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=20).map(" ".join)
+
+
+@st.composite
+def corpora(draw):
+    base = draw(st.lists(_doc, min_size=2, max_size=8))
+    docs: list[str] = list(base)
+    if draw(st.booleans()):  # plant an exact duplicate
+        docs.append(docs[draw(st.integers(0, len(docs) - 1))])
+    if draw(st.booleans()):  # plant a containment / shifted duplicate
+        victim = docs[draw(st.integers(0, len(docs) - 1))]
+        docs.append(("zeta header " + victim).strip())
+    return [(i, t) for i, t in enumerate(docs) if t]  # empty docs excluded
+
+
+def _run(spark, ddb_mod, rows, core_fn, oracle_sql, name):
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = core_fn(sdf).toPandas()
+    con = ddb_mod.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = con.execute(oracle_sql).df()
+    con.close()
+    assert_frames_match(got, want, name)
+
+
+@pytest.mark.parametrize(
+    "core_attr,registered",
+    [
+        ("containment_pairs", "llm_dedup_containment"),
+        ("substring_span_pairs", "llm_dedup_substring"),
+        ("cdc_duplicate_chunks", "llm_dedup_cdc"),
+    ],
+)
+def test_dedup_cores_match_oracle_on_random_corpora(
+    spark, core_attr, registered
+):
+    import duckdb
+
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    oracle = registry.ORACLE[registered]
+    core = getattr(dedup, core_attr)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=corpora())
+    def check(rows):
+        if not rows:
+            return
+        _run(spark, duckdb, rows, core, oracle, registered)
+
+    check()
