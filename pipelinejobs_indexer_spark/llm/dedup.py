@@ -322,6 +322,16 @@ def llm_dedup_minhash(
     n_bands)`` (tests/test_config.py); production tuning goes through
     SPARK_GRAFT_MINHASH_* env knobs, which move both sides."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_pairs(docs, n_minhash=n_minhash, n_bands=n_bands)
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    n_minhash: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """llm_dedup_minhash's core over any (doc_id, text) frame (fuzz
+    differential in tests/test_fuzz_differential.py)."""
     sig = _minhash_sig(hashed_shingles(docs), with_sets=True, n_minhash=n_minhash).cache()
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols(n_minhash, n_bands))).alias("bv")
@@ -396,6 +406,12 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this banded equi-join plan equals brute force at every scale.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """llm_dedup_simhash's core over any (doc_id, text) frame (fuzz
+    differential in tests/test_fuzz_differential.py)."""
     wm = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     votes = wm.select(
         "doc_id",
@@ -484,9 +500,15 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive plan had (one hot shingle joins all docs containing it) is
     structurally gone.
     """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs)
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """llm_dedup_ngram_jaccard's core over any (doc_id, text) frame
+    (fuzz differential in tests/test_fuzz_differential.py)."""
     from pyspark.sql.window import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = hashed_shingles(docs).select("doc_id", "hf").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     df_counts = sh.groupBy("hf").agg(F.count("*").alias("df"))

@@ -2006,9 +2006,15 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shingle scan instead of two (the minhash sig / containment
     disc pattern). Float discipline: novelty is one IEEE division of
     exact ints, rounded to 6 — engine-identical."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return ngram_novelty(docs)
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """llm_ngram_novelty's core over any (doc_id, text) frame (fuzz
+    differential in tests/test_fuzz_differential.py)."""
     from .dedup import shingles
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = shingles(docs).cache()
     fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(

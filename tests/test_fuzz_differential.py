@@ -69,6 +69,10 @@ def _run(spark, ddb_mod, rows, core_fn, oracle_sql, name):
         ("containment_pairs", "llm_dedup_containment"),
         ("substring_span_pairs", "llm_dedup_substring"),
         ("cdc_duplicate_chunks", "llm_dedup_cdc"),
+        ("minhash_pairs", "llm_dedup_minhash"),
+        ("simhash_pairs", "llm_dedup_simhash"),
+        ("ngram_jaccard_pairs", "llm_dedup_ngram_jaccard"),
+        ("text:ngram_novelty", "llm_ngram_novelty"),
     ],
 )
 def test_dedup_cores_match_oracle_on_random_corpora(
@@ -77,10 +81,12 @@ def test_dedup_cores_match_oracle_on_random_corpora(
     import duckdb
 
     from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.llm import text as llm_text
 
     registry.load_all()
     oracle = registry.ORACLE[registered]
-    core = getattr(dedup, core_attr)
+    mod, _, attr = core_attr.rpartition(":")
+    core = getattr(llm_text if mod == "text" else dedup, attr)
 
     @settings(
         max_examples=12,
