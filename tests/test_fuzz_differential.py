@@ -100,3 +100,75 @@ def test_dedup_cores_match_oracle_on_random_corpora(
         _run(spark, duckdb, rows, core, oracle, registered)
 
     check()
+
+
+# BPE-friendly vocabulary: short words over a 4-letter alphabet so merges
+# chain (a merged symbol feeds later rules) and ties are common
+_BPE_WORDS = ["low", "lower", "lowest", "wow", "owl", "wool", "loll", "we"]
+
+
+def test_bpe_train_matches_python_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Hypothesis differential for the distributed BPE trainer: random
+    word-multiset corpora vs the plain-Python reference (identical
+    frequency-weighted argmax, lexicographic tie-break, and left-to-right
+    non-overlapping replace semantics). Random multisets hit tie and
+    chained-merge interactions a crafted corpus cannot enumerate."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from pipelinejobs_indexer_spark.llm.text import llm_bpe_train
+
+    def py_bpe(word_counts, k):
+        ws = {" " + " ".join(w) + " </w> ": c for w, c in word_counts.items()}
+        out = []
+        for step in range(k):
+            pc = Counter()
+            for s, c in ws.items():
+                sym = s.strip().split(" ")
+                for a, b in zip(sym, sym[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                return None  # corpus fully merged before k steps
+            (left, right), support = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((step, left, right, left + right, support))
+            ws = {
+                s.replace(f" {left} {right} ", f" {left}{right} "): c
+                for s, c in ws.items()
+            }
+        return out
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        words=st.lists(st.sampled_from(_BPE_WORDS), min_size=4, max_size=30),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    def check(words, k):
+        expect = py_bpe(Counter(words), k)
+        assume(expect is not None)
+        sf = str(tmp_path / f"bpe_{abs(hash((tuple(words), k))) % 10**9}")
+        rows = [(0, " ".join(words), "en", "src0", 1)]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+        got = [
+            (r.step, r.l, r.r, r.merged, r.support)
+            for r in sorted(
+                llm_bpe_train(spark, sf, k_merges=k).collect(),
+                key=lambda r: r.step,
+            )
+        ]
+        assert got == expect, (words, k)
+
+    check()
