@@ -102,6 +102,95 @@ def test_dedup_cores_match_oracle_on_random_corpora(
     check()
 
 
+def test_fsm_final_state_invariant_under_batch_splits(spark, tmp_path):
+    """Random legal/illegal/redelivered event logs for two jobs, split at
+    random points into mtime-ordered micro-batches: the FSM's final
+    per-job snapshot must equal the single-batch replay for every
+    order-respecting split (the streaming determinism contract). Random
+    logs cover accept/reject interleavings the crafted tests do not."""
+    import time
+    from datetime import datetime, timedelta
+
+    from hypothesis import assume
+
+    from pipelinejobs_indexer_spark.streaming.core import run_to_batch
+    from pipelinejobs_indexer_spark.streaming.fsm import fsm_apply
+
+    T0 = datetime(2024, 1, 1)
+    SCHEMA = "job_uuid string, date timestamp, name string, event_seq long"
+
+    def replay(rows, root, splits=()):
+        cuts = [0, *splits, len(rows)]
+        chunks = [rows[a:b] for a, b in zip(cuts, cuts[1:]) if rows[a:b]]
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, f"b{i}"))
+            if i + 1 < len(chunks):
+                time.sleep(1.1)  # distinct mtimes fix micro-batch order
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        out = run_to_batch(fsm_apply(stream), "update").collect()
+        # update mode re-emits per batch; the final snapshot has max
+        # n_events (events only accumulate)
+        final = {}
+        for r in out:
+            if r.job_uuid not in final or r.n_events > final[r.job_uuid].n_events:
+                final[r.job_uuid] = r
+        return {
+            k: (v.state, v.n_events, v.n_rejected, v.last_seq)
+            for k, v in final.items()
+        }
+
+    names = st.sampled_from(["create", "run", "finish"])
+
+    @st.composite
+    def logs(draw):
+        rows = []
+        for job in ("jobA", "jobB"):
+            n = draw(st.integers(1, 6))
+            for i in range(n):
+                rows.append(
+                    (job, T0 + timedelta(minutes=i), draw(names), i)
+                )
+        # interleave by date so arrival order == (date, seq) order per job
+        rows.sort(key=lambda r: (r[1], r[0]))
+        if draw(st.booleans()):  # exact redelivery of an earlier row
+            rows.append(rows[draw(st.integers(0, len(rows) - 1))])
+        k = draw(st.integers(1, 2))
+        splits = sorted(
+            draw(
+                st.lists(
+                    st.integers(1, max(1, len(rows) - 1)),
+                    min_size=k, max_size=k, unique=True,
+                )
+            )
+        )
+        return rows, splits
+
+    seen = [0]
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(case=logs())
+    def check(case):
+        rows, splits = case
+        assume(splits and splits[-1] < len(rows))
+        seen[0] += 1
+        tag = f"fsm_fuzz_{seen[0]}"
+        single = replay(rows, str(tmp_path / f"{tag}_single"))
+        split = replay(rows, str(tmp_path / f"{tag}_split"), splits)
+        assert split == single, (rows, splits)
+
+    check()
+
+
 # BPE-friendly vocabulary: short words over a 4-letter alphabet so merges
 # chain (a merged symbol feeds later rules) and ties are common
 _BPE_WORDS = ["low", "lower", "lowest", "wow", "owl", "wool", "loll", "we"]
