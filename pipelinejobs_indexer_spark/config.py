@@ -64,6 +64,10 @@ class EngineConfig:
     ``ivf_nprobe``      — IVF cells probed per query (L3c).
     ``minhash_hashes``  — minhash family size (L2a, L11b).
     ``minhash_bands``   — LSH band count; must divide ``minhash_hashes``.
+    ``cdc_window``      — CDC rolling content window, chars (L13).
+    ``cdc_divisor``     — CDC boundary divisor: expected chunk size ~
+    ``cdc_divisor`` chars (L13); tune toward KB-scale chunks on real
+    corpora (the 32-char default matches the tiny fixture docs).
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
@@ -80,6 +84,8 @@ class EngineConfig:
     ivf_nprobe: int = 2
     minhash_hashes: int = 16
     minhash_bands: int = 4
+    cdc_window: int = 8
+    cdc_divisor: int = 32
     resilient_checkpoints: bool = False
 
     def __post_init__(self) -> None:
@@ -100,6 +106,8 @@ def from_env() -> EngineConfig:
         ivf_nprobe=_env_int("SPARK_GRAFT_IVF_NPROBE", d.ivf_nprobe),
         minhash_hashes=_env_int("SPARK_GRAFT_MINHASH_HASHES", d.minhash_hashes),
         minhash_bands=_env_int("SPARK_GRAFT_MINHASH_BANDS", d.minhash_bands),
+        cdc_window=_env_int("SPARK_GRAFT_CDC_WINDOW", d.cdc_window),
+        cdc_divisor=_env_int("SPARK_GRAFT_CDC_DIVISOR", d.cdc_divisor),
         resilient_checkpoints=_env_bool(
             "SPARK_GRAFT_RESILIENT_CHECKPOINTS", d.resilient_checkpoints
         ),

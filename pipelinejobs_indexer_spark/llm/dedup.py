@@ -1404,26 +1404,33 @@ def substring_span_pairs(
 
 
 # ------------------------------------------- L13 content-defined chunking
-CDC_WINDOW = 8    # rolling content window, chars
-CDC_DIVISOR = 32  # boundary when window-hash % divisor == 0 (~32-char chunks)
+# window/divisor are config, not constants (SURVEY §7.4): the divisor IS
+# the expected chunk size, a corpus-dependent knob; env overrides move
+# the plan AND the registered oracle together (capture-at-import).
+CDC_WINDOW = CONFIG.cdc_window
+CDC_DIVISOR = CONFIG.cdc_divisor
 CDC_MIN_DOCS = 2  # report chunks appearing in at least this many docs
 
 _CDC_START = "CASE WHEN k = 1 THEN 1 ELSE bl[k-1] + 1 END"
 
 
-@register(
-    "llm_dedup_cdc",
-    sql=f"""WITH d AS (
+def _cdc_sql(window: int | None = None, divisor: int | None = None) -> str:
+    """DuckDB replay of the CDC boundary rule + chunk aggregation for any
+    (window, divisor) — the registered oracle is this at the active
+    CONFIG; tests pass non-default knobs to both sides."""
+    w = window or CDC_WINDOW
+    d = divisor or CDC_DIVISOR
+    return f"""WITH d AS (
            SELECT doc_id, text, length(text) AS n FROM documents
            WHERE length(text) >= 1
          ),
          b AS (
            SELECT doc_id, text,
                   list_append(
-                    [i for i in generate_series({CDC_WINDOW}, n)
-                     if ('0x' || substr(md5(substr(text, i - {CDC_WINDOW - 1},
-                                                   {CDC_WINDOW})), 1, 15))::BIGINT
-                        % {CDC_DIVISOR} = 0 and i < n],
+                    [i for i in generate_series({w}, n)
+                     if ('0x' || substr(md5(substr(text, i - {w - 1},
+                                                   {w})), 1, 15))::BIGINT
+                        % {d} = 0 and i < n],
                     n) AS bl
            FROM d
          ),
@@ -1441,8 +1448,10 @@ _CDC_START = "CASE WHEN k = 1 THEN 1 ELSE bl[k-1] + 1 END"
                 CAST(count(*) AS BIGINT) AS n_copies,
                 CAST(max(clen) AS BIGINT) AS chunk_chars
          FROM c GROUP BY h
-         HAVING count(DISTINCT doc_id) >= {CDC_MIN_DOCS}""",
-)
+         HAVING count(DISTINCT doc_id) >= {CDC_MIN_DOCS}"""
+
+
+@register("llm_dedup_cdc", sql=_cdc_sql())
 def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L13: content-defined chunking (CDC) dedup — chunk boundaries are
     picked by CONTENT (positions whose trailing CDC_WINDOW-char window
@@ -1470,19 +1479,28 @@ def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_duplicate_chunks(docs)
 
 
-def cdc_duplicate_chunks(docs: DataFrame) -> DataFrame:
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    window: int | None = None,
+    divisor: int | None = None,
+) -> DataFrame:
     """llm_dedup_cdc's core over any (doc_id, text) frame — separated so
-    tests can plant insertion-shifted duplicates and verify realignment."""
+    tests can plant insertion-shifted duplicates and verify realignment.
+    Non-None window/divisor overrides are TEST-ONLY (pair them with
+    ``_cdc_sql(window, divisor)``); production tuning goes through the
+    SPARK_GRAFT_CDC_* env knobs, which move plan and oracle together."""
+    w = window or CDC_WINDOW
+    d = divisor or CDC_DIVISOR
     start = "IF(k = 1, 1, element_at(bl, k - 1) + 1)"
     b = docs.filter(F.length("text") >= 1).select(
         "doc_id",
         "text",
         F.expr(
             f"""concat(
-                  filter(sequence({CDC_WINDOW}, length(text)),
+                  filter(sequence({w}, length(text)),
                          i -> cast(conv(substr(md5(substring(text,
-                                  i - {CDC_WINDOW - 1}, {CDC_WINDOW})), 1, 15),
-                                  16, 10) as bigint) % {CDC_DIVISOR} = 0
+                                  i - {w - 1}, {w})), 1, 15),
+                                  16, 10) as bigint) % {d} = 0
                               AND i < length(text)),
                   array(length(text)))"""
         ).alias("bl"),

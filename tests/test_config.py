@@ -71,6 +71,18 @@ def test_embedding_lsh_nondefault_planes_matches_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_embedding_lsh[planes=5]")
 
 
+def test_cdc_nondefault_knobs_match_oracle(spark, ddb, sf_dir):
+    """16-char window / divisor 16 instead of 8/32: different boundary
+    set and chunk sizes, same differential-parity requirement."""
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    assert (dedup.CDC_WINDOW, dedup.CDC_DIVISOR) != (16, 16)
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = dedup.cdc_duplicate_chunks(docs, window=16, divisor=16)
+    duck = ddb.execute(dedup._cdc_sql(window=16, divisor=16)).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[16/16]")
+
+
 def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
     """8 hashes x 2 bands (r=4 rows/band) instead of 16x4: a different
     S-curve, same differential-parity requirement."""
@@ -134,3 +146,5 @@ def test_module_constants_track_the_active_config():
     assert similarity.N_PROBE == CONFIG.ivf_nprobe
     assert dedup.N_MINHASH == CONFIG.minhash_hashes
     assert dedup.N_BANDS == CONFIG.minhash_bands
+    assert dedup.CDC_WINDOW == CONFIG.cdc_window
+    assert dedup.CDC_DIVISOR == CONFIG.cdc_divisor
