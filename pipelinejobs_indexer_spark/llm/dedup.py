@@ -813,9 +813,16 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the full-corpus cross-pair space never materializes. With a real
     benchmark suite the eval side stays thousands of documents: still
     broadcastable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return contamination_pairs(docs)
+
+
+def contamination_pairs(docs: DataFrame) -> DataFrame:
+    """llm_contamination_check's core over any (doc_id, text) frame (fuzz
+    differential in tests/test_fuzz_differential.py; also the curation
+    DAG's decontamination stage)."""
     from pyspark.sql.window import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = shingles(docs)
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     eval_sh = (

@@ -862,11 +862,17 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup stage — curation costs barely more than dedup plus the (tiny)
     contamination audit, which is the point of one declarative DAG over
     sequential materialized passes."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate_full(docs)
+
+
+def curate_full(docs: DataFrame) -> DataFrame:
+    """llm_corpus_curate_full's core over any (doc_id, text, lang) frame
+    (fuzz differential in tests/test_fuzz_differential.py)."""
     from pyspark.sql.window import Window
 
-    from .dedup import llm_contamination_check, norm_expr
+    from .dedup import contamination_pairs, norm_expr
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
     kept = (
         docs.select("doc_id", "text", "lang", norm_expr().alias("norm"))
@@ -874,7 +880,7 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang")
     )
-    contaminated = llm_contamination_check(spark, sf_dir).select("doc_id").distinct()
+    contaminated = contamination_pairs(docs).select("doc_id").distinct()
     clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
     t = clean.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
     feat = t.select(

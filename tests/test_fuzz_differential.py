@@ -102,6 +102,48 @@ def test_dedup_cores_match_oracle_on_random_corpora(
     check()
 
 
+def test_curate_full_matches_oracle_on_random_corpora(spark):
+    """End-to-end fuzz of the capstone curation DAG (normalize-dedup →
+    decontaminate → quality gate → stratified sample) vs its registered
+    oracle: random (text, lang) corpora with doc_id 0 present, so the
+    eval split (doc_id % 97 == 0) is non-empty and the decontamination
+    stage actually fires."""
+    import duckdb
+
+    from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.llm.text import curate_full
+
+    registry.load_all()
+    oracle = registry.ORACLE["llm_corpus_curate_full"]
+    langs = st.sampled_from(["en", "de", "xx"])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=corpora(), langs_drawn=st.data())
+    def check(rows, langs_drawn):
+        if not rows:
+            return
+        full = [
+            (i, t, langs_drawn.draw(langs, label=f"lang{i}"))
+            for i, t in rows
+        ]
+        sdf = spark.createDataFrame(full, "doc_id long, text string, lang string")
+        got = curate_full(sdf).toPandas()
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(full, columns=["doc_id", "text", "lang"]),
+        )
+        want = con.execute(oracle).df()
+        con.close()
+        assert_frames_match(got, want, "llm_corpus_curate_full")
+
+    check()
+
+
 def test_fsm_final_state_invariant_under_batch_splits(spark, tmp_path):
     """Random legal/illegal/redelivered event logs for two jobs, split at
     random points into mtime-ordered micro-batches: the FSM's final
