@@ -42,6 +42,15 @@ def _env_bool(name: str, default: bool) -> bool:
     raise ValueError(f"{name} must be a boolean (0/1/true/false), got {raw!r}")
 
 
+def _env_choice(name: str, default: str, allowed: tuple[str, ...]) -> str:
+    raw = os.environ.get(name, "").strip().lower()
+    if not raw:
+        return default
+    if raw not in allowed:
+        raise ValueError(f"{name} must be one of {allowed}, got {raw!r}")
+    return raw
+
+
 def _env_int(name: str, default: int) -> int:
     raw = os.environ.get(name, "").strip()
     if not raw:
@@ -68,6 +77,41 @@ class EngineConfig:
     ``cdc_divisor``     — CDC boundary divisor: expected chunk size ~
     ``cdc_divisor`` chars (L13); tune toward KB-scale chunks on real
     corpora (the 32-char default matches the tiny fixture docs).
+    ``cdc_hash``        — CDC boundary-window hash: ``md5`` (the frozen
+    default — one md5 of the w-char window per position) or ``gear``
+    (FastCDC-style gear polynomial over a 256-entry byte table — pure
+    integer multiply-adds, no per-position digest/hex/string
+    allocation; the production choice, ~w× less hashing work per
+    scanned char). Both are content-defined over the same trailing
+    window, so boundary realignment semantics are identical; the
+    boundary SETS differ, and the DuckDB oracle replays whichever rule
+    is active. Gear requires ``cdc_window`` <= 24 (the unrolled
+    window polynomial must stay inside signed-64 arithmetic).
+    ``contam_df_cap``   — decontamination (L7) drops shingles present in
+    more than this many documents from BOTH sides of the train↔eval
+    overlap join (numerator AND denominator): boilerplate shingles
+    (license headers, navigation chrome — real eval sets contain them)
+    are not a contamination signal, and uncapped they fan the join out
+    by their full document frequency (the sf10 probe measured 103×
+    join-row growth for 10× input before the cap existed). Cap = the
+    per-shingle join fan-out bound; raise it with corpus size only if
+    boilerplate overlap is genuinely wanted as signal.
+    ``cc_min_strategy``  — how the connected-components loop computes
+    the per-vertex neighborhood minimum. ``window`` (default): one
+    exchange per phase via a window aggregate on the vertex key —
+    fastest when the maximum degree fits comfortably in one task, but a
+    power-law hub (say a 100M-degree vertex at 100 TB) lands its whole
+    neighborhood in a single WindowExec partition: one straggler task
+    that buffers/spills linearly. ``twophase``: a combiner groupBy
+    (map-side partial min — per-hub shuffle volume collapses to one
+    partial row per map task, structurally skew-proof) plus a
+    shuffle-hash join-back to re-attach the min — one more exchange per
+    phase, but the hub cost becomes a streamed hash probe instead of a
+    buffered window. Crossover guidance: stay on ``window`` until the
+    max component/neighborhood degree approaches the rows-per-task
+    budget (~EDGES_PER_TASK, 2M); switch to ``twophase`` for power-law
+    graphs beyond that. Identical results by construction
+    (parity-tested both ways).
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
@@ -86,6 +130,9 @@ class EngineConfig:
     minhash_bands: int = 4
     cdc_window: int = 8
     cdc_divisor: int = 32
+    cdc_hash: str = "md5"
+    contam_df_cap: int = 64
+    cc_min_strategy: str = "window"
     resilient_checkpoints: bool = False
 
     def __post_init__(self) -> None:
@@ -93,6 +140,18 @@ class EngineConfig:
             raise ValueError(
                 f"minhash_bands ({self.minhash_bands}) must divide "
                 f"minhash_hashes ({self.minhash_hashes})"
+            )
+        if self.cc_min_strategy not in ("window", "twophase"):
+            raise ValueError(
+                f"cc_min_strategy must be 'window' or 'twophase', "
+                f"got {self.cc_min_strategy!r}"
+            )
+        if self.cdc_hash not in ("md5", "gear"):
+            raise ValueError(f"cdc_hash must be 'md5' or 'gear', got {self.cdc_hash!r}")
+        if self.cdc_hash == "gear" and self.cdc_window > 24:
+            raise ValueError(
+                f"cdc_hash='gear' needs cdc_window <= 24 to stay inside "
+                f"signed-64 arithmetic, got {self.cdc_window}"
             )
 
 
@@ -108,6 +167,11 @@ def from_env() -> EngineConfig:
         minhash_bands=_env_int("SPARK_GRAFT_MINHASH_BANDS", d.minhash_bands),
         cdc_window=_env_int("SPARK_GRAFT_CDC_WINDOW", d.cdc_window),
         cdc_divisor=_env_int("SPARK_GRAFT_CDC_DIVISOR", d.cdc_divisor),
+        cdc_hash=_env_choice("SPARK_GRAFT_CDC_HASH", d.cdc_hash, ("md5", "gear")),
+        contam_df_cap=_env_int("SPARK_GRAFT_CONTAM_DF_CAP", d.contam_df_cap),
+        cc_min_strategy=_env_choice(
+            "SPARK_GRAFT_CC_MIN_STRATEGY", d.cc_min_strategy, ("window", "twophase")
+        ),
         resilient_checkpoints=_env_bool(
             "SPARK_GRAFT_RESILIENT_CHECKPOINTS", d.resilient_checkpoints
         ),

@@ -773,18 +773,30 @@ def llm_dedup_embedding_lsh(
 # --------------------------------------------- L7 eval-set contamination
 EVAL_MODULUS = 97  # deterministic eval-split stand-in: doc_id % 97 == 0
 CONTAMINATION_THRESHOLD = 0.5  # fraction of the eval doc's shingles present
+# Boilerplate bound (config, not constant — SPARK_GRAFT_CONTAM_DF_CAP):
+# shingles in more documents than this are excluded from BOTH sides of the
+# train↔eval join, numerator and denominator alike. See config.py.
+CONTAM_DF_CAP = CONFIG.contam_df_cap
 
 
-def _contamination_sql() -> str:
+def _contamination_sql(df_cap: int | None = None) -> str:
     """The full contamination query (shared with the composed curation
-    oracle in llm/text.py)."""
+    oracles in llm/text.py) for any df cap — the registered oracle is
+    this at the active CONFIG; tests pass non-default caps to both
+    sides."""
+    cap = CONTAM_DF_CAP if df_cap is None else df_cap
     return f"""WITH sh AS ({_SHINGLES_SQL}),
+         disc AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
+           ) WHERE df <= {cap}
+         ),
          eval_sh AS (
            SELECT doc_id AS eval_doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n_eval
-           FROM sh WHERE doc_id % {EVAL_MODULUS} = 0
+           FROM disc WHERE doc_id % {EVAL_MODULUS} = 0
          ),
          train_sh AS (
-           SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MODULUS} <> 0
+           SELECT doc_id, s FROM disc WHERE doc_id % {EVAL_MODULUS} <> 0
          ),
          overlap AS (
            SELECT t.doc_id, e.eval_doc_id,
@@ -801,36 +813,59 @@ def _contamination_sql() -> str:
 @register("llm_contamination_check", sql=_contamination_sql())
 def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: benchmark-contamination scan — flag training documents whose
-    shingle sets cover >=50% of any eval document's shingles (the
-    decontamination pass every serious training-data pipeline runs; the
-    eval split here is the deterministic doc_id % 97 == 0 stand-in for a
-    real benchmark table).
+    DISCRIMINATIVE shingle sets cover >=50% of any eval document's
+    discriminative shingles (the decontamination pass every serious
+    training-data pipeline runs; the eval split here is the deterministic
+    doc_id % 97 == 0 stand-in for a real benchmark table). Shingles
+    present in more than CONTAM_DF_CAP documents are boilerplate (license
+    headers, nav text — real eval sets do contain them) and are excluded
+    from numerator AND denominator consistently: the standard rare-n-gram
+    decontamination measure, and the structural fan-out bound.
 
-    Scale shape: the eval set is small by construction, so its exploded
-    shingles BROADCAST; the training side streams through one equi-join
-    on the shingle string plus one aggregate keyed by (train, eval) doc
-    pair — no shuffle of the training corpus itself beyond the pair agg,
-    and the full-corpus cross-pair space never materializes. With a real
-    benchmark suite the eval side stays thousands of documents: still
-    broadcastable."""
+    Scale shape: the eval set is small by construction, so its surviving
+    shingles BROADCAST; the hot-shingle list (df > cap) is tiny by
+    construction (≤ corpus_shingles / cap entries) and also broadcasts
+    into a LEFT ANTI prune, so the training corpus itself never shuffles
+    — the only full-corpus exchange is the combiner-friendly df groupBy
+    on the shingle key (distinct-shingle sized, the llm_span_dedup_audit
+    shape). Per-shingle join fan-out is then ≤ cap BY CONSTRUCTION: the
+    103× join-row blowup the uncapped plan showed on the sf10
+    closed-vocabulary probe cannot occur at any scale."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return contamination_pairs(docs)
 
 
-def contamination_pairs(docs: DataFrame) -> DataFrame:
+def contamination_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
     """llm_contamination_check's core over any (doc_id, text) frame (fuzz
     differential in tests/test_fuzz_differential.py; also the curation
-    DAG's decontamination stage)."""
+    DAGs' decontamination stage). Non-None ``df_cap`` overrides are
+    TEST-ONLY (pair them with ``_contamination_sql(df_cap)``); production
+    tuning goes through SPARK_GRAFT_CONTAM_DF_CAP, which moves plan and
+    oracle together."""
     from pyspark.sql.window import Window
 
-    sh = shingles(docs)
+    cap = CONTAM_DF_CAP if df_cap is None else df_cap
+    # cached: the shingle table feeds three consumers (the df aggregate
+    # plus both join sides) — one materialization, not three recomputes
+    # of the split/explode scan (the containment_pairs pattern)
+    sh = shingles(docs).cache()
+    # hot = boilerplate shingles; small by construction (each entry
+    # accounts for > cap shingle occurrences), so it broadcasts and the
+    # full shingle table is pruned WITHOUT being shuffled
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    disc = sh.join(F.broadcast(hot), "s", "left_anti")
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     eval_sh = (
-        sh.filter(is_eval)
+        disc.filter(is_eval)
         .withColumnRenamed("doc_id", "eval_doc_id")
         .withColumn("n_eval", F.count("*").over(Window.partitionBy("eval_doc_id")))
     )
-    train_sh = sh.filter(~is_eval)
+    train_sh = disc.filter(~is_eval)
     overlap = (
         train_sh.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id", "eval_doc_id")
@@ -902,7 +937,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     (min-over-neighborhood as a window aggregate on the vertex key — one
     exchange per phase instead of a groupBy + join-back pair) plus one
     dedup exchange, all equi-shuffles on vertex keys, localCheckpoint'ed
-    so the driver loop stays constant-cost. The large-star output feeds
+    so the driver loop stays constant-cost. For power-law graphs whose
+    hub degree outgrows a task, SPARK_GRAFT_CC_MIN_STRATEGY=twophase
+    swaps each window pass for a combiner groupBy + shuffle-hash
+    join-back (_attach_neighborhood_min — skew-proof partial mins at
+    the price of one more exchange per phase; crossover guidance in
+    config.py, results identical by construction). The large-star output feeds
     the small-star window RAW (no intermediate distinct): min-over-window
     is duplicate-insensitive and the round's terminal canon dedups anyway,
     so each round runs three exchanges, not five. Convergence is detected
@@ -972,6 +1012,27 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     )
 
 
+def _attach_neighborhood_min(df, out: str, w_u):
+    """Attach min(v) over each vertex u's rows as column ``out``, by the
+    configured strategy (config.py `cc_min_strategy`):
+
+    * window (default) — one exchange; the hub-keyed WindowExec buffers
+      each u's whole neighborhood in one task (fine until power-law).
+    * twophase — combiner groupBy (map-side partial min: shuffle volume
+      per hub = one partial row per map task, skew-proof) + a
+      shuffle-hash join-back (streamed probe, no sort, no buffering).
+      One more exchange per phase; identical rows either way.
+
+    Strategy is read at call time (not captured at import) so the
+    parity test can flip it per run."""
+    from ..config import CONFIG
+
+    if CONFIG.cc_min_strategy == "window":
+        return df.withColumn(out, F.min("v").over(w_u))
+    mins = df.groupBy("u").agg(F.min("v").alias(out))
+    return df.join(mins.hint("shuffle_hash"), "u")
+
+
 def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
     """The large-star/small-star iteration of connected_components; edge
     list in, converged star forest out. Split out so the shuffle-partition
@@ -980,8 +1041,8 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
         spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
         # large-star: every neighbor v > u links to min(N(u) + {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        withm = sym.withColumn(
-            "m", F.least(F.min("v").over(w_u), F.col("u"))
+        withm = _attach_neighborhood_min(sym, "nbmin", w_u).withColumn(
+            "m", F.least(F.col("nbmin"), F.col("u"))
         )
         # Raw large-star edges (u > v by construction: v > u ≥ m before the
         # rename). Duplicates are left in: the small-star window min below
@@ -991,7 +1052,7 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
             F.col("v").alias("u"), F.col("m").alias("v")
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
-        withm2 = ls.withColumn("mn", F.min("v").over(w_u))
+        withm2 = _attach_neighborhood_min(ls, "mn", w_u)
         ss = iter_checkpoint(
             _canon(
                 withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
@@ -1411,35 +1472,105 @@ def substring_span_pairs(
 
 
 # ------------------------------------------- L13 content-defined chunking
-# window/divisor are config, not constants (SURVEY §7.4): the divisor IS
-# the expected chunk size, a corpus-dependent knob; env overrides move
+# window/divisor/hash are config, not constants (SURVEY §7.4): the divisor
+# IS the expected chunk size, a corpus-dependent knob; env overrides move
 # the plan AND the registered oracle together (capture-at-import).
 CDC_WINDOW = CONFIG.cdc_window
 CDC_DIVISOR = CONFIG.cdc_divisor
+CDC_HASH = CONFIG.cdc_hash
 CDC_MIN_DOCS = 2  # report chunks appearing in at least this many docs
+
+# Gear byte table for the FastCDC-style window hash (cdc_hash='gear'):
+# 256 values derived from md5 of the byte value itself — deterministic,
+# engine-independent, and rebuilt identically here and in the oracle SQL
+# from this one tuple. 32-bit entries keep the unrolled window polynomial
+# sum_{j<w} G[c_{i-j}] * 2^j inside signed-64 for any w <= 24 (config
+# enforces the bound): max sum < w * 2^32 * 2^(w-1).
+import hashlib as _hashlib
+
+GEAR_TABLE = tuple(
+    int(_hashlib.md5(bytes([v])).hexdigest()[:8], 16) for v in range(256)
+)
 
 _CDC_START = "CASE WHEN k = 1 THEN 1 ELSE bl[k-1] + 1 END"
 
 
-def _cdc_sql(window: int | None = None, divisor: int | None = None) -> str:
+def _cdc_params(
+    window: int | None, divisor: int | None, hash_kind: str | None
+) -> tuple[int, int, str]:
+    """Resolve (window, divisor, hash) overrides against CONFIG, loudly:
+    an explicit invalid value (0, negative, unknown hash) ERRORS instead
+    of silently falling back to the default (the _env_int discipline —
+    ADVICE r5)."""
+    w = CDC_WINDOW if window is None else window
+    d = CDC_DIVISOR if divisor is None else divisor
+    h = CDC_HASH if hash_kind is None else hash_kind
+    if w <= 0 or d <= 0:
+        raise ValueError(f"CDC window/divisor must be positive, got ({w}, {d})")
+    if h not in ("md5", "gear"):
+        raise ValueError(f"CDC hash must be 'md5' or 'gear', got {h!r}")
+    if h == "gear" and w > 24:
+        raise ValueError(f"CDC gear hash needs window <= 24, got {w}")
+    return w, d, h
+
+
+def _gear_boundary_spark(w: int, d: int) -> str:
+    """Spark SQL predicate body: position i is a gear boundary. Unrolled
+    window polynomial over the per-doc codepoint array `cs` — pure
+    integer multiply-adds, no per-position digest/hex/string allocation
+    (the production FastCDC shape; w is compile-time, so the unroll
+    stays in one codegen-friendly expression)."""
+    terms = " + ".join(
+        f"element_at(garr, element_at(cs, i - {j}) + 1) * {1 << j}L"
+        for j in range(w)
+    )
+    return f"({terms}) % {d} = 0"
+
+
+def _gear_boundary_duck(w: int, d: int) -> str:
+    """DuckDB replay of the identical gear boundary predicate (garr is
+    the same 256-entry literal, 1-indexed in both engines)."""
+    terms = " + ".join(
+        f"garr[(ord(substr(text, i - {j}, 1)) % 256) + 1] * {1 << j}"
+        for j in range(w)
+    )
+    return f"({terms}) % {d} = 0"
+
+
+def _cdc_sql(
+    window: int | None = None,
+    divisor: int | None = None,
+    hash_kind: str | None = None,
+) -> str:
     """DuckDB replay of the CDC boundary rule + chunk aggregation for any
-    (window, divisor) — the registered oracle is this at the active
-    CONFIG; tests pass non-default knobs to both sides."""
-    w = window or CDC_WINDOW
-    d = divisor or CDC_DIVISOR
-    return f"""WITH d AS (
-           SELECT doc_id, text, length(text) AS n FROM documents
-           WHERE length(text) >= 1
-         ),
-         b AS (
-           SELECT doc_id, text,
+    (window, divisor, hash) — the registered oracle is this at the
+    active CONFIG; tests pass non-default knobs to both sides."""
+    w, d, h = _cdc_params(window, divisor, hash_kind)
+    if h == "gear":
+        garr = "[" + ", ".join(str(g) for g in GEAR_TABLE) + "]"
+        boundary = (
+            f"SELECT doc_id, text,\n"
+            f"       list_append(\n"
+            f"         [i for i in generate_series({w}, n)\n"
+            f"          if {_gear_boundary_duck(w, d)} and i < n],\n"
+            f"         n) AS bl\n"
+            f"  FROM (SELECT *, {garr} AS garr FROM d)"
+        )
+    else:
+        boundary = f"""SELECT doc_id, text,
                   list_append(
                     [i for i in generate_series({w}, n)
                      if ('0x' || substr(md5(substr(text, i - {w - 1},
                                                    {w})), 1, 15))::BIGINT
                         % {d} = 0 and i < n],
                     n) AS bl
-           FROM d
+           FROM d"""
+    return f"""WITH d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) >= 1
+         ),
+         b AS (
+           {boundary}
          ),
          c AS (
            SELECT doc_id,
@@ -1478,10 +1609,14 @@ def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing position-sized ever shuffles. The only exchange is the
     combiner groupBy on the 32-hex chunk hash (shuffle O(chunks), ~n/32
     of corpus chars). The window-hash-per-position projection is the
-    honest cost of CDC (every byte examined); a production deployment
-    swaps the md5 window for a gear rolling hash in the same shape.
-    Oracle replays the identical boundary rule, so the gate checks the
-    full chunking decision, not just the aggregate."""
+    honest cost of CDC (every byte examined); SPARK_GRAFT_CDC_HASH=gear
+    swaps the per-position md5 for a FastCDC-style gear polynomial over
+    a byte table — pure integer multiply-adds in the same plan shape, no
+    digest/hex/string allocation per position (the production setting,
+    ~4x faster at sf0.01; md5 stays the frozen default so pinned
+    evidence keeps its meaning). Oracle replays the identical boundary
+    rule either way, so the gate checks the full chunking decision, not
+    just the aggregate."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return cdc_duplicate_chunks(docs)
 
@@ -1490,28 +1625,64 @@ def cdc_duplicate_chunks(
     docs: DataFrame,
     window: int | None = None,
     divisor: int | None = None,
+    hash_kind: str | None = None,
 ) -> DataFrame:
     """llm_dedup_cdc's core over any (doc_id, text) frame — separated so
     tests can plant insertion-shifted duplicates and verify realignment.
-    Non-None window/divisor overrides are TEST-ONLY (pair them with
-    ``_cdc_sql(window, divisor)``); production tuning goes through the
-    SPARK_GRAFT_CDC_* env knobs, which move plan and oracle together."""
-    w = window or CDC_WINDOW
-    d = divisor or CDC_DIVISOR
+    Non-None window/divisor/hash overrides are TEST-ONLY (pair them with
+    ``_cdc_sql(window, divisor, hash_kind)``); production tuning goes
+    through the SPARK_GRAFT_CDC_* env knobs, which move plan and oracle
+    together."""
+    w, d, h = _cdc_params(window, divisor, hash_kind)
     start = "IF(k = 1, 1, element_at(bl, k - 1) + 1)"
-    b = docs.filter(F.length("text") >= 1).select(
-        "doc_id",
-        "text",
-        F.expr(
-            f"""concat(
-                  filter(sequence({w}, length(text)),
-                         i -> cast(conv(substr(md5(substring(text,
-                                  i - {w - 1}, {w})), 1, 15),
-                                  16, 10) as bigint) % {d} = 0
-                              AND i < length(text)),
-                  array(length(text)))"""
-        ).alias("bl"),
-    )
+    base = docs.filter(F.length("text") >= 1)
+    if h == "gear":
+        garr = "array(" + ", ".join(f"{g}L" for g in GEAR_TABLE) + ")"
+        b = (
+            base.select(
+                "doc_id",
+                "text",
+                # per-doc codepoint array: one pass over the chars; the
+                # window polynomial then reads it by index instead of
+                # re-slicing/hashing the string at every position
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " p -> ascii(substring(text, p, 1)) % 256)"
+                ).alias("cs"),
+                F.expr(garr).alias("garr"),
+            )
+            .select(
+                "doc_id",
+                "text",
+                # sequence(1, n) + a leading i >= w guard, NOT
+                # sequence(w, n): Spark's sequence(w, n) is DESCENDING
+                # when n < w (DuckDB's generate_series is empty), and the
+                # out-of-range positions would index past cs before the
+                # i < n term runs. AND short-circuits left-to-right, so
+                # the bounds guards protect the element_at lookups.
+                F.expr(
+                    f"""concat(
+                      filter(sequence(1, length(text)),
+                             i -> i >= {w} AND i < length(text)
+                                  AND ({_gear_boundary_spark(w, d)})),
+                      array(length(text)))"""
+                ).alias("bl"),
+            )
+        )
+    else:
+        b = base.select(
+            "doc_id",
+            "text",
+            F.expr(
+                f"""concat(
+                      filter(sequence({w}, length(text)),
+                             i -> cast(conv(substr(md5(substring(text,
+                                      i - {w - 1}, {w})), 1, 15),
+                                      16, 10) as bigint) % {d} = 0
+                                  AND i < length(text)),
+                      array(length(text)))"""
+            ).alias("bl"),
+        )
     chunks = b.select(
         "doc_id",
         F.explode(

@@ -97,7 +97,8 @@ def decode_image(content: bytes, mime: str) -> "object":
     """Decode an image payload. PNG: real (png.py, stdlib zlib +
     defiltering). Baseline JPEG: real (jpeg.py, pure-stdlib T.81
     sequential decoder — Huffman, dequant, IDCT, 4:2:0/4:2:2 upsample,
-    YCbCr->RGB). Other formats (webp, progressive JPEG re-raised from
+    YCbCr->RGB). GIF: real (gif.py, LZW + palette + interlace, first
+    frame). Other formats (webp, progressive JPEG re-raised from
     jpeg.py as ValueError data errors) need Pillow/cv2."""
     from .png import SIGNATURE, decode_png
 
@@ -107,9 +108,13 @@ def decode_image(content: bytes, mime: str) -> "object":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if mime == "image/gif" or content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
-        "non-PNG/JPEG image decode requires Pillow/cv2 (not in container); "
-        "plumbing is real — swap this function only"
+        "non-PNG/JPEG/GIF image decode requires Pillow/cv2 (not in "
+        "container); plumbing is real — swap this function only"
     )
 
 
@@ -159,7 +164,16 @@ def sample_frames(content: bytes, mime: str, every_n: int = 30) -> "object":
     Inter-frame-compressed codecs (H.264/VP9/...) genuinely require
     ffmpeg bindings and keep the documented NotImplementedError
     contract."""
-    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+    if content[:4] == b"RIFF":
+        # A RIFF payload is container territory, not a codec gap: truncated
+        # or non-AVI RIFF (e.g. a WAVE fed to the video path) is corrupt
+        # INPUT and keeps the ValueError data-error contract — only
+        # genuinely non-RIFF codec classes reach NotImplementedError.
+        if content[8:12] != b"AVI ":
+            raise ValueError(
+                "corrupt or non-AVI RIFF payload "
+                f"(fourcc {content[8:12]!r}, {len(content)} bytes)"
+            )
         return _sample_from_meta(avi_mjpeg_frames(content), every_n)
     raise NotImplementedError(
         "inter-frame video codecs require ffmpeg (not in container); "
@@ -564,6 +578,95 @@ def llm_multimodal_thumbnail_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec-absent stubs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_png_thumbs, schema=THUMB_PNG_SCHEMA)
+
+
+# --------------------------------------------- L5i real GIF decode path
+GIF_SIDE = 16   # synthesized fixture GIFs are GIF_SIDE x GIF_SIDE
+GIF_GRID = 2    # quadrant grid, the PNG-thumbnail pattern
+GIF_COLORS = 64  # palette entries; pal[i] = (3i%256, 5i%256, 7i%256)
+
+
+def _gif_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a deterministic INTERLACED palette GIF per doc (index
+    (y, x) = (doc_id*11 + y*W + x) % GIF_COLORS), then run the REAL
+    decode — LZW inflate, de-interlace, palette expansion — and emit
+    quadrant means of the per-pixel RGB sums. The oracle recomputes the
+    means straight from the index formula, so an LZW, interlace-order,
+    or palette bug breaks the value hash."""
+    import numpy as np
+
+    from .gif import decode_gif, encode_gif
+
+    w = GIF_SIDE
+    q = GIF_SIDE // GIF_GRID
+    pal = np.stack(
+        [
+            (np.arange(GIF_COLORS) * 3) % 256,
+            (np.arange(GIF_COLORS) * 5) % 256,
+            (np.arange(GIF_COLORS) * 7) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    for pdf in batches:
+        out = {"doc_id": [], "cell": [], "mean_rgb": []}
+        for doc_id in pdf["doc_id"]:
+            yy, xx = np.mgrid[0:w, 0:w]
+            idx = ((int(doc_id) * 11 + yy * w + xx) % GIF_COLORS).astype(np.uint8)
+            dec = decode_gif(encode_gif(idx, pal, interlace=True))
+            rgb_sum = dec.astype(np.int64).sum(axis=2)
+            for k in range(GIF_GRID * GIF_GRID):
+                qy, qx = divmod(k, GIF_GRID)
+                cell = rgb_sum[qy * q : (qy + 1) * q, qx * q : (qx + 1) * q]
+                out["doc_id"].append(int(doc_id))
+                out["cell"].append(k)
+                out["mean_rgb"].append(int(cell.sum()) // cell.size)
+        yield pd.DataFrame(out)
+
+
+THUMB_GIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("mean_rgb", LongType()),
+    ]
+)
+
+_GIF_IDX = (
+    f"((d.doc_id * 11"
+    f" + ((c.k // {GIF_GRID}) * {GIF_SIDE // GIF_GRID} + j.j) * {GIF_SIDE}"
+    f" + ((c.k % {GIF_GRID}) * {GIF_SIDE // GIF_GRID} + i.i))"
+    f" % {GIF_COLORS})"
+)
+
+
+@register(
+    "llm_multimodal_gif",
+    sql=f"""SELECT d.doc_id, c.k AS cell,
+                   CAST(sum((3 * {_GIF_IDX}) % 256
+                            + (5 * {_GIF_IDX}) % 256
+                            + (7 * {_GIF_IDX}) % 256)
+                        // {(GIF_SIDE // GIF_GRID) ** 2} AS BIGINT) AS mean_rgb
+            FROM (SELECT doc_id FROM documents) d,
+                 generate_series(0, {GIF_GRID * GIF_GRID - 1}) AS c(k),
+                 generate_series(0, {GIF_SIDE // GIF_GRID - 1}) AS i(i),
+                 generate_series(0, {GIF_SIDE // GIF_GRID - 1}) AS j(j)
+            GROUP BY d.doc_id, c.k""",
+)
+def llm_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5i: REAL GIF decode in the thumbnail path (VERDICT r5 item 6 —
+    the last image class a stdlib-only container can honestly decode).
+    Per doc, an interlaced 64-color GIF is synthesized from a
+    closed-form index formula, decoded by the pure-stdlib codec (gif.py:
+    spec-complete LZW with 12-bit growth + dictionary reset, interlace
+    reorder, palette expansion), and reduced to quadrant means of the
+    RGB sums. The DuckDB oracle never sees a GIF: it recomputes the
+    expected means from the same closed form, so the hash certifies the
+    LZW+interlace+palette pipeline end-to-end (the
+    llm_multimodal_thumbnail_png pattern). Scale shape: identical to
+    L5d — embarrassingly parallel mapInPandas, O(rows) output, no
+    shuffle of media bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_gif_thumbs, schema=THUMB_GIF_SCHEMA)
 
 
 def _thumbnail_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

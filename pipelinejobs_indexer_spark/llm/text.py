@@ -1232,9 +1232,15 @@ def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice (curation chain + threshold calibration), each pass
     embarrassingly parallel. At 100 TB calibrate on a hash sample or a
     prior epoch's distribution to get back to one pass."""
-    from .dedup import llm_contamination_check, norm_expr
-
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate_v2(docs)
+
+
+def curate_v2(docs: DataFrame) -> DataFrame:
+    """llm_corpus_curate_v2's core over any (doc_id, text, lang) frame
+    (fuzz differential in tests/test_fuzz_differential.py)."""
+    from .dedup import contamination_pairs, norm_expr
+
     w_d = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
     kept = (
         docs.select("doc_id", "text", "lang", norm_expr().alias("norm"))
@@ -1242,7 +1248,7 @@ def llm_corpus_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang")
     )
-    contaminated = llm_contamination_check(spark, sf_dir).select("doc_id").distinct()
+    contaminated = contamination_pairs(docs).select("doc_id").distinct()
     clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     def score_over(df):
@@ -1356,6 +1362,12 @@ def llm_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise makes it huge) + a broadcast 1-row total → final per-doc
     combiner groupBy. Everything JVM-side codegen; counts are the LM."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return logprob_over(docs)
+
+
+def logprob_over(docs: DataFrame) -> DataFrame:
+    """llm_text_logprob's core over any (doc_id, text) frame — also the
+    LM gate feeding the v3/v4 curation cores."""
     t = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tc = t.groupBy("doc_id", "w").agg(F.count("*").alias("k"))
     vocab = tc.groupBy("w").agg(F.sum("k").alias("n"))
@@ -1411,8 +1423,15 @@ def llm_corpus_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     logprob sub-DAG's two combiner groupBys + word equi-join, one
     doc_id equi-join, and a 1-row broadcast — still zero pair joins
     anywhere in the composed plan."""
-    v2 = llm_corpus_curate_v2(spark, sf_dir)
-    lp = llm_text_logprob(spark, sf_dir).select(
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate_v3(docs)
+
+
+def curate_v3(docs: DataFrame) -> DataFrame:
+    """llm_corpus_curate_v3's core over any (doc_id, text, lang) frame
+    (fuzz differential in tests/test_fuzz_differential.py)."""
+    v2 = curate_v2(docs)
+    lp = logprob_over(docs).select(
         "doc_id",
         F.round(
             F.col("logprob_micro") / F.col("n_tokens").cast("double"), 6
@@ -1886,10 +1905,17 @@ def llm_corpus_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The full capstone remains free of pair joins over the
     corpus: every candidate generation inside (minhash bands, anchor
     shingles) is an equi-join on a bounded-fan-out key."""
-    from .dedup import llm_dedup_substring
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate_v4(docs)
 
-    v3 = llm_corpus_curate_v3(spark, sf_dir)
-    drop = llm_dedup_substring(spark, sf_dir).select(
+
+def curate_v4(docs: DataFrame) -> DataFrame:
+    """llm_corpus_curate_v4's core over any (doc_id, text, lang) frame
+    (fuzz differential in tests/test_fuzz_differential.py)."""
+    from .dedup import substring_span_pairs
+
+    v3 = curate_v3(docs)
+    drop = substring_span_pairs(docs).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     return v3.join(F.broadcast(drop), "doc_id", "left_anti").select(

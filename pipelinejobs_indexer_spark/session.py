@@ -125,9 +125,27 @@ def iter_checkpoint(df):
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
     if app not in _checkpoint_dir_appids:
+        import logging
+
+        log = logging.getLogger(__name__)
         ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "").strip()
         if not ckdir:
             ckdir = scratch_path(spark, "checkpoints")
+            # The temp-dir fallback demonstrates the mechanics but is
+            # host-local: on a real cluster, checkpoint files written
+            # there are invisible to other executors and die with the
+            # host — exactly the loss the flag exists to prevent. Say so
+            # ONCE, loudly, at selection time (ADVICE r5).
+            log.warning(
+                "resilient_checkpoints is ON but SPARK_GRAFT_CHECKPOINT_DIR "
+                "is unset — falling back to host-local temp dir %s, which "
+                "gives NO durability on a multi-host cluster; point it at "
+                "HDFS/S3 for real runs",
+                ckdir,
+            )
+        else:
+            log.info("checkpoint dir for app %s: %s (pinned for app lifetime; "
+                     "later env changes are ignored)", app, ckdir)
         spark.sparkContext.setCheckpointDir(ckdir)
         _checkpoint_dir_appids.add(app)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -83,6 +83,61 @@ def test_cdc_nondefault_knobs_match_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[16/16]")
 
 
+def test_cdc_gear_hash_matches_oracle(spark, ddb, sf_dir):
+    """The non-default gear window hash (SPARK_GRAFT_CDC_HASH=gear): a
+    different boundary SET than md5's, so this is a distinct chunking
+    decision the oracle must replay — at the default window/divisor and
+    at a non-default combination (VERDICT r5 item 4)."""
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    assert dedup.CDC_HASH == "md5", "gear must be the non-default here"
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = dedup.cdc_duplicate_chunks(docs, hash_kind="gear")
+    duck = ddb.execute(dedup._cdc_sql(hash_kind="gear")).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[gear]")
+    sdf2 = dedup.cdc_duplicate_chunks(docs, window=12, divisor=16, hash_kind="gear")
+    duck2 = ddb.execute(dedup._cdc_sql(12, 16, "gear")).df()
+    assert_frames_match(sdf2.toPandas(), duck2, "llm_dedup_cdc[gear 12/16]")
+
+
+def test_cdc_invalid_overrides_error_loudly():
+    """An explicit invalid knob (0 window/divisor, unknown hash, gear
+    window beyond the signed-64 bound) ERRORS instead of silently using
+    the default (ADVICE r5: the old `x or DEFAULT` pattern swallowed 0)."""
+    for kwargs in (
+        {"window": 0},
+        {"divisor": 0},
+        {"window": -3},
+        {"hash_kind": "sha1"},
+        {"window": 25, "hash_kind": "gear"},
+    ):
+        with pytest.raises(ValueError):
+            dedup._cdc_params(
+                kwargs.get("window"), kwargs.get("divisor"), kwargs.get("hash_kind")
+            )
+    with pytest.raises(ValueError):
+        cfg.EngineConfig(cdc_hash="sha1")
+    with pytest.raises(ValueError):
+        cfg.EngineConfig(cdc_hash="gear", cdc_window=25)
+
+
+def test_cdc_hash_and_contam_cap_env_parsing(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CDC_HASH", "gear")
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_DF_CAP", "128")
+    c = cfg.from_env()
+    assert (c.cdc_hash, c.contam_df_cap) == ("gear", 128)
+    monkeypatch.setenv("SPARK_GRAFT_CC_MIN_STRATEGY", "twophase")
+    assert cfg.from_env().cc_min_strategy == "twophase"
+    monkeypatch.delenv("SPARK_GRAFT_CC_MIN_STRATEGY")
+    monkeypatch.setenv("SPARK_GRAFT_CDC_HASH", "crc32")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+    monkeypatch.delenv("SPARK_GRAFT_CDC_HASH")
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_DF_CAP", "0")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+
+
 def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
     """8 hashes x 2 bands (r=4 rows/band) instead of 16x4: a different
     S-curve, same differential-parity requirement."""
@@ -134,6 +189,45 @@ def test_resilient_checkpoints_identical_results(spark, sf_dir, monkeypatch):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_cc_min_strategy_parity(spark, sf_dir, monkeypatch):
+    """VERDICT r5 item 7: the two-phase (combiner groupBy + join-back)
+    neighborhood min must produce IDENTICAL clusters to the default
+    window min — on the registered minhash-cluster query AND on a
+    planted power-law star+chain graph (the hub shape the escape hatch
+    exists for). The knob changes the exchange structure, never the
+    answer."""
+    import dataclasses
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        connected_components,
+        llm_dedup_clusters,
+    )
+
+    hub_edges = [(0, v) for v in range(1, 301)]           # 300-degree hub
+    chain = [(v, v + 1) for v in range(500, 540)]          # diameter stress
+    pairs = spark.createDataFrame(
+        [{"doc_a": a, "doc_b": b} for a, b in hub_edges + chain]
+    )
+
+    def run_both(fn):
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, cc_min_strategy="window")
+        )
+        w = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, cc_min_strategy="twophase")
+        )
+        t = sorted(map(tuple, fn().collect()))
+        return w, t
+
+    w, t = run_both(lambda: connected_components(pairs))
+    assert w == t and len(w) == 342  # 301 star + 41 chain vertices
+    star = {r for r in w if r[1] == 0}
+    assert len(star) == 301  # the hub component collapses to min=0
+    w2, t2 = run_both(lambda: llm_dedup_clusters(spark, sf_dir))
+    assert w2 == t2 and len(w2) > 0
+
+
 def test_module_constants_track_the_active_config():
     """similarity/dedup capture CONFIG at import; if someone edits a
     default in one place only, the captured constants and the config
@@ -148,3 +242,5 @@ def test_module_constants_track_the_active_config():
     assert dedup.N_BANDS == CONFIG.minhash_bands
     assert dedup.CDC_WINDOW == CONFIG.cdc_window
     assert dedup.CDC_DIVISOR == CONFIG.cdc_divisor
+    assert dedup.CDC_HASH == CONFIG.cdc_hash
+    assert dedup.CONTAM_DF_CAP == CONFIG.contam_df_cap

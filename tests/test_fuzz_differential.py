@@ -67,6 +67,7 @@ def _run(spark, ddb_mod, rows, core_fn, oracle_sql, name):
     "core_attr,registered",
     [
         ("containment_pairs", "llm_dedup_containment"),
+        ("contamination_pairs", "llm_contamination_check"),
         ("substring_span_pairs", "llm_dedup_substring"),
         ("cdc_duplicate_chunks", "llm_dedup_cdc"),
         ("minhash_pairs", "llm_dedup_minhash"),
@@ -98,6 +99,36 @@ def test_dedup_cores_match_oracle_on_random_corpora(
         if not rows:
             return
         _run(spark, duckdb, rows, core, oracle, registered)
+
+    check()
+
+
+def test_cdc_gear_hash_matches_oracle_on_random_corpora(spark):
+    """The gear window hash is a different boundary rule than the
+    registered md5 default, so it gets its own fuzz family: random
+    adversarial corpora through cdc_duplicate_chunks(hash_kind='gear')
+    vs the regenerated gear oracle (VERDICT r5 item 4)."""
+    import duckdb
+
+    oracle = dedup._cdc_sql(hash_kind="gear")
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=corpora())
+    def check(rows):
+        if not rows:
+            return
+        _run(
+            spark,
+            duckdb,
+            rows,
+            lambda df: dedup.cdc_duplicate_chunks(df, hash_kind="gear"),
+            oracle,
+            "llm_dedup_cdc[gear]",
+        )
 
     check()
 
@@ -140,6 +171,59 @@ def test_curate_full_matches_oracle_on_random_corpora(spark):
         want = con.execute(oracle).df()
         con.close()
         assert_frames_match(got, want, "llm_corpus_curate_full")
+
+    check()
+
+
+@pytest.mark.parametrize(
+    "core_attr,registered",
+    [
+        ("curate_v2", "llm_corpus_curate_v2"),
+        ("curate_v3", "llm_corpus_curate_v3"),
+        ("curate_v4", "llm_corpus_curate_v4"),
+    ],
+)
+def test_curate_variants_match_oracle_on_random_corpora(
+    spark, core_attr, registered
+):
+    """VERDICT r5 item 5: the v2-v4 curation DAGs carry exactly the gate
+    classes where float/tie discipline breaks on adversarial corpora —
+    per-language MEDIAN thresholds (v2), a corpus logprob percentile
+    tail (v3), and the substring-span drop (v4). Same corpus generator
+    as curate_full, replayed against each variant's registered oracle."""
+    import duckdb
+
+    from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.llm import text as llm_text
+
+    registry.load_all()
+    oracle = registry.ORACLE[registered]
+    core = getattr(llm_text, core_attr)
+    langs = st.sampled_from(["en", "de", "xx"])
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=corpora(), langs_drawn=st.data())
+    def check(rows, langs_drawn):
+        if not rows:
+            return
+        full = [
+            (i, t, langs_drawn.draw(langs, label=f"lang{i}"))
+            for i, t in rows
+        ]
+        sdf = spark.createDataFrame(full, "doc_id long, text string, lang string")
+        got = core(sdf).toPandas()
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(full, columns=["doc_id", "text", "lang"]),
+        )
+        want = con.execute(oracle).df()
+        con.close()
+        assert_frames_match(got, want, registered)
 
     check()
 

@@ -711,15 +711,92 @@ def test_decode_image_and_resize_real_for_png():
         decode_image(b"RIFF....WEBPVP8 ", "image/webp")
 
 
+# --- L5i: real GIF decode (gif.py) ---------------------------------------
+
+
+def test_gif_round_trip_interlace_palette_and_lzw_reset():
+    """Encode→decode round trips across interlace on/off, odd dimensions,
+    non-power-of-2 palettes, and an image large enough that the LZW
+    dictionary overflows 4096 entries — exercising code-width growth to
+    12 bits, the mid-stream clear/reset, and the de-interlace reorder."""
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    for interlace in (False, True):
+        for (h, w, ncol) in ((16, 16, 64), (33, 17, 5), (1, 1, 2), (90, 90, 200)):
+            idx = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+            pal = np.stack(
+                [(np.arange(ncol) * 3) % 256,
+                 (np.arange(ncol) * 5) % 256,
+                 (np.arange(ncol) * 7) % 256],
+                axis=1,
+            ).astype(np.uint8)
+            out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+            assert out.shape == (h, w, 3)
+            assert (out == pal[idx]).all(), (interlace, h, w, ncol)
+    # KwKwK stress: constant image is all repeated runs
+    flat = np.zeros((40, 40), dtype=np.uint8)
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    assert (decode_gif(encode_gif(flat, pal2)) == 0).all()
+
+
+def test_gif_corrupt_and_routing_contract():
+    """Truncated/malformed GIFs are DATA errors (ValueError), never the
+    missing-codec contract; decode_image routes GIF magic to gif.py."""
+    import numpy as np
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.gif import decode_gif, encode_gif
+    from pipelinejobs_indexer_spark.llm.multimodal import decode_image
+
+    idx = (np.arange(256, dtype=np.uint8).reshape(16, 16)) % 64
+    pal = np.stack(
+        [(np.arange(64) * 3) % 256, (np.arange(64) * 5) % 256,
+         (np.arange(64) * 7) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    g = encode_gif(idx, pal, interlace=True)
+    assert np.array_equal(decode_image(g, "image/gif"), pal[idx])
+    for bad in (
+        b"GIF89a",                      # no screen descriptor
+        b"NOTGIF" + b"\x00" * 32,       # wrong magic
+        b"GIF89a" + b"\x00" * 7,        # trailer-less, tableless, imageless
+        g[: len(g) // 2],               # truncated mid image data
+    ):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_sample_frames_riff_contract():
+    """ADVICE r5: a truncated or non-AVI RIFF payload is corrupt INPUT
+    (ValueError), not a codec gap — NotImplementedError is reserved for
+    genuinely non-RIFF inter-frame codecs."""
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(b"RIFF", "video/x-msvideo")
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(b"RIFF\x10\x00\x00\x00WAVE", "video/x-msvideo")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00\x00\x01\xba mpeg-ps", "video/mpeg")
+
+
 # --- L13 CDC / L14 novelty semantics ------------------------------------
 
 
-def test_cdc_realigns_after_insertion_where_fixed_width_cannot(spark):
+@pytest.mark.parametrize("hash_kind", ["md5", "gear"])
+def test_cdc_realigns_after_insertion_where_fixed_width_cannot(spark, hash_kind):
     """The CDC property: doc B = injected prefix + doc A. Content-defined
     boundaries realign after the insertion, so A and B share most of A's
     chunks; fixed-width chunking at the same granularity shares NONE
     (every window shifts by the prefix length) — computed inline as the
-    control. Unrelated docs share nothing."""
+    control. Unrelated docs share nothing. Parametrized over BOTH window
+    hashes: the gear polynomial must preserve the realignment property,
+    not just oracle parity (VERDICT r5 item 4)."""
     import hashlib
 
     from pipelinejobs_indexer_spark.llm.dedup import (
@@ -734,7 +811,7 @@ def test_cdc_realigns_after_insertion_where_fixed_width_cannot(spark):
     docs = spark.createDataFrame(
         [(1, a), (2, b), (3, unrelated)], "doc_id long, text string"
     )
-    rows = cdc_duplicate_chunks(docs).collect()
+    rows = cdc_duplicate_chunks(docs, hash_kind=hash_kind).collect()
     shared_chars = sum(r.chunk_chars for r in rows if r.n_docs >= 2)
     assert rows, "prefix-shifted duplicate produced no shared CDC chunks"
     # realignment must recover a substantial fraction of A verbatim
@@ -866,6 +943,73 @@ def test_containment_hot_shingle_fanout_bounded(spark):
     got = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(docs).collect()}
     assert set(got) == {(9000, 9001)}
     assert got[(9000, 9001)] == 1.0
+
+
+def test_contamination_hot_shingle_fanout_bounded(spark):
+    """Planted boilerplate sentence shared by an eval doc and 300 train
+    docs (VERDICT r5 item 1): uncapped, every boilerplate shingle joins
+    all 300 train docs against the eval doc — the 103× join-row growth
+    the sf10 probe measured. Pins that (a) the cap removes the hot
+    shingles BEFORE the join — max per-shingle df in the capped universe
+    <= CONTAM_DF_CAP, the per-task fan-out bound; (b) the adversarial
+    pressure is real (the boilerplate shingles' raw df is 301); (c) the
+    answer is exactly the planted true-contamination pair — the 300
+    boilerplate-only train docs are NOT flagged (capped semantics:
+    boilerplate overlap is not a contamination signal); (d) the DuckDB
+    oracle replays the identical capped universe at a NON-DEFAULT cap."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from parity import assert_frames_match
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        CONTAM_DF_CAP,
+        _contamination_sql,
+        contamination_pairs,
+        shingles,
+    )
+
+    boiler = "this content is provided under the standard license terms ok"
+    uniq = " ".join(f"e{k}" for k in range(10))
+    rows = [(9700, f"{boiler} {uniq}")]  # eval doc: 9700 % 97 == 0
+    train_ids = [d for d in range(10000, 10400) if d % 97 != 0][:300]
+    rows += [(d, f"u{d}a u{d}b u{d}c u{d}d u{d}e {boiler}") for d in train_ids]
+    # the truly-contaminated train doc: carries the eval doc's unique tail
+    rows.append((5001, f"q1 q2 q3 {uniq}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingles(docs)
+    df_per_shingle = sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    # (b) adversarial pressure: the boilerplate shingles really are hot
+    assert df_per_shingle.agg(F.max("df")).collect()[0][0] == 301
+    # (a) the fan-out bound the join actually sees
+    capped_max = (
+        df_per_shingle.filter(F.col("df") <= CONTAM_DF_CAP)
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= CONTAM_DF_CAP
+    # (c) exact answer: the planted pair only, 8 of the eval doc's 10
+    # discriminative shingles shared (the 8 pure-tail ones; the 2
+    # boiler→tail cross-boundary shingles are unique to the eval doc)
+    got = {
+        (r.doc_id, r.eval_doc_id): r.overlap
+        for r in contamination_pairs(docs).collect()
+    }
+    assert set(got) == {(5001, 9700)}
+    assert got[(5001, 9700)] == 0.8
+    # (d) plan and oracle move together on a non-default cap
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(_contamination_sql(df_cap=8)).df()
+    con.close()
+    assert_frames_match(
+        contamination_pairs(docs, df_cap=8).toPandas(),
+        want,
+        "llm_contamination_check[cap=8]",
+    )
 
 
 def test_substring_hot_boilerplate_fanout_bounded(spark):
