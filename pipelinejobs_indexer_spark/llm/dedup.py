@@ -786,17 +786,16 @@ def _contamination_sql(df_cap: int | None = None) -> str:
     sides."""
     cap = CONTAM_DF_CAP if df_cap is None else df_cap
     return f"""WITH sh AS ({_SHINGLES_SQL}),
-         disc AS (
-           SELECT doc_id, s FROM (
-             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
-           ) WHERE df <= {cap}
+         hot AS (
+           SELECT s FROM sh GROUP BY s HAVING count(*) > {cap}
          ),
          eval_sh AS (
            SELECT doc_id AS eval_doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n_eval
-           FROM disc WHERE doc_id % {EVAL_MODULUS} = 0
+           FROM sh WHERE doc_id % {EVAL_MODULUS} = 0
+             AND s NOT IN (SELECT s FROM hot)
          ),
          train_sh AS (
-           SELECT doc_id, s FROM disc WHERE doc_id % {EVAL_MODULUS} <> 0
+           SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MODULUS} <> 0
          ),
          overlap AS (
            SELECT t.doc_id, e.eval_doc_id,
@@ -824,13 +823,18 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the eval set is small by construction, so its surviving
     shingles BROADCAST; the hot-shingle list (df > cap) is tiny by
-    construction (≤ corpus_shingles / cap entries) and also broadcasts
-    into a LEFT ANTI prune, so the training corpus itself never shuffles
-    — the only full-corpus exchange is the combiner-friendly df groupBy
-    on the shingle key (distinct-shingle sized, the llm_span_dedup_audit
-    shape). Per-shingle join fan-out is then ≤ cap BY CONSTRUCTION: the
-    103× join-row blowup the uncapped plan showed on the sf10
-    closed-vocabulary probe cannot occur at any scale."""
+    construction (≤ corpus_shingles / cap entries) and broadcasts into a
+    LEFT ANTI prune of the EVAL side only — pruning the broadcast side
+    alone enforces both the measure and the bound, because a train-side
+    hot shingle cannot match an eval side it was pruned from. The
+    training corpus itself never shuffles: its one scan feeds the
+    broadcast join directly, and the only full-corpus exchange is the
+    combiner-friendly df groupBy on the shingle key (distinct-shingle
+    sized, the llm_span_dedup_audit shape — the honest one-extra-scan
+    price of rare-n-gram decontamination). Per-shingle join fan-out is
+    then ≤ cap BY CONSTRUCTION: the 103× join-row blowup the uncapped
+    plan showed on the sf10 closed-vocabulary probe cannot occur at any
+    scale."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return contamination_pairs(docs)
 
@@ -845,27 +849,31 @@ def contamination_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame
     from pyspark.sql.window import Window
 
     cap = CONTAM_DF_CAP if df_cap is None else df_cap
-    # cached: the shingle table feeds three consumers (the df aggregate
-    # plus both join sides) — one materialization, not three recomputes
-    # of the split/explode scan (the containment_pairs pattern)
-    sh = shingles(docs).cache()
-    # hot = boilerplate shingles; small by construction (each entry
-    # accounts for > cap shingle occurrences), so it broadcasts and the
-    # full shingle table is pruned WITHOUT being shuffled
+    sh = shingles(docs)
+    # hot = boilerplate shingles (global df > cap); small by construction
+    # (each entry accounts for > cap occurrences), so it broadcasts. The
+    # df pass is one combiner groupBy — shuffle O(distinct shingles),
+    # one extra corpus scan: the honest, fixed price of rare-n-gram
+    # decontamination (uncached: the bench clears caches per run, and a
+    # string-row cache materialization measured slower than the rescan).
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > cap)
         .select("s")
     )
-    disc = sh.join(F.broadcast(hot), "s", "left_anti")
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    # Pruning the BROADCAST eval side alone enforces both the measure and
+    # the bound: a train-side hot shingle cannot match an eval side it
+    # was pruned from, so join fan-out <= cap * |eval shingles| with the
+    # train corpus untouched — one clean scan feeding a broadcast join.
     eval_sh = (
-        disc.filter(is_eval)
+        sh.filter(is_eval)
+        .join(F.broadcast(hot), "s", "left_anti")
         .withColumnRenamed("doc_id", "eval_doc_id")
         .withColumn("n_eval", F.count("*").over(Window.partitionBy("eval_doc_id")))
     )
-    train_sh = disc.filter(~is_eval)
+    train_sh = sh.filter(~is_eval)
     overlap = (
         train_sh.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id", "eval_doc_id")
