@@ -100,6 +100,36 @@ def test_cdc_gear_hash_matches_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf2.toPandas(), duck2, "llm_dedup_cdc[gear 12/16]")
 
 
+def test_cdc_gear_unicode_codepoint_parity(spark):
+    """The gear table is indexed by codepoint % 256: Spark ascii() and
+    DuckDB ord() must agree on NON-ASCII text too (both return the full
+    Unicode codepoint; char-based substr/length on both sides). Planted
+    multibyte docs — accented latin, CJK, emoji — through both engines
+    at a small divisor so boundaries actually fire inside the unicode
+    runs."""
+    import duckdb
+    import pandas as pd
+
+    from pipelinejobs_indexer_spark.llm import dedup
+
+    rows = [
+        (1, "héllo wörld çafé niño déjà vu déjà vu héllo wörld çafé"),
+        (2, "日本語のテキスト処理 日本語のテキスト処理 データ重複排除"),
+        (3, "mixed ascii und ümlaut text 😀😀 mixed ascii und ümlaut text"),
+        (4, "héllo wörld çafé niño PREFIX déjà vu déjà vu héllo wörld çafé"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    try:
+        for kind in ("gear", "md5"):
+            got = dedup.cdc_duplicate_chunks(docs, window=4, divisor=8, hash_kind=kind)
+            want = con.execute(dedup._cdc_sql(4, 8, kind)).df()
+            assert_frames_match(got.toPandas(), want, f"llm_dedup_cdc[{kind} unicode]")
+    finally:
+        con.close()
+
+
 def test_cdc_invalid_overrides_error_loudly():
     """An explicit invalid knob (0 window/divisor, unknown hash, gear
     window beyond the signed-64 bound) ERRORS instead of silently using

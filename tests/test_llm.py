@@ -742,6 +742,97 @@ def test_gif_round_trip_interlace_palette_and_lzw_reset():
     assert (decode_gif(encode_gif(flat, pal2)) == 0).all()
 
 
+def test_gif_round_trip_hypothesis_sweep():
+    """Hypothesis sweep over dimensions, palette sizes, pixel content
+    style, and interlace — the AVI/JPEG evidence pattern: random shapes
+    hit LZW code-width boundaries and interlace pass splits a crafted
+    grid cannot enumerate."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipelinejobs_indexer_spark.llm.gif import decode_gif, encode_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ncol=st.integers(2, 256),
+        interlace=st.booleans(),
+        style=st.sampled_from(["random", "runs", "gradient"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ncol, interlace, style, seed):
+        rng = np.random.RandomState(seed)
+        if style == "random":
+            idx = rng.randint(0, ncol, size=(h, w))
+        elif style == "runs":  # long runs stress KwKwK / chained entries
+            idx = np.repeat(rng.randint(0, ncol, size=(h, 1)), w, axis=1)
+        else:  # gradient: every code value in sequence
+            idx = (np.arange(h * w).reshape(h, w)) % ncol
+        idx = idx.astype(np.uint8)
+        pal = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert out.shape == (h, w, 3)
+        assert (out == pal[idx]).all()
+
+    check()
+
+
+def test_gif_decodes_deferred_clear_stream():
+    """Spec allowance the in-house encoder never produces (it resets at
+    4096): a 'deferred clear' encoder lets the dictionary fill and keeps
+    emitting existing 12-bit codes with NO reset. Decoders must stop
+    growing their table in sync or they desync one code after fill —
+    build such a stream with an independent inline encoder and pin the
+    decode."""
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.gif import _lzw_decode
+
+    rng = np.random.RandomState(3)
+    # enough 2-bit-alphabet noise to fill 4096 entries several times over
+    data = rng.randint(0, 4, size=60000).astype(np.uint8).tobytes()
+    mcs = 2
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    out_codes: list[tuple[int, int]] = []  # (code, width at emission)
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out_codes.append((clear, width))
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        out_codes.append((table[run], width))
+        if next_code < 4096:  # deferred clear: just STOP adding when full
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        run = bytes([b])
+    if run:
+        out_codes.append((table[run], width))
+    out_codes.append((end, width))
+    assert next_code == 4096, "stream too short to exercise deferred clear"
+
+    buf = bytearray()
+    acc = nbits = 0
+    for code, wd in out_codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    assert bytes(_lzw_decode(bytes(buf), mcs)) == data
+
+
 def test_gif_corrupt_and_routing_contract():
     """Truncated/malformed GIFs are DATA errors (ValueError), never the
     missing-codec contract; decode_image routes GIF magic to gif.py."""
