@@ -821,19 +821,22 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numerator AND denominator consistently: the standard rare-n-gram
     decontamination measure, and the structural fan-out bound.
 
-    Scale shape: the eval set is small by construction, so its surviving
-    shingles BROADCAST; the hot-shingle list (df > cap) is tiny by
-    construction (≤ corpus_shingles / cap entries) and broadcasts into a
-    LEFT ANTI prune of the EVAL side only — pruning the broadcast side
-    alone enforces both the measure and the bound, because a train-side
-    hot shingle cannot match an eval side it was pruned from. The
-    training corpus itself never shuffles: its one scan feeds the
-    broadcast join directly, and the only full-corpus exchange is the
-    combiner-friendly df groupBy on the shingle key (distinct-shingle
-    sized, the llm_span_dedup_audit shape — the honest one-extra-scan
-    price of rare-n-gram decontamination). Per-shingle join fan-out is
-    then ≤ cap BY CONSTRUCTION: the 103× join-row blowup the uncapped
-    plan showed on the sf10 closed-vocabulary probe cannot occur at any
+    Scale shape: only the EVAL side is df-pruned — sufficient for both
+    the measure and the bound, because a train-side hot shingle cannot
+    match an eval side it was pruned from. The prune streams the
+    (possibly huge) df table against the BROADCAST eval occurrences, so
+    nothing distinct-shingle-sized is ever collected or broadcast —
+    every broadcast in the plan is eval-sized by construction (an
+    anti-join against a materialized over-cap hot list would need that
+    list driver-side, and adversarially the hot list is
+    corpus_shingles/cap entries: corpus-scale). The training corpus
+    never shuffles: its one scan feeds the broadcast join directly, and
+    the only full-corpus exchange is the combiner-friendly df groupBy
+    on the shingle key (distinct-shingle sized, the
+    llm_span_dedup_audit shape — the honest one-extra-scan price of
+    rare-n-gram decontamination). Per-shingle join fan-out is then
+    ≤ cap BY CONSTRUCTION: the 103× join-row blowup the uncapped plan
+    showed on the sf10 closed-vocabulary probe cannot occur at any
     scale."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return contamination_pairs(docs)
@@ -850,27 +853,25 @@ def contamination_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame
 
     cap = CONTAM_DF_CAP if df_cap is None else df_cap
     sh = shingles(docs)
-    # hot = boilerplate shingles (global df > cap); small by construction
-    # (each entry accounts for > cap occurrences), so it broadcasts. The
-    # df pass is one combiner groupBy — shuffle O(distinct shingles),
-    # one extra corpus scan: the honest, fixed price of rare-n-gram
-    # decontamination (uncached: the bench clears caches per run, and a
-    # string-row cache materialization measured slower than the rescan).
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("s")
-    )
+    # Global per-shingle df: one combiner groupBy — shuffle O(distinct
+    # shingles), one extra corpus scan, the honest fixed price of
+    # rare-n-gram decontamination (uncached: the bench clears caches per
+    # run, and a string-row cache materialization measured slower than
+    # the rescan).
+    dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
-    # Pruning the BROADCAST eval side alone enforces both the measure and
-    # the bound: a train-side hot shingle cannot match an eval side it
-    # was pruned from, so join fan-out <= cap * |eval shingles| with the
-    # train corpus untouched — one clean scan feeding a broadcast join.
+    # Prune the EVAL side only — sufficient for measure and bound, since
+    # a train-side hot shingle cannot match an eval side it was pruned
+    # from. Orientation matters at scale: the df table streams against
+    # the BROADCAST eval occurrences (inner join keeps df <= cap rows),
+    # so no distinct-shingle-sized frame is ever collected — an
+    # anti-join against a materialized over-cap hot list would need
+    # that list driver-side, and adversarially it is corpus-sized.
+    eval_occ = sh.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
     eval_sh = (
-        sh.filter(is_eval)
-        .join(F.broadcast(hot), "s", "left_anti")
-        .withColumnRenamed("doc_id", "eval_doc_id")
+        dfs.join(F.broadcast(eval_occ), "s")
+        .filter(F.col("df") <= cap)
+        .select("eval_doc_id", "s")
         .withColumn("n_eval", F.count("*").over(Window.partitionBy("eval_doc_id")))
     )
     train_sh = sh.filter(~is_eval)

@@ -91,6 +91,15 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         run = bytes([b])
     if run:
         bw.write(table[run], width)
+        # The decoder appends one entry when it processes this final
+        # code (the encoder adds none — there is no following symbol).
+        # If that phantom append lands exactly on a power-of-2 table
+        # size, the decoder widens BEFORE reading the next code — so
+        # the END code must be written at the widened width or it is
+        # one bit narrower than the decoder reads it (found by the
+        # hypothesis sweep: 23 two-color pixels hit the boundary).
+        if next_code == (1 << width) and width < 12:
+            width += 1
     bw.write(end, width)
     return bw.flush()
 
