@@ -40,7 +40,7 @@ SHOWCASE = {
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
     "llm_corpus_curate_full": "full curation DAG: dedup window + df-capped contamination (hot-shingle broadcast prune) + broadcast anti-join + codegen gates, <=9 static exchanges (spreads dedupe to ReusedExchange at runtime)",
-    "llm_contamination_check": "df-capped decontamination: combiner df groupBy -> tiny over-cap broadcast anti-prune -> broadcast eval join; fan-out <= cap by construction",
+    "llm_contamination_check": "df-capped decontamination: combiner df groupBy streamed against BROADCAST eval occurrences (df <= cap filter) -> broadcast eval join; fan-out <= cap by construction, every broadcast eval-sized",
     "win_gapfill_states": "union timeline + one last(ignorenulls) window — no grid×events pair join",
     "llm_similarity_ivf": "inverted-file build is a broadcast centroid-array fold — corpus never shuffles; only candidates reach the top-k window",
     "llm_sequence_pack": "one shard-key exchange + per-shard running-sum Window, all integer",

@@ -779,6 +779,23 @@ def test_gif_round_trip_hypothesis_sweep():
     check()
 
 
+def test_gif_lzw_end_code_boundary_scan():
+    """Every stream length 1..200 at four code sizes: sweeps each
+    alignment of the final data code against the power-of-2 table-size
+    boundaries, the exact spot of the END-code-width bug the hypothesis
+    sweep caught (the decoder's phantom append after the final code can
+    widen the read width before END)."""
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.gif import _lzw_decode, _lzw_encode
+
+    for mcs in (2, 3, 4, 8):
+        for n in range(1, 201):
+            rng = np.random.RandomState(n * 7 + mcs)
+            d = rng.randint(0, 1 << mcs, size=n).astype(np.uint8).tobytes()
+            assert bytes(_lzw_decode(_lzw_encode(d, mcs), mcs)) == d, (mcs, n)
+
+
 def test_gif_decodes_deferred_clear_stream():
     """Spec allowance the in-house encoder never produces (it resets at
     4096): a 'deferred clear' encoder lets the dictionary fill and keeps
