@@ -935,7 +935,11 @@ def _canon(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = MAX_CC_ITERS,
+    min_strategy: str | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id) for every vertex of the pair graph, cluster_id
     = min member — via alternating large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14), which
@@ -1010,7 +1014,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
                 pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
             )
         )
-        e, prev_cnt = _cc_rounds(e, e.count(), w_u, _parts, max_rounds, spark)
+        e, prev_cnt = _cc_rounds(
+            e, e.count(), w_u, _parts, max_rounds, spark, min_strategy
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
@@ -1021,7 +1027,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> Da
     )
 
 
-def _attach_neighborhood_min(df, out: str, w_u):
+def _attach_neighborhood_min(df, out: str, w_u, strategy: str | None = None):
     """Attach min(v) over each vertex u's rows as column ``out``, by the
     configured strategy (config.py `cc_min_strategy`):
 
@@ -1032,17 +1038,19 @@ def _attach_neighborhood_min(df, out: str, w_u):
       shuffle-hash join-back (streamed probe, no sort, no buffering).
       One more exchange per phase; identical rows either way.
 
-    Strategy is read at call time (not captured at import) so the
-    parity test can flip it per run."""
+    Strategy defaults from CONFIG at call time (not captured at import)
+    so the parity test can flip it per run; an explicit argument (the
+    registered twophase twin) overrides."""
     from ..config import CONFIG
 
-    if CONFIG.cc_min_strategy == "window":
+    s = CONFIG.cc_min_strategy if strategy is None else strategy
+    if s == "window":
         return df.withColumn(out, F.min("v").over(w_u))
     mins = df.groupBy("u").agg(F.min("v").alias(out))
     return df.join(mins.hint("shuffle_hash"), "u")
 
 
-def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
+def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark, min_strategy=None):
     """The large-star/small-star iteration of connected_components; edge
     list in, converged star forest out. Split out so the shuffle-partition
     scope in the caller wraps every lazy plan AND its execution."""
@@ -1050,7 +1058,7 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
         spark.conf.set("spark.sql.shuffle.partitions", str(_parts(prev_cnt)))
         # large-star: every neighbor v > u links to min(N(u) + {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        withm = _attach_neighborhood_min(sym, "nbmin", w_u).withColumn(
+        withm = _attach_neighborhood_min(sym, "nbmin", w_u, min_strategy).withColumn(
             "m", F.least(F.col("nbmin"), F.col("u"))
         )
         # Raw large-star edges (u > v by construction: v > u ≥ m before the
@@ -1061,7 +1069,7 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
             F.col("v").alias("u"), F.col("m").alias("v")
         )
         # small-star: neighbors <= u (and u itself) link to the minimum
-        withm2 = _attach_neighborhood_min(ls, "mn", w_u)
+        withm2 = _attach_neighborhood_min(ls, "mn", w_u, min_strategy)
         ss = iter_checkpoint(
             _canon(
                 withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
@@ -1083,9 +1091,11 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
     return e, prev_cnt
 
 
-@register(
-    "llm_dedup_clusters",
-    sql=f"""WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+def _clusters_sql() -> str:
+    """The recursive-CTE components oracle — shared verbatim by
+    llm_dedup_clusters and its twophase twin (identical answer is the
+    twin's whole point)."""
+    return f"""WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
          edges AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION ALL
@@ -1100,8 +1110,10 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark):
          SELECT v AS doc_id,
                 min(r) AS cluster_id,
                 count(*) OVER (PARTITION BY min(r)) AS n_members
-         FROM reach GROUP BY v""",
-)
+         FROM reach GROUP BY v"""
+
+
+@register("llm_dedup_clusters", sql=_clusters_sql())
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9: duplicate CLUSTERS from near-dup pairs — pair lists aren't
     actionable until they become connected components with one keeper per
@@ -1123,6 +1135,24 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash DAG is never re-run under the component loop
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs)
+    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return labels.withColumn("n_members", w_size)
+
+
+@register("llm_dedup_clusters_twophase", sql=_clusters_sql())
+def llm_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9b: llm_dedup_clusters' TWOPHASE-min twin — the power-law escape
+    hatch (SPARK_GRAFT_CC_MIN_STRATEGY=twophase: combiner groupBy
+    partial mins + shuffle-hash join-back instead of the hub-keyed
+    window; see _attach_neighborhood_min) registered as its own query
+    so the alternate physical strategy sits under the driver's
+    value-hash gate against the SAME recursive-CTE oracle — identical
+    answers are the knob's contract, proven per-round, not only in the
+    local parity test (the X1b/X3b alternate-path pattern)."""
+    from pyspark.sql.window import Window
+
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, min_strategy="twophase")
     w_size = F.count("*").over(Window.partitionBy("cluster_id"))
     return labels.withColumn("n_members", w_size)
 
@@ -1712,3 +1742,19 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_docs") >= CDC_MIN_DOCS)
     )
+
+
+@register("llm_dedup_cdc_gear", sql=lambda: _cdc_sql(hash_kind="gear"))
+def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13b: llm_dedup_cdc's GEAR-hash twin — the production boundary
+    rule (SPARK_GRAFT_CDC_HASH=gear: FastCDC-style integer window
+    polynomial instead of per-position md5, ~4x less hashing work per
+    scanned char) registered as its own query so the alternate rule
+    sits under the driver's value-hash gate against its regenerated
+    oracle every round, not only in the local parity/fuzz tests (the
+    X1b/X3b alternate-path pattern). The boundary SET differs from the
+    md5 default — this is a distinct chunking decision, same plan
+    shape and same realignment property (parametrized realignment test
+    covers both)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return cdc_duplicate_chunks(docs, hash_kind="gear")
