@@ -465,6 +465,11 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == expect, f"trial {trial}: mismatch vs union-find"
         ml = {r.doc_id: r.cluster_id for r in _cc_min_label(pairs, 64).collect()}
         assert got == ml, f"trial {trial}: mismatch vs min-label"
+        tp = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, min_strategy="twophase").collect()
+        }
+        assert got == tp, f"trial {trial}: mismatch window vs twophase min"
 
 
 def test_repetition_matches_python_recompute(spark):
