@@ -1744,7 +1744,19 @@ def cdc_duplicate_chunks(
     )
 
 
-@register("llm_dedup_cdc_gear", sql=lambda: _cdc_sql(hash_kind="gear"))
+# The twin must be registrable under ANY valid md5-mode config: the
+# active window may legitimately exceed gear's signed-64 bound (only
+# enforced when cdc_hash="gear"), so the twin clamps its window to the
+# gear ceiling — plan and oracle derive from the same value, and
+# registry.load_all() can never die resolving the twin's oracle on a
+# config the validation layer accepts.
+GEAR_TWIN_WINDOW = min(CDC_WINDOW, 24)
+
+
+@register(
+    "llm_dedup_cdc_gear",
+    sql=lambda: _cdc_sql(window=GEAR_TWIN_WINDOW, hash_kind="gear"),
+)
 def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L13b: llm_dedup_cdc's GEAR-hash twin — the production boundary
     rule (SPARK_GRAFT_CDC_HASH=gear: FastCDC-style integer window
@@ -1755,6 +1767,10 @@ def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     X1b/X3b alternate-path pattern). The boundary SET differs from the
     md5 default — this is a distinct chunking decision, same plan
     shape and same realignment property (parametrized realignment test
-    covers both)."""
+    covers both). Runs at GEAR_TWIN_WINDOW = min(active window, 24):
+    the gear ceiling, so an md5-mode config with a larger window still
+    loads and runs the whole registry."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return cdc_duplicate_chunks(docs, hash_kind="gear")
+    return cdc_duplicate_chunks(
+        docs, window=GEAR_TWIN_WINDOW, hash_kind="gear"
+    )

@@ -108,7 +108,9 @@ def decode_image(content: bytes, mime: str) -> "object":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
-    if mime == "image/gif" or content[:6] in (b"GIF87a", b"GIF89a"):
+    from .gif import SIGNATURES as GIF_SIGNATURES
+
+    if mime == "image/gif" or content[:6] in GIF_SIGNATURES:
         from .gif import decode_gif
 
         return decode_gif(content)

@@ -219,6 +219,37 @@ def test_resilient_checkpoints_identical_results(spark, sf_dir, monkeypatch):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_registry_loads_under_md5_mode_wide_cdc_window():
+    """Round-6 review regression: SPARK_GRAFT_CDC_WINDOW=32 with the
+    default md5 hash is a VALID config (the <=24 bound applies only to
+    gear), but the gear twin's lazily-resolved oracle used to raise at
+    registry.load_all(), killing all 146 queries. The twin now clamps
+    its window to the gear ceiling; the whole registry must load. Run
+    in a subprocess so the env override reaches the import-time config
+    capture."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CDC_WINDOW="32")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from pipelinejobs_indexer_spark import registry;"
+            "registry.load_all();"
+            "assert len(registry.QUERIES) == len(registry.ORACLE) >= 146;"
+            "print('LOADED', len(registry.QUERIES))",
+        ],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LOADED" in out.stdout
+
+
 def test_cc_min_strategy_parity(spark, sf_dir, monkeypatch):
     """VERDICT r5 item 7: the two-phase (combiner groupBy + join-back)
     neighborhood min must produce IDENTICAL clusters to the default
