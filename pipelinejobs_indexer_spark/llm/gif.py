@@ -104,9 +104,19 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bw.flush()
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytearray:
     """GIF LZW decode with code-width growth, clear handling, and the
-    KwKwK (code == next_code) case."""
+    KwKwK (code == next_code) case.
+
+    `max_out` bounds the decoded length: a hostile stream declaring a
+    tiny image descriptor but carrying a huge deferred-clear LZW body
+    would otherwise expand arbitrarily before the caller truncates to
+    w*h. Table appends are likewise capped at the 12-bit ceiling —
+    entries past 4095 are unaddressable (width never exceeds 12), so
+    the cap is behavior-preserving while bounding table memory.
+    """
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -135,14 +145,17 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):  # KwKwK
+                if len(table) < _MAX_CODE:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < _MAX_CODE:  # KwKwK
                 entry = prev + prev[:1]
                 table.append(entry)
             else:
                 raise ValueError("GIF LZW: code out of range")
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return out
             if len(table) == (1 << width) and width < 12:
                 width += 1
     raise ValueError("GIF LZW: stream ended without end-of-information code")
@@ -223,6 +236,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         if pos + 10 > len(data):
             raise ValueError("truncated GIF: image descriptor")
         _, _, w, h, flags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        if w == 0 or h == 0:
+            raise ValueError("GIF frame has zero width/height")
         pos += 10
         pal = gct
         if flags & 0x80:  # local color table overrides
@@ -253,7 +268,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 raise ValueError("truncated GIF: short data sub-block")
             lzw += data[pos : pos + ln]
             pos += ln
-        idx = _lzw_decode(bytes(lzw), min_code_size)
+        idx = _lzw_decode(bytes(lzw), min_code_size, max_out=w * h)
         if len(idx) < w * h:
             raise ValueError(
                 f"GIF pixel data short: {len(idx)} of {w * h} indices"

@@ -882,6 +882,63 @@ def test_gif_corrupt_and_routing_contract():
             decode_gif(bad)
 
 
+def test_gif_hostile_stream_bounded_and_zero_size_frame():
+    """ADVICE r6: (a) a hostile GIF declaring a tiny image descriptor but
+    carrying a huge LZW body must not amplify memory — decode stops at
+    w*h indices (and the LZW table append is capped at the 12-bit
+    ceiling); (b) a zero-width/height frame raises the explicit
+    ValueError, not numpy's zero-size-reduction message."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    # (a) LZW body encodes 200k indices; descriptor says 2x2. Splice the
+    # big stream into a tiny-descriptor GIF and decode: must return the
+    # first 4 pixels without expanding the whole stream.
+    rng = np.random.RandomState(5)
+    big = rng.randint(0, 4, size=200_000).astype(np.uint8).tobytes()
+    lzw = _lzw_encode(big, 2)
+    # direct check: max_out stops the expansion near the bound
+    out = _lzw_decode(lzw, 2, max_out=4)
+    assert 4 <= len(out) < 4 + 4096  # at most one trailing entry overshoot
+    assert bytes(out[:4]) == big[:4]
+    pal = np.stack([np.arange(4) * 60] * 3, axis=1).astype(np.uint8)
+    tiny = encode_gif(
+        np.frombuffer(big[:4], dtype=np.uint8).reshape(2, 2), pal
+    )
+    # rebuild tiny's image data section with the huge stream
+    header_end = tiny.index(b"\x2c")
+    spliced = (
+        tiny[: header_end + 10]
+        + bytes([2])
+        + b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        + b"\x00\x3b"
+    )
+    rgb = decode_gif(spliced)
+    assert rgb.shape == (2, 2, 3)
+    assert (rgb == pal[np.frombuffer(big[:4], dtype=np.uint8).reshape(2, 2)]).all()
+
+    # (b) zero-size frame descriptor
+    zero = (
+        tiny[: header_end + 1]
+        + struct.pack("<HHHHB", 0, 0, 0, 2, 0)
+        + tiny[header_end + 10 :]
+    )
+    with pytest.raises(ValueError, match="zero width/height"):
+        decode_gif(zero)
+
+
 def test_sample_frames_riff_contract():
     """ADVICE r5: a truncated or non-AVI RIFF payload is corrupt INPUT
     (ValueError), not a codec gap — NotImplementedError is reserved for
