@@ -77,16 +77,23 @@ class EngineConfig:
     ``cdc_divisor``     — CDC boundary divisor: expected chunk size ~
     ``cdc_divisor`` chars (L13); tune toward KB-scale chunks on real
     corpora (the 32-char default matches the tiny fixture docs).
-    ``cdc_hash``        — CDC boundary-window hash: ``md5`` (the frozen
-    default — one md5 of the w-char window per position) or ``gear``
-    (FastCDC-style gear polynomial over a 256-entry byte table — pure
-    integer multiply-adds, no per-position digest/hex/string
-    allocation; the production choice, ~w× less hashing work per
-    scanned char). Both are content-defined over the same trailing
-    window, so boundary realignment semantics are identical; the
-    boundary SETS differ, and the DuckDB oracle replays whichever rule
-    is active. Gear requires ``cdc_window`` <= 24 (the unrolled
-    window polynomial must stay inside signed-64 arithmetic).
+    ``cdc_hash``        — CDC boundary-window hash: ``gear`` (the
+    default — FastCDC-style gear polynomial over a 256-entry byte
+    table; pure integer multiply-adds, no per-position
+    digest/hex/string allocation, ~4× faster per scanned char at
+    sf0.01) or ``md5`` (one md5 of the w-char window per position —
+    the original rule, kept selectable as the engine-independent
+    cross-check and for windows beyond gear's ceiling). Gear became
+    the default in round 7 (VERDICT r6 item 2): the registered
+    primary should run the plan you'd ship, and gear is that plan —
+    same scan shape, strictly less per-position work, identical
+    realignment semantics. Both are content-defined over the same
+    trailing window; the boundary SETS differ, and the DuckDB oracle
+    replays whichever rule is active. Gear requires ``cdc_window``
+    <= 24 (the unrolled window polynomial must stay inside signed-64
+    arithmetic) — that ceiling now bounds the DEFAULT config too, so
+    a wider window must come paired with ``cdc_hash=md5`` (the
+    validation error says so).
     ``contam_df_cap``   — decontamination (L7) drops shingles present in
     more than this many documents from BOTH sides of the train↔eval
     overlap join (numerator AND denominator): boilerplate shingles
@@ -130,7 +137,7 @@ class EngineConfig:
     minhash_bands: int = 4
     cdc_window: int = 8
     cdc_divisor: int = 32
-    cdc_hash: str = "md5"
+    cdc_hash: str = "gear"
     contam_df_cap: int = 64
     cc_min_strategy: str = "window"
     resilient_checkpoints: bool = False
@@ -151,7 +158,8 @@ class EngineConfig:
         if self.cdc_hash == "gear" and self.cdc_window > 24:
             raise ValueError(
                 f"cdc_hash='gear' needs cdc_window <= 24 to stay inside "
-                f"signed-64 arithmetic, got {self.cdc_window}"
+                f"signed-64 arithmetic, got {self.cdc_window}; set "
+                f"SPARK_GRAFT_CDC_HASH=md5 to use a wider window"
             )
 
 

@@ -1648,14 +1648,16 @@ def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing position-sized ever shuffles. The only exchange is the
     combiner groupBy on the 32-hex chunk hash (shuffle O(chunks), ~n/32
     of corpus chars). The window-hash-per-position projection is the
-    honest cost of CDC (every byte examined); SPARK_GRAFT_CDC_HASH=gear
-    swaps the per-position md5 for a FastCDC-style gear polynomial over
-    a byte table — pure integer multiply-adds in the same plan shape, no
-    digest/hex/string allocation per position (the production setting,
-    ~4x faster at sf0.01; md5 stays the frozen default so pinned
-    evidence keeps its meaning). Oracle replays the identical boundary
-    rule either way, so the gate checks the full chunking decision, not
-    just the aggregate."""
+    honest cost of CDC (every byte examined); the DEFAULT boundary rule
+    is the gear hash (round 7, VERDICT r6 item 2) — a FastCDC-style
+    gear polynomial over a byte table, pure integer multiply-adds, no
+    digest/hex/string allocation per position, ~4x faster than the
+    original per-position md5 at sf0.01 in the same plan shape.
+    SPARK_GRAFT_CDC_HASH=md5 selects the md5 rule (the
+    engine-independent cross-check, and the only choice for windows
+    > 24 — gear's signed-64 ceiling now bounds the default config).
+    Oracle replays the identical boundary rule either way, so the gate
+    checks the full chunking decision, not just the aggregate."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return cdc_duplicate_chunks(docs)
 
@@ -1744,33 +1746,43 @@ def cdc_duplicate_chunks(
     )
 
 
-# The twin must be registrable under ANY valid md5-mode config: the
-# active window may legitimately exceed gear's signed-64 bound (only
-# enforced when cdc_hash="gear"), so the twin clamps its window to the
+# The twin always carries the boundary rule the ACTIVE config does NOT
+# run (ADVICE r6: when the active hash was gear, a gear twin was
+# byte-identical to the primary — the alternate-path slot carried no
+# new evidence). Under the gear default the twin replays md5; under an
+# md5 config it replays gear. The registered KEY stays
+# `llm_dedup_cdc_gear` — driver correctness history and the SURVEY §2
+# inventory key by name, and the name records the twin's original gear
+# role from the md5-default era.
+#
+# The twin must also be registrable under ANY valid config: an md5-mode
+# window may legitimately exceed gear's signed-64 bound (only enforced
+# when cdc_hash="gear"), so a gear-side twin clamps its window to the
 # gear ceiling — plan and oracle derive from the same value, and
 # registry.load_all() can never die resolving the twin's oracle on a
 # config the validation layer accepts.
-GEAR_TWIN_WINDOW = min(CDC_WINDOW, 24)
+CDC_TWIN_HASH = "md5" if CDC_HASH == "gear" else "gear"
+CDC_TWIN_WINDOW = min(CDC_WINDOW, 24) if CDC_TWIN_HASH == "gear" else CDC_WINDOW
 
 
 @register(
     "llm_dedup_cdc_gear",
-    sql=lambda: _cdc_sql(window=GEAR_TWIN_WINDOW, hash_kind="gear"),
+    sql=lambda: _cdc_sql(window=CDC_TWIN_WINDOW, hash_kind=CDC_TWIN_HASH),
 )
 def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L13b: llm_dedup_cdc's GEAR-hash twin — the production boundary
-    rule (SPARK_GRAFT_CDC_HASH=gear: FastCDC-style integer window
-    polynomial instead of per-position md5, ~4x less hashing work per
-    scanned char) registered as its own query so the alternate rule
-    sits under the driver's value-hash gate against its regenerated
-    oracle every round, not only in the local parity/fuzz tests (the
-    X1b/X3b alternate-path pattern). The boundary SET differs from the
-    md5 default — this is a distinct chunking decision, same plan
-    shape and same realignment property (parametrized realignment test
-    covers both). Runs at GEAR_TWIN_WINDOW = min(active window, 24):
-    the gear ceiling, so an md5-mode config with a larger window still
-    loads and runs the whole registry."""
+    """L13b: llm_dedup_cdc's alternate-boundary-rule twin, registered
+    as its own query so the rule the active config does NOT run sits
+    under the driver's value-hash gate against its regenerated oracle
+    every round, not only in the local parity/fuzz tests (the X1b/X3b
+    alternate-path pattern). Under the gear DEFAULT this runs the
+    original per-position md5 rule (the engine-independent
+    cross-check); under SPARK_GRAFT_CDC_HASH=md5 it runs gear at
+    min(active window, 24) — so the slot always carries evidence for a
+    boundary SET the primary didn't compute (ADVICE r6). Same plan
+    shape and same realignment property either way (parametrized
+    realignment test covers both rules). The key keeps its historical
+    name from the md5-default era; CDC_TWIN_HASH says what it runs."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return cdc_duplicate_chunks(
-        docs, window=GEAR_TWIN_WINDOW, hash_kind="gear"
+        docs, window=CDC_TWIN_WINDOW, hash_kind=CDC_TWIN_HASH
     )

@@ -67,7 +67,7 @@ SHOWCASE = {
     "llm_corpus_curate_v4": "v3 stack + broadcast LEFT ANTI span gate — still zero corpus pair joins",
     "llm_bpe_train": "K-step unrolled merge loop over the cached vocab-sized word table; argmax broadcast into codegen replace",
     "llm_multimodal_video_frames": "one MapInPandas stage over the pruned doc_id scan — AVI walk + per-frame JPEG decode in place, only 9-int rows shuffle",
-    "llm_dedup_cdc_gear": "gear boundary rule: pure-integer unrolled window polynomial in the same codegen array-expr shape — no md5/hex/string per position; one combiner groupBy on the chunk hash",
+    "llm_dedup_cdc_gear": "alternate CDC boundary rule (md5 under the r7 gear default): same codegen array-expr shape and one combiner groupBy on the chunk hash; the primary llm_dedup_cdc now carries the pure-integer gear polynomial",
     "llm_multimodal_gif": "real GIF decode via mapInPandas: ArrowEvalPython over the doc_id projection only — O(rows) leaves the worker, no media bytes shuffle",
     "llm_dedup_cdc":"per-doc array-expression chunking (no position explode) → one combiner groupBy on the chunk hash",
     "llm_ngram_novelty": "cached shingle table feeds both sides: first-occurrence groupBy + equi-join back + per-doc agg, no pair joins",

@@ -83,18 +83,21 @@ def test_cdc_nondefault_knobs_match_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[16/16]")
 
 
-def test_cdc_gear_hash_matches_oracle(spark, ddb, sf_dir):
-    """The non-default gear window hash (SPARK_GRAFT_CDC_HASH=gear): a
-    different boundary SET than md5's, so this is a distinct chunking
-    decision the oracle must replay — at the default window/divisor and
-    at a non-default combination (VERDICT r5 item 4)."""
+def test_cdc_nondefault_hash_matches_oracle(spark, ddb, sf_dir):
+    """Both boundary rules stay oracle-verified whatever the default:
+    gear is the default since r7 (VERDICT r6 item 2), so md5 is now the
+    non-default rule — a different boundary SET, a distinct chunking
+    decision the oracle must replay; plus a non-default gear
+    window/divisor combination (the original VERDICT r5 item 4
+    coverage)."""
     from pipelinejobs_indexer_spark.tables import load_table
 
-    assert dedup.CDC_HASH == "md5", "gear must be the non-default here"
+    assert dedup.CDC_HASH == "gear", "gear is the shipped default"
+    assert dedup.CDC_TWIN_HASH == "md5", "twin must carry the alternate rule"
     docs = load_table(spark, sf_dir, "documents")
-    sdf = dedup.cdc_duplicate_chunks(docs, hash_kind="gear")
-    duck = ddb.execute(dedup._cdc_sql(hash_kind="gear")).df()
-    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[gear]")
+    sdf = dedup.cdc_duplicate_chunks(docs, hash_kind="md5")
+    duck = ddb.execute(dedup._cdc_sql(hash_kind="md5")).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_dedup_cdc[md5]")
     sdf2 = dedup.cdc_duplicate_chunks(docs, window=12, divisor=16, hash_kind="gear")
     duck2 = ddb.execute(dedup._cdc_sql(12, 16, "gear")).df()
     assert_frames_match(sdf2.toPandas(), duck2, "llm_dedup_cdc[gear 12/16]")
@@ -220,17 +223,33 @@ def test_resilient_checkpoints_identical_results(spark, sf_dir, monkeypatch):
 
 
 def test_registry_loads_under_md5_mode_wide_cdc_window():
-    """Round-6 review regression: SPARK_GRAFT_CDC_WINDOW=32 with the
-    default md5 hash is a VALID config (the <=24 bound applies only to
-    gear), but the gear twin's lazily-resolved oracle used to raise at
-    registry.load_all(), killing all 146 queries. The twin now clamps
-    its window to the gear ceiling; the whole registry must load. Run
-    in a subprocess so the env override reaches the import-time config
+    """Round-6 review regression, updated for the r7 gear default:
+    SPARK_GRAFT_CDC_WINDOW=32 is only valid PAIRED with cdc_hash=md5
+    (gear's <=24 signed-64 ceiling now bounds the default config and
+    the validation error must say how to escape it). Under that md5
+    config the gear-side twin used to raise at registry.load_all()
+    resolving its oracle, killing all 146 queries; the twin clamps its
+    window to the gear ceiling, so the whole registry must load. Run in
+    subprocesses so the env overrides reach the import-time config
     capture."""
     import subprocess
     import sys
 
-    env = dict(os.environ, SPARK_GRAFT_CDC_WINDOW="32")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # wide window alone: the gear default must refuse it, loudly and early
+    bad = subprocess.run(
+        [sys.executable, "-c", "import pipelinejobs_indexer_spark.config as c"],
+        env=dict(os.environ, SPARK_GRAFT_CDC_WINDOW="32"),
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert bad.returncode != 0
+    assert "SPARK_GRAFT_CDC_HASH=md5" in bad.stderr
+
+    env = dict(os.environ, SPARK_GRAFT_CDC_WINDOW="32", SPARK_GRAFT_CDC_HASH="md5")
     out = subprocess.run(
         [
             sys.executable,
@@ -238,10 +257,12 @@ def test_registry_loads_under_md5_mode_wide_cdc_window():
             "from pipelinejobs_indexer_spark import registry;"
             "registry.load_all();"
             "assert len(registry.QUERIES) == len(registry.ORACLE) >= 146;"
+            "from pipelinejobs_indexer_spark.llm import dedup;"
+            "assert (dedup.CDC_TWIN_HASH, dedup.CDC_TWIN_WINDOW) == ('gear', 24);"
             "print('LOADED', len(registry.QUERIES))",
         ],
         env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
         capture_output=True,
         text=True,
         timeout=300,
