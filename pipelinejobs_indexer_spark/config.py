@@ -119,6 +119,15 @@ class EngineConfig:
     budget (~EDGES_PER_TASK, 2M); switch to ``twophase`` for power-law
     graphs beyond that. Identical results by construction
     (parity-tested both ways).
+    ``exact_pairs_max_rows`` — input-row ceiling for the exact
+    all-pairs embedding baseline (L2d, ``llm_dedup_embedding``). That
+    query's plan is an O(n²) theta join kept ONLY as the correctness
+    oracle baseline for the LSH primary (L2e); pointed at a real
+    corpus it is a cartesian time bomb, so it refuses loudly
+    (ValueError naming the LSH primary) above this many vectors. The
+    default (50k vectors ≈ 1.25G pairs) is generous for any
+    fixture/probe scale while catching an accidental production run by
+    orders of magnitude.
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
@@ -139,6 +148,7 @@ class EngineConfig:
     cdc_divisor: int = 32
     cdc_hash: str = "gear"
     contam_df_cap: int = 64
+    exact_pairs_max_rows: int = 50_000
     cc_min_strategy: str = "window"
     resilient_checkpoints: bool = False
 
@@ -177,6 +187,9 @@ def from_env() -> EngineConfig:
         cdc_divisor=_env_int("SPARK_GRAFT_CDC_DIVISOR", d.cdc_divisor),
         cdc_hash=_env_choice("SPARK_GRAFT_CDC_HASH", d.cdc_hash, ("md5", "gear")),
         contam_df_cap=_env_int("SPARK_GRAFT_CONTAM_DF_CAP", d.contam_df_cap),
+        exact_pairs_max_rows=_env_int(
+            "SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS", d.exact_pairs_max_rows
+        ),
         cc_min_strategy=_env_choice(
             "SPARK_GRAFT_CC_MIN_STRATEGY", d.cc_min_strategy, ("window", "twophase")
         ),

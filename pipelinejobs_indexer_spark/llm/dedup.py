@@ -662,13 +662,33 @@ def containment_pairs(docs: DataFrame, df_cap: int = CONTAIN_DF_CAP) -> DataFram
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold {0.45}) — exact pair
-    scan. Correctness baseline only: quadratic. The 100 TB path buckets by
-    hyperplane-LSH signature first (similarity.py) so only same-bucket
-    pairs are compared.
+    scan. ORACLE-BASELINE ONLY: the plan is an O(n²) theta join, kept
+    registered so the LSH primary (llm_dedup_embedding_lsh) has an
+    exact ground truth under the driver's hash gate. It REFUSES inputs
+    larger than CONFIG.exact_pairs_max_rows (VERDICT r6 item 6 — a
+    cartesian time bomb if pointed at a real corpus; the count() that
+    enforces this is one cheap column-pruned scan, nothing at fixture
+    scale and exactly the circuit breaker you want before an accidental
+    1e12-pair join). Raise SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS only for a
+    deliberate oversized ground-truth run; production dedup goes
+    through the LSH primary.
     """
+    from .. import config as _cfgmod
+
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    cap = _cfgmod.CONFIG.exact_pairs_max_rows
+    n = emb.count()
+    if n > cap:
+        raise ValueError(
+            f"llm_dedup_embedding is the exact all-pairs ORACLE BASELINE: "
+            f"{n} input vectors exceed exact_pairs_max_rows={cap} "
+            f"(~{n * (n - 1) // 2:.2e} pairs). Use llm_dedup_embedding_lsh "
+            f"(the bucketed primary) for real corpora, or raise "
+            f"SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS for a deliberate "
+            f"ground-truth run."
+        )
     a, b = emb.alias("a"), emb.alias("b")
 
     def _cos(va, vb):

@@ -171,6 +171,33 @@ def test_cdc_hash_and_contam_cap_env_parsing(monkeypatch):
         cfg.from_env()
 
 
+def test_exact_embedding_baseline_row_cap(spark, sf_dir, monkeypatch):
+    """VERDICT r6 item 6: the exact all-pairs embedding baseline is a
+    registered O(n²) theta join — fine as the LSH primary's ground
+    truth at fixture scale, a cartesian time bomb on a real corpus. It
+    must refuse loudly above the configured row ceiling (naming the LSH
+    primary and the escape knob) and keep working below it."""
+    import dataclasses
+
+    from pipelinejobs_indexer_spark.llm.dedup import llm_dedup_embedding
+
+    monkeypatch.setattr(
+        cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, exact_pairs_max_rows=10)
+    )
+    with pytest.raises(ValueError, match="llm_dedup_embedding_lsh"):
+        llm_dedup_embedding(spark, sf_dir)
+    monkeypatch.setattr(
+        cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, exact_pairs_max_rows=50_000)
+    )
+    assert llm_dedup_embedding(spark, sf_dir).count() > 0
+    # env knob parses like every other positive-int knob
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS", "123")
+    assert cfg.from_env().exact_pairs_max_rows == 123
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS", "0")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+
+
 def test_minhash_nondefault_bands_matches_oracle(spark, ddb, sf_dir):
     """8 hashes x 2 bands (r=4 rows/band) instead of 16x4: a different
     S-curve, same differential-parity requirement."""
