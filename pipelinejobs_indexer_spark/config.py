@@ -128,6 +128,20 @@ class EngineConfig:
     default (50k vectors ≈ 1.25G pairs) is generous for any
     fixture/probe scale while catching an accidental production run by
     orders of magnitude.
+    ``state_store`` — streaming state-store backend for the stateful
+    operators (T1/T5/T5b/T6b and every windowed/dedup stream):
+    ``hdfs`` (default — Spark's in-heap HDFSBackedStateStoreProvider,
+    right for replay-scale state in one JVM) or ``rocksdb``
+    (RocksDBStateStoreProvider, bundled with Spark — per-key state
+    lives off-heap/on-disk with incremental checkpointing). Sizing
+    note for the 100 TB design point: the HDFS-backed store keeps
+    EVERY key's state in executor heap (state volume / store count
+    must fit in memory per partition — a 1e9-key FSM at ~100 B/key is
+    ~100 GB of heap across stores), so any corpus-scale keyed state
+    (per-job FSMs, dedup watermarks over billions of ids) should run
+    ``rocksdb``, where the working set spills and checkpoints
+    incrementally. The knob changes durability/placement only, never
+    results (parity-tested both ways).
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
@@ -150,6 +164,7 @@ class EngineConfig:
     contam_df_cap: int = 64
     exact_pairs_max_rows: int = 50_000
     cc_min_strategy: str = "window"
+    state_store: str = "hdfs"
     resilient_checkpoints: bool = False
 
     def __post_init__(self) -> None:
@@ -157,6 +172,10 @@ class EngineConfig:
             raise ValueError(
                 f"minhash_bands ({self.minhash_bands}) must divide "
                 f"minhash_hashes ({self.minhash_hashes})"
+            )
+        if self.state_store not in ("hdfs", "rocksdb"):
+            raise ValueError(
+                f"state_store must be 'hdfs' or 'rocksdb', got {self.state_store!r}"
             )
         if self.cc_min_strategy not in ("window", "twophase"):
             raise ValueError(
@@ -192,6 +211,9 @@ def from_env() -> EngineConfig:
         ),
         cc_min_strategy=_env_choice(
             "SPARK_GRAFT_CC_MIN_STRATEGY", d.cc_min_strategy, ("window", "twophase")
+        ),
+        state_store=_env_choice(
+            "SPARK_GRAFT_STATE_STORE", d.state_store, ("hdfs", "rocksdb")
         ),
         resilient_checkpoints=_env_bool(
             "SPARK_GRAFT_RESILIENT_CHECKPOINTS", d.resilient_checkpoints

@@ -16,6 +16,7 @@ bounded by the watermark.
 from __future__ import annotations
 
 import uuid as _uuid
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,40 @@ def replay_partitions(sf_dir: str) -> int:
     return max(1, min(default_parallelism(), 1 + b // (64 << 20)))
 
 
+_STATE_STORE_PROVIDERS = {
+    # Spark's own provider classes (both ship in the pyspark jars);
+    # resolved from CONFIG.state_store at each replay so the env knob
+    # works under the driver's bare session too.
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@_contextmanager
+def state_store_conf(spark: SparkSession):
+    """Scope the configured state-store backend (CONFIG.state_store /
+    SPARK_GRAFT_STATE_STORE) to one streaming replay: every
+    writeStream.start() in this package runs under it — run_to_batch
+    and the foreachBatch outbox queries alike — and the session conf is
+    restored afterwards. The provider is fixed per query at its first
+    checkpoint, so it must be set BEFORE start()."""
+    from .. import config as _cfgmod
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, _STATE_STORE_PROVIDERS["hdfs"])
+    spark.conf.set(key, _STATE_STORE_PROVIDERS[_cfgmod.CONFIG.state_store])
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
 def run_to_batch(
     stream_df: DataFrame, output_mode: str, sf_dir: str | None = None
 ) -> DataFrame:
@@ -72,28 +107,35 @@ def run_to_batch(
     memory sink and return the materialized batch table. When ``sf_dir``
     is given, shuffle partitions (== state-store count, fixed at the
     query's first checkpoint) are scoped to replay_partitions() for the
-    run and restored afterwards."""
+    run and restored afterwards.
+
+    The state-store backend comes from ``CONFIG.state_store``
+    (SPARK_GRAFT_STATE_STORE) via :func:`state_store_conf`: the default
+    in-heap HDFS-backed store, or RocksDB for corpus-scale keyed state
+    that must spill — see the sizing note in config.py. Backend choice
+    never changes results (parity test in tests/test_config.py)."""
     spark = stream_df.sparkSession
     name = f"stream_out_{_uuid.uuid4().hex}"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        if sf_dir is not None:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(replay_partitions(sf_dir))
+        with state_store_conf(spark):
+            if sf_dir is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(replay_partitions(sf_dir))
+                )
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
             )
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination returns False on timeout with the query still
-        # running — returning the half-filled sink then would look like a
-        # real (wrong) answer. Stop it and fail loudly instead.
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"streaming replay {name} exceeded 600s")
+            # awaitTermination returns False on timeout with the query
+            # still running — returning the half-filled sink then would
+            # look like a real (wrong) answer. Stop it and fail loudly.
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(f"streaming replay {name} exceeded 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import with_fixtures
 from ..registry import register
-from .core import events_stream, run_to_batch
+from .core import events_stream, run_to_batch, state_store_conf
 from .fsm import fsm_apply
 
 # Streaming views mirror the batch fixture derivations (tables.messages /
@@ -467,12 +467,13 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         # idempotent per epoch: one append per micro-batch, distributed write
         batch_df.write.mode("append").parquet(outbox)
 
-    q = (
-        exits.writeStream.foreachBatch(emit)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with state_store_conf(spark):
+        q = (
+            exits.writeStream.foreachBatch(emit)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     return spark.read.schema("uuid string, state string, token string").parquet(outbox)
 
 
@@ -526,12 +527,13 @@ def incremental_upsert(je: DataFrame) -> DataFrame:
         )
         delta.write.mode("append").parquet(outbox)
 
-    q = (
-        je.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with state_store_conf(spark):
+        q = (
+            je.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     deltas = spark.read.schema(
         "job_uuid string, last_name string, last_seq bigint, n_batch bigint"
     ).parquet(outbox)

@@ -249,6 +249,57 @@ def test_resilient_checkpoints_identical_results(spark, sf_dir, monkeypatch):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_state_store_env_parsing(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    assert cfg.from_env().state_store == "rocksdb"
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE")
+    assert cfg.from_env().state_store == "hdfs"
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "leveldb")
+    with pytest.raises(ValueError):
+        cfg.from_env()
+    with pytest.raises(ValueError):
+        cfg.EngineConfig(state_store="leveldb")
+
+
+def test_state_store_backend_identical_results(spark, sf_dir, monkeypatch):
+    """VERDICT r6 item 5: the stateful streaming operators must produce
+    IDENTICAL results on the in-heap HDFS-backed store (local default)
+    and on RocksDB (SPARK_GRAFT_STATE_STORE=rocksdb — the 100 TB
+    setting, where per-key state spills off-heap/on-disk with
+    incremental checkpoints). The knob changes state placement and
+    durability, never semantics — the resilient_checkpoints pattern.
+    Covers the applyInPandasWithState FSM + dead-letter paths and the
+    dropDuplicates state path."""
+    import dataclasses
+
+    from pipelinejobs_indexer_spark.streaming.queries import (
+        stream_dead_letter,
+        stream_fsm_state,
+        stream_ingest_dedupe,
+    )
+
+    def run_both(fn):
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, state_store="hdfs")
+        )
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        monkeypatch.setattr(
+            cfg, "CONFIG", dataclasses.replace(cfg.CONFIG, state_store="rocksdb")
+        )
+        rocks = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        return base, rocks
+
+    fsm_base, fsm_rocks = run_both(stream_fsm_state)
+    assert fsm_base == fsm_rocks and len(fsm_base) > 0
+    dd_base, dd_rocks = run_both(stream_ingest_dedupe)
+    assert dd_base == dd_rocks and len(dd_base) > 0
+    dl_base, dl_rocks = run_both(stream_dead_letter)
+    assert dl_base == dl_rocks
+    # the replay must restore the session's provider conf afterwards
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert "RocksDB" not in spark.conf.get(key, "HDFSBacked")
+
+
 def test_registry_loads_under_md5_mode_wide_cdc_window():
     """Round-6 review regression, updated for the r7 gear default:
     SPARK_GRAFT_CDC_WINDOW=32 is only valid PAIRED with cdc_hash=md5
