@@ -101,6 +101,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     med: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    cv: dict[str, float] = {}
     for name in names:
         times = []
         for _ in range(N_RUNS):
@@ -115,6 +116,13 @@ def main() -> None:
         best[name] = min(times)
         runs[name] = times
         med[name] = round(statistics.median(times[1:] or times), 4)
+        # host-noise floor (VERDICT r6 item 7): coefficient of variation
+        # over the WARM runs only (run 0 additionally pays codegen/JIT).
+        # A round-over-round delta inside ~2 CVs is jitter, not a
+        # regression — the mechanical separator for future verdicts.
+        warm = times[1:]
+        mean = sum(warm) / len(warm)
+        cv[name] = round(statistics.pstdev(warm) / mean, 4) if mean else 0.0
 
     print(
         json.dumps(
@@ -139,6 +147,10 @@ def main() -> None:
                 "cold_queries": cold,
                 "median_warm_queries": med,
                 "run_times": runs,
+                "warm_cv_queries": cv,
+                "warm_cv_median": round(
+                    statistics.median(cv.values()), 4
+                ) if cv else 0.0,
                 "notes": (
                     "measurement methodology frozen as of round 3 "
                     "(full-output-hash via xxhash64+bit_xor, cache cleared "
