@@ -105,20 +105,31 @@ class EngineConfig:
     boilerplate overlap is genuinely wanted as signal.
     ``cc_min_strategy``  — how the connected-components loop computes
     the per-vertex neighborhood minimum. ``window`` (default): one
-    exchange per phase via a window aggregate on the vertex key —
-    fastest when the maximum degree fits comfortably in one task, but a
-    power-law hub (say a 100M-degree vertex at 100 TB) lands its whole
-    neighborhood in a single WindowExec partition: one straggler task
-    that buffers/spills linearly. ``twophase``: a combiner groupBy
-    (map-side partial min — per-hub shuffle volume collapses to one
-    partial row per map task, structurally skew-proof) plus a
-    shuffle-hash join-back to re-attach the min — one more exchange per
-    phase, but the hub cost becomes a streamed hash probe instead of a
-    buffered window. Crossover guidance: stay on ``window`` until the
-    max component/neighborhood degree approaches the rows-per-task
-    budget (~EDGES_PER_TASK, 2M); switch to ``twophase`` for power-law
-    graphs beyond that. Identical results by construction
-    (parity-tested both ways).
+    exchange per phase via a window aggregate on the vertex key; a hub
+    vertex lands its whole neighborhood in one WindowExec task, in a
+    SPILLABLE sort buffer. ``twophase``: a combiner groupBy (map-side
+    partial min — per-hub shuffle volume collapses to one partial row
+    per map task, structurally skew-proof) plus a planner-chosen
+    join-back to re-attach the min — one more exchange per phase.
+    MEASURED crossover guidance (r7, scripts/cc_crossover_probe.py —
+    planted star + 4M background edges on local[32], both strategies
+    timed to convergence, parity asserted): ``window`` won EVERY cell,
+    hub degree 50k → 4M (2× the EDGES_PER_TASK budget): 38/36/46/53 s
+    vs twophase's 46/56/61/88 s — i.e. no crossover within the
+    measurable range, window ≤ 0.73× at every point, its time growing
+    only 1.4× for an 80× hub because the window sort spills and
+    streams. The earlier ANALYTIC guidance ("switch near
+    EDGES_PER_TASK") is therefore retired: stay on ``window`` until a
+    single hub's neighborhood is so large that one task's spill-sort
+    becomes a wall-clock straggler (≫ EDGES_PER_TASK, e.g. a
+    100M-degree vertex at 100 TB) — that regime is beyond single-node
+    measurement, and ``twophase`` remains the parity-proven escape
+    hatch for it. The same probe also killed twophase's original
+    forced shuffle_hash join-back: its unspillable hash build died
+    with "Can't acquire … bytes to build hash relation" at the 4M hub
+    (exactly the graphs the path exists for) while window completed;
+    the join-back is now planner-chosen (SMJ sorts spill). Identical
+    results by construction (parity-tested both ways).
     ``exact_pairs_max_rows`` — input-row ceiling for the exact
     all-pairs embedding baseline (L2d, ``llm_dedup_embedding``). That
     query's plan is an O(n²) theta join kept ONLY as the correctness

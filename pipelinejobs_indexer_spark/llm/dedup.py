@@ -972,9 +972,9 @@ def connected_components(
     dedup exchange, all equi-shuffles on vertex keys, localCheckpoint'ed
     so the driver loop stays constant-cost. For power-law graphs whose
     hub degree outgrows a task, SPARK_GRAFT_CC_MIN_STRATEGY=twophase
-    swaps each window pass for a combiner groupBy + shuffle-hash
-    join-back (_attach_neighborhood_min — skew-proof partial mins at
-    the price of one more exchange per phase; crossover guidance in
+    swaps each window pass for a combiner groupBy + join-back
+    (_attach_neighborhood_min — skew-proof partial mins at the price
+    of one more exchange per phase; MEASURED crossover guidance in
     config.py, results identical by construction). The large-star output feeds
     the small-star window RAW (no intermediate distinct): min-over-window
     is duplicate-insensitive and the round's terminal canon dedups anyway,
@@ -1052,11 +1052,21 @@ def _attach_neighborhood_min(df, out: str, w_u, strategy: str | None = None):
     configured strategy (config.py `cc_min_strategy`):
 
     * window (default) — one exchange; the hub-keyed WindowExec buffers
-      each u's whole neighborhood in one task (fine until power-law).
+      each u's whole neighborhood in one task, in a SPILLABLE sort
+      buffer (measured to 4M-spoke hubs on the r7 crossover probe —
+      see config.py).
     * twophase — combiner groupBy (map-side partial min: shuffle volume
-      per hub = one partial row per map task, skew-proof) + a
-      shuffle-hash join-back (streamed probe, no sort, no buffering).
-      One more exchange per phase; identical rows either way.
+      per hub = one partial row per map task, skew-proof) + a join-back
+      to re-attach the min. One more exchange per phase; identical rows
+      either way. The join-back strategy is left to the planner: the
+      r7 crossover probe measured the previously-forced shuffle_hash
+      hint DYING at a 4M-spoke hub ("Can't acquire ... bytes to build
+      hash relation" — an SHJ build map is unspillable, and the loop's
+      EDGES_PER_TASK partition sizing makes each build
+      distinct-u/partitions rows, exactly wrong for the graphs this
+      path exists for) while the window strategy completed. The
+      combiner groupBy is the skew-proof part; the join-back only
+      needs to be robust — Catalyst's SMJ sorts spill.
 
     Strategy defaults from CONFIG at call time (not captured at import)
     so the parity test can flip it per run; an explicit argument (the
@@ -1067,7 +1077,7 @@ def _attach_neighborhood_min(df, out: str, w_u, strategy: str | None = None):
     if s == "window":
         return df.withColumn(out, F.min("v").over(w_u))
     mins = df.groupBy("u").agg(F.min("v").alias(out))
-    return df.join(mins.hint("shuffle_hash"), "u")
+    return df.join(mins, "u")
 
 
 def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark, min_strategy=None):
@@ -1163,7 +1173,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9b: llm_dedup_clusters' TWOPHASE-min twin — the power-law escape
     hatch (SPARK_GRAFT_CC_MIN_STRATEGY=twophase: combiner groupBy
-    partial mins + shuffle-hash join-back instead of the hub-keyed
+    partial mins + planner-chosen join-back instead of the hub-keyed
     window; see _attach_neighborhood_min) registered as its own query
     so the alternate physical strategy sits under the driver's
     value-hash gate against the SAME recursive-CTE oracle — identical
