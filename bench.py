@@ -120,7 +120,7 @@ def main() -> None:
         # over the WARM runs only (run 0 additionally pays codegen/JIT).
         # A round-over-round delta inside ~2 CVs is jitter, not a
         # regression — the mechanical separator for future verdicts.
-        warm = times[1:]
+        warm = times[1:] or times  # n=1 degenerates to the single run
         mean = sum(warm) / len(warm)
         cv[name] = round(statistics.pstdev(warm) / mean, 4) if mean else 0.0
 

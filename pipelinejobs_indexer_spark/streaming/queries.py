@@ -473,7 +473,12 @@ def stream_event_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # same invariant as run_to_batch: a timed-out query left running
+        # would let the outbox read below return a PARTIAL append set as
+        # a real answer — stop it and fail loudly instead
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_event_forward replay exceeded 600s")
     return spark.read.schema("uuid string, state string, token string").parquet(outbox)
 
 
@@ -533,7 +538,12 @@ def incremental_upsert(je: DataFrame) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # run_to_batch's invariant: never read the outbox under a query
+        # that may still be appending (a timed-out half-filled delta set
+        # would compact into a plausible wrong catalog)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("incremental_upsert replay exceeded 600s")
     deltas = spark.read.schema(
         "job_uuid string, last_name string, last_seq bigint, n_batch bigint"
     ).parquet(outbox)

@@ -54,20 +54,21 @@ if "--smoke" in sys.argv:  # plumbing check only — not a measurement
     REPS = 1
 
 
-def planted_graph(spark, hub_degree: int):
+def planted_graph(spark, hub_degree: int, background_edges: int | None = None):
     """Star(0; 1..D) ∪ chains-of-8 over vertices above D — built from
     `range`, so the probe never materializes edges driver-side."""
+    bg_edges = BACKGROUND_EDGES if background_edges is None else background_edges
     hub = spark.range(1, hub_degree + 1).select(
         F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
     )
     base = hub_degree + 10
     # x -> x+1 within each aligned block of CHAIN vertices: drop the
     # last position of each block so components stay CHAIN-sized
-    n_slots = BACKGROUND_EDGES * CHAIN // (CHAIN - 1) + CHAIN
+    n_slots = bg_edges * CHAIN // (CHAIN - 1) + CHAIN
     bg = (
         spark.range(n_slots)
         .filter((F.col("id") % CHAIN) != (CHAIN - 1))
-        .limit(BACKGROUND_EDGES)
+        .limit(bg_edges)
         .select(
             (F.col("id") + base).alias("doc_a"),
             (F.col("id") + base + 1).alias("doc_b"),
@@ -83,14 +84,16 @@ def main() -> None:
     spark = get_spark("cc-crossover-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # warm codegen/JIT for BOTH strategies before any timed run, or the
-    # first (D, strategy) cell eats the one-time compilation cost
+    # first (D, strategy) cell eats the one-time compilation cost; a
+    # tiny graph suffices — compilation is shape-, not size-, dependent
     for strategy in ("window", "twophase"):
         connected_components(
-            planted_graph(spark, 1_000), min_strategy=strategy
+            planted_graph(spark, 1_000, background_edges=20_000),
+            min_strategy=strategy,
         ).select("cluster_id").distinct().count()
     results = []
     for d in HUB_DEGREES:
-        counts = {}
+        parity = {}
         for strategy in ("window", "twophase"):
             best = None
             for _ in range(REPS):
@@ -99,11 +102,18 @@ def main() -> None:
                 labels = connected_components(
                     planted_graph(spark, d), min_strategy=strategy
                 )
-                # converge + count components (cheap agg over the labels)
-                n_comp = labels.select("cluster_id").distinct().count()
+                # converge + one cheap agg: component count AND an
+                # order-free hash of the full (vertex, label) assignment
+                row0 = labels.agg(
+                    F.countDistinct("cluster_id").alias("n"),
+                    # bit_xor: order-free and overflow-free (a sum of
+                    # full-range xxhash64 longs trips ANSI overflow)
+                    F.expr("bit_xor(xxhash64(doc_id, cluster_id))").alias("h"),
+                ).collect()[0]
+                n_comp, label_hash = row0["n"], row0["h"]
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            counts[strategy] = n_comp
+            parity[strategy] = (n_comp, label_hash)
             row = {
                 "hub_degree": d,
                 "background_edges": BACKGROUND_EDGES,
@@ -113,10 +123,11 @@ def main() -> None:
             }
             results.append(row)
             print(json.dumps(row), flush=True)
-        # parity: both strategies must agree on the component count
-        # (full label parity is pinned in tests; the probe asserts the
-        # cheap invariant so a divergence can't hide in the timings)
-        assert counts["window"] == counts["twophase"], counts
+        # parity: the full labeling (not just the component count) must
+        # agree between strategies — raise, never assert (a -O run must
+        # not silently drop the invariant the timings depend on)
+        if parity["window"] != parity["twophase"]:
+            raise RuntimeError(f"strategy divergence at D={d}: {parity}")
     by_d = {
         d: {
             r["strategy"]: r["sec"]

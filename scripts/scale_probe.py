@@ -75,49 +75,66 @@ def _link_missing_tables(probe: str) -> None:
             os.symlink(os.path.join(SF01, f), dst)
 
 
+def _strip_initial_plans(plan: str) -> str:
+    """Drop every `== Initial Plan ==` subtree from an executed
+    AdaptiveSparkPlan's string. A finalized AQE plan prints BOTH the
+    final plan and the pre-execution initial plan — and cached
+    InMemoryRelations embed their own finalized AdaptiveSparkPlan
+    (with its own initial section) under every consumer — so a raw
+    census over the whole string counts each logical exchange up to
+    2x(1 + consumers) times, with distinct plan_ids in each section.
+    A subtree's lines are exactly those whose tree connector (`+- ` /
+    `:- `) sits strictly deeper than the marker's own connector."""
+    out, skip_col = [], None
+    for line in plan.splitlines():
+        m = re.search(r"[+:]\- ", line)
+        col = m.start() if m else -1
+        if skip_col is not None:
+            if col > skip_col or col < 0:
+                continue
+            skip_col = None
+        if "== Initial Plan ==" in line:
+            skip_col = col
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def _plan_stats(df) -> dict:
-    """Exchange census of the (pre-execution) physical plan. Broadcast
+    """Exchange census of the EXECUTED final adaptive plan. Broadcast
     and shuffle exchanges are split: a join whose build side outgrows
     autoBroadcastJoinThreshold at the larger scale flips BHJ -> SMJ,
     converting one BroadcastExchange into up to two shuffle Exchanges —
     correct adaptive planning, not a plan regression, so the pass
-    criterion charges shuffle-exchange growth against observed flips.
+    criterion charges shuffle-exchange growth against observed
+    broadcast-exchange disappearances.
 
-    Exchanges are deduped by plan_id (round-7 refinement): before a
-    .cache()'d subtree materializes, the plan STRING embeds a copy of
-    the cached frame's stored plan under every consumer, so one
-    physical exchange (e.g. spread()'s round-robin over the corpus
-    scan) printed N times would count N — at execution it runs once
-    and the other consumers hit the materialized cache. The plan_id
-    annotation identifies the shared node across printed copies; the
-    raw token census flagged a phantom +1 'new exchange' on
-    llm_dedup_substring's sf10 plan exactly this way."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # token-level census: a bare substring count would misclassify
-    # ReusedExchange (exchange REUSE — a plan improvement) as a new
-    # exchange and double-count "ReusedExchange ..., Exchange ..." lines
-    tokens = re.findall(
-        r"\b(ReusedExchange|BroadcastExchange|Exchange|BroadcastHashJoin|"
-        r"SortMergeJoin)\b",
-        plan,
+    Census rules (round-7 refinement, in order of discovery):
+      * initial-plan sections stripped (see _strip_initial_plans);
+      * exchanges deduped by plan_id — a cached subtree's stored plan
+        prints under every consumer, but its exchanges run once and
+        keep one plan_id across printed copies (the raw token census
+        flagged a phantom '+7 shuffles' on llm_dedup_substring this
+        way); AQE stage reuse likewise reprints the same plan_id,
+        never a ReusedExchange node;
+      * join nodes carry NO plan_id annotation, so bhj/smj are raw
+        token counts over the final-plan text (informational only —
+        flip attribution in main() uses the deduped broadcast counts,
+        which a duplicated cached-subtree print cannot inflate)."""
+    plan = _strip_initial_plans(
+        df._jdf.queryExecution().executedPlan().toString()
     )
     ids = re.findall(
-        r"\b(ReusedExchange|BroadcastExchange|Exchange)\b[^\n]*?"
-        r"\[plan_id=(\d+)\]",
-        plan,
+        r"\b(BroadcastExchange|Exchange)\b[^\n]*?\[plan_id=(\d+)\]", plan
     )
-    if ids:
-        bcast = len({i for k, i in ids if k == "BroadcastExchange"})
-        shuffle = len({i for k, i in ids if k == "Exchange"})
-    else:  # plan string without plan_id annotations: raw token census
-        bcast = tokens.count("BroadcastExchange")
-        shuffle = tokens.count("Exchange")
+    bcast = len({i for k, i in ids if k == "BroadcastExchange"})
+    shuffle = len({i for k, i in ids if k == "Exchange"})
     return {
         "exchanges": bcast + shuffle,
         "broadcast": bcast,
         "shuffle": shuffle,
-        "bhj": tokens.count("BroadcastHashJoin"),
-        "smj": tokens.count("SortMergeJoin"),
+        "bhj": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        "smj": len(re.findall(r"\bSortMergeJoin\b", plan)),
     }
 
 
@@ -156,15 +173,20 @@ def main() -> None:
                 n = force_full_eval(df)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            # census AFTER execution (round-7 refinement): the
+            # census an EXECUTED plan (round-7 refinement): the
             # pre-execution string duplicates cached subtrees under every
             # consumer and predates AQE's exchange reuse — e.g.
             # llm_dedup_substring's flipped anchor self-join printed the
             # anchor-side window/distinct pipeline once per side
-            # pre-exec (+7 shuffles for 3 flips), while the FINAL
-            # adaptive plan is 14 unique exchanges at BOTH decades. The
-            # executed plan is the physical truth the pass criteria are
-            # about.
+            # pre-exec (+7 shuffles for 3 flips), while the executed
+            # plan is size-invariant. force_full_eval runs a DERIVED
+            # frame (its hash-agg wrapper gets its own AdaptiveSparkPlan),
+            # so finalize THIS df's own adaptive plan with a collect()
+            # before reading it — df.collect() drives df's own
+            # QueryExecution, the plan the census is about.
+            spark.catalog.clearCache()
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.collect()
             stats[label] = _plan_stats(df)
             row[f"{label}_exchanges"] = stats[label]["exchanges"]
             row[f"{label}_shuffle_exchanges"] = stats[label]["shuffle"]
@@ -173,8 +195,11 @@ def main() -> None:
         row["ratio"] = round(row[f"{hi}_sec"] / row[f"{lo}_sec"], 2)
         row["superlinear"] = row["ratio"] >= 10
         # broadcast->SMJ flips at the larger scale each add up to 2 shuffle
-        # exchanges; only growth beyond that is an actual plan regression
-        flips = max(0, stats[lo]["bhj"] - stats[hi]["bhj"])
+        # exchanges; only growth beyond that is an actual plan regression.
+        # Counted as broadcast-EXCHANGE disappearances (plan_id-deduped),
+        # not join-node deltas: join nodes have no plan_id, so a cached
+        # subtree printed under N consumers would inflate a join census
+        flips = max(0, stats[lo]["broadcast"] - stats[hi]["broadcast"])
         row["broadcast_flips"] = flips
         row["new_exchanges"] = (
             stats[hi]["shuffle"] - stats[lo]["shuffle"] > 2 * flips
