@@ -7,6 +7,7 @@ T3 stream_sliding_rates  — moving throughput windows (reactor.py:182-183)
 T4 stream_session_windows — session grouping (init-job.json:32)
 T5 stream_fsm_state      — the job state machine (fsm.py)
 T5b stream_fsm_final     — final FSM snapshot, hash-level SQL oracle
+T5c stream_fsm_alt_store — T5b on the non-default state-store backend
 T6 stream_late_data      — watermark semantics: late windows held back
 T7 stream_event_forward  — foreachBatch outbox (config.yml:2-3 gates)
 T8 stream_incremental_upsert — delta-append catalog materialization
@@ -247,6 +248,19 @@ def stream_fsm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(fsm_apply(je), "update", sf_dir)
 
 
+def _fsm_final_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the FSM and fold update-mode emissions to the final
+    snapshot per job (shared by T5b and its state-store twin T5c)."""
+    je = _job_events_stream(spark, sf_dir)
+    out = run_to_batch(fsm_apply(je), "update", sf_dir)
+    return out.groupBy("job_uuid").agg(
+        F.expr("max_by(state, n_events)").alias("state"),
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(n_rejected, n_events)").alias("n_rejected"),
+        F.expr("max_by(last_seq, n_events)").alias("last_seq"),
+    )
+
+
 @register("stream_fsm_final", sql=with_fixtures(_FSM_FINAL_SQL, "job_events"))
 def stream_fsm_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5b: FINAL FSM snapshot per job with a hash-level oracle — the
@@ -265,14 +279,40 @@ def stream_fsm_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot (max n_events per key is the last batch) — a no-op for the
     single-batch replay but correct under any batch split whose order
     respects the source file order."""
-    je = _job_events_stream(spark, sf_dir)
-    out = run_to_batch(fsm_apply(je), "update", sf_dir)
-    return out.groupBy("job_uuid").agg(
-        F.expr("max_by(state, n_events)").alias("state"),
-        F.max("n_events").alias("n_events"),
-        F.expr("max_by(n_rejected, n_events)").alias("n_rejected"),
-        F.expr("max_by(last_seq, n_events)").alias("last_seq"),
-    )
+    return _fsm_final_snapshot(spark, sf_dir)
+
+
+@register(
+    "stream_fsm_alt_store", sql=with_fixtures(_FSM_FINAL_SQL, "job_events")
+)
+def stream_fsm_alt_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5c: stream_fsm_final replayed on the state-store backend the
+    active config does NOT select — RocksDB under the default in-heap
+    HDFSBackedStateStore, HDFS under SPARK_GRAFT_STATE_STORE=rocksdb —
+    so the backend-choice-never-changes-results contract of the
+    state_store knob (core.py state_store_conf; sizing note in
+    config.py) is driver-hash-verified every round against the same
+    SQL oracle as the primary, not only pinned by the pytest parity
+    test. Same alternate-path-twin pattern as llm_dedup_cdc_gear:
+    the twin always carries evidence for the path the primary does
+    not run.
+
+    The config swap is scoped to the synchronous replay (run_to_batch
+    returns only after the availableNow query terminates; the
+    snapshot fold below is batch-side) and restored unconditionally,
+    so a failed replay cannot leak the alternate backend into later
+    queries of the same sweep."""
+    import dataclasses as _dc
+
+    from .. import config as _cfgmod
+
+    alt = "hdfs" if _cfgmod.CONFIG.state_store == "rocksdb" else "rocksdb"
+    saved = _cfgmod.CONFIG
+    _cfgmod.CONFIG = _dc.replace(saved, state_store=alt)
+    try:
+        return _fsm_final_snapshot(spark, sf_dir)
+    finally:
+        _cfgmod.CONFIG = saved
 
 
 @register(

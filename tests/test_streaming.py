@@ -253,3 +253,28 @@ def test_dead_letter_state_carries_across_batches(spark, tmp_path):
     )
     got = {r.msg_id: r.lateness_us for r in run_to_batch(dead, "update").collect()}
     assert got == {3: (2 * 3600 - 600) * 1_000_000}
+
+
+def test_fsm_alt_store_twin_matches_primary_and_restores_config(spark, sf_dir):
+    """T5c contract: the alternate-state-store twin returns exactly the
+    primary's final FSM snapshot (backend choice never changes results)
+    and its scoped CONFIG swap is restored afterwards — including when
+    the replay raises (a leaked alternate backend would silently flip
+    every later stateful query in the same sweep)."""
+    from pipelinejobs_indexer_spark import config as cfg
+    from pipelinejobs_indexer_spark.streaming.queries import (
+        stream_fsm_alt_store,
+        stream_fsm_final,
+    )
+
+    before = cfg.CONFIG
+    primary = sorted(map(tuple, stream_fsm_final(spark, sf_dir).collect()))
+    twin = sorted(map(tuple, stream_fsm_alt_store(spark, sf_dir).collect()))
+    assert twin == primary and len(twin) > 0
+    assert cfg.CONFIG is before
+    # failure path: a bad sf_dir raises inside the swapped scope
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        stream_fsm_alt_store(spark, "/nonexistent-sf-dir").collect()
+    assert cfg.CONFIG is before
