@@ -124,17 +124,25 @@ def _plan_stats(df) -> dict:
     plan = _strip_initial_plans(
         df._jdf.queryExecution().executedPlan().toString()
     )
-    ids = re.findall(
-        r"\b(BroadcastExchange|Exchange)\b[^\n]*?\[plan_id=(\d+)\]", plan
-    )
-    bcast = len({i for k, i in ids if k == "BroadcastExchange"})
-    shuffle = len({i for k, i in ids if k == "Exchange"})
+    seen: set[str] = set()
+    keys = []  # normalized (kind, partitioning) per unique exchange
+    for kind, detail, pid in re.findall(
+        r"\b(BroadcastExchange|Exchange)\b(.*?)\[plan_id=(\d+)\]", plan
+    ):
+        if pid in seen:
+            continue
+        seen.add(pid)
+        # strip expression ids so the same logical exchange compares
+        # equal across scales (attribution diff in main())
+        keys.append(f"{kind} {re.sub(r'#[0-9]+L?', '', detail)[:90].strip()}")
+    bcast = sum(1 for k in keys if k.startswith("BroadcastExchange"))
     return {
-        "exchanges": bcast + shuffle,
+        "exchanges": len(keys),
         "broadcast": bcast,
-        "shuffle": shuffle,
+        "shuffle": len(keys) - bcast,
         "bhj": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
         "smj": len(re.findall(r"\bSortMergeJoin\b", plan)),
+        "keys": keys,
     }
 
 
@@ -204,6 +212,24 @@ def main() -> None:
         row["new_exchanges"] = (
             stats[hi]["shuffle"] - stats[lo]["shuffle"] > 2 * flips
         )
+        if row["new_exchanges"]:
+            # above-allowance growth demands attribution, not a silent
+            # flag: emit the per-exchange diff (normalized keys) so the
+            # reader can tell flip CASCADE — a flipped SMJ stops
+            # propagating the streamed side's partitioning, forcing
+            # downstream windows/aggs to re-shuffle — from a genuinely
+            # new plan stage (the only kind that is a regression)
+            from collections import Counter
+
+            c_lo = Counter(stats[lo]["keys"])
+            c_hi = Counter(stats[hi]["keys"])
+            row["exchange_diff"] = {
+                k: [c_lo[k], c_hi[k]]
+                for k in sorted(set(c_lo) | set(c_hi))
+                if c_lo[k] != c_hi[k]
+            }
+        for s in stats.values():
+            s.pop("keys", None)
         results[name] = row
         print(name, json.dumps(row))
     print(json.dumps({"probe": results}))
