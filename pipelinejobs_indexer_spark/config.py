@@ -152,7 +152,11 @@ class EngineConfig:
     (per-job FSMs, dedup watermarks over billions of ids) should run
     ``rocksdb``, where the working set spills and checkpoints
     incrementally. The knob changes durability/placement only, never
-    results (parity-tested both ways).
+    results (parity-tested both ways, and the stream_fsm_alt_store twin
+    value-verifies the non-default backend every driver sweep); measured
+    overhead at replay scale is ~6% (stream_fsm_final at sf0.1: 5.59 s
+    in-heap vs 5.92 s rocksdb best-of-3 — the serialization tax you pay
+    until state outgrows the heap, BENCH_sf1.md round-7 addendum).
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
