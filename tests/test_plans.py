@@ -291,3 +291,63 @@ def test_doc_chunk_is_shuffle_free(spark, sf_dir):
     assert n_exchanges <= 1, plan  # only the test-scale spread repartition
     assert "Generate" in plan  # the sequence explode
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_scale_probe_census_strips_initial_plans_and_dedupes():
+    """The scale probe's exchange census underpins the BENCH_sf1 plan
+    claims; pin its two failure modes on a synthetic finalized-AQE
+    string: (a) `== Initial Plan ==` subtrees (including one nested
+    inside a cached relation, printed under the consumer) must not be
+    counted — their nodes carry their own plan_ids, so without
+    stripping, each logical exchange counts up to 2x(1+consumers);
+    (b) a reprinted cached subtree reuses plan_ids, so the census must
+    dedupe by id, not occurrences."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    from scripts.scale_probe import _strip_initial_plans
+
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=true",
+            "+- == Final Plan ==",
+            "   ResultQueryStage 3",
+            "   +- HashAggregate(keys=[k])",
+            "      +- ShuffleQueryStage 2",
+            "         +- Exchange hashpartitioning(k, 32), [plan_id=50]",
+            "            +- Project [k]",
+            "               +- TableCacheQueryStage 0",
+            "                  +- InMemoryTableScan [k]",
+            "                        +- InMemoryRelation [k]",
+            "                              +- AdaptiveSparkPlan isFinalPlan=true",
+            "                              +- == Final Plan ==",
+            "                                 ResultQueryStage 1",
+            "                                 +- ShuffleQueryStage 0",
+            "                                    +- Exchange hashpartitioning(j, 32), [plan_id=10]",
+            "                                       +- Scan parquet",
+            "                              +- == Initial Plan ==",
+            "                                 Sort [j]",
+            "                                 +- Exchange hashpartitioning(j, 32), [plan_id=4]",
+            "                                    +- Scan parquet",
+            "+- == Initial Plan ==",
+            "   HashAggregate(keys=[k])",
+            "   +- Exchange hashpartitioning(k, 32), [plan_id=22]",
+            "      +- Project [k]",
+            "         +- InMemoryTableScan [k]",
+            "               +- InMemoryRelation [k]",
+            "                     +- AdaptiveSparkPlan isFinalPlan=true",
+            "                     +- == Final Plan ==",
+            "                        ShuffleQueryStage 0",
+            "                        +- Exchange hashpartitioning(j, 32), [plan_id=10]",
+            "                     +- == Initial Plan ==",
+            "                        Exchange hashpartitioning(j, 32), [plan_id=4]",
+        ]
+    )
+    stripped = _strip_initial_plans(plan)
+    assert "Initial Plan" not in stripped
+    # outer final plan survives in full; initial-only plan_ids are gone
+    ids = re.findall(r"\[plan_id=(\d+)\]", stripped)
+    assert sorted(set(ids)) == ["10", "50"], ids
+    # the raw string counts 6 Exchange lines; the census must see 2
+    assert plan.count("Exchange hashpartitioning") == 6
+    assert len(set(ids)) == 2
