@@ -363,6 +363,69 @@ def minhash_pairs(
     )
 
 
+# ---------------------------------------------- L2h cross-source matrix
+@register(
+    "llm_dedup_source_matrix",
+    sql=lambda: f"""WITH pairs AS ({_minhash_pairs_sql()}),
+         m AS (
+           SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b,
+                  p.jaccard
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.doc_a
+           JOIN documents db ON db.doc_id = p.doc_b
+         )
+         SELECT source_a, source_b,
+                count(*) AS n_pairs,
+                round(avg(jaccard), 6) AS avg_jaccard,
+                max(jaccard) AS max_jaccard
+         FROM m GROUP BY source_a, source_b""",
+)
+def llm_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h: cross-source duplication matrix — the MinHash near-dup pairs
+    (L2a's DAG, same banding bound) rolled up to canonically-ordered
+    source pairs with pair counts and jaccard stats. The corpus-audit
+    view every mixture designer needs before setting source weights:
+    heavy off-diagonal cells mean two sources republish each other (the
+    mixture double-counts whatever they share, and per-source dedup
+    under-reports the corpus duplication rate), heavy diagonal cells
+    mean a source self-duplicates (mirrors, boilerplate farms).
+
+    Scale shape: inherits L2a's banded candidate generation (never
+    all-pairs); the pair set is LSH-bounded and BROADCAST against a
+    column-pruned (doc_id, source) scan — ReadSchema carries two
+    columns, text is never re-read — and the final groupBy keys on
+    source pairs (cardinality = |sources|^2, trivially small at any
+    corpus scale). No new corpus-scale exchange beyond the inherited
+    pair DAG."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_pairs(docs)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    # both joins stream the pruned corpus scan against a BROADCAST
+    # pair-sized frame (pairs, then pairs+src_a) — the corpus-sized
+    # source lookup is never the build side
+    m = sb.join(F.broadcast(sa.join(F.broadcast(pairs), "doc_a")), "doc_b")
+    return (
+        m.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------------------- SimHash
 @register(
     "llm_dedup_simhash",

@@ -1949,3 +1949,23 @@ def test_corpus_drift_single_slice_corpus_yields_null_not_crash(spark, tmp_path)
     assert {r.word for r in out} == {"alpha", "beta", "gamma"}
     assert all(r.delta_micro is None for r in out)
     assert all(r.n_cand == 0 for r in out)
+
+
+def test_source_matrix_partitions_the_minhash_pairs(spark):
+    """L2h invariants beyond the hash oracle: the matrix is a PARTITION
+    of L2a's pair set (every near-dup pair lands in exactly one
+    canonically-ordered source cell), so counts must sum to the pair
+    count, ordering must be canonical, and per-cell jaccard stats must
+    respect the global threshold/bounds."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        llm_dedup_source_matrix,
+    )
+
+    n_pairs = llm_dedup_minhash(spark, SF).count()
+    cells = llm_dedup_source_matrix(spark, SF).collect()
+    assert sum(c.n_pairs for c in cells) == n_pairs > 0
+    for c in cells:
+        assert c.source_a <= c.source_b
+        assert JACCARD_THRESHOLD <= c.avg_jaccard <= 1.0
+        assert c.avg_jaccard <= c.max_jaccard <= 1.0
