@@ -71,6 +71,7 @@ SHOWCASE = {
     "llm_multimodal_gif": "real GIF decode via mapInPandas: ArrowEvalPython over the doc_id projection only — O(rows) leaves the worker, no media bytes shuffle",
     "llm_dedup_cdc":"per-doc array-expression chunking (no position explode) → one combiner groupBy on the chunk hash",
     "llm_ngram_novelty": "cached shingle table feeds both sides: first-occurrence groupBy + equi-join back + per-doc agg, no pair joins",
+    "llm_dedup_source_matrix": "minhash pair DAG + two source-lookup joins where the pruned (doc_id, source) corpus scans STREAM against broadcast pair-sized builds; one |sources|^2-key groupBy is the only new exchange",
 }
 
 
