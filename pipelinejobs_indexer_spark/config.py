@@ -157,6 +157,21 @@ class EngineConfig:
     overhead at replay scale is ~6% (stream_fsm_final at sf0.1: 5.59 s
     in-heap vs 5.92 s rocksdb best-of-3 — the serialization tax you pay
     until state outgrows the heap, BENCH_sf1.md round-7 addendum).
+    ``kmeans_k`` / ``kmeans_iters`` — Lloyd-iteration count and cluster
+    count for the distributed k-means trainer (L3e,
+    ``llm_embedding_kmeans``). ``kmeans_k`` is capped at 64 because the
+    assignment step bakes the centroid set into ONE codegen'd projection
+    expression (a broadcast-literal argmin fold — zero-shuffle corpus
+    assignment); beyond that the centroid set belongs in a broadcast
+    TABLE joined IVF-style (see llm_similarity_ivf), not in the
+    expression tree. Centroid count at real scale wants ~sqrt(n) — use
+    the IVF operators for that regime; this trainer exists to train
+    THEIR centroids off a sampled/quantized slice.
+    ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
+    quality-classifier trainer (L3f, ``llm_classifier_logreg``). Each
+    sweep is one corpus scan + one map-side-combined gradient aggregate
+    (dim+1 rows to the driver), so iterations scale linearly in scans
+    and the driver state stays O(dim).
     ``resilient_checkpoints`` — iterative loops (CC, BPE) cut lineage via
     reliable ``checkpoint()`` to a checkpoint directory instead of
     executor-local ``localCheckpoint()``. Off by default (local mode:
@@ -181,8 +196,27 @@ class EngineConfig:
     cc_min_strategy: str = "window"
     state_store: str = "hdfs"
     resilient_checkpoints: bool = False
+    kmeans_k: int = 4
+    kmeans_iters: int = 3
+    logreg_iters: int = 3
 
     def __post_init__(self) -> None:
+        if not 2 <= self.kmeans_k <= 64:
+            raise ValueError(
+                f"kmeans_k must be in [2, 64] (the centroid set is baked "
+                f"into one codegen'd assignment expression — use the IVF "
+                f"operators for larger centroid counts), got {self.kmeans_k}"
+            )
+        if self.kmeans_iters > 50:
+            raise ValueError(
+                f"kmeans_iters must be <= 50 (each iteration is a full "
+                f"corpus scan), got {self.kmeans_iters}"
+            )
+        if self.logreg_iters > 50:
+            raise ValueError(
+                f"logreg_iters must be <= 50 (each sweep is a full corpus "
+                f"scan), got {self.logreg_iters}"
+            )
         if self.minhash_hashes % self.minhash_bands != 0:
             raise ValueError(
                 f"minhash_bands ({self.minhash_bands}) must divide "
@@ -233,6 +267,9 @@ def from_env() -> EngineConfig:
         resilient_checkpoints=_env_bool(
             "SPARK_GRAFT_RESILIENT_CHECKPOINTS", d.resilient_checkpoints
         ),
+        kmeans_k=_env_int("SPARK_GRAFT_KMEANS_K", d.kmeans_k),
+        kmeans_iters=_env_int("SPARK_GRAFT_KMEANS_ITERS", d.kmeans_iters),
+        logreg_iters=_env_int("SPARK_GRAFT_LOGREG_ITERS", d.logreg_iters),
     )
 
 

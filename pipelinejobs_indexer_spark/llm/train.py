@@ -1,0 +1,343 @@
+"""L3e/L3f: distributed trainers over the embeddings table — Lloyd
+k-means (the centroid trainer the IVF family's docstrings point at) and a
+full-batch logistic-regression quality classifier (the "train a linear
+filter on labeled corpus slices, score everything" step of an LLM data
+pipeline, per the BASELINE.json:6 mandate; the reference itself ships no
+ML — these are the mandated beyond-reference extensions, same scope class
+as llm/similarity.py).
+
+Both are ITERATIVE algorithms, which Spark expresses as a driver loop of
+declarative jobs — the same shape MLlib uses:
+
+  * model state (k centroids / a weight vector) lives on the DRIVER and
+    is baked into the next iteration's plan as a broadcast literal, so
+    per-row scoring is a pure codegen projection — ZERO corpus shuffle;
+  * the only aggregation is a map-side-combinable groupBy whose output
+    is O(k x dim) / O(dim) rows per task AFTER partial aggregation —
+    at 100 TB each iteration is one scan plus a few-KB exchange, and the
+    driver never holds anything corpus-sized.
+
+Cross-engine determinism (the DuckDB oracle unrolls the same iterations
+as CTEs): ALL model arithmetic is exact integer arithmetic on a
+quantized grid, so there is no float-summation-order hazard for the
+iterations to amplify:
+
+  * embeddings quantize to bigint at 1e3 (round(x*1000) — Spark's
+    HALF_UP and DuckDB's half-away-from-zero agree on every double);
+  * k-means distances are integer L2^2 (max |coord diff| ~1100 over 64
+    dims -> < 2^53 by orders of magnitude) and centroid updates are
+    floor-divisions of exact integer sums (Python ``//`` == DuckDB
+    ``floor(a/b)`` — note DuckDB's ``//`` TRUNCATES toward zero and must
+    not be used);
+  * logreg weights live on a 1e6 grid; the one transcendental (the
+    sigmoid) is immediately re-quantized to the 1e6 grid, so a last-ulp
+    exp() difference between engines only matters if a sigmoid lands
+    within ~1e-10 of a grid midpoint (~2e-10 probability per evaluation).
+
+Gradient products are summed as decimal(20,0)->decimal(30,0) on the
+Spark side (DuckDB's sum(bigint) is already int128): per-term magnitude
+is <= 1e9, so a bigint accumulator would only overflow past ~9e9 rows —
+exactly the 100 TB regime this engine targets — while the decimal
+accumulator is exact to 1e30 and costs nothing measurable next to the
+explode it sits behind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CONFIG
+from ..registry import register
+from ..session import iter_checkpoint
+from ..tables import load_table, spread
+
+#: quantization grid for embedding coordinates (see module docstring)
+QSCALE = 1000
+#: quantization grid for sigmoid outputs and logreg weights
+PSCALE = 1_000_000
+#: logreg learning rate = 1/LR_DEN (kept integral so the weight update is
+#: an exact floor-division, never a float multiply)
+LR_DEN = 2
+#: labels >= this are the positive class for the quality classifier
+POS_LABEL = 5
+
+_QUANT = f"transform(cast(embedding as array<double>), x -> cast(round(x * {QSCALE}) as bigint))"
+_QUANT_SQL = f"[CAST(round(x * {QSCALE}) AS BIGINT) for x in embedding::DOUBLE[]]"
+
+
+# --------------------------------------------------------------- k-means
+
+
+def _dist_expr(cent: list[int]) -> Column:
+    """Exact integer squared-L2 distance from ``xq`` to one centroid,
+    folded inside codegen (no UDF, no shuffle)."""
+    arr = "array(" + ",".join(f"{int(v)}L" for v in cent) + ")"
+    return F.expr(
+        f"aggregate(zip_with(xq, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (a, x) -> a + x)"
+    )
+
+
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment as ONE projection: array_min over
+    (distance, index) structs — lexicographic struct ordering gives the
+    min distance with ties broken toward the smallest cluster index,
+    matching the oracle's ``ORDER BY d, j`` row_number."""
+    structs = [
+        F.struct(_dist_expr(c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(cents)
+    ]
+    return q.withColumn("a", F.array_min(F.array(*structs)))
+
+
+def kmeans_plan(e: DataFrame) -> DataFrame:
+    """Lloyd k-means over an embeddings-shaped frame (vec_id, label,
+    embedding); returns the final assignment (vec_id, label, cluster,
+    dist) after ``CONFIG.kmeans_iters`` exact-integer iterations.
+
+    Init is the deterministic vec_id stride sample (rank j*floor(n/k) —
+    the same "strided seed" family llm_similarity_ivf uses, so this
+    trainer refines exactly the kind of seed set the IVF index starts
+    from). Empty clusters keep their previous centroid. Requires dense
+    vec_ids 0..n-1 (the testdata contract; violated ids raise loudly).
+    """
+    k, iters = CONFIG.kmeans_k, CONFIG.kmeans_iters
+    q = e.select("vec_id", "label", F.expr(_QUANT).alias("xq"))
+    # iterated over iters+1 times: materialize once, cut lineage
+    q = iter_checkpoint(spread(q))
+    n = q.count()
+    if n < k:
+        raise ValueError(f"kmeans needs at least k={k} vectors, got {n}")
+    stride = n // k
+    seed_ids = [j * stride for j in range(k)]
+    seeds = {
+        r["vec_id"]: list(r["xq"])
+        for r in q.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    missing = [i for i in seed_ids if i not in seeds]
+    if missing:
+        raise ValueError(
+            f"kmeans strided init expects dense vec_ids 0..n-1; missing {missing}"
+        )
+    cents = [seeds[i] for i in seed_ids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        stats = (
+            _assign(q, cents)
+            .select(F.col("a.j").alias("cluster"), "xq")
+            .select("cluster", F.posexplode("xq").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["cnt"])
+        cents = [
+            [sums[j][p][0] // sums[j][p][1] for p in range(dim)]
+            if j in sums
+            else cents[j]  # empty cluster: centroid carries over
+            for j in range(k)
+        ]
+    return _assign(q, cents).select(
+        "vec_id",
+        "label",
+        F.col("a.j").alias("cluster"),
+        F.col("a.d").alias("dist"),
+    )
+
+
+def _kmeans_sql() -> str:
+    """DuckDB oracle: the identical iterations unrolled as CTEs over the
+    identical integer grid (floor(s/cnt) == Python ``//`` on these
+    magnitudes — quotients can only sit 1/cnt >= 1/n away from an
+    integer, far outside double rounding error)."""
+    k, iters = CONFIG.kmeans_k, CONFIG.kmeans_iters
+    dist = (
+        "list_sum([(e.xq[i] - c.xq[i]) * (e.xq[i] - c.xq[i]) "
+        "for i in generate_series(1, len(e.xq))])"
+    )
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, label, {_QUANT_SQL} AS xq FROM embeddings)",
+        f"init AS MATERIALIZED (SELECT CAST(floor(count(*) / {k}) AS BIGINT) AS stride FROM e)",
+        f"""c0 AS MATERIALIZED (SELECT CAST(floor(e.vec_id / init.stride) AS INTEGER) AS j, e.xq
+       FROM e, init
+       WHERE e.vec_id % init.stride = 0 AND e.vec_id < {k} * init.stride)""",
+    ]
+    for t in range(1, iters + 2):
+        last = t == iters + 1
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (SELECT e.vec_id, e.label, e.xq, c.j, {dist} AS d,
+       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.j ASC) AS r
+       FROM e CROSS JOIN c{t - 1} c)"""
+        )
+        if last:
+            break
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (SELECT j, pos, sum(val) AS s, count(*) AS cnt FROM (
+         SELECT j, unnest(range(1, len(xq) + 1)) AS pos, unnest(xq) AS val
+         FROM a{t} WHERE r = 1) GROUP BY j, pos)"""
+        )
+        ctes.append(
+            f"""u{t} AS MATERIALIZED (SELECT j, list(CAST(floor(s / cnt) AS BIGINT) ORDER BY pos) AS xq
+       FROM s{t} GROUP BY j)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (SELECT c.j, COALESCE(u.xq, c.xq) AS xq
+       FROM c{t - 1} c LEFT JOIN u{t} u USING (j))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, label, j AS cluster, CAST(d AS BIGINT) AS dist"
+        f"\nFROM a{iters + 1} WHERE r = 1"
+    )
+
+
+@register("llm_embedding_kmeans", sql=_kmeans_sql)
+def llm_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e: distributed Lloyd k-means — the trainer for the centroid sets
+    the IVF operators (llm_similarity_ivf, llm_dedup_semantic) consume;
+    their strided seed is this trainer's INIT state, so running it is the
+    "train the coarse quantizer" step of the ANN/SemDeDup stack.
+
+    Plan shape per iteration (the 100 TB story): assignment is a
+    broadcast-literal argmin fold inside whole-stage codegen (no join, no
+    shuffle — the centroid set rides the plan); the update is
+    posexplode -> groupBy(cluster, pos) with map-side partial
+    aggregation, so the exchange carries at most k x dim rows PER MAP
+    TASK and the driver collects exactly k x dim totals. Total cost =
+    iters scans of a (vec_id, xq) projection; nothing corpus-sized ever
+    shuffles or reaches the driver. Reference scope: BASELINE.json:6
+    (similarity-search mandate); k/iters are config (SPARK_GRAFT_KMEANS_K
+    / _ITERS), not constants, per SURVEY.md §7.4.
+    """
+    return kmeans_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- logistic regression
+
+
+def _score(q: DataFrame, w: list[int]) -> DataFrame:
+    """Sigmoid scores at weights ``w`` (1e6 grid) as one codegen
+    projection; re-quantized to the 1e6 grid immediately (module
+    docstring: the only transcendental in the pipeline)."""
+    arr = "array(" + ",".join(f"{int(v)}L" for v in w) + ")"
+    dot = f"aggregate(zip_with(xa, {arr}, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    return q.withColumn(
+        "p",
+        F.expr(
+            f"cast(round({PSCALE}.0D / (1.0D + exp(-(({dot}) / "
+            f"{QSCALE * PSCALE}.0D)))) as bigint)"
+        ),
+    )
+
+
+def logreg_plan(e: DataFrame) -> DataFrame:
+    """Full-batch logistic regression over an embeddings-shaped frame:
+    y = (label >= POS_LABEL), features = quantized embedding with a bias
+    slot (a constant 1.0 feature, quantized like the rest, so the bias
+    update rides the same per-dimension gradient aggregate). Returns
+    per-vector (vec_id, label, y, score, pred) at the final weights.
+    """
+    iters = CONFIG.logreg_iters
+    q = e.select(
+        "vec_id",
+        "label",
+        F.when(F.col("label") >= POS_LABEL, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        F.expr(f"concat(array({QSCALE}L), {_QUANT})").alias("xa"),
+    )
+    q = iter_checkpoint(spread(q))
+    n = q.count()
+    if n == 0:
+        raise ValueError("logreg needs a non-empty corpus")
+    dim = q.select(F.size("xa").alias("s")).first()["s"]
+    w = [0] * dim
+    for _ in range(iters):
+        grads = (
+            _score(q, w)
+            .select((F.col("p") - F.col("y") * F.lit(PSCALE)).alias("r"), "xa")
+            .select("r", F.posexplode("xa").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("r") * F.col("val")).cast("decimal(20,0)")).alias("g")
+            )
+            .collect()
+        )
+        gmap = {r["pos"]: int(r["g"]) for r in grads}
+        w = [w[i] - (gmap[i] // (LR_DEN * n * QSCALE)) for i in range(dim)]
+    return _score(q, w).select(
+        "vec_id",
+        "label",
+        "y",
+        F.col("p").alias("score"),
+        F.when(F.col("p") >= PSCALE // 2, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
+    )
+
+
+def _logreg_sql() -> str:
+    """DuckDB oracle: the identical gradient sweeps unrolled as CTEs.
+    DuckDB's sum(bigint) is int128 (exact); the weight update divisor
+    2*n*1000 keeps floor(g/d) == Python ``//`` (quotients sit >= 1/d from
+    any integer they don't equal)."""
+    iters = CONFIG.logreg_iters
+    dot = "list_sum([e.xa[i] * w.w[i] for i in generate_series(1, len(e.xa))])"
+    sig = (
+        f"CAST(round({PSCALE}.0 / (1.0 + exp(-(({dot}) / "
+        f"{QSCALE * PSCALE}.0)))) AS BIGINT)"
+    )
+    ctes = [
+        f"""e AS MATERIALIZED (SELECT vec_id, label,
+       CASE WHEN label >= {POS_LABEL} THEN 1 ELSE 0 END AS y,
+       list_prepend({QSCALE}::BIGINT, {_QUANT_SQL}) AS xa
+       FROM embeddings)""",
+        "n AS MATERIALIZED (SELECT count(*) AS n FROM e)",
+        "w0 AS MATERIALIZED (SELECT [CAST(0 AS BIGINT) for x in xa] AS w FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(1, iters + 2):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (SELECT e.vec_id, e.label, e.y, e.xa, {sig} AS p
+       FROM e CROSS JOIN w{t - 1} w)"""
+        )
+        if t == iters + 1:
+            break
+        ctes.append(
+            f"""g{t} AS MATERIALIZED (SELECT pos, sum((p - y * {PSCALE}) * val) AS g FROM (
+         SELECT p, y, unnest(range(1, len(xa) + 1)) AS pos, unnest(xa) AS val
+         FROM p{t}) GROUP BY pos)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (SELECT list(CAST(w.w[g.pos] - floor(g.g / ({LR_DEN} * n.n * {QSCALE})) AS BIGINT)
+            ORDER BY g.pos) AS w
+       FROM g{t} g, w{t - 1} w, n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, label, y, p AS score,
+       CASE WHEN p >= {PSCALE // 2} THEN 1 ELSE 0 END AS pred
+FROM p{iters + 1}"""
+    )
+
+
+@register("llm_classifier_logreg", sql=_logreg_sql)
+def llm_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f: train a linear quality classifier by distributed full-batch
+    gradient descent and score every vector — the "learn a filter from
+    labeled slices, apply it corpus-wide" step of LLM data curation
+    (the trained-classifier sibling of the hand-rule llm_text_quality /
+    llm_quality_calibrate gates).
+
+    Plan shape per sweep (the 100 TB story): scoring is one codegen
+    projection (weights ride the plan as a broadcast literal); the
+    gradient is posexplode -> groupBy(pos) with map-side combine — the
+    exchange carries dim+1 rows per map task and the driver collects
+    dim+1 exact-integer totals, so driver state is O(dim) and the sweep
+    cost is one scan. Gradient terms accumulate in decimal(30,0) (exact
+    past the ~9e9-row bigint ceiling — see module docstring). Reference
+    scope: BASELINE.json:6 text-analysis mandate; iteration count is
+    config (SPARK_GRAFT_LOGREG_ITERS).
+    """
+    return logreg_plan(load_table(spark, sf_dir, "embeddings"))

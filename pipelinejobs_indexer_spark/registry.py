@@ -25,6 +25,7 @@ _MODULES = [
     "pipelinejobs_indexer_spark.streaming.queries",
     "pipelinejobs_indexer_spark.llm.dedup",
     "pipelinejobs_indexer_spark.llm.similarity",
+    "pipelinejobs_indexer_spark.llm.train",
     "pipelinejobs_indexer_spark.llm.text",
     "pipelinejobs_indexer_spark.llm.multimodal",
     "pipelinejobs_indexer_spark.plans.upsert",

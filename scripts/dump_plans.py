@@ -72,6 +72,8 @@ SHOWCASE = {
     "llm_dedup_cdc":"per-doc array-expression chunking (no position explode) → one combiner groupBy on the chunk hash",
     "llm_ngram_novelty": "cached shingle table feeds both sides: first-occurrence groupBy + equi-join back + per-doc agg, no pair joins",
     "llm_dedup_source_matrix": "minhash pair DAG + two source-lookup joins where the pruned (doc_id, source) corpus scans STREAM against broadcast pair-sized builds; one |sources|^2-key groupBy is the only new exchange",
+    "llm_embedding_kmeans": "final Lloyd assignment: broadcast-literal argmin fold in one codegen projection over the checkpointed quantized scan — no join, no exchange (each training iteration added only a posexplode→combiner groupBy collecting k×dim rows)",
+    "llm_classifier_logreg": "final scoring pass: trained weights ride the plan as a literal array inside one codegen sigmoid projection — zero exchanges (each gradient sweep was a posexplode→combiner groupBy of dim+1 exact-integer rows)",
 }
 
 

@@ -387,3 +387,99 @@ def test_bpe_train_matches_python_reference_on_random_corpora(
         assert got == expect, (words, k)
 
     check()
+
+
+# ----------------------------------------------------- iterative trainers
+
+
+@st.composite
+def embedding_frames(draw):
+    """Small embeddings-shaped frames with dense vec_ids: shared dim,
+    float32-exact values (so Spark's float->double cast and the pandas
+    registration agree bit-for-bit), planted exact-duplicate vectors to
+    force distance ties, and a chance of a constant corpus (all rows one
+    point — the empty-cluster / index-tiebreak worst case)."""
+    dim = draw(st.integers(2, 4))
+    n = draw(st.integers(4, 9))
+    coord = st.floats(
+        min_value=-8, max_value=8, width=32, allow_nan=False, allow_infinity=False
+    )
+    if draw(st.booleans()):
+        vecs = [draw(st.lists(coord, min_size=dim, max_size=dim)) for _ in range(n)]
+        dup_src = draw(st.integers(0, n - 1))
+        dup_dst = draw(st.integers(0, n - 1))
+        vecs[dup_dst] = list(vecs[dup_src])  # planted duplicate
+    else:
+        point = draw(st.lists(coord, min_size=dim, max_size=dim))
+        vecs = [list(point) for _ in range(n)]  # constant corpus
+    labels = [draw(st.integers(0, 9)) for _ in range(n)]
+    return [(i, labels[i], vecs[i]) for i in range(n)]
+
+
+def _run_embeddings(spark, ddb_mod, rows, plan_fn, oracle_sql, name):
+    sdf = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = plan_fn(sdf).toPandas()
+    con = ddb_mod.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    )
+    want = con.execute(oracle_sql).df()
+    con.close()
+    assert_frames_match(got, want, name)
+
+
+def test_kmeans_matches_oracle_on_random_embeddings(spark):
+    """Lloyd k-means through adversarial tiny frames vs the unrolled-CTE
+    oracle: duplicate vectors (assignment ties -> index tiebreak),
+    constant corpora (all clusters but 0 empty every round — the
+    centroid carry-over/COALESCE arm), negative coordinates (the
+    floor-vs-truncate division trap)."""
+    import duckdb
+
+    from pipelinejobs_indexer_spark.llm import train
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=embedding_frames())
+    def check(rows):
+        _run_embeddings(
+            spark,
+            duckdb,
+            rows,
+            train.kmeans_plan,
+            train._kmeans_sql(),
+            "llm_embedding_kmeans",
+        )
+
+    check()
+
+
+def test_logreg_matches_oracle_on_random_embeddings(spark):
+    """Full-batch logreg through the same adversarial frames vs the
+    unrolled-CTE oracle: single-class corpora (gradient all one sign),
+    duplicate rows, negative coordinates, and every sigmoid re-quantized
+    to the shared 1e6 grid."""
+    import duckdb
+
+    from pipelinejobs_indexer_spark.llm import train
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=embedding_frames())
+    def check(rows):
+        _run_embeddings(
+            spark,
+            duckdb,
+            rows,
+            train.logreg_plan,
+            train._logreg_sql(),
+            "llm_classifier_logreg",
+        )
+
+    check()
