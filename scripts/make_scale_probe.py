@@ -39,12 +39,16 @@ SRC = "/root/testdata/sf0.1"
 # family, the one group whose sf1 ratio (2.43x at 10x data) warranted a
 # trend check (VERDICT r4 item 7); embeddings stay at sf1 size — the
 # curation DAGs never read them.
-SCALES = {"sf1": 50_000, "sf10": 500_000}
+# emb10 (round 7): embeddings at 10x the sf1 probe's 20k vectors, for
+# the iterative-trainer scale probe (`scale_probe.py train10`) — the
+# trainers never read documents, so those stay at sf0.1 size there.
+SCALES = {"sf1": 50_000, "sf10": 500_000, "emb10": 5_000}
+VEC_SCALES = {"sf1": 20_000, "sf10": 20_000, "emb10": 200_000}
 SCALE = sys.argv[1] if len(sys.argv) > 1 else "sf1"
 OUT = os.path.join(os.path.dirname(HERE), ".scale_probe", SCALE)
 
 N_DOCS = SCALES[SCALE]
-N_VECS = 20_000
+N_VECS = VEC_SCALES[SCALE]
 EXACT_DUP_RATE = 8 / 5000
 NEAR_DUP_RATE = 0.04  # with one single-word edit -> jaccard>=0.8 pair
 # density ~ sf0.1's measured 255/5000 (short docs fall below threshold)

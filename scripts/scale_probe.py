@@ -55,6 +55,16 @@ DEDUP_HEAVY = [
     "llm_dedup_substring",
     "llm_dedup_containment",
 ]
+# trainer mode (`scale_probe.py train10`, round 7): the iterative
+# trainers at the sf1 probe's 20k vectors vs emb10's 200k. The census
+# covers the RETURNED final pass only (the per-iteration gradient /
+# centroid jobs execute inside the timed construction, each its own
+# query); linear time growth is the claim under test — every iteration
+# is a scan + combiner groupBy whose reduce side is O(k x dim) rows.
+TRAINERS = [
+    "llm_embedding_kmeans",
+    "llm_classifier_logreg",
+]
 
 
 def _link_missing_tables(probe: str) -> None:
@@ -160,6 +170,11 @@ def main() -> None:
         _link_missing_tables(probe_hi)
         scales = (("sf1", probe_lo), ("sf10", probe_hi))
         queries = CURATION if mode == "sf10" else DEDUP_HEAVY
+    elif mode == "train10":
+        probe_hi = os.path.join(ROOT, ".scale_probe", "emb10")
+        _link_missing_tables(probe_hi)
+        scales = (("emb1", probe_lo), ("emb10", probe_hi))
+        queries = TRAINERS
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES
