@@ -351,3 +351,19 @@ def test_scale_probe_census_strips_initial_plans_and_dedupes():
     # the raw string counts 6 Exchange lines; the census must see 2
     assert plan.count("Exchange hashpartitioning") == 6
     assert len(set(ids)) == 2
+
+
+def test_trainer_final_passes_are_exchange_free(spark, sf_dir):
+    """L3e/L3f's plan claim (PLANS.md): the returned final pass is a
+    broadcast-literal codegen projection over the checkpointed quantized
+    frame — model state rides the plan, so there is NO Join, NO Window,
+    and NO Exchange of any kind (the training iterations' only exchanges
+    are the posexplode->combiner groupBys, executed during construction,
+    and the lineage cut means not even the spread repartition survives
+    into the returned frame's plan)."""
+    for name in ("llm_embedding_kmeans", "llm_classifier_logreg"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan and "Window" not in plan, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)  # the checkpoint
