@@ -207,15 +207,15 @@ class EngineConfig:
                 f"into one codegen'd assignment expression — use the IVF "
                 f"operators for larger centroid counts), got {self.kmeans_k}"
             )
-        if self.kmeans_iters > 50:
+        if not 1 <= self.kmeans_iters <= 50:
             raise ValueError(
-                f"kmeans_iters must be <= 50 (each iteration is a full "
+                f"kmeans_iters must be in [1, 50] (each iteration is a full "
                 f"corpus scan), got {self.kmeans_iters}"
             )
-        if self.logreg_iters > 50:
+        if not 1 <= self.logreg_iters <= 50:
             raise ValueError(
-                f"logreg_iters must be <= 50 (each sweep is a full corpus "
-                f"scan), got {self.logreg_iters}"
+                f"logreg_iters must be in [1, 50] (each sweep is a full "
+                f"corpus scan), got {self.logreg_iters}"
             )
         if self.minhash_hashes % self.minhash_bands != 0:
             raise ValueError(

@@ -106,9 +106,19 @@ def kmeans_plan(e: DataFrame) -> DataFrame:
     q = e.select("vec_id", "label", F.expr(_QUANT).alias("xq"))
     # iterated over iters+1 times: materialize once, cut lineage
     q = iter_checkpoint(spread(q))
-    n = q.count()
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+    ).first()
+    n = stats["n"]
     if n < k:
         raise ValueError(f"kmeans needs at least k={k} vectors, got {n}")
+    if stats["lo"] != 0 or stats["hi"] != n - 1:
+        raise ValueError(
+            f"kmeans strided init expects dense vec_ids 0..n-1, got range "
+            f"[{stats['lo']}, {stats['hi']}] over {n} rows"
+        )
     stride = n // k
     seed_ids = [j * stride for j in range(k)]
     seeds = {
@@ -279,8 +289,13 @@ def logreg_plan(e: DataFrame) -> DataFrame:
 def _logreg_sql() -> str:
     """DuckDB oracle: the identical gradient sweeps unrolled as CTEs.
     DuckDB's sum(bigint) is int128 (exact); the weight update divisor
-    2*n*1000 keeps floor(g/d) == Python ``//`` (quotients sit >= 1/d from
-    any integer they don't equal)."""
+    2*n*1000 keeps floor(g/d) == Python ``//`` because quotients sit
+    >= 1/d from any integer they don't equal — valid while |g| stays
+    inside double's 2^53 exact range, i.e. to n ~ 4.5M rows (g grows as
+    ~n*1e9; past that the hugeint->double conversion error can exceed
+    the 1/d gap). The oracle runs at fixture/probe scale by design; a
+    larger differential harness would need the division done in exact
+    decimal on the DuckDB side too."""
     iters = CONFIG.logreg_iters
     dot = "list_sum([e.xa[i] * w.w[i] for i in generate_series(1, len(e.xa))])"
     sig = (

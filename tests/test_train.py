@@ -28,8 +28,16 @@ def test_kmeans_rejects_fewer_rows_than_k(spark):
 
 
 def test_kmeans_rejects_sparse_vec_ids(spark):
-    # 4 rows but ids 0,1,2,9: stride 1 wants seeds {0,1,2,3}; 3 is absent
+    # 4 rows but ids 0,1,2,9: max != n-1, caught by the density agg
     rows = [(i, 0, [float(i), 0.0]) for i in (0, 1, 2, 9)]
+    with pytest.raises(ValueError, match="dense vec_ids"):
+        kmeans_plan(spark.createDataFrame(rows, _SCHEMA))
+
+
+def test_kmeans_rejects_duplicate_vec_ids(spark):
+    # ids 0,1,1,3 pass the (count, min, max) density agg but leave seed
+    # position 2 unoccupied — the seed-fetch guard must still fire
+    rows = [(i, 0, [float(j), 0.0]) for j, i in enumerate((0, 1, 1, 3))]
     with pytest.raises(ValueError, match="dense vec_ids"):
         kmeans_plan(spark.createDataFrame(rows, _SCHEMA))
 
@@ -87,7 +95,11 @@ def test_config_rejects_bad_trainer_knobs():
         EngineConfig(kmeans_k=65)
     with pytest.raises(ValueError, match="kmeans_iters"):
         EngineConfig(kmeans_iters=51)
+    with pytest.raises(ValueError, match="kmeans_iters"):
+        EngineConfig(kmeans_iters=0)
     with pytest.raises(ValueError, match="logreg_iters"):
         EngineConfig(logreg_iters=51)
+    with pytest.raises(ValueError, match="logreg_iters"):
+        EngineConfig(logreg_iters=0)
     # in-range values construct fine
     EngineConfig(kmeans_k=64, kmeans_iters=50, logreg_iters=50)
