@@ -404,3 +404,43 @@ def test_module_constants_track_the_active_config():
     assert dedup.CDC_DIVISOR == CONFIG.cdc_divisor
     assert dedup.CDC_HASH == CONFIG.cdc_hash
     assert dedup.CONTAM_DF_CAP == CONFIG.contam_df_cap
+
+
+def test_registry_loads_under_extreme_trainer_knobs():
+    """The trainer oracles are config-derived SQL generated at
+    registry.load_all() (the r6 twin lesson: every lazily-rendered
+    oracle must resolve under EVERY valid config, not just the default).
+    At the knob ceilings (k=64, 50 unrolled iterations each) the
+    generators emit their largest SQL — the registry must still load,
+    and the rendered oracles must carry the expected iteration count."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_KMEANS_K="64",
+        SPARK_GRAFT_KMEANS_ITERS="50",
+        SPARK_GRAFT_LOGREG_ITERS="50",
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from pipelinejobs_indexer_spark import registry;"
+            "registry.load_all();"
+            "assert len(registry.QUERIES) == len(registry.ORACLE) >= 150;"
+            "km = registry.ORACLE['llm_embedding_kmeans'];"
+            "lg = registry.ORACLE['llm_classifier_logreg'];"
+            "assert 'c50' in km and 'c51' not in km;"
+            "assert 'w50' in lg and 'w51' not in lg;"
+            "print('LOADED', len(registry.QUERIES))",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LOADED" in out.stdout
