@@ -18,7 +18,13 @@ data-dependent):
 
 * ``lsh_planes`` — target mean bucket occupancy; buckets ~ 2^planes, so
   planes ~ log2(n / desired_bucket_size). 500 rows / 4 planes ~ 31/bucket;
-  1e9 vectors want ~24 planes for the same occupancy.
+  1e9 vectors want ~24 planes for the same occupancy. MEASURED (round 7,
+  scripts/lsh_sizing_probe.py, BENCH_sf1.md): the rule bounds candidates
+  as written (10x data at fixed planes -> 100x candidates; +log2(10)
+  planes restores ~linear), BUT recall on a single hamming-1 table
+  decays ~p^planes (0.57 -> 0.18 measured going 4 -> 8 planes at cosine
+  0.45) — so on real corpora raise ``lsh_tables`` alongside ``lsh_planes``
+  (AND-OR amplification, recall 1-(1-p_r)^b), not planes alone.
 * ``ivf_cent_stride`` — centroids ~ n/stride; SemDeDup-style sqrt(n)
   centroids means stride ~ sqrt(n).
 * ``minhash_hashes`` / ``minhash_bands`` — the S-curve knob:
@@ -69,6 +75,21 @@ class EngineConfig:
     """Scale knobs for the sketch/index operators.
 
     ``lsh_planes``      — hyperplane count for sign-LSH (L2e, L3b): 2^p buckets.
+    ``lsh_tables``      — independent sign-LSH tables for the embedding
+    dedup primary (L2e): AND-OR amplification. Each table hashes with its
+    own ``lsh_planes`` disjoint hyperplanes (table t uses plane indexes
+    [t*planes, (t+1)*planes)); a pair is a candidate if it collides
+    (hamming<=1 multiprobe) in ANY table, so recall = 1-(1-p_r)^tables
+    while candidates grow only linearly in tables. The default 1 is the
+    fixture-scale single-table construction (and table 0's planes are
+    exactly the single-table planes, so tables=1 is result-identical to
+    the pre-knob behavior). MEASURED at the 20k probe (BENCH_sf1.md
+    round-7 addendum): deepening ONE table to hold bucket occupancy
+    collapses recall 0.57 -> 0.18, while (planes=10, tables=8) holds
+    recall 0.54 at 3.2x fewer candidates and 2.3x less time than the
+    occupancy-blown (planes=4, tables=1) point — and the gap widens
+    with n, since planes grow ~log2(n) while the table count is fixed
+    by the recall target alone.
     ``ivf_cent_stride`` — IVF centroid seed stride (L3c, L2f): ~n/stride cells.
     ``ivf_nprobe``      — IVF cells probed per query (L3c).
     ``minhash_hashes``  — minhash family size (L2a, L11b).
@@ -184,6 +205,7 @@ class EngineConfig:
     """
 
     lsh_planes: int = 4
+    lsh_tables: int = 1
     ivf_cent_stride: int = 61
     ivf_nprobe: int = 2
     minhash_hashes: int = 16
@@ -201,6 +223,13 @@ class EngineConfig:
     logreg_iters: int = 3
 
     def __post_init__(self) -> None:
+        if not 1 <= self.lsh_tables <= 64:
+            raise ValueError(
+                f"lsh_tables must be in [1, 64] (each table adds lsh_planes "
+                f"more sign projections per row to one codegen'd expression, "
+                f"and candidate volume grows linearly in tables), got "
+                f"{self.lsh_tables}"
+            )
         if not 2 <= self.kmeans_k <= 64:
             raise ValueError(
                 f"kmeans_k must be in [2, 64] (the centroid set is baked "
@@ -247,6 +276,7 @@ def from_env() -> EngineConfig:
     d = EngineConfig()
     return EngineConfig(
         lsh_planes=_env_int("SPARK_GRAFT_LSH_PLANES", d.lsh_planes),
+        lsh_tables=_env_int("SPARK_GRAFT_LSH_TABLES", d.lsh_tables),
         ivf_cent_stride=_env_int("SPARK_GRAFT_IVF_CENT_STRIDE", d.ivf_cent_stride),
         ivf_nprobe=_env_int("SPARK_GRAFT_IVF_NPROBE", d.ivf_nprobe),
         minhash_hashes=_env_int("SPARK_GRAFT_MINHASH_HASHES", d.minhash_hashes),

@@ -773,20 +773,37 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------- embedding dedup, LSH-bucketed
-def _embedding_lsh_sql(n_planes: int | None = None) -> str:
-    from .similarity import _bucket_expr_sql, probes_sql
+def _embedding_lsh_sql(
+    n_planes: int | None = None, n_tables: int | None = None
+) -> str:
+    from .similarity import N_PLANES, _bucket_expr_sql, probes_sql
 
+    r = n_planes or N_PLANES
+    t_count = n_tables or CONFIG.lsh_tables
+    buckets = ", ".join(
+        f"{_bucket_expr_sql('v', r, plane_offset=t * r)} AS b{t}"
+        for t in range(t_count)
+    )
+    probe_lists = " || ".join(
+        probes_sql(r, col=f"b{t}", prefix=f"{t}:") for t in range(t_count)
+    )
+    own_keys = " || ".join(f"['{t}:' || b{t}]" for t in range(t_count))
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         hashed AS (SELECT vec_id, v, {_bucket_expr_sql('v', n_planes)} AS bucket FROM e),
+         hashed AS (SELECT vec_id, v, {buckets} FROM e),
          probes AS (
            SELECT vec_id, pb FROM (
-             SELECT vec_id, bucket, {probes_sql(n_planes)} AS ps FROM hashed
+             SELECT vec_id, {probe_lists} AS ps FROM hashed
            ), unnest(ps) AS t(pb)
+         ),
+         own AS (
+           SELECT vec_id, ob FROM (
+             SELECT vec_id, {own_keys} AS os FROM hashed
+           ), unnest(os) AS t(ob)
          ),
          cand AS (
            SELECT DISTINCT p.vec_id AS vec_a, h.vec_id AS vec_b
-           FROM probes p JOIN hashed h
-             ON h.bucket = p.pb AND p.vec_id < h.vec_id
+           FROM probes p JOIN own h
+             ON h.ob = p.pb AND p.vec_id < h.vec_id
          ),
          pairs AS (
            SELECT c.vec_a, c.vec_b,
@@ -803,7 +820,10 @@ def _embedding_lsh_sql(n_planes: int | None = None) -> str:
 
 @register("llm_dedup_embedding_lsh", sql=_embedding_lsh_sql())
 def llm_dedup_embedding_lsh(
-    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup, LSH-bucketed — the PRIMARY (100 TB) plan; the
     exact pair scan above is its correctness baseline.
@@ -813,27 +833,55 @@ def llm_dedup_embedding_lsh(
     own bucket plus every hamming-1 neighbor; candidates = probe-bucket
     equi-join matches only, then exact cosine on candidates. Every join is
     an equi-join — no nested-loop pair scan anywhere — so the plan scales
-    with bucket occupancy, not n². Probes/planes are the recall knobs;
-    recall vs the exact baseline is pinned in tests/test_llm.py. The
-    DuckDB oracle replays the identical bucketing, so the gate checks
-    exact plan parity, not just the (approximate) answer.
+    with bucket occupancy, not n². With ``lsh_tables`` > 1 the AND-OR
+    amplified construction runs: each table t hashes with its own
+    disjoint plane family (indexes [t*planes, (t+1)*planes)), probe keys
+    are namespaced ``t:bits``, and ONE equi-join spans all tables — a
+    pair is a candidate if it collides in any table, recall
+    1-(1-p_r)^tables for linear-in-tables cost. Table 0 is exactly the
+    single-table construction, so ``lsh_tables=1`` (the fixture default)
+    is result-identical to the pre-knob plan. Sizing is MEASURED
+    (scripts/lsh_sizing_probe.py, BENCH_sf1.md round 7): grow planes ~
+    log2(n) to bound occupancy, hold recall with tables. Recall vs the
+    exact baseline is pinned in tests/test_llm.py; the DuckDB oracle
+    replays the identical bucketing, so the gate checks exact plan
+    parity, not just the (approximate) answer.
 
-    A non-None ``n_planes`` override is TEST-ONLY: the registered oracle
-    stays pinned at CONFIG, so overrides bypass the driver gate — pair
-    them with ``_embedding_lsh_sql(n_planes)`` (tests/test_config.py);
-    production tuning goes through SPARK_GRAFT_LSH_PLANES, moving both.
+    Non-None ``n_planes``/``n_tables`` overrides are TEST-ONLY: the
+    registered oracle stays pinned at CONFIG, so overrides bypass the
+    driver gate — pair them with ``_embedding_lsh_sql(n_planes,
+    n_tables)`` (tests/test_config.py); production tuning goes through
+    SPARK_GRAFT_LSH_PLANES / SPARK_GRAFT_LSH_TABLES, moving both.
     """
-    from .similarity import _bucket_expr_spark, _cos as _sim_cos, probes_spark
+    from .similarity import (
+        N_PLANES,
+        _bucket_expr_spark,
+        _cos as _sim_cos,
+        probes_spark,
+    )
 
+    r = n_planes or N_PLANES
+    t_count = n_tables or CONFIG.lsh_tables
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    hashed = emb.withColumn("bucket", _bucket_expr_spark("v", n_planes))
-    probes = hashed.select(
-        "vec_id", F.explode(F.expr(probes_spark(n_planes))).alias("pb")
+    hashed = emb
+    for t in range(t_count):
+        hashed = hashed.withColumn(
+            f"b{t}", _bucket_expr_spark("v", r, plane_offset=t * r)
+        )
+    probe_list = ", ".join(
+        probes_spark(r, col=f"b{t}", prefix=f"{t}:") for t in range(t_count)
     )
+    if t_count > 1:
+        probe_list = f"concat({probe_list})"
+    probes = hashed.select(
+        "vec_id", F.explode(F.expr(probe_list)).alias("pb")
+    )
+    own_keys = ", ".join(f"concat('{t}:', b{t})" for t in range(t_count))
     right = hashed.select(
-        F.col("vec_id").alias("vid_b"), F.col("bucket").alias("hb")
+        F.col("vec_id").alias("vid_b"),
+        F.explode(F.expr(f"array({own_keys})")).alias("hb"),
     )
     cand = (
         probes.join(

@@ -117,11 +117,18 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr_spark(vcol: str, n_planes: int | None = None):
-    """n_planes-char '0'/'1' bucket string from hyperplane projection signs."""
+def _bucket_expr_spark(
+    vcol: str, n_planes: int | None = None, plane_offset: int = 0
+):
+    """n_planes-char '0'/'1' bucket string from hyperplane projection signs.
+
+    ``plane_offset`` selects a disjoint plane family — multi-table LSH
+    (llm_dedup_embedding_lsh with lsh_tables > 1) hashes table t with
+    planes [t*n_planes, (t+1)*n_planes), so table 0 is exactly the
+    single-table construction."""
     n_planes = n_planes or N_PLANES
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         w = ", ".join("%.1fD" % _plane_weight(p, d) for d in range(64))
         proj = (
             f"aggregate(zip_with({vcol}, array({w}), (x, y) -> x * y),"
@@ -131,10 +138,12 @@ def _bucket_expr_spark(vcol: str, n_planes: int | None = None):
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
-def _bucket_expr_sql(valias: str, n_planes: int | None = None) -> str:
+def _bucket_expr_sql(
+    valias: str, n_planes: int | None = None, plane_offset: int = 0
+) -> str:
     n_planes = n_planes or N_PLANES
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         proj = (
             f"list_sum([(strpos('{_HEX}', substr(md5('{p}:' || (i-1)), 1, 1)) - 8.5)"
             f" * {valias}[i] for i in generate_series(1, 64)])"
@@ -143,23 +152,35 @@ def _bucket_expr_sql(valias: str, n_planes: int | None = None) -> str:
     return " || ".join(bits)
 
 
-def probes_sql(n_planes: int | None = None) -> str:
-    """DuckDB list expr: own bucket + every hamming-1 neighbor bucket."""
+def probes_sql(
+    n_planes: int | None = None, col: str = "bucket", prefix: str = ""
+) -> str:
+    """DuckDB list expr: own bucket + every hamming-1 neighbor bucket.
+
+    ``col``/``prefix`` support multi-table LSH: each table's probe keys
+    are namespaced ``'<t>:' || bits`` so one equi-join spans all tables.
+    Defaults emit the original single-table expression verbatim."""
     p = n_planes or N_PLANES
-    return f"""[bucket] || [substr(bucket, 1, i-1)
-       || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
-       || substr(bucket, i+1, {p}-i)
+    pfx = f"'{prefix}' || " if prefix else ""
+    return f"""[{pfx}{col}] || [{pfx}substr({col}, 1, i-1)
+       || (CASE WHEN substr({col}, i, 1) = '1' THEN '0' ELSE '1' END)
+       || substr({col}, i+1, {p}-i)
        for i in generate_series(1, {p})]"""
 
 
-def probes_spark(n_planes: int | None = None) -> str:
+def probes_spark(
+    n_planes: int | None = None, col: str = "bucket", prefix: str = ""
+) -> str:
     p = n_planes or N_PLANES
-    return (
-        f"concat(array(bucket), transform(sequence(1, {p}),"
-        " i -> concat(substring(bucket, 1, i-1),"
-        " if(substring(bucket, i, 1) = '1', '0', '1'),"
-        f" substring(bucket, i+1, {p}-i))))"
+    own = f"concat('{prefix}', {col})" if prefix else col
+    flip = (
+        f"concat(substring({col}, 1, i-1),"
+        f" if(substring({col}, i, 1) = '1', '0', '1'),"
+        f" substring({col}, i+1, {p}-i))"
     )
+    if prefix:
+        flip = f"concat('{prefix}', {flip})"
+    return f"concat(array({own}), transform(sequence(1, {p}), i -> {flip}))"
 
 
 def ann_oracle_sql(n_planes: int | None = None) -> str:

@@ -65,6 +65,21 @@ TRAINERS = [
     "llm_embedding_kmeans",
     "llm_classifier_logreg",
 ]
+# embedding-index mode (`scale_probe.py embed10`, round 7): the three
+# embedding-family index/dedup operators that had no beyond-bench probe
+# evidence, at sf0.1's 2k vectors vs the sf1 probe's 20k (10x). The IVF
+# centroid count tracks ~n/stride, so the broadcast fold's literal grows
+# with scale by design — the claim under test is that the corpus-side
+# plan shape (zero-shuffle assignment, bucket equi-joins) is unchanged.
+# Outcome (BENCH_sf1.md round-7 addendum): IVF/semantic scale cleanly;
+# the LSH dedup tripped the superlinear flag at the FIXED fixture knob
+# (quadratic candidate growth, not a plan change) — the follow-up knob
+# matrix lives in scripts/lsh_sizing_probe.py.
+EMBED = [
+    "llm_similarity_ivf",
+    "llm_dedup_semantic",
+    "llm_dedup_embedding_lsh",
+]
 
 
 def _link_missing_tables(probe: str) -> None:
@@ -175,6 +190,9 @@ def main() -> None:
         _link_missing_tables(probe_hi)
         scales = (("emb1", probe_lo), ("emb10", probe_hi))
         queries = TRAINERS
+    elif mode == "embed10":
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = EMBED
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES

@@ -71,6 +71,62 @@ def test_embedding_lsh_nondefault_planes_matches_oracle(spark, ddb, sf_dir):
     assert_frames_match(sdf.toPandas(), duck, "llm_dedup_embedding_lsh[planes=5]")
 
 
+def test_embedding_lsh_multi_table_matches_oracle(spark, ddb, sf_dir):
+    """Round 7: the AND-OR amplified construction (lsh_tables > 1) —
+    disjoint plane families per table, namespaced probe keys, one
+    spanning equi-join — must agree with the regenerated oracle
+    bit-for-bit, just like every other knob override."""
+    from pipelinejobs_indexer_spark.config import CONFIG
+
+    assert (CONFIG.lsh_planes, CONFIG.lsh_tables) != (5, 3)
+    sdf = dedup.llm_dedup_embedding_lsh(spark, sf_dir, n_planes=5, n_tables=3)
+    duck = ddb.execute(dedup._embedding_lsh_sql(n_planes=5, n_tables=3)).df()
+    assert_frames_match(
+        sdf.toPandas(), duck, "llm_dedup_embedding_lsh[planes=5,tables=3]"
+    )
+
+
+def test_embedding_lsh_tables_only_add_candidates(spark, sf_dir):
+    """Table 0 IS the single-table construction, and extra tables union
+    in candidates, so the pair set at tables=T must contain the pair set
+    at tables=1 (same planes) — the recall-monotonicity the AND-OR
+    amplification exists for. Also pins default-config identity: the
+    registered query (CONFIG tables=1) equals an explicit tables=1 run."""
+    one = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.llm_dedup_embedding_lsh(
+            spark, sf_dir, n_planes=5, n_tables=1
+        ).collect()
+    }
+    three = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.llm_dedup_embedding_lsh(
+            spark, sf_dir, n_planes=5, n_tables=3
+        ).collect()
+    }
+    assert one <= three
+    default = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.llm_dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    explicit = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.llm_dedup_embedding_lsh(spark, sf_dir, n_tables=1).collect()
+    }
+    assert default == explicit
+
+
+def test_lsh_tables_knob_validation(monkeypatch):
+    """lsh_tables parses from SPARK_GRAFT_LSH_TABLES and rejects values
+    outside [1, 64]."""
+    monkeypatch.setenv("SPARK_GRAFT_LSH_TABLES", "8")
+    assert cfg.from_env().lsh_tables == 8
+    for bad in ("0", "65"):
+        monkeypatch.setenv("SPARK_GRAFT_LSH_TABLES", bad)
+        with pytest.raises(ValueError, match="(?i)lsh_tables"):
+            cfg.from_env()
+
+
 def test_cdc_nondefault_knobs_match_oracle(spark, ddb, sf_dir):
     """16-char window / divisor 16 instead of 8/32: different boundary
     set and chunk sizes, same differential-parity requirement."""
