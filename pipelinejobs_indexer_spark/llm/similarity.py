@@ -219,7 +219,12 @@ def llm_similarity_ann(
     exact-cosine re-ranks the candidates. Recall vs brute force is pinned
     by tests/test_llm.py; the bucket equi-join replaces the cross join —
     the scale win that makes this the 100 TB plan. ``n_planes`` defaults
-    to CONFIG.lsh_planes (env SPARK_GRAFT_LSH_PLANES).
+    to CONFIG.lsh_planes (env SPARK_GRAFT_LSH_PLANES). Deliberately NOT
+    multi-table (unlike llm_dedup_embedding_lsh's ``lsh_tables``): the
+    ANN scale path at high plane counts is llm_similarity_ivf (probe
+    more cells, not more tables), and a corpus vector occupies one
+    bucket per table, so tables here would force a (qid, vec_id) dedup
+    exchange the single-table plan provably never needs.
 
     A non-None ``n_planes`` override is TEST-ONLY: the registered oracle
     stays pinned at the CONFIG value, so an override bypasses the driver

@@ -258,6 +258,33 @@ def test_containment_plan_is_bounded_equi_joins(spark, sf_dir):
     assert n_exchanges <= 8, plan
 
 
+def test_multi_table_lsh_plan_stays_equi_join(spark, sf_dir):
+    """Round 7: the AND-OR amplified embedding dedup (lsh_tables > 1)
+    must keep the single-table plan's shape — namespaced probe keys feed
+    ONE spanning equi-join, never a per-table join stack or a pair scan.
+    A nested-loop/cartesian here means the prefixed-key join degenerated
+    to a theta join; exchange growth means the table fan-out stopped
+    being a row-local explode."""
+    from pipelinejobs_indexer_spark.llm import dedup
+
+    single = _formatted_plan(
+        dedup.llm_dedup_embedding_lsh(spark, sf_dir, n_planes=6, n_tables=1)
+    )
+    multi = _formatted_plan(
+        dedup.llm_dedup_embedding_lsh(spark, sf_dir, n_planes=6, n_tables=4)
+    )
+    for plan in (single, multi):
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    # the table count must not add joins or exchanges — it only widens
+    # the probe/own explodes (Generate nodes), which are row-local
+    count = lambda pat, plan: len(re.findall(pat, plan))  # noqa: E731
+    assert count(r"\(\d+\) \w*Join", multi) == count(r"\(\d+\) \w*Join", single)
+    assert count(r"\(\d+\) Exchange", multi) == count(
+        r"\(\d+\) Exchange", single
+    ), multi
+
+
 def test_zorder_box_query_pushes_both_predicates(spark, sf_dir):
     """S14's box query must reach the z-layout scan as pushed-down
     literal filters on BOTH raw columns — that is the mechanism by which
