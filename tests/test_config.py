@@ -500,3 +500,35 @@ def test_registry_loads_under_extreme_trainer_knobs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "LOADED" in out.stdout
+
+
+def test_registry_loads_under_lsh_tables_ceiling():
+    """Same lazily-rendered-oracle lesson for the round-7 lsh_tables
+    knob: at the ceiling (64 tables x the default 4 planes = 256 bucket
+    sign-projections, each over 64 literal weights) the embedding-LSH
+    oracle is its largest — the registry must still load and the
+    rendered SQL must carry exactly the configured table count."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_LSH_TABLES="64")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from pipelinejobs_indexer_spark import registry;"
+            "registry.load_all();"
+            "assert len(registry.QUERIES) == len(registry.ORACLE) >= 150;"
+            "sql = registry.ORACLE['llm_dedup_embedding_lsh'];"
+            "assert ' AS b63' in sql and ' AS b64' not in sql;"
+            "print('LOADED', len(registry.QUERIES))",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LOADED" in out.stdout
