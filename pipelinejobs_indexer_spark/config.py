@@ -26,7 +26,13 @@ data-dependent):
   0.45) — so on real corpora raise ``lsh_tables`` alongside ``lsh_planes``
   (AND-OR amplification, recall 1-(1-p_r)^b), not planes alone.
 * ``ivf_cent_stride`` — centroids ~ n/stride; SemDeDup-style sqrt(n)
-  centroids means stride ~ sqrt(n).
+  centroids means stride ~ sqrt(n). MEASURED (round 7,
+  scripts/ivf_sizing_probe.py, BENCH_sf1.md): cost is
+  assignment-dominated and linear in the centroid count (100/328/1000
+  cells -> 3.2/8.7/23.7 s at 20k vectors) while flat in ``ivf_nprobe``
+  — so stride sets the bill and nprobe is a ~free recall lever until
+  the scanned fraction reaches percent level; stride ~ sqrt(n) balances
+  the assignment and scan terms.
 * ``minhash_hashes`` / ``minhash_bands`` — the S-curve knob:
   P(candidate | jaccard s) = 1-(1-s^r)^b with r = hashes/bands.
 """
