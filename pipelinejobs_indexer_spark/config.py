@@ -204,7 +204,12 @@ class EngineConfig:
     executor-local ``localCheckpoint()``. Off by default (local mode:
     localCheckpoint is faster and loss-free in one JVM); turn ON for any
     real cluster run — executor loss mid-loop otherwise kills the job,
-    because localCheckpoint blocks die with their executor. The
+    because localCheckpoint blocks die with their executor. Measured
+    price at replay scale (scripts/checkpoint_overhead_probe.py,
+    BENCH_sf1.md round-7 addendum): tracks checkpointed VOLUME, not
+    count — +19% on the CC loop (corpus-shaped edge frames each round),
+    ~0 on BPE (vocab-sized tables), +4% on the k-means trainer (one
+    quantized-frame checkpoint). The
     checkpoint dir comes from SPARK_GRAFT_CHECKPOINT_DIR (point it at
     HDFS/S3 on a cluster; defaults to a session-scoped local temp dir,
     which demonstrates the mechanics but not cross-host durability).
