@@ -1298,6 +1298,68 @@ def llm_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn("n_members", w_size)
 
 
+def _canonical_sql() -> str:
+    from .score import quality_score_sql
+
+    return f"""WITH comp AS ({_clusters_sql()}),
+         q AS ({quality_score_sql()}),
+         j AS (
+           SELECT comp.doc_id, comp.cluster_id, q.score
+           FROM comp JOIN q USING (doc_id)
+         )
+         SELECT doc_id, cluster_id, score,
+                first_value(doc_id) OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY score DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                ) AS canonical_id,
+                doc_id = first_value(doc_id) OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY score DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                ) AS is_canonical
+         FROM j"""
+
+
+@register("llm_dedup_canonical", sql=_canonical_sql())
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9c: quality-aware canonical selection — the decision L9 leaves
+    open. Connected components give WHICH documents collapse together;
+    a production dedup keeps the BEST member of each cluster, not the
+    numerically smallest doc_id (lowest-id-wins silently discards the
+    cleanest copy whenever a truncated or boilerplate-padded duplicate
+    happens to sort first). Representative = argmax L4c quality score,
+    doc_id ascending as the deterministic tiebreak; output maps every
+    clustered doc to its keeper with an is_canonical flag — exactly the
+    keep/drop verdict a curation DAG consumes.
+
+    Plan: the component labels (already bounded by the LSH pair DAG,
+    duplicate-population-sized — orders of magnitude smaller than the
+    corpus) are broadcast into a single pass over the documents scan
+    that computes the score projection in codegen; the argmax is one
+    first_value window per cluster over that small joined frame.
+    No corpus-scale shuffle beyond what L9 itself already did."""
+    from pyspark.sql.window import Window
+
+    from .score import quality_score_frame
+
+    pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = quality_score_frame(docs).join(F.broadcast(labels), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    canon = F.first("doc_id").over(w)
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        canon.alias("canonical_id"),
+        (F.col("doc_id") == canon).alias("is_canonical"),
+    )
+
+
 def _cc_min_label(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame:
     """Reference implementation: plain min-label propagation (converges in
     component-diameter rounds). Kept for differential testing against

@@ -35,15 +35,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
 
-
-def _sw_array_sql() -> str:
-    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
-
-
-def _sw_array_spark() -> str:
-    return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+# The stopword list and quality-score policy live in score.py (shared with
+# dedup.py's canonical selection, import-cycle-free); re-exported here for
+# the existing call sites.
+from .score import (  # noqa: E402
+    STOPWORDS,
+    _sw_array_spark,
+    _sw_array_sql,
+    quality_score_frame,
+    quality_score_sql,
+)
 
 
 @register(
@@ -705,6 +707,128 @@ def llm_token_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(NGRAM_TOP_K)
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "llm_text_tfidf_keywords",
+    sql=f"""WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents
+         ),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM words GROUP BY doc_id, term
+         ),
+         tfdf AS (
+           SELECT doc_id, term, tf,
+                  count(*) OVER (PARTITION BY term) AS df
+           FROM tf
+         ),
+         ranked AS (
+           SELECT doc_id, term, tf, df,
+                  row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tf DESC, df ASC, term ASC) AS rank
+           FROM tfdf
+         )
+         SELECT doc_id, term, tf, df, rank
+         FROM ranked WHERE rank <= {TFIDF_TOP_K}""",
+)
+def llm_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k: per-document distinctive-keyword extraction — the tf-idf
+    ranking every corpus indexer/labeler runs, kept on an EXACT integer
+    ordering (tf DESC, df ASC, term ASC) instead of tf*ln(N/df) floats:
+    the induced order is identical for any monotone idf weighting of a
+    fixed corpus, and integer keys are bit-reproducible across engines
+    (the L4g integer-grid discipline), so the DuckDB oracle hash-matches
+    with no libm hazard.
+
+    Plan: ONE corpus scan — the explode feeds a combiner groupBy on
+    (doc_id, term), so shuffle volume past that point is distinct
+    doc-term pairs, not token occurrences; document frequency is a count
+    window over that same aggregated frame partitioned by term (NOT a
+    groupBy+self-join back onto tf: Catalyst can't reuse the aggregation
+    subtree across a self-join, so the join formulation scans and
+    explodes the corpus twice — measured, it was 6 exchanges and 2 scans
+    vs this shape's 4 and 1); the per-doc top-k rank then rides a second
+    window keyed by doc_id, where Spark 4's WindowGroupLimit keeps only
+    k rows per partition ahead of the final sort. Nothing
+    occurrence-sized ever reaches the driver."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tfdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tfdf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+# Split thresholds in per-mille of the hash space: [0, 900) train,
+# [900, 950) validation, [950, 1000) test. One namespaced hash per doc —
+# disjoint from the "sample:" namespace so subsampling and splitting
+# never correlate.
+SPLIT_TRAIN_PM = 900
+SPLIT_VALID_PM = 950
+
+
+def _split_bucket_sql(q: str = "") -> str:
+    return (
+        f"('0x' || substr(md5('split:' || {q}doc_id::VARCHAR), 1, 15))::BIGINT"
+        " % 1000"
+    )
+
+
+def split_bucket_col():
+    return F.expr(
+        "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+
+
+@register(
+    "llm_corpus_split",
+    sql=f"""SELECT doc_id, lang, source,
+                {_split_bucket_sql()} AS bucket,
+                CASE WHEN {_split_bucket_sql()} < {SPLIT_TRAIN_PM} THEN 'train'
+                     WHEN {_split_bucket_sql()} < {SPLIT_VALID_PM} THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM documents""",
+)
+def llm_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6k: deterministic train/valid/test assignment — the holdout split
+    every training run needs, as a pure hash projection rather than an
+    RNG shuffle: doc d lands in the split its md5("split:"||doc_id)
+    per-mille bucket selects (90/5/5). Properties a 100 TB pipeline
+    leans on: (a) reproducible across reruns, cluster sizes, and
+    partitionings — no RNG state, no ordering dependence; (b) stable
+    under corpus growth — adding documents never reassigns existing
+    ones (the property an epoch-over-epoch run needs so eval never
+    trains); (c) independent of the "sample:" namespace used by L6a, so
+    sampled subcorpora keep the same 90/5/5 composition in expectation.
+    Zero shuffle: a codegen projection at scan speed; the downstream
+    sink partitions by the split column (S11's layout)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    b = split_bucket_col()
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        b.alias("bucket"),
+        F.when(b < SPLIT_TRAIN_PM, "train")
+        .when(b < SPLIT_VALID_PM, "valid")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

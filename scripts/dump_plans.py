@@ -74,6 +74,9 @@ SHOWCASE = {
     "llm_dedup_source_matrix": "minhash pair DAG + two source-lookup joins where the pruned (doc_id, source) corpus scans STREAM against broadcast pair-sized builds; one |sources|^2-key groupBy is the only new exchange",
     "llm_embedding_kmeans": "final Lloyd assignment: broadcast-literal argmin fold in one codegen projection over the checkpointed quantized scan — no join, no exchange (each training iteration added only a posexplode→combiner groupBy collecting k×dim rows)",
     "llm_classifier_logreg": "final scoring pass: trained weights ride the plan as a literal array inside one codegen sigmoid projection — zero exchanges (each gradient sweep was a posexplode→combiner groupBy of dim+1 exact-integer rows)",
+    "llm_text_tfidf_keywords": "ONE corpus scan: explode → combiner groupBy (doc,term), df via count window over the same frame (no self-join re-scan), per-doc top-k lowered to WindowGroupLimit",
+    "llm_corpus_split": "deterministic 90/5/5 holdout: pure codegen hash-bucket projection, zero shuffle beyond the fixture spread",
+    "llm_dedup_canonical": "component labels broadcast into one scored documents pass + a first_value window per cluster — no corpus-scale shuffle beyond L9's own",
 }
 
 

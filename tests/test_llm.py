@@ -1969,3 +1969,97 @@ def test_source_matrix_partitions_the_minhash_pairs(spark):
         assert c.source_a <= c.source_b
         assert JACCARD_THRESHOLD <= c.avg_jaccard <= 1.0
         assert c.avg_jaccard <= c.max_jaccard <= 1.0
+
+
+def test_corpus_split_matches_independent_hash_and_covers(spark):
+    """L6k ground truth: every document appears exactly once, the bucket
+    matches an INDEPENDENT Python md5 recomputation for every row, the
+    split labels follow the 900/950 thresholds, and all three splits are
+    populated at roughly 90/5/5."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.llm.text import (
+        SPLIT_TRAIN_PM,
+        SPLIT_VALID_PM,
+        llm_corpus_split,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    rows = llm_corpus_split(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    counts = {"train": 0, "valid": 0, "test": 0}
+    for r in rows:
+        want = int(hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:15], 16) % 1000
+        assert r.bucket == want, (r.doc_id, r.bucket, want)
+        expected = (
+            "train"
+            if r.bucket < SPLIT_TRAIN_PM
+            else ("valid" if r.bucket < SPLIT_VALID_PM else "test")
+        )
+        assert r.split == expected
+        counts[r.split] += 1
+    assert counts["train"] > counts["valid"] > 0
+    assert counts["test"] > 0
+    # 4-sigma binomial tolerance on the train fraction
+    p = SPLIT_TRAIN_PM / 1000
+    tol = 4 * (p * (1 - p) / n_docs) ** 0.5
+    assert abs(counts["train"] / n_docs - p) <= tol, counts
+
+
+def test_tfidf_keywords_match_python_recompute(spark):
+    """L4k ground truth: recompute tf, df, and the (tf DESC, df ASC,
+    term ASC) top-k per document in plain Python from the raw text and
+    demand the full result set matches."""
+    from collections import Counter
+
+    from pipelinejobs_indexer_spark.llm.text import TFIDF_TOP_K, llm_text_tfidf_keywords
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    tf: dict[int, Counter] = {r.doc_id: Counter(r.text.split(" ")) for r in docs}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    want = set()
+    for doc_id, c in tf.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))
+        for rank, (term, n) in enumerate(ranked[:TFIDF_TOP_K], start=1):
+            want.add((doc_id, term, n, df[term], rank))
+    got = {
+        (r.doc_id, r.term, r.tf, r.df, r.rank)
+        for r in llm_text_tfidf_keywords(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_dedup_canonical_picks_best_scored_member(spark):
+    """L9c ground truth: membership equals L9's clusters, every cluster
+    elects exactly one canonical, and the electee is the (score DESC,
+    doc_id ASC) argmax of its cluster under L4c scores taken from the
+    quality query itself."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        llm_dedup_canonical,
+        llm_dedup_clusters,
+    )
+    from pipelinejobs_indexer_spark.llm.text import llm_text_quality
+
+    scores = {r.doc_id: r.score for r in llm_text_quality(spark, SF).collect()}
+    clusters: dict[int, set[int]] = {}
+    for r in llm_dedup_clusters(spark, SF).collect():
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert clusters, "fixture corpus must contain near-dup clusters"
+
+    rows = llm_dedup_canonical(spark, SF).collect()
+    got_members: dict[int, set[int]] = {}
+    for r in rows:
+        got_members.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.score == scores[r.doc_id]
+    assert got_members == clusters
+    for cid, members in clusters.items():
+        want_canon = min(members, key=lambda d: (-scores[d], d))
+        crows = [r for r in rows if r.cluster_id == cid]
+        canons = {r.doc_id for r in crows if r.is_canonical}
+        assert canons == {want_canon}, (cid, canons, want_canon)
+        assert all(r.canonical_id == want_canon for r in crows)

@@ -394,3 +394,49 @@ def test_trainer_final_passes_are_exchange_free(spark, sf_dir):
         assert "Exchange" not in plan, (name, plan)
         assert "Join" not in plan and "Window" not in plan, (name, plan)
         assert "Scan ExistingRDD" in plan, (name, plan)  # the checkpoint
+
+
+def test_tfidf_single_scan_and_window_df(spark, sf_dir):
+    """L4k's scale shape: ONE corpus scan (the df-via-groupBy-self-join
+    formulation re-scans and re-explodes the corpus — this pins the
+    window formulation that doesn't), ≤4 shuffles (spread, tf combiner
+    groupBy, term window, doc window), no join nodes at all, and the
+    per-doc top-k lowered to WindowGroupLimit so only k rows per
+    partition survive to the final sort."""
+    plan = _formatted_plan(registry.QUERIES["llm_text_tfidf_keywords"](spark, sf_dir))
+    scan_ids = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_ids) == 1, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_split_is_scan_speed_projection(spark, sf_dir):
+    """L6k must stay a pure projection: no shuffle beyond the fixture
+    spread (a no-op at real scale), no join, no aggregate, and the scan
+    pruned to exactly the three emitted source columns."""
+    plan = _formatted_plan(registry.QUERIES["llm_corpus_split"](spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: ([^,\n]*)", plan)
+    assert all(a.startswith("RoundRobinPartitioning") for a in exchanges), exchanges
+    assert len(exchanges) <= 1, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "lang", "source"}, cols
+
+
+def test_canonical_broadcasts_labels_into_one_doc_pass(spark, sf_dir):
+    """L9c's incremental cost over L9 must be: one more documents scan
+    (the score projection), the labels side entering via broadcast (the
+    duplicate population is orders of magnitude smaller than the
+    corpus), and one window — no new corpus-scale shuffle, no
+    sort-merge join of corpus against labels."""
+    plan = _formatted_plan(registry.QUERIES["llm_dedup_canonical"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    base = _formatted_plan(registry.QUERIES["llm_dedup_clusters"](spark, sf_dir))
+    def shuffles(p):
+        return len(re.findall(r"\(\d+\) Exchange", p))
+    # +1 spread of the fresh documents scan, +1 window exchange; the
+    # broadcast itself is not a shuffle Exchange node
+    assert shuffles(plan) <= shuffles(base) + 2, (shuffles(plan), shuffles(base))
