@@ -587,3 +587,64 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.join(
         dup.select("vec_id", F.lit(True).alias("is_dup")), "vec_id", "left"
     ).select("vec_id", "cell", F.col("is_dup").isNull().alias("keep"))
+
+
+# ------------------------------------------ L3g per-dimension moments
+DIM_MICRO = 1_000_000  # the shared exact-integer grid (L4g/L6d discipline)
+
+
+@register(
+    "llm_embedding_dim_stats",
+    sql=f"""WITH q AS (
+           SELECT [CAST(floor(x * {DIM_MICRO} + 0.5) AS BIGINT)
+                   for x in embedding::DOUBLE[]] AS qv
+           FROM embeddings
+         ),
+         flat AS (
+           SELECT i - 1 AS dim, qv[i] AS v
+           FROM q, unnest(generate_series(1, len(qv))) AS g(i)
+         )
+         SELECT dim,
+                count(*) AS n,
+                CAST(sum(v) AS BIGINT) AS sum_micro,
+                CAST(sum(v * v) AS BIGINT) AS sumsq_micro2,
+                min(v) AS min_micro,
+                max(v) AS max_micro,
+                CAST(sum(v) AS BIGINT) // count(*) AS mean_micro
+         FROM flat GROUP BY dim""",
+)
+def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g: per-dimension moment statistics over the embedding corpus —
+    the normalization/whitening audit run before ANN indexing, k-means
+    (L3e), or quantization (L6d): a dimension whose mean is far off zero
+    or whose spread dwarfs the others distorts every cosine and every
+    centroid update, and the fix (center/rescale) needs exactly these
+    moments. Values are first snapped to the shared exact-integer micro
+    grid (floor(x*1e6 + 0.5), the L4g/L6d discipline), so the sums —
+    and therefore the oracle hash — are bit-reproducible with no
+    float-summation-order hazard; consumers derive mean/variance from
+    the raw integer moments (mean_micro ships precomputed via exact
+    integer division).
+
+    Plan (100 TB): posexplode → ONE combiner groupBy keyed by dimension —
+    map-side partial aggregation collapses each task to dim-count rows,
+    so the exchange carries O(tasks × dims), never O(vectors × dims);
+    output is dims rows total. sum(v*v) of micro-grid values fits bigint
+    through ~1e7 vectors per task at |x|<=1 (5e5² × 1e7 ≈ 2.5e18 <
+    9.2e18); past that, widen the accumulator to DECIMAL(38,0) — the
+    plan shape is unchanged."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.expr(
+            f"transform(cast(embedding as array<double>),"
+            f" x -> cast(floor(x * {DIM_MICRO} + 0.5) as bigint))"
+        ).alias("qv")
+    )
+    flat = emb.select(F.posexplode("qv").alias("dim", "v"))
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_micro"),
+        F.sum(F.col("v") * F.col("v")).alias("sumsq_micro2"),
+        F.min("v").alias("min_micro"),
+        F.max("v").alias("max_micro"),
+        F.expr("div(sum(v), count(*))").alias("mean_micro"),
+    )

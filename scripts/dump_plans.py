@@ -77,6 +77,7 @@ SHOWCASE = {
     "llm_text_tfidf_keywords": "ONE corpus scan: explode → combiner groupBy (doc,term), df via count window over the same frame (no self-join re-scan), per-doc top-k lowered to WindowGroupLimit",
     "llm_corpus_split": "deterministic 90/5/5 holdout: pure codegen hash-bucket projection, zero shuffle beyond the fixture spread",
     "llm_dedup_canonical": "component labels broadcast into one scored documents pass + a first_value window per cluster — no corpus-scale shuffle beyond L9's own",
+    "llm_embedding_dim_stats": "posexplode → one combiner groupBy on the dimension key: partial agg below the single hash exchange, shuffle O(tasks×dims), all moments on the exact integer grid",
 }
 
 

@@ -2063,3 +2063,35 @@ def test_dedup_canonical_picks_best_scored_member(spark):
         canons = {r.doc_id for r in crows if r.is_canonical}
         assert canons == {want_canon}, (cid, canons, want_canon)
         assert all(r.canonical_id == want_canon for r in crows)
+
+
+def test_embedding_dim_stats_match_numpy_moments(spark):
+    """L3g ground truth: quantize the embedding matrix in numpy on the
+    same micro grid and compare every per-dimension moment exactly; the
+    shipped mean_micro must be the truncated integer quotient."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.similarity import (
+        DIM_MICRO,
+        llm_embedding_dim_stats,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    vecs = (
+        load_table(spark, SF, "embeddings")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    m = np.array([r.v for r in vecs], dtype=np.float64)
+    q = np.floor(m * DIM_MICRO + 0.5).astype(np.int64)
+    rows = {r.dim: r for r in llm_embedding_dim_stats(spark, SF).collect()}
+    assert set(rows) == set(range(m.shape[1]))
+    for d in range(m.shape[1]):
+        col, r = q[:, d], rows[d]
+        assert r.n == len(col)
+        assert r.sum_micro == int(col.sum())
+        assert r.sumsq_micro2 == int((col.astype(object) ** 2).sum())
+        assert r.min_micro == int(col.min()) and r.max_micro == int(col.max())
+        # truncation toward zero, both engines
+        assert r.mean_micro == int(int(col.sum()) / len(col))

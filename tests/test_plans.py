@@ -440,3 +440,24 @@ def test_canonical_broadcasts_labels_into_one_doc_pass(spark, sf_dir):
     # +1 spread of the fresh documents scan, +1 window exchange; the
     # broadcast itself is not a shuffle Exchange node
     assert shuffles(plan) <= shuffles(base) + 2, (shuffles(plan), shuffles(base))
+
+
+def test_dim_stats_is_one_combiner_groupby(spark, sf_dir):
+    """L3g's scale shape: posexplode feeding ONE combiner groupBy on the
+    dimension key — a partial HashAggregate must sit below the dim hash
+    exchange so the shuffle carries O(tasks × dims) rows, and nothing
+    else (no join, no window, no extra shuffle beyond the fixture
+    spread)."""
+    plan = _formatted_plan(registry.QUERIES["llm_embedding_dim_stats"](spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: ([^,\n]*)", plan)
+    hash_ex = [a for a in exchanges if a.startswith("hashpartitioning")]
+    assert len(hash_ex) == 1 and "dim" in hash_ex[0], exchanges
+    assert len(exchanges) <= 2, exchanges
+    assert "Join" not in plan and "Window" not in plan, plan
+    # partial (map-side) aggregation below the exchange
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    ex_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange\n[^\n]*\nArguments: hashpartitioning", plan)
+    ]
+    assert min(agg_ids) < min(ex_ids), plan
