@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import with_fixtures
 from ..registry import register
-from ..tables import archive_files, job_events, jobs, messages
+from ..tables import archive_files, job_events, jobs, load_table, messages
 
 
 @register(
@@ -309,4 +309,176 @@ def agg_state_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("INDEXING").alias("indexing"),
             F.col("FINISHED").alias("finished"),
         )
+    )
+
+
+# --------------------------------------------- A11 ordered funnel analysis
+@register(
+    "agg_event_funnel",
+    sql="""WITH e AS (
+             SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+           ),
+           s1 AS (
+             SELECT user_id, min(ts) AS t_signup FROM e
+             WHERE event_type = 'signup' GROUP BY user_id
+           ),
+           s2 AS (
+             SELECT e.user_id, min(e.ts) AS t_click
+             FROM e JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+             GROUP BY e.user_id
+           ),
+           s3 AS (
+             SELECT e.user_id, min(e.ts) AS t_purchase
+             FROM e JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+             GROUP BY e.user_id
+           )
+           SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+                  1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                    AS stages_reached
+           FROM s1
+           LEFT JOIN s2 ON s2.user_id = s1.user_id
+           LEFT JOIN s3 ON s3.user_id = s1.user_id""",
+)
+def agg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: strictly-ordered funnel — signup → click → purchase, each
+    stage's timestamp the EARLIEST event that happens AFTER the previous
+    stage (the product-analytics conversion query; on the reference's
+    side this is the create → run → finish lifecycle of reactor.py:127's
+    job FSM read as a funnel). One row per user who entered the funnel,
+    with per-stage first-hit timestamps and how deep they got.
+
+    Plan shape: each stage is filter → map-side-combined groupBy min over
+    the SAME user_id key; the stage frames are per-user aggregates (tiny
+    vs the event log) so the chaining joins are AQE-broadcast at fixture
+    scale and stay co-partitioned equi-joins at 100 TB (every shuffle in
+    the plan is keyed by user_id — one clustering reused end to end). A
+    window formulation would drag full event rows through the sort; the
+    conditional-min chain moves only (user, ts) pairs."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return event_funnel(ev)
+
+
+def event_funnel(ev: DataFrame) -> DataFrame:
+    """A11's core over any (user_id, ts, event_type) frame; split out so
+    the strict-ordering semantics (a purchase BEFORE the first qualifying
+    click must not count) are unit-testable on planted frames."""
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            ).alias("stages_reached"),
+        )
+    )
+
+
+# --------------------------------------------- A12 weekly retention cohorts
+@register(
+    "agg_retention_cohorts",
+    sql="""WITH e AS (
+             SELECT user_id,
+                    CAST(date_trunc('week', ts::TIMESTAMP) AS TIMESTAMP) AS wk
+             FROM events
+           ),
+           firsts AS (
+             SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+           ),
+           sizes AS (
+             SELECT cohort_week, count(*) AS cohort_size
+             FROM firsts GROUP BY cohort_week
+           ),
+           cells AS (
+             SELECT DISTINCT e.user_id, f.cohort_week,
+                    epoch_us(e.wk - f.cohort_week) // 604800000000 AS week_offset
+             FROM e JOIN firsts f ON f.user_id = e.user_id
+           ),
+           counts AS (
+             SELECT cohort_week, week_offset, count(*) AS n_active
+             FROM cells GROUP BY cohort_week, week_offset
+           )
+           SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+                  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
+                    AS retained_frac
+           FROM counts c JOIN sizes s ON s.cohort_week = c.cohort_week""",
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: weekly cohort retention — users grouped by the week of their
+    first event; each cell counts how many of that cohort were active N
+    weeks later (the engagement matrix every corpus/product dashboard
+    draws; the reference analog is re-index batch recurrence,
+    config.yml:5-8). Offsets are exact integer week counts: both engines
+    truncate to the same Monday midnight, so the microsecond delta is an
+    exact multiple of 7 days and integer division is lossless.
+
+    Plan shape: first-seen is a map-side-combined min keyed by user_id;
+    the activity join re-uses that key (per-user aggregate vs per-user-week
+    distinct rows — both sides cluster on user_id); cohort sizes are a
+    ~weeks-sized aggregate entering via broadcast. The distinct collapses
+    (user, week) dupes BEFORE the cell count, so the final groupBy sees at
+    most users × active-weeks rows. At 100 TB: one user_id exchange + one
+    (cohort, offset) exchange over already-distinct rows — the matrix
+    itself is O(weeks²) and trivially driver-safe."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_cohorts(ev)
+
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """A12's core over any (user_id, ts) frame; split out so the
+    offset-is-exact-weeks arithmetic is unit-testable on planted frames."""
+    ev = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "(unix_micros(cast(wk as timestamp))"
+                " - unix_micros(cast(cohort_week as timestamp)))"
+                " div 604800000000"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    counts = cells.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retained_frac"
+        ),
     )

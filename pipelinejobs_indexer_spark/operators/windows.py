@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import with_fixtures
 from ..registry import register
-from ..tables import job_events
+from ..tables import job_events, load_table
 
 _W_ORDER = "ORDER BY date, event_seq"
 
@@ -199,3 +199,80 @@ def gapfill_daily(je: DataFrame) -> DataFrame:
         "state", F.last("name", ignorenulls=True).over(w)
     )
     return filled.filter(F.col("kind") == 0).select("job_uuid", "day", "state")
+
+
+# ------------------------------------------------- W5 batch sessionization
+#: New session after this much idle time between a user's events. The
+#: synthetic events table's median per-user gap is ~7 h, so 4 h splits a
+#: user's month into many multi-event sessions at every fixture scale.
+SESSION_GAP_SEC = 4 * 3600
+
+
+@register(
+    "win_sessionize_events",
+    sql=f"""WITH e AS (
+             SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+           ),
+           g AS (
+             SELECT user_id, event_id, ts, value,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts - lag(ts) OVER w)
+                                 > {SESSION_GAP_SEC * 1_000_000}
+                         THEN 1 ELSE 0 END AS is_new
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ),
+           s AS (
+             SELECT user_id, ts, value,
+                    CAST(sum(is_new) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS BIGINT) AS session_idx
+             FROM g
+           )
+           SELECT user_id, session_idx,
+                  min(ts) AS session_start, max(ts) AS session_end,
+                  count(*) AS n_events,
+                  round(sum(value), 2) AS total_value
+           FROM s GROUP BY user_id, session_idx""",
+)
+def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: batch gap-based sessionization over the raw event stream — the
+    relational twin of T4's streaming session windows (the reference's
+    per-actor execution bursts, reactor.py:40-42 message-driven runs,
+    rendered as sessions). A session breaks when a user is idle longer
+    than SESSION_GAP_SEC; output is one row per (user, session) with its
+    bounds, event count, and value total.
+
+    Plan shape: ONE shuffle on user_id serves both window passes (lag for
+    the break flag, running sum for the session index — identical
+    partitioning/ordering, so Catalyst collapses them into a single
+    sort+window) and the map-side-combined final groupBy re-uses the same
+    clustering (user_id is a prefix of the group key), so no second
+    exchange. At 100 TB this is exactly the sessionization plan you want:
+    one exchange keyed by the entity id, everything else codegen. The gap
+    arithmetic is integer microseconds — no float in any grouping key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return sessionize(ev)
+
+
+def sessionize(ev: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """W5's core over any (user_id, event_id, ts, value) frame; split out
+    so the gap boundary (exactly-gap stays, gap+ε breaks) is
+    unit-testable on planted frames."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    is_new = F.when(gap_us.isNull() | (gap_us > gap_sec * 1_000_000), 1).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx", F.sum("is_new").over(w_run)
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -461,3 +461,97 @@ def test_dim_stats_is_one_combiner_groupby(spark, sf_dir):
         for m in re.finditer(r"\((\d+)\) Exchange\n[^\n]*\nArguments: hashpartitioning", plan)
     ]
     assert min(agg_ids) < min(ex_ids), plan
+
+
+def test_sessionize_gap_boundary_and_single_exchange(spark):
+    """A gap of exactly SESSION_GAP_SEC continues the session (the break
+    predicate is strict >); gap+1s starts a new one. And the whole
+    operator — two window passes + the session groupBy — must run off ONE
+    user_id exchange (identical partitioning reused end to end)."""
+    from datetime import datetime, timedelta
+
+    from pipelinejobs_indexer_spark.operators.windows import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    gap = timedelta(hours=4)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t0, 1.0),
+            (1, 11, t0 + gap, 1.0),  # exactly the gap: same session
+            (1, 12, t0 + gap + gap + timedelta(seconds=1), 1.0),  # breaks
+            (2, 20, t0, 5.0),
+        ],
+        "user_id long, event_id long, ts timestamp_ntz, value double",
+    )
+    out = sessionize(ev)
+    plan = _formatted_plan(out)  # pre-execution: the single static plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    rows = {(r.user_id, r.session_idx): r for r in out.collect()}
+    assert rows[(1, 1)].n_events == 2
+    assert rows[(1, 2)].n_events == 1
+    assert rows[(2, 1)].n_events == 1
+
+
+def test_funnel_strict_stage_ordering(spark):
+    """A purchase BEFORE the first post-signup click must not convert the
+    user; events before signup never count; min-after-prev-stage picks
+    the earliest qualifying timestamp."""
+    from datetime import datetime
+
+    from pipelinejobs_indexer_spark.operators.aggregates import event_funnel
+
+    d = lambda h: datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [
+            # u1: full funnel, with decoys before each stage
+            (1, d(1), "click"),  # pre-signup click: ignored
+            (1, d(2), "signup"),
+            (1, d(3), "purchase"),  # pre-click purchase: ignored
+            (1, d(4), "click"),
+            (1, d(5), "purchase"),
+            # u2: signup then purchase but never clicks → depth 1
+            (2, d(1), "signup"),
+            (2, d(2), "purchase"),
+            # u3: never signs up → not in the funnel at all
+            (3, d(1), "click"),
+        ],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+    rows = {r.user_id: r for r in event_funnel(ev).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].stages_reached == 3
+    assert rows[1].t_click.hour == 4 and rows[1].t_purchase.hour == 5
+    assert rows[2].stages_reached == 1
+    assert rows[2].t_click is None and rows[2].t_purchase is None
+
+
+def test_retention_offsets_are_exact_weeks(spark):
+    """Cohort = Monday-truncated first-seen week; offsets count whole
+    weeks; retained_frac divides by the cohort's size, not the cell's."""
+    from datetime import datetime
+
+    from pipelinejobs_indexer_spark.operators.aggregates import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            # cohort of Mon Jan 1: users 1, 2
+            (1, datetime(2024, 1, 3)),  # week 0
+            (1, datetime(2024, 1, 10)),  # week 1
+            (1, datetime(2024, 1, 11)),  # week 1 again (distinct-collapsed)
+            (2, datetime(2024, 1, 7)),  # Sunday still week 0
+            # cohort of Mon Jan 8: user 3
+            (3, datetime(2024, 1, 8)),
+            (3, datetime(2024, 1, 22)),  # week 2
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = {
+        (r.cohort_week.day, r.week_offset): (r.n_active, r.cohort_size, r.retained_frac)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[(1, 0)] == (2, 2, 1.0)
+    assert out[(1, 1)] == (1, 2, 0.5)
+    assert out[(8, 0)] == (1, 1, 1.0)
+    assert out[(8, 2)] == (1, 1, 1.0)
+    assert (1, 2) not in out
