@@ -85,6 +85,17 @@ def _env_int(name: str, default: int) -> int:
 class EngineConfig:
     """Scale knobs for the sketch/index operators.
 
+    ``bloom_bits`` / ``bloom_hashes`` — the explicit Bloom-filter
+    membership sketch for ingest dedup (L1c, ``llm_dedup_bloom``): m bits
+    and k md5-derived probes per content hash. The bit-set materializes
+    RELATIONALLY (one row per distinct set bit, ≤ m rows, broadcast) so
+    the sketch's every decision is oracle-replayable; expected false-hit
+    rate is (1-exp(-k·n/m))^k — the registered query AUDITS the realized
+    rate against exact membership. Size m ~ 1.44·n·log2(1/fp) and k ~
+    0.69·m/n; past broadcast-able m (say 2^26) switch to Spark's packed
+    ``bloom_filter_agg``/``might_contain`` blob — same semantics, opaque
+    bits (that variant can't be hash-oracled, which is why the relational
+    form is the registered one).
     ``lsh_planes``      — hyperplane count for sign-LSH (L2e, L3b): 2^p buckets.
     ``lsh_tables``      — independent sign-LSH tables for the embedding
     dedup primary (L2e): AND-OR amplification. Each table hashes with its
@@ -220,6 +231,8 @@ class EngineConfig:
     which demonstrates the mechanics but not cross-host durability).
     """
 
+    bloom_bits: int = 16_384
+    bloom_hashes: int = 4
     lsh_planes: int = 4
     lsh_tables: int = 1
     ivf_cent_stride: int = 61
@@ -239,6 +252,19 @@ class EngineConfig:
     logreg_iters: int = 3
 
     def __post_init__(self) -> None:
+        if not 64 <= self.bloom_bits <= 1 << 26:
+            raise ValueError(
+                f"bloom_bits must be in [64, 2^26] (the relational bit-set is "
+                f"one row per set bit, broadcast to the batch side — size it "
+                f"~1.44 * n * log2(1/fp) and move to bloom_filter_agg's packed "
+                f"blob beyond that), got {self.bloom_bits}"
+            )
+        if not 1 <= self.bloom_hashes <= 16:
+            raise ValueError(
+                f"bloom_hashes must be in [1, 16] (each hash adds one probe "
+                f"row per batch doc; k ~ 0.69 * bits/n is optimal), got "
+                f"{self.bloom_hashes}"
+            )
         if not 1 <= self.lsh_tables <= 64:
             raise ValueError(
                 f"lsh_tables must be in [1, 64] (each table adds lsh_planes "
@@ -291,6 +317,8 @@ def from_env() -> EngineConfig:
     falling back to the fixture-scale defaults."""
     d = EngineConfig()
     return EngineConfig(
+        bloom_bits=_env_int("SPARK_GRAFT_BLOOM_BITS", d.bloom_bits),
+        bloom_hashes=_env_int("SPARK_GRAFT_BLOOM_HASHES", d.bloom_hashes),
         lsh_planes=_env_int("SPARK_GRAFT_LSH_PLANES", d.lsh_planes),
         lsh_tables=_env_int("SPARK_GRAFT_LSH_TABLES", d.lsh_tables),
         ivf_cent_stride=_env_int("SPARK_GRAFT_IVF_CENT_STRIDE", d.ivf_cent_stride),

@@ -1460,6 +1460,152 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(snapshot_hashes, "content_hash", "left_anti")
 
 
+# ----------------------------- L1c Bloom-filter ingest membership + FP audit
+def _bloom_bit_spark(h: str, j: int, m: int) -> str:
+    """Bit j for content hash column *h*: md5 of (hash, probe-index) taken
+    as a 60-bit positive int mod m. Exact DuckDB twin below."""
+    return (
+        f"cast(conv(substr(md5(concat({h}, '#{j}')), 1, 15), 16, 10) as bigint)"
+        f" % {m}"
+    )
+
+
+def _bloom_bit_sql(h: str, j: int, m: int) -> str:
+    return f"('0x' || substr(md5({h} || '#{j}'), 1, 15))::BIGINT % {m}"
+
+
+def _bloom_sql() -> str:
+    m, k = CONFIG.bloom_bits, CONFIG.bloom_hashes
+    snap_bits = ", ".join(_bloom_bit_sql("h", j, m) for j in range(k))
+    probe_bits = ", ".join(_bloom_bit_sql("content_hash", j, m) for j in range(k))
+    return f"""WITH batch AS (
+           SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+                  count(*) AS n_in_batch
+           FROM documents WHERE doc_id % {INCREMENTAL_MOD} = 0
+           GROUP BY md5(text)
+         ),
+         snap AS (
+           SELECT DISTINCT md5(text) AS h
+           FROM documents WHERE doc_id % {INCREMENTAL_MOD} != 0
+         ),
+         snap_bits AS (
+           SELECT DISTINCT unnest([{snap_bits}]) AS bit FROM snap
+         ),
+         probes AS (
+           SELECT content_hash, unnest([{probe_bits}]) AS bit FROM batch
+         ),
+         hits AS (
+           SELECT content_hash, count(*) AS n_hits
+           FROM probes JOIN snap_bits USING (bit)
+           GROUP BY content_hash
+         )
+         SELECT b.content_hash, b.keep_doc_id, b.n_in_batch,
+                coalesce(h.n_hits, 0) = {k} AS maybe_seen,
+                s.h IS NOT NULL AS exact_seen,
+                (coalesce(h.n_hits, 0) = {k} AND s.h IS NULL) AS false_positive
+         FROM batch b
+         LEFT JOIN hits h ON h.content_hash = b.content_hash
+         LEFT JOIN snap s ON s.h = b.content_hash"""
+
+
+@register("llm_dedup_bloom", sql=lambda: _bloom_sql())
+def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c: EXPLICIT Bloom-filter ingest dedup — the summary-structure
+    variant of L11. L11 anti-joins the batch against the full snapshot
+    (Spark's runtime bloom prunes the snapshot SCAN, but every ingest
+    still touches snapshot data); here the snapshot is pre-digested into
+    an m-bit Bloom sketch (k md5-derived bit positions per content hash),
+    and an incoming batch is judged by probing ONLY the sketch — the
+    production pattern when history is petabytes and batches arrive every
+    minute: the sketch is built once per epoch, broadcast everywhere, and
+    ingest cost becomes O(batch), zero snapshot I/O. The price is false
+    positives (new docs wrongly dropped); this query AUDITS that price by
+    also computing exact membership and flagging every false hit, the
+    measurement that sizes m/k for a target loss rate (defaults
+    m=16384/k=4: ~0 realized FP at the 375-hash sf0.01 snapshot, ~13%
+    at sf0.1's ~3.7k — deliberately underprovisioned for the bench
+    scale so the audit column carries signal there; CONFIG.bloom_bits
+    docstring has the sizing rule and the bloom_filter_agg
+    packed-blob path past broadcastable m).
+
+    Plan shape: snapshot scan → k codegen bit projections → ONE combiner
+    distinct bounded at m rows (the sketch — never bigger than the knob,
+    whatever the corpus); batch side collapses in-batch copies map-side
+    (L11's shape), probes explode to k rows/doc, and the sketch join is a
+    BROADCAST hash join by construction (≤ m rows). The only
+    corpus-scale exchange is the snapshot distinct; at 100 TB that runs
+    once per epoch, not per ingest. The exact-membership audit join is
+    fixture-side truth — a production run drops it (that's the point).
+    Cross-engine: bit positions are md5-hex → 60-bit int → mod, exact in
+    both engines (Spark conv(,16,10) == DuckDB ('0x'||h)::BIGINT)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bloom_membership(docs)
+
+
+def bloom_membership(
+    docs: DataFrame,
+    bits: int | None = None,
+    hashes: int | None = None,
+) -> DataFrame:
+    """llm_dedup_bloom's core over any (doc_id, text) frame, with m/k
+    overridable so tests can force saturation (tiny m → deterministic
+    false positives) and verify the no-false-negative guarantee."""
+    m = CONFIG.bloom_bits if bits is None else bits
+    k = CONFIG.bloom_hashes if hashes is None else hashes
+    batch = (
+        docs.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_in_batch"),
+        )
+    )
+    snap = (
+        docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    snap_bits = snap.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(_bloom_bit_spark("h", j, m) for j in range(k))
+                + ")"
+            )
+        ).alias("bit")
+    ).distinct()
+    probes = batch.select(
+        "content_hash",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(_bloom_bit_spark("content_hash", j, m) for j in range(k))
+                + ")"
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(snap_bits), "bit")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        batch.join(hits, "content_hash", "left")
+        .join(snap.withColumn("seen", F.lit(True)), batch.content_hash == snap.h, "left")
+        .select(
+            "content_hash",
+            "keep_doc_id",
+            "n_in_batch",
+            (F.coalesce("n_hits", F.lit(0)) == k).alias("maybe_seen"),
+            F.coalesce("seen", F.lit(False)).alias("exact_seen"),
+            (
+                (F.coalesce("n_hits", F.lit(0)) == k)
+                & F.col("seen").isNull()
+            ).alias("false_positive"),
+        )
+    )
+
+
 # ------------------------- L11b incremental near-dup (signature index)
 def _incremental_minhash_sql() -> str:
     """Oracle: recompute everything logically over the documents table —

@@ -2095,3 +2095,68 @@ def test_embedding_dim_stats_match_numpy_moments(spark):
         assert r.min_micro == int(col.min()) and r.max_micro == int(col.max())
         # truncation toward zero, both engines
         assert r.mean_micro == int(int(col.sum()) / len(col))
+
+
+def test_bloom_membership_no_false_negatives_and_forced_fps(spark):
+    """The Bloom guarantee, pinned: exact membership ALWAYS implies a
+    sketch hit (zero false negatives at any m/k), and a saturated sketch
+    (m=4, k=4 — verified offline to saturate on these texts) must flag
+    unseen content as maybe_seen with the false_positive
+    audit column calling it out. Python recompute of every bit cross-checks
+    the md5 bit derivation."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.llm.dedup import bloom_membership
+
+    # doc_id % 4 == 0 → batch, else snapshot. d0's text matches s1's
+    # (cross-split duplicate); d4 is brand new.
+    rows = [
+        (0, "shared duplicate content"),
+        (1, "shared duplicate content"),
+        (2, "snapshot only text two"),
+        (3, "snapshot only text three"),
+        (4, "genuinely new batch text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def bits(text: str, m: int, k: int) -> set[int]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return {
+            int(hashlib.md5(f"{h}#{j}".encode()).hexdigest()[:15], 16) % m
+            for j in range(k)
+        }
+
+    for m, k in [(8, 4), (16384, 4), (64, 2)]:
+        out = {r.keep_doc_id: r for r in bloom_membership(docs, m, k).collect()}
+        assert set(out) == {0, 4}
+        assert out[0].exact_seen and out[0].maybe_seen  # never a false negative
+        assert not out[0].false_positive
+        assert not out[4].exact_seen
+        # recompute the sketch decision independently
+        snap_bits = bits("shared duplicate content", m, k) | bits(
+            "snapshot only text two", m, k
+        ) | bits("snapshot only text three", m, k)
+        want_maybe = bits("genuinely new batch text", m, k) <= snap_bits
+        assert out[4].maybe_seen == want_maybe, (m, k)
+        assert out[4].false_positive == want_maybe
+    # the saturated sketch must actually produce the false positive
+    sat = {r.keep_doc_id: r for r in bloom_membership(docs, 4, 4).collect()}
+    assert sat[4].false_positive
+
+
+def test_bloom_sketch_join_broadcasts(spark, sf_dir):
+    """The sketch side of the probe join is bounded at m rows by
+    construction and must enter as a broadcast — never an all-corpus
+    shuffle."""
+    from pipelinejobs_indexer_spark import registry
+
+    df = registry.QUERIES["llm_dedup_bloom"](spark, sf_dir)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
