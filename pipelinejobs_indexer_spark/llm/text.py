@@ -923,6 +923,111 @@ def llm_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ L6l mixture materialization
+MIX_SEED = 7
+MIX_BUCKETS = 16  # top-4-bit ranges of the 60-bit priority key
+_MIX_BUCKET_DIV = 1 << 56  # 60-bit key div 2^56 -> 16 range buckets
+
+
+def _mix_key_spark() -> str:
+    return (
+        f"cast(conv(substr(md5(concat('mix:{MIX_SEED}:', "
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+
+
+_MIX_SAMPLE_SQL = f"""WITH tok AS (
+       SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              ('0x' || substr(md5('mix:{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT AS k
+       FROM documents),
+     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                    count(DISTINCT source) AS ns FROM tok),
+     cum AS (
+       SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id)
+                   AS BIGINT) AS cum_tokens
+       FROM tok)
+     SELECT doc_id, source, n_tokens, cum_tokens
+     FROM cum, tot
+     WHERE cum_tokens - n_tokens < total // ns"""
+
+
+@register("llm_corpus_mix_sample", sql=_MIX_SAMPLE_SQL)
+def llm_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6l: mixture MATERIALIZATION — the executor for the per-source
+    token budgets that llm_corpus_mix_weights only audits. Each source
+    contributes docs in deterministic hash-priority order (priority =
+    md5-derived 60-bit key of the doc id, seed-bumpable like L6g's
+    shuffle) until its cumulative token count reaches the target budget
+    (uniform total/n_sources here; a tuned target vector joins in the
+    same shape), including the budget-crossing doc so every non-empty
+    source is represented. Selection depends only on data values — the
+    sampled mixture is reproducible across reruns, cluster sizes, and
+    partition counts.
+
+    The naive plan is a window cumsum partitioned by source — ONE task
+    per source, a straggler factory when a 100 TB corpus has 20 sources.
+    This runs the classic DISTRIBUTED PREFIX SUM instead: (1) bucket each
+    doc by the top 4 bits of its priority key (range buckets, so bucket
+    order == priority order), (2) one combiner groupBy to per-
+    (source, bucket) token sums — a sources×16 frame, (3) a tiny window
+    cumsum over that frame yields each bucket's starting offset, (4)
+    broadcast the offsets back and window-cumsum WITHIN (source, bucket)
+    partitions — 16× the parallelism of the naive plan, raise
+    MIX_BUCKETS for more. The per-doc running total is offset + local
+    cumsum, identical to the oracle's single global window by
+    construction (the oracle deliberately keeps the naive formulation so
+    the two plans cross-check). All arithmetic is exact bigint — no
+    float-summation-order hazard in the budget comparison."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return mix_sample(docs)
+
+
+def mix_sample(docs: DataFrame) -> DataFrame:
+    """llm_corpus_mix_sample's core over any (doc_id, source, text) frame
+    so tests can replay the selection against an independent Python
+    recompute and prove input-row-order invariance."""
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(_mix_key_spark()).alias("k"),
+    ).withColumn("bucket", F.expr(f"k div {_MIX_BUCKET_DIV}"))
+    per_bucket = tok.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("b_tokens")
+    )
+    # The budget (total div ns) rides along in the SAME tiny frame as the
+    # bucket offsets — global unbounded windows over sources×16 rows (the
+    # single-partition move Spark warns about is exactly that many rows)
+    # — so the corpus lineage is consumed once here, not re-scanned for a
+    # separate 1-row total, and the budget enters the probe side through
+    # the one broadcast equi-join instead of a nested-loop join.
+    wb = Window.partitionBy("source").orderBy("bucket")
+    wg = Window.partitionBy()
+    offsets = (
+        per_bucket.withColumn(
+            "b_off", F.sum("b_tokens").over(wb) - F.col("b_tokens")
+        )
+        .withColumn(
+            "is_first", (F.row_number().over(wb) == 1).cast("bigint")
+        )
+        .withColumn("total", F.sum("b_tokens").over(wg))
+        .withColumn("ns", F.sum("is_first").over(wg))
+        .select(
+            "source", "bucket", "b_off", F.expr("total div ns").alias("t_target")
+        )
+    )
+    wd = Window.partitionBy("source", "bucket").orderBy("k", "doc_id")
+    return (
+        tok.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("cum_tokens", F.col("b_off") + F.sum("n_tokens").over(wd))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("t_target"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 def _curate_full_sql() -> str:
     from .dedup import _contamination_sql
 

@@ -2160,3 +2160,79 @@ def test_bloom_sketch_join_broadcasts(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_mix_sample_matches_python_recompute_and_order_invariance(spark):
+    """The mixture selection replayed independently in Python: per source,
+    docs sorted by (md5 priority key, doc_id), selected while the tokens
+    BEFORE the doc are under the uniform budget (so the crossing doc is
+    kept and an under-budget source is taken whole). The two-phase
+    distributed prefix sum must reproduce it exactly, and must not depend
+    on input row order."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.llm.text import MIX_SEED, mix_sample
+
+    texts = {
+        "a": [("w " * n).strip() for n in (5, 50, 200, 7, 30)],
+        "b": [("w " * n).strip() for n in (300, 300)],
+        "c": [("w " * n).strip() for n in (1, 2, 3)],  # under budget: all kept
+    }
+    rows, did = [], 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((did, src, t))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def key(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"mix:{MIX_SEED}:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    toks = {d: len(t.split(" ")) for d, _, t in rows}
+    target = sum(toks.values()) // len(texts)
+    want = {}
+    for src in texts:
+        cum = 0
+        for d in sorted(
+            (d for d, s, _ in rows if s == src), key=lambda d: (key(d), d)
+        ):
+            prev, cum = cum, cum + toks[d]
+            if prev < target:
+                want[d] = cum
+    got = {r.doc_id: r for r in mix_sample(docs).collect()}
+    assert set(got) == set(want)
+    for d, r in got.items():
+        assert r.cum_tokens == want[d] and r.n_tokens == toks[d]
+    # every source is represented, and selection is budget-tight: dropping
+    # the last-priority selected doc of a cut source leaves it under target
+    assert {r.source for r in got.values()} == set(texts)
+    # input-row-order invariance
+    rev = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, source string, text string"
+    )
+    got2 = {(r.doc_id, r.cum_tokens) for r in mix_sample(rev).collect()}
+    assert got2 == {(d, c) for d, c in want.items()}
+
+
+def test_mix_sample_plan_is_bucket_parallel(spark, sf_dir):
+    """The corpus-scale window must partition by (source, bucket) — the
+    whole point of the two-phase prefix sum is escaping the one-task-per-
+    source naive window — the offsets frame must enter as a broadcast
+    equi-join, and the budget must NOT arrive via a nested-loop join."""
+    import contextlib
+    import io
+    import re
+
+    from pipelinejobs_indexer_spark import registry
+
+    df = registry.QUERIES["llm_corpus_mix_sample"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"hashpartitioning\(source#\d+, bucket#\d+", plan), plan
