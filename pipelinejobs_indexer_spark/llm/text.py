@@ -237,6 +237,96 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------ L4l tokenizer vocabulary coverage audit
+VOCAB_TOP_V = 16  # fixture-scale vocab cap (corpus vocab is 31 types)
+
+_VOCAB_COVERAGE_SQL = f"""WITH st AS (
+       SELECT source, token, count(*) AS cnt
+       FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+       GROUP BY source, token),
+     vocab AS (
+       SELECT token FROM (
+         SELECT token, sum(cnt) AS c FROM st GROUP BY token
+         ORDER BY c DESC, token ASC LIMIT {VOCAB_TOP_V}))
+     SELECT st.source,
+            CAST(sum(st.cnt) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN v.token IS NOT NULL THEN st.cnt ELSE 0 END)
+                 AS BIGINT) AS covered_tokens,
+            CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT)
+              AS oov_types,
+            round(1.0 - sum(CASE WHEN v.token IS NOT NULL THEN st.cnt ELSE 0 END)
+                        / CAST(sum(st.cnt) AS DOUBLE), 6) AS oov_rate
+     FROM st LEFT JOIN vocab v ON v.token = st.token
+     GROUP BY st.source"""
+
+
+@register("llm_vocab_coverage", sql=_VOCAB_COVERAGE_SQL)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l: tokenizer vocabulary coverage audit — the check run before
+    committing to a fixed vocab: build the top-V token vocabulary by
+    corpus frequency (ties broken lexicographically so the cut is
+    deterministic in both engines), then measure per source how much of
+    its token mass the vocab covers — total tokens, covered tokens,
+    distinct out-of-vocab types, and the OOV rate a real tokenizer would
+    pay as <unk>/byte-fallback on that source. V deliberately sits at
+    half the fixture vocab so the rates carry signal.
+
+    Scale shape: the ONLY corpus-scale exchange is the (source, token)
+    combiner groupBy — hot tokens are absorbed map-side, and everything
+    downstream operates on the types frame (|sources|×|vocab| rows, a
+    different universe from corpus size). The top-V cut is a
+    TakeOrderedAndProject over per-token sums of that frame (never a
+    global corpus sort), and coverage joins the vocab back as a
+    broadcast bounded at V rows by construction. The types frame is
+    consumed twice (vocab cut + coverage roll-up = 2 corpus scans
+    declaratively); a production pipeline persists it — it IS the
+    tokenizer-training artifact."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return vocab_coverage(docs)
+
+
+def vocab_coverage(docs: DataFrame, top_v: int | None = None) -> DataFrame:
+    """llm_vocab_coverage's core over any (source, text) frame, with V
+    overridable so tests can plant a frequency tie exactly at the vocab
+    boundary and pin the lexicographic cut."""
+    v = VOCAB_TOP_V if top_v is None else top_v
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(v)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("covered_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), F.lit(1))).alias(
+                "oov_types"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "covered_tokens",
+            "oov_types",
+            F.round(
+                1.0 - F.col("covered_tokens") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 @register(
     "llm_text_fingerprint",
     sql="""WITH t AS (

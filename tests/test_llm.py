@@ -2236,3 +2236,53 @@ def test_mix_sample_plan_is_bucket_parallel(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"hashpartitioning\(source#\d+, bucket#\d+", plan), plan
+
+
+def test_vocab_coverage_matches_python_recompute_with_boundary_tie(spark):
+    """Vocabulary cut + coverage replayed independently in Python, with a
+    planted frequency TIE straddling the V boundary: 'bb' and 'cc' both
+    appear 3 times, V=2 keeps {top-frequency 'aa', then 'bb' by the
+    lexicographic tie-break} — 'cc' must land out-of-vocab in every
+    engine or the cut is nondeterministic."""
+    from pipelinejobs_indexer_spark.llm.text import vocab_coverage
+
+    rows = [
+        (0, "s1", "aa aa aa aa bb bb cc"),
+        (1, "s1", "bb cc dd"),
+        (2, "s2", "aa cc ee ee"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # counts: aa=5, bb=3, cc=3, ee=2, dd=1 → V=2 vocab = {aa, bb}
+    out = {r.source: r for r in vocab_coverage(docs, top_v=2).collect()}
+    # s1: tokens aa×4,bb×3,cc×2,dd×1 = 10; covered aa+bb = 7; oov types {cc,dd}
+    assert out["s1"].n_tokens == 10
+    assert out["s1"].covered_tokens == 7
+    assert out["s1"].oov_types == 2
+    assert out["s1"].oov_rate == round(1 - 7 / 10, 6)
+    # s2: tokens aa×1,cc×1,ee×2 = 4; covered aa = 1; oov types {cc,ee}
+    assert out["s2"].n_tokens == 4
+    assert out["s2"].covered_tokens == 1
+    assert out["s2"].oov_types == 2
+    assert out["s2"].oov_rate == round(1 - 1 / 4, 6)
+    # full-vocab V covers everything: zero OOV anywhere
+    full = {r.source: r for r in vocab_coverage(docs, top_v=5).collect()}
+    assert all(r.oov_types == 0 and r.oov_rate == 0.0 for r in full.values())
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark, sf_dir):
+    """The vocab side is bounded at V rows and must broadcast; the top-V
+    cut must be a TakeOrderedAndProject over the types frame, never a
+    global corpus sort."""
+    import contextlib
+    import io
+
+    from pipelinejobs_indexer_spark import registry
+
+    df = registry.QUERIES["llm_vocab_coverage"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
