@@ -648,3 +648,97 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_micro"),
         F.expr("div(sum(v), count(*))").alias("mean_micro"),
     )
+
+
+# ------------------------------------ L3h embedding norm outlier scrub
+@register(
+    "llm_embedding_outliers",
+    sql=f"""WITH q AS (
+           SELECT vec_id,
+                  [CAST(floor(x * {DIM_MICRO} + 0.5) AS BIGINT)
+                   for x in embedding::DOUBLE[]] AS qv
+           FROM embeddings
+         ),
+         s AS (
+           SELECT vec_id,
+                  list_sum([y::HUGEINT * y for y in qv]) AS s
+           FROM q
+         ),
+         stats AS (
+           SELECT count(*)::HUGEINT AS n,
+                  sum(s) AS sum_s,
+                  sum(s * s) AS sumsq_s
+           FROM s
+         )
+         SELECT vec_id,
+                CAST(s AS BIGINT) AS norm2_micro2,
+                (s * n - sum_s) * (s * n - sum_s)
+                  > 9 * (n * sumsq_s - sum_s * sum_s) AS is_outlier,
+                CASE WHEN (s * n - sum_s) * (s * n - sum_s)
+                          <= 9 * (n * sumsq_s - sum_s * sum_s) THEN 'in'
+                     WHEN s * n < sum_s THEN 'low' ELSE 'high' END AS side
+         FROM s, stats""",
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h: embedding norm-outlier scrub — the sanity gate run before a
+    vector corpus feeds ANN/k-means/quantization: dead embeddings
+    (near-zero norm, an encoder that failed silently) and exploded ones
+    (norm far above the population) poison centroids and distance
+    rankings, and the standard fix is dropping |z| > 3 norms. The z-test
+    runs on the SQUARED L2 norm snapped to the shared micro grid
+    (L3g/L4g/L6d discipline), so there is no sqrt and no float anywhere:
+    a vector is an outlier iff (s·n − Σs)² > 9·(n·Σs² − (Σs)²) — the
+    |s − mean| > 3σ test cleared of division — evaluated in exact
+    decimal(38)/int128 arithmetic identically in both engines; `side`
+    says which tail ('low' = dead, 'high' = exploded).
+
+    Plan (100 TB): one scan → codegen per-vector squared norm (the only
+    O(dim) work) → 1-row global stat aggregate broadcast back over the
+    per-vector frame — no shuffle of vector payloads, no window over the
+    corpus; the flag is a codegen projection. Magnitude ceiling: s ≤
+    dims·1e12 (~6.4e13 at 64 dims), s² ~ 4e27, so Σs² fits decimal(38,0)
+    to ~1e10 vectors and (s·n − Σs)² to n ~ 5e8 at these norms — past
+    that, pre-scale the grid down (the test is scale-invariant) rather
+    than widening types. Vectors-with-no-corpus edge: n·Σs² − (Σs)² = 0
+    for a single vector (or identical norms), the strict > keeps
+    everything 'in' — no divide-by-zero class."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return embedding_outliers(emb)
+
+
+def embedding_outliers(emb: DataFrame) -> DataFrame:
+    """llm_embedding_outliers' core over any (vec_id, embedding) frame so
+    tests can plant dead/exploded vectors and replay the exact z-test in
+    Python ints."""
+    s = emb.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(transform(cast(embedding as array<double>),"
+            f" x -> cast(floor(x * {DIM_MICRO} + 0.5) as bigint)),"
+            " cast(0 as decimal(38,0)),"
+            " (a, y) -> a + cast(y as decimal(19,0)) * cast(y as decimal(19,0)))"
+        ).alias("s"),
+    )
+    stats = s.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("s").alias("sum_s"),
+        F.sum(F.col("s") * F.col("s")).alias("sumsq_s"),
+    )
+    dev2 = (F.col("s") * F.col("n") - F.col("sum_s")) * (
+        F.col("s") * F.col("n") - F.col("sum_s")
+    )
+    bound = 9 * (
+        F.col("n") * F.col("sumsq_s") - F.col("sum_s") * F.col("sum_s")
+    )
+    return (
+        s.join(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.col("s").cast("bigint").alias("norm2_micro2"),
+            (dev2 > bound).alias("is_outlier"),
+            F.when(dev2 <= bound, "in")
+            .when(F.col("s") * F.col("n") < F.col("sum_s"), "low")
+            .otherwise("high")
+            .alias("side"),
+        )
+    )

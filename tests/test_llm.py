@@ -2286,3 +2286,55 @@ def test_vocab_coverage_plan_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_embedding_outliers_planted_and_exact_ztest_recompute(spark):
+    """The exact-integer z-test replayed in Python ints over a planted
+    corpus (30 ordinary vectors, one dead near-zero, one 100x exploded):
+    every flag and side must match the recompute, the exploded vector
+    must flag 'high', and an all-identical-norms corpus (variance 0)
+    must keep everything 'in' via the strict inequality."""
+    from pipelinejobs_indexer_spark.llm.similarity import (
+        DIM_MICRO,
+        embedding_outliers,
+    )
+
+    def q(x: float) -> int:
+        import math
+
+        return int(math.floor(x * DIM_MICRO + 0.5))
+
+    vecs = {i: [0.5 + 0.01 * (i % 5)] * 4 for i in range(30)}
+    vecs[30] = [1e-9] * 4  # dead
+    vecs[31] = [50.0] * 4  # exploded
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # NB: Spark stores float32; quantization happens on the float32-rounded
+    # value, so recompute from the same float32 values.
+    import numpy as np
+
+    s = {
+        i: sum(q(float(np.float32(x))) ** 2 for x in v) for i, v in vecs.items()
+    }
+    n, sum_s = len(s), sum(s.values())
+    sumsq_s = sum(v * v for v in s.values())
+    want = {}
+    for i, si in s.items():
+        dev2 = (si * n - sum_s) ** 2
+        bound = 9 * (n * sumsq_s - sum_s * sum_s)
+        flag = dev2 > bound
+        side = "in" if not flag else ("low" if si * n < sum_s else "high")
+        want[i] = (si, flag, side)
+    got = {
+        r.vec_id: (r.norm2_micro2, r.is_outlier, r.side)
+        for r in embedding_outliers(emb).collect()
+    }
+    assert got == want
+    assert got[31][2] == "high"
+    # variance-zero corpus: nothing flags
+    same = spark.createDataFrame(
+        [(i, [0.25] * 4) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    out = embedding_outliers(same).collect()
+    assert all(not r.is_outlier and r.side == "in" for r in out)
