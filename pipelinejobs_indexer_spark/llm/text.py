@@ -922,6 +922,102 @@ def llm_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ L6k2 holdout leakage audit
+def _split_case_spark(col: str) -> str:
+    b = (
+        f"cast(conv(substr(md5(concat('split:', cast({col} as string))),"
+        " 1, 15), 16, 10) as bigint) % 1000"
+    )
+    return (
+        f"case when {b} < {SPLIT_TRAIN_PM} then 'train'"
+        f" when {b} < {SPLIT_VALID_PM} then 'valid' else 'test' end"
+    )
+
+
+def _split_case_sql(col: str) -> str:
+    b = f"('0x' || substr(md5('split:' || {col}::VARCHAR), 1, 15))::BIGINT % 1000"
+    return (
+        f"CASE WHEN {b} < {SPLIT_TRAIN_PM} THEN 'train'"
+        f" WHEN {b} < {SPLIT_VALID_PM} THEN 'valid' ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import _minhash_pairs_sql
+
+    return f"""WITH pairs AS ({_minhash_pairs_sql()}),
+         lab AS (
+           SELECT doc_a, doc_b, jaccard,
+                  {_split_case_sql("doc_a")} AS split_a,
+                  {_split_case_sql("doc_b")} AS split_b
+           FROM pairs
+         ),
+         leak AS (
+           SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END
+                    AS doc_id,
+                  CASE WHEN split_a = 'train' THEN split_b ELSE split_a END
+                    AS split,
+                  jaccard
+           FROM lab
+           WHERE (split_a = 'train') != (split_b = 'train')
+         )
+         SELECT doc_id, split,
+                count(*) AS n_train_dups,
+                max(jaccard) AS max_jaccard
+         FROM leak GROUP BY doc_id, split"""
+
+
+@register("llm_split_leakage", sql=lambda: _split_leakage_sql())
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6k2: holdout leakage audit — the check that the L6k split's
+    eval sets actually measure generalization: a valid/test document
+    with a >=0.8-jaccard near-duplicate in train is contaminated (the
+    model will have effectively seen it), and the honest responses are
+    to drop it from eval or purge its train twins. Reports, per leaked
+    eval doc, how many train near-dups it has and the worst jaccard —
+    the artifact an eval-set release note cites. L7 decontaminates
+    against an EXTERNAL benchmark table; this audits the corpus's OWN
+    split, the hygiene step C4/Pile-style releases run after assigning
+    holdouts.
+
+    Scale shape: inherits L2a's LSH-banded candidate bound (never
+    all-pairs); split labels are pure md5 functions of the doc ids
+    already ON the pair frame, so labeling is a codegen projection —
+    zero additional corpus scans or joins beyond the inherited pair DAG
+    — and the final groupBy is keyed by eval doc over the LSH-bounded
+    leak set (≤10% of pairs in expectation at a 90/10 split).
+    Cross-engine: the per-mille bucket arithmetic is the exact L6k
+    expression on both sides, so the leak verdicts replay bit-for-bit."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return split_leakage(docs)
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """llm_split_leakage's core over any (doc_id, text) frame so tests
+    can plant cross-split near-dups at hand-picked bucket ids."""
+    from .dedup import minhash_pairs
+
+    pairs = minhash_pairs(docs)
+    lab = pairs.withColumn(
+        "split_a", F.expr(_split_case_spark("doc_a"))
+    ).withColumn("split_b", F.expr(_split_case_spark("doc_b")))
+    leak = lab.filter(
+        (F.col("split_a") == "train") != (F.col("split_b") == "train")
+    ).select(
+        F.when(F.col("split_a") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("doc_id"),
+        F.when(F.col("split_a") == "train", F.col("split_b"))
+        .otherwise(F.col("split_a"))
+        .alias("split"),
+        "jaccard",
+    )
+    return leak.groupBy("doc_id", "split").agg(
+        F.count("*").alias("n_train_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 @register(
     "llm_embedding_quantize",
     sql="""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -2338,3 +2338,41 @@ def test_embedding_outliers_planted_and_exact_ztest_recompute(spark):
     )
     out = embedding_outliers(same).collect()
     assert all(not r.is_outlier and r.side == "in" for r in out)
+
+
+def test_split_leakage_planted_cross_split_dups(spark):
+    """Planted leakage at hand-picked split buckets (md5 per-mille: ids
+    0,1,2 are train; 33 valid; 53 test; 37 valid; 59 test): an identical
+    text on {0, 1, 33, 53} must surface ONLY the eval docs 33 and 53,
+    each with exactly the 2 train dups — the train-train pair (0,1) and
+    the eval-eval pairs (33,53) and (37,59) must NOT appear, and a
+    unique train doc contributes nothing."""
+    from pipelinejobs_indexer_spark.llm.text import split_leakage
+
+    dup = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    evaldup = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    uniq = (
+        "granite basalt quartz feldspar mica schist gneiss marble "
+        "slate obsidian pumice tuff andesite rhyolite dacite"
+    )
+    rows = [
+        (0, dup),
+        (1, dup),
+        (33, dup),
+        (53, dup),
+        (37, evaldup),
+        (59, evaldup),
+        (2, uniq),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in split_leakage(docs).collect()}
+    assert set(got) == {33, 53}
+    assert got[33].split == "valid" and got[53].split == "test"
+    assert got[33].n_train_dups == 2 and got[53].n_train_dups == 2
+    assert got[33].max_jaccard == 1.0 and got[53].max_jaccard == 1.0
