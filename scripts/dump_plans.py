@@ -78,6 +78,11 @@ SHOWCASE = {
     "llm_corpus_split": "deterministic 90/5/5 holdout: pure codegen hash-bucket projection, zero shuffle beyond the fixture spread",
     "llm_dedup_canonical": "component labels broadcast into one scored documents pass + a first_value window per cluster — no corpus-scale shuffle beyond L9's own",
     "llm_embedding_dim_stats": "posexplode → one combiner groupBy on the dimension key: partial agg below the single hash exchange, shuffle O(tasks×dims), all moments on the exact integer grid",
+    "llm_dedup_bloom": "snapshot pre-digested to a ≤m-row relational bit-set (one combiner distinct) that BROADCASTS into the k-probe join; batch collapses map-side; the only corpus-scale exchange is the once-per-epoch snapshot distinct",
+    "llm_corpus_mix_sample": "distributed prefix sum: range-bucket on the priority key's top bits → combiner groupBy to a sources×16 frame (offsets + budget via tiny windows) → broadcast equi-join back → window WITHIN (source,bucket), 16× the naive per-source parallelism; 2 corpus scans, no nested-loop join",
+    "llm_vocab_coverage": "one corpus-scale (source,token) combiner exchange; top-V cut is TakeOrderedAndProject over the types frame; vocab rejoins as a ≤V-row broadcast",
+    "llm_embedding_outliers": "codegen per-vector squared-norm fold → 1-row stat aggregate broadcast back → codegen exact-decimal z-flag; no vector-payload shuffle, no corpus window",
+    "llm_split_leakage": "L2a's banded pair DAG + pure md5 split labels computed ON the pair frame (zero extra corpus scans/joins) → groupBy over the leak set only",
 }
 
 
