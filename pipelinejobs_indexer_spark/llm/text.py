@@ -1162,11 +1162,16 @@ def llm_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum over that frame yields each bucket's starting offset, (4)
     broadcast the offsets back and window-cumsum WITHIN (source, bucket)
     partitions — 16× the parallelism of the naive plan, raise
-    MIX_BUCKETS for more. The per-doc running total is offset + local
-    cumsum, identical to the oracle's single global window by
-    construction (the oracle deliberately keeps the naive formulation so
-    the two plans cross-check). All arithmetic is exact bigint — no
-    float-summation-order hazard in the budget comparison."""
+    MIX_BUCKETS for more. MEASURED (scripts/mix_strategy_probe.py,
+    BENCH_sf1.md): 4.2–4.6× faster than the naive window on 90/10-skew
+    frames at 1M–8M rows with bit-identical selections; the naive plan
+    wins below ~100k rows (extra-stage overhead), so the two-phase
+    shape is a deliberate scale choice. The per-doc running total is
+    offset + local cumsum, identical to the oracle's single global
+    window by construction (the oracle deliberately keeps the naive
+    formulation so the two plans cross-check). All arithmetic is exact
+    bigint — no float-summation-order hazard in the budget
+    comparison."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return mix_sample(docs)
 
@@ -1180,7 +1185,16 @@ def mix_sample(docs: DataFrame) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.expr(_mix_key_spark()).alias("k"),
-    ).withColumn("bucket", F.expr(f"k div {_MIX_BUCKET_DIV}"))
+    )
+    return mix_select(tok)
+
+
+def mix_select(tok: DataFrame) -> DataFrame:
+    """The two-phase prefix-sum selection over a prepared
+    (doc_id, source, n_tokens, k) frame — split out so the strategy
+    probe (scripts/mix_strategy_probe.py) can feed synthetic token
+    frames of arbitrary size/skew without materializing text."""
+    tok = tok.withColumn("bucket", F.expr(f"k div {_MIX_BUCKET_DIV}"))
     per_bucket = tok.groupBy("source", "bucket").agg(
         F.sum("n_tokens").alias("b_tokens")
     )
