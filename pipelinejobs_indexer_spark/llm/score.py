@@ -70,3 +70,32 @@ def quality_score_frame(docs: DataFrame) -> DataFrame:
         6,
     )
     return feat.select("doc_id", score.alias("score"))
+
+
+def quality_score_col():
+    """The L4c score as a single Column over a frame carrying `text` —
+    the same clamp and round-6 grid as quality_score_frame, for
+    consumers that need the score ALONGSIDE other columns without a
+    corpus-scale join-back (L6m corpus report). One policy, three
+    entry points."""
+    w = F.split("text", " ")
+    stop_ratio = (
+        F.expr(
+            f"size(filter(split(text, ' '), x -> array_contains("
+            f"{_sw_array_spark()}, x)))"
+        ).cast("double")
+        / F.size(w)
+    )
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.2)
+                + F.size(w) / 1000.0
+                + stop_ratio
+                - 0.05 * F.length(F.regexp_replace("text", "[a-z0-9 ]", "")),
+            ),
+        ),
+        6,
+    )

@@ -43,6 +43,7 @@ from .score import (  # noqa: E402
     STOPWORDS,
     _sw_array_spark,
     _sw_array_sql,
+    quality_score_col,
     quality_score_frame,
     quality_score_sql,
 )
@@ -1106,6 +1107,88 @@ def llm_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("t") / F.col("n_sources")) / F.col("tokens"), 6).alias(
             "uniform_weight"
         ),
+    )
+
+
+# ------------------------------------ L6m per-source corpus report
+def _corpus_report_sql() -> str:
+    return f"""WITH scored AS ({quality_score_sql()}),
+         d AS (
+           SELECT d.source, d.lang, md5(d.text) AS h,
+                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(floor(s.score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+                  CASE WHEN {_split_bucket_sql("d.")} >= {SPLIT_TRAIN_PM}
+                       THEN 1 ELSE 0 END AS is_eval
+           FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+         ),
+         per_source AS (
+           SELECT source,
+                  count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  count(*) - count(DISTINCT h) AS n_dup_docs,
+                  count(DISTINCT lang) AS n_langs,
+                  CAST(sum(score_micro) AS BIGINT) // count(*)
+                    AS mean_score_micro,
+                  CAST(sum(is_eval) AS BIGINT) AS n_eval_docs
+           FROM d GROUP BY source
+         )
+         SELECT *,
+                round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+                  AS token_share
+         FROM per_source"""
+
+
+@register("llm_corpus_report", sql=lambda: _corpus_report_sql())
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6m: the dataset-card audit — one frame per source carrying the
+    numbers a corpus release note publishes and a mixture designer reads
+    first: doc/token counts and token share, exact-duplicate docs (docs
+    minus distinct content hashes — the within-source redundancy L1
+    would remove), language diversity, mean L4c quality on the exact
+    micro grid (integer sum + integer division, no float-summation-order
+    hazard in the hash), and how many docs the L6k split holds out of
+    training. Composes the shared scoring policy (score.py — one
+    definition with L4c/L9c/the curation DAGs) and the L6k split hash;
+    the heavier audits stay their own queries (near-dup rate L2h,
+    leakage L6k2, drift L6i) — this is the one-scan summary those
+    deep-dives hang off.
+
+    Plan (100 TB): score/hash/split are codegen projections riding ONE
+    corpus scan into ONE groupBy(source) — the two distinct aggregates
+    (content hash, lang) Expand the input 3x inside the same exchange,
+    the documented cost of exact dup/diversity counts (swap to
+    approx_count_distinct past ~1e10 docs/source if 3x is real money);
+    token share joins in from a global window over the tiny per-source
+    frame, the L6l pattern, no second corpus scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_report(docs)
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """llm_corpus_report's core over any (doc_id, text, lang, source)
+    frame so tests can replay every column against a Python recompute."""
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.floor(quality_score_col() * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("score_micro"),
+        (split_bucket_col() >= SPLIT_TRAIN_PM).cast("bigint").alias("is_eval"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr("div(sum(score_micro), count(*))").alias("mean_score_micro"),
+        F.sum("is_eval").alias("n_eval_docs"),
+    )
+    wg = Window.partitionBy()
+    return per_source.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(wg), 6),
     )
 
 

@@ -2376,3 +2376,60 @@ def test_split_leakage_planted_cross_split_dups(spark):
     assert got[33].split == "valid" and got[53].split == "test"
     assert got[33].n_train_dups == 2 and got[53].n_train_dups == 2
     assert got[33].max_jaccard == 1.0 and got[53].max_jaccard == 1.0
+
+
+def test_corpus_report_matches_python_recompute(spark):
+    """Every dataset-card column replayed independently in Python over a
+    planted frame: an exact dup pair, two languages per source, known
+    split buckets (ids 0,1,2 train; 33 valid; 53 test), and scores
+    recomputed on the same round-6/micro grid."""
+    import hashlib
+    import math
+
+    from pipelinejobs_indexer_spark.llm.score import STOPWORDS
+    from pipelinejobs_indexer_spark.llm.text import corpus_report
+
+    rows = [
+        (0, "the cat sat", "en", "s1"),
+        (1, "the cat sat", "en", "s1"),  # exact dup of 0
+        (33, "dog runs fast", "de", "s1"),  # valid → eval
+        (53, "a of and is", "en", "s2"),  # test → eval
+        (2, "unique words here indeed", "fr", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def micro(text: str) -> int:
+        w = text.split(" ")
+        stop = sum(1 for x in w if x in STOPWORDS) / len(w)
+        punct = sum(1 for c in text if not (c.islower() or c.isdigit() or c == " "))
+        raw = 0.2 + len(w) / 1000.0 + stop - 0.05 * punct
+        raw = min(1.0, max(0.0, raw))
+        return int(math.floor(raw * 1_000_000 + 0.5))
+
+    def is_eval(doc_id: int) -> int:
+        b = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 1000
+        return 1 if b >= 900 else 0
+
+    want = {}
+    for src in ("s1", "s2"):
+        mine = [r for r in rows if r[3] == src]
+        toks = sum(len(r[1].split(" ")) for r in mine)
+        want[src] = dict(
+            n_docs=len(mine),
+            n_tokens=toks,
+            n_dup_docs=len(mine) - len({r[1] for r in mine}),
+            n_langs=len({r[2] for r in mine}),
+            mean_score_micro=sum(micro(r[1]) for r in mine) // len(mine),
+            n_eval_docs=sum(is_eval(r[0]) for r in mine),
+        )
+    total = sum(w["n_tokens"] for w in want.values())
+    got = {r.source: r for r in corpus_report(docs).collect()}
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for k, v in w.items():
+            assert getattr(g, k) == v, (src, k, getattr(g, k), v)
+        assert g.token_share == round(w["n_tokens"] / total, 6)
+    assert got["s1"].n_dup_docs == 1 and got["s1"].n_eval_docs == 1
