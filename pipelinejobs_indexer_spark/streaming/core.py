@@ -46,6 +46,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a micro-batch stream — the replay stand-in
+    for a Kafka/file-drop ingest feed of corpus documents (T11). No
+    event-time column: the bloom-gate consumer is stateless, so no
+    watermark is involved."""
+    tune(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
 def replay_partitions(sf_dir: str) -> int:
     """Stateful-operator parallelism sized from the source bytes: every
     shuffle partition of a stateful stream carries its own state store

@@ -668,3 +668,108 @@ def stream_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("indexed_ts") < F.col("a_ts") + F.expr("interval 30 minutes")),
     ).select("index_msg", "indexed_msg", "uuid", "indexed_ts")
     return run_to_batch(joined, "append", sf_dir)
+
+
+def _bloom_ingest_sql() -> str:
+    from ..config import CONFIG
+    from ..llm.dedup import INCREMENTAL_MOD, _bloom_bit_sql
+
+    m, k = CONFIG.bloom_bits, CONFIG.bloom_hashes
+    snap_bits = ", ".join(_bloom_bit_sql("h", j, m) for j in range(k))
+    probe_bits = ", ".join(_bloom_bit_sql("h", j, m) for j in range(k))
+    return f"""WITH batch AS (
+           SELECT doc_id, md5(text) AS h
+           FROM documents WHERE doc_id % {INCREMENTAL_MOD} = 0
+         ),
+         snap AS (
+           SELECT DISTINCT md5(text) AS h
+           FROM documents WHERE doc_id % {INCREMENTAL_MOD} != 0
+         ),
+         sb AS (
+           SELECT DISTINCT unnest([{snap_bits}]) AS bit FROM snap
+         ),
+         probes AS (
+           SELECT doc_id, unnest([{probe_bits}]) AS bit FROM batch
+         ),
+         hits AS (
+           SELECT doc_id, count(*) AS n
+           FROM probes JOIN sb USING (bit) GROUP BY doc_id
+         )
+         SELECT b.doc_id, coalesce(h.n, 0) = {k} AS dropped
+         FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id"""
+
+
+@register("stream_bloom_ingest", sql=lambda: _bloom_ingest_sql())
+def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: bloom-gated streaming ingest — L1c's epoch sketch applied
+    where it is actually designed to live: on the live document feed.
+    The corpus snapshot is pre-digested ONCE into the m-bit sketch,
+    collapsed to a single array row and broadcast; each streamed doc is
+    judged by a pure codegen probe (k md5-derived bits, forall
+    array_contains) — STATELESS append mode: no watermark, no state
+    store, no stream-side shuffle, which is what lets the gate run at
+    any input rate forever (the stateful alternatives — stream
+    dropDuplicates or a keyed agg — hold per-key state that only a
+    watermark can evict; a membership sketch holds none). False
+    positives (new docs wrongly dropped) are the documented price; L1c
+    is the batch audit that measures that rate and sizes m/k.
+
+    Cross-engine: the availableNow replay is deterministic and the gate
+    is stateless, so the batch formulation of the same sketch decision
+    is the exact DuckDB oracle (per-doc `dropped`, no in-batch
+    collapse — a stream judges each arrival independently).
+
+    At 100 TB: the sketch build is the once-per-epoch batch job (ONE
+    corpus-scale distinct); the stream pays O(1) per record against the
+    broadcast array. Past broadcastable m, swap the array for Spark's
+    packed bloom_filter_agg blob in the same join shape."""
+    from ..config import CONFIG
+    from ..llm.dedup import INCREMENTAL_MOD, _bloom_bit_spark
+    from ..tables import load_table
+    from .core import documents_stream
+
+    m, k = CONFIG.bloom_bits, CONFIG.bloom_hashes
+    snap = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    sketch = (
+        snap.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(_bloom_bit_spark("h", j, m) for j in range(k))
+                    + ")"
+                )
+            ).alias("bit")
+        )
+        .agg(F.collect_set("bit").alias("sbits"))
+        .withColumn("j", F.lit(1))
+    )
+    probed = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "array("
+                + ", ".join(
+                    _bloom_bit_spark("md5(text)", j, m) for j in range(k)
+                )
+                + ")"
+            ).alias("probes"),
+        )
+        .withColumn("j", F.lit(1))
+    )
+    out = (
+        probed.join(F.broadcast(sketch), "j", "left")
+        .select(
+            "doc_id",
+            F.expr("forall(probes, p -> array_contains(sbits, p))").alias(
+                "dropped"
+            ),
+        )
+    )
+    return run_to_batch(out, "append", sf_dir)

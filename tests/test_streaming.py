@@ -278,3 +278,35 @@ def test_fsm_alt_store_twin_matches_primary_and_restores_config(spark, sf_dir):
     with _pytest.raises(Exception):
         stream_fsm_alt_store(spark, "/nonexistent-sf-dir").collect()
     assert cfg.CONFIG is before
+
+
+def test_bloom_ingest_stream_matches_batch_audit(spark, sf_dir):
+    """T11's per-doc stream decision must equal L1c's batch audit for the
+    same content: dropped(doc) == maybe_seen(its content hash). One
+    sketch semantics, two surfaces — if they ever diverge, either the
+    broadcast-array probe or the relational bit-set is wrong."""
+    from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.llm.dedup import INCREMENTAL_MOD
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    registry.load_all()
+    stream = {
+        r.doc_id: r.dropped
+        for r in registry.QUERIES["stream_bloom_ingest"](spark, sf_dir).collect()
+    }
+    batch_audit = {
+        r.content_hash: r.maybe_seen
+        for r in registry.QUERIES["llm_dedup_bloom"](spark, sf_dir).collect()
+    }
+    hashes = {
+        r.doc_id: r.h
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+        .select("doc_id", F.md5("text").alias("h"))
+        .collect()
+    }
+    assert set(stream) == set(hashes)
+    for doc_id, dropped in stream.items():
+        assert dropped == batch_audit[hashes[doc_id]], doc_id
