@@ -2578,3 +2578,82 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+# ------------------------------------ L6n curriculum-ordered shards
+CURRICULUM_SHARDS = 4  # shards per stage at fixture scale
+
+
+def _curriculum_sql() -> str:
+    return f"""WITH scored AS ({quality_score_sql()}),
+         thr AS (
+           SELECT round(quantile_cont(score, 0.25), 6) AS t25,
+                  round(quantile_cont(score, 0.50), 6) AS t50,
+                  round(quantile_cont(score, 0.75), 6) AS t75
+           FROM scored
+         ),
+         lab AS (
+           SELECT doc_id, score,
+                  ('0x' || substr(md5('curr:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    AS k,
+                  CASE WHEN score <= t25 THEN 0
+                       WHEN score <= t50 THEN 1
+                       WHEN score <= t75 THEN 2 ELSE 3 END AS stage
+           FROM scored, thr
+         )
+         SELECT doc_id, score, stage,
+                k % {CURRICULUM_SHARDS} AS shard,
+                row_number() OVER (PARTITION BY stage, k % {CURRICULUM_SHARDS}
+                                   ORDER BY k, doc_id) AS pos
+         FROM lab"""
+
+
+@register("llm_corpus_curriculum", sql=lambda: _curriculum_sql())
+def llm_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6n: curriculum-ordered training shards — easy-to-hard data
+    scheduling without a global sort: docs are staged by quality
+    quartile (exact interpolated percentiles of the shared L4c score —
+    the cut adapts to the corpus, never hardcoded), then seeded-shuffled
+    WITHIN each stage into shards with a deterministic rank (the L6g
+    discipline, distinct 'curr:' hash namespace so curriculum order
+    never correlates with the global shuffle, the sample gate, or the
+    holdout split). A trainer consumes stages in order and streams each
+    stage's shards in pos order: difficulty is monotone ACROSS stages,
+    unbiased WITHIN them — reproducible across reruns, cluster sizes,
+    and partitionings.
+
+    Plan (100 TB): score is a codegen projection; the quartile cut is
+    ONE 1-row exact-percentile aggregate broadcast back (swap
+    approx_percentile's mergeable t-digest past memory, same shape);
+    stage/shard/key are codegen; the only structural exchange is the
+    hash partition on (stage, shard) feeding per-shard local sorts —
+    stages×shards × more parallelism than a global difficulty sort, no
+    single-partition funnel anywhere. Quartile ties resolve by the
+    round-6 score grid identically in both engines (calibrate/A8
+    precedent)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", quality_score_col().alias("score"))
+    thr = scored.agg(
+        F.round(F.expr("percentile(score, 0.25D)"), 6).alias("t25"),
+        F.round(F.expr("percentile(score, 0.50D)"), 6).alias("t50"),
+        F.round(F.expr("percentile(score, 0.75D)"), 6).alias("t75"),
+    )
+    lab = scored.join(F.broadcast(thr)).select(
+        "doc_id",
+        "score",
+        F.expr(
+            "cast(conv(substr(md5(concat('curr:', cast(doc_id as string))),"
+            " 1, 15), 16, 10) as bigint)"
+        ).alias("k"),
+        F.when(F.col("score") <= F.col("t25"), 0)
+        .when(F.col("score") <= F.col("t50"), 1)
+        .when(F.col("score") <= F.col("t75"), 2)
+        .otherwise(3)
+        .alias("stage"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("k", "doc_id")
+    return (
+        lab.withColumn("shard", F.col("k") % CURRICULUM_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "score", "stage", "shard", "pos")
+    )

@@ -2433,3 +2433,28 @@ def test_corpus_report_matches_python_recompute(spark):
             assert getattr(g, k) == v, (src, k, getattr(g, k), v)
         assert g.token_share == round(w["n_tokens"] / total, 6)
     assert got["s1"].n_dup_docs == 1 and got["s1"].n_eval_docs == 1
+
+
+def test_curriculum_stages_monotone_and_pos_contiguous(spark, sf_dir):
+    """Stage quartiles must partition the score axis (every stage-i score
+    strictly below every stage-i+1 score — threshold ties sink into the
+    lower stage), and within each (stage, shard) the pos ranks must be
+    the contiguous sequence 1..n."""
+    from collections import defaultdict
+
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["llm_corpus_curriculum"](spark, sf_dir).collect()
+    assert rows
+    by_stage = defaultdict(list)
+    shards = defaultdict(list)
+    for r in rows:
+        by_stage[r.stage].append(r.score)
+        shards[(r.stage, r.shard)].append(r.pos)
+    stages = sorted(by_stage)
+    assert stages == list(range(len(stages)))  # no empty middle stage
+    for lo, hi in zip(stages, stages[1:]):
+        assert max(by_stage[lo]) < min(by_stage[hi]), (lo, hi)
+    for key, poss in shards.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
