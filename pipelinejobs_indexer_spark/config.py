@@ -210,6 +210,17 @@ class EngineConfig:
     expression tree. Centroid count at real scale wants ~sqrt(n) — use
     the IVF operators for that regime; this trainer exists to train
     THEIR centroids off a sampled/quantized slice.
+    ``pq_m`` / ``pq_k`` / ``pq_iters`` — product-quantization codebook
+    training (L3i, ``llm_embedding_pq``): the vector splits into ``pq_m``
+    contiguous subspaces (must divide the embedding dim — checked at
+    runtime where the dim is known), each trained with its own
+    ``pq_k``-centroid / ``pq_iters``-iteration Lloyd loop under the same
+    exact-integer discipline as L3e. Memory story the knobs encode: a
+    PQ code is m×log2(k) bits per vector (m=4,k=4: one byte) vs
+    dim×4 bytes raw; recall wants m·k sized so k^m cells ≫ corpus
+    clusters. Same ≤64 centroid-expression cap per subspace as
+    ``kmeans_k``, same one-scan-per-iteration cost (ALL subspaces'
+    updates ride a single exchange of m×k×subdim rows per task).
     ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
     quality-classifier trainer (L3f, ``llm_classifier_logreg``). Each
     sweep is one corpus scan + one map-side-combined gradient aggregate
@@ -249,6 +260,9 @@ class EngineConfig:
     resilient_checkpoints: bool = False
     kmeans_k: int = 4
     kmeans_iters: int = 3
+    pq_m: int = 4
+    pq_k: int = 4
+    pq_iters: int = 2
     logreg_iters: int = 3
 
     def __post_init__(self) -> None:
@@ -282,6 +296,22 @@ class EngineConfig:
             raise ValueError(
                 f"kmeans_iters must be in [1, 50] (each iteration is a full "
                 f"corpus scan), got {self.kmeans_iters}"
+            )
+        if not 1 <= self.pq_m <= 64:
+            raise ValueError(
+                f"pq_m must be in [1, 64] (subspaces beyond the embedding "
+                f"dim are impossible; divisibility is checked against the "
+                f"actual dim at training time), got {self.pq_m}"
+            )
+        if not 2 <= self.pq_k <= 64:
+            raise ValueError(
+                f"pq_k must be in [2, 64] (same codegen argmin-expression "
+                f"cap as kmeans_k, per subspace), got {self.pq_k}"
+            )
+        if not 1 <= self.pq_iters <= 50:
+            raise ValueError(
+                f"pq_iters must be in [1, 50] (each iteration is a full "
+                f"corpus scan), got {self.pq_iters}"
             )
         if not 1 <= self.logreg_iters <= 50:
             raise ValueError(
@@ -343,6 +373,9 @@ def from_env() -> EngineConfig:
         ),
         kmeans_k=_env_int("SPARK_GRAFT_KMEANS_K", d.kmeans_k),
         kmeans_iters=_env_int("SPARK_GRAFT_KMEANS_ITERS", d.kmeans_iters),
+        pq_m=_env_int("SPARK_GRAFT_PQ_M", d.pq_m),
+        pq_k=_env_int("SPARK_GRAFT_PQ_K", d.pq_k),
+        pq_iters=_env_int("SPARK_GRAFT_PQ_ITERS", d.pq_iters),
         logreg_iters=_env_int("SPARK_GRAFT_LOGREG_ITERS", d.logreg_iters),
     )
 

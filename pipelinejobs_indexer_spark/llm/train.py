@@ -356,3 +356,235 @@ def llm_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     config (SPARK_GRAFT_LOGREG_ITERS).
     """
     return logreg_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------- L3i product quantization
+
+
+def _sub_dist_expr(col: str, cent: list[int]) -> Column:
+    """Exact integer squared-L2 distance from the sub-vector expression
+    ``col`` to one subspace centroid, folded inside codegen."""
+    arr = "array(" + ",".join(f"{int(v)}L" for v in cent) + ")"
+    return F.expr(
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (a, x) -> a + x)"
+    )
+
+
+def _sub_assign(col: str, cents: list[list[int]]) -> Column:
+    """argmin (distance, code) struct over one subspace's centroid set —
+    ties toward the smaller code, matching the oracle's ORDER BY d, j."""
+    structs = [
+        F.struct(_sub_dist_expr(col, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(cents)
+    ]
+    return F.array_min(F.array(*structs))
+
+
+def pq_plan(
+    e: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebook training + encoding over an
+    embeddings-shaped frame: the vector splits into CONFIG.pq_m
+    contiguous subspaces, each trained with its own pq_k-centroid Lloyd
+    loop (pq_iters iterations, same exact-integer grid as kmeans_plan,
+    same strided seed, same empty-cluster carry-over), then every vector
+    is encoded as its per-subspace nearest-centroid codes plus the exact
+    integer reconstruction error.
+
+    One scan per iteration trains ALL subspaces: each row explodes to
+    pq_m (subspace, code, sub-vector) structs and one combiner
+    groupBy(m, code, pos) carries m×k×subdim rows per task — the same
+    O(model) exchange discipline as L3e/L3f. Codebooks live on the
+    driver between iterations and ride the next plan as broadcast
+    literals."""
+    m_sub = CONFIG.pq_m if m is None else m
+    k = CONFIG.pq_k if k is None else k
+    iters = CONFIG.pq_iters if iters is None else iters
+    q = e.select("vec_id", F.expr(_QUANT).alias("xq"))
+    q = iter_checkpoint(spread(q))
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.max(F.size("xq")).alias("dim"),
+        F.min(F.size("xq")).alias("dim_lo"),
+    ).first()
+    n, dim = stats["n"], stats["dim"]
+    if n < k:
+        raise ValueError(f"pq needs at least pq_k={k} vectors, got {n}")
+    if stats["lo"] != 0 or stats["hi"] != n - 1:
+        raise ValueError(
+            f"pq strided init expects dense vec_ids 0..n-1, got range "
+            f"[{stats['lo']}, {stats['hi']}] over {n} rows"
+        )
+    if dim != stats["dim_lo"]:
+        raise ValueError("pq requires a fixed embedding dimension")
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"pq_m={m_sub} must divide the embedding dim {dim} "
+            f"(contiguous equal subspaces)"
+        )
+    sub = dim // m_sub
+    stride = n // k
+    seed_ids = [j * stride for j in range(k)]
+    seeds = {
+        r["vec_id"]: list(r["xq"])
+        for r in q.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    missing = [i for i in seed_ids if i not in seeds]
+    if missing:
+        raise ValueError(
+            f"pq strided init expects dense vec_ids 0..n-1; missing {missing}"
+        )
+    cents = [
+        [seeds[i][m * sub : (m + 1) * sub] for i in seed_ids]
+        for m in range(m_sub)
+    ]
+    slices = [f"slice(xq, {m * sub + 1}, {sub})" for m in range(m_sub)]
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                F.lit(m).alias("m"),
+                _sub_assign(slices[m], cents[m])["j"].alias("code"),
+                F.expr(slices[m]).alias("sv"),
+            )
+            for m in range(m_sub)
+        ]
+        ex = (
+            q.select(F.explode(F.array(*structs)).alias("t"))
+            .select(
+                F.col("t.m").alias("m"),
+                F.col("t.code").alias("code"),
+                F.posexplode(F.col("t.sv")).alias("pos", "val"),
+            )
+        )
+        rows = (
+            ex.groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            sums.setdefault((r["m"], r["code"]), {})[r["pos"]] = (
+                r["s"],
+                r["cnt"],
+            )
+        cents = [
+            [
+                [
+                    sums[(m, j)][p][0] // sums[(m, j)][p][1]
+                    for p in range(sub)
+                ]
+                if (m, j) in sums
+                else cents[m][j]  # empty cell: centroid carries over
+                for j in range(k)
+            ]
+            for m in range(m_sub)
+        ]
+    assigns = [
+        _sub_assign(slices[m], cents[m]).alias(f"a{m}") for m in range(m_sub)
+    ]
+    out = q.select("vec_id", *assigns)
+    code = F.concat_ws(
+        "|", *[F.col(f"a{m}.j").cast("string") for m in range(m_sub)]
+    )
+    err = F.col("a0.d")
+    for m in range(1, m_sub):
+        err = err + F.col(f"a{m}.d")
+    return out.select("vec_id", code.alias("pq_code"), err.alias("err"))
+
+
+def _pq_sql(
+    m: int | None = None, k: int | None = None, iters: int | None = None
+) -> str:
+    """DuckDB oracle: the per-subspace Lloyd loops unrolled as CTEs over
+    the identical integer grid (the _kmeans_sql pattern, once per
+    subspace; sub-vector bounds derive from len(xq) so the SQL needs no
+    dimension literal)."""
+    m_sub = CONFIG.pq_m if m is None else m
+    k = CONFIG.pq_k if k is None else k
+    iters = CONFIG.pq_iters if iters is None else iters
+    dist = (
+        "list_sum([(a.sq[i] - c.sq[i]) * (a.sq[i] - c.sq[i]) "
+        "for i in generate_series(1, len(a.sq))])"
+    )
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS xq FROM embeddings)",
+        f"init AS MATERIALIZED (SELECT CAST(floor(count(*) / {k}) AS BIGINT)"
+        " AS stride FROM e)",
+    ]
+    for m in range(m_sub):
+        lo = f"{m} * (len(xq) // {m_sub}) + 1"
+        hi = f"{m + 1} * (len(xq) // {m_sub})"
+        ctes.append(
+            f"em{m} AS MATERIALIZED (SELECT vec_id, xq[{lo}:{hi}] AS sq FROM e)"
+        )
+        ctes.append(
+            f"""c0x{m} AS MATERIALIZED (SELECT CAST(floor(a.vec_id / init.stride) AS INTEGER) AS j, a.sq
+       FROM em{m} a, init
+       WHERE a.vec_id % init.stride = 0 AND a.vec_id < {k} * init.stride)"""
+        )
+        for t in range(1, iters + 2):
+            last = t == iters + 1
+            ctes.append(
+                f"""a{t}x{m} AS MATERIALIZED (SELECT a.vec_id, c.j, {dist} AS d,
+       row_number() OVER (PARTITION BY a.vec_id ORDER BY {dist} ASC, c.j ASC) AS r
+       FROM em{m} a CROSS JOIN c{t - 1}x{m} c)"""
+            )
+            if last:
+                break
+            ctes.append(
+                f"""s{t}x{m} AS MATERIALIZED (SELECT j, pos, sum(val) AS s, count(*) AS cnt FROM (
+         SELECT a.j, unnest(range(1, len(e.sq) + 1)) AS pos, unnest(e.sq) AS val
+         FROM a{t}x{m} a JOIN em{m} e USING (vec_id) WHERE a.r = 1) GROUP BY j, pos)"""
+            )
+            ctes.append(
+                f"""u{t}x{m} AS MATERIALIZED (SELECT j, list(CAST(floor(s / cnt) AS BIGINT) ORDER BY pos) AS sq
+       FROM s{t}x{m} GROUP BY j)"""
+            )
+            ctes.append(
+                f"""c{t}x{m} AS MATERIALIZED (SELECT c.j, COALESCE(u.sq, c.sq) AS sq
+       FROM c{t - 1}x{m} c LEFT JOIN u{t}x{m} u USING (j))"""
+            )
+        ctes.append(
+            f"f{m} AS MATERIALIZED (SELECT vec_id, j, d FROM a{iters + 1}x{m} "
+            "WHERE r = 1)"
+        )
+    code = " || '|' || ".join(f"CAST(f{m}.j AS VARCHAR)" for m in range(m_sub))
+    err = " + ".join(f"f{m}.d" for m in range(m_sub))
+    joins = "f0" + "".join(
+        f" JOIN f{m} USING (vec_id)" for m in range(1, m_sub)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, {code} AS pq_code, CAST({err} AS BIGINT) AS err"
+        + f"\nFROM {joins}"
+    )
+
+
+@register("llm_embedding_pq", sql=_pq_sql)
+def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3i: product-quantization codebooks + codes — the memory side of
+    the ANN stack (L6d's scalar quantize shrinks per-coordinate width;
+    PQ shrinks per-VECTOR width: pq_m codes of log2(pq_k) bits each, one
+    byte per vector at the 4×4 default vs 256 bytes raw float32, the
+    compression that lets a 100 TB embedding corpus serve distance
+    queries from RAM via asymmetric code-to-centroid lookup tables).
+    Trains per-subspace Lloyd codebooks under the L3e exact-integer
+    discipline and emits each vector's code string plus its exact
+    integer reconstruction error — the fidelity audit that sizes
+    pq_m/pq_k (knobs SPARK_GRAFT_PQ_M/_K/_ITERS, config.py).
+
+    Plan shape (100 TB): per iteration ONE corpus scan — every subspace's
+    assignment is a broadcast-literal argmin fold, and all subspaces'
+    centroid updates ride ONE combiner groupBy(m, code, pos) whose
+    exchange carries m×k×subdim rows per task; the driver holds the
+    m×k×subdim codebook and nothing else. Final encoding is a pure
+    codegen projection, zero exchanges. Oracle: the identical iterations
+    unrolled per subspace as MATERIALIZED CTEs (the L3e pattern)."""
+    return pq_plan(load_table(spark, sf_dir, "embeddings"))

@@ -103,3 +103,116 @@ def test_config_rejects_bad_trainer_knobs():
         EngineConfig(logreg_iters=0)
     # in-range values construct fine
     EngineConfig(kmeans_k=64, kmeans_iters=50, logreg_iters=50)
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    from pipelinejobs_indexer_spark.llm.train import pq_plan
+
+    rows = [(i, 0, [0.1, 0.2, 0.3]) for i in range(6)]  # dim 3, pq_m=4
+    with pytest.raises(ValueError, match="must divide"):
+        pq_plan(spark.createDataFrame(rows, _SCHEMA))
+
+
+def test_pq_identical_vectors_code_zero_err_zero(spark):
+    """All-identical corpus: every subspace's seeds coincide, the index
+    tiebreak sends every code to 0, reconstruction is exact — the
+    carry-over branch exercised in every subspace at once."""
+    from pipelinejobs_indexer_spark.llm.train import pq_plan
+
+    rows = [(i, 1, [0.25, -0.5, 0.75, 0.1]) for i in range(8)]
+    out = pq_plan(spark.createDataFrame(rows, _SCHEMA)).collect()
+    assert len(out) == 8
+    assert all(r["pq_code"] == "0|0|0|0" and r["err"] == 0 for r in out)
+
+
+def _pq_python(rows, m_sub, k, iters, qscale=1000):
+    """Independent full PQ recompute: quantize → strided seeds →
+    Lloyd per subspace (argmin ties to smaller code, floor-div updates,
+    empty-cell carry-over) → final codes + exact err."""
+    n = len(rows)
+    xq = {
+        i: [round(x * qscale) for x in v] for i, _, v in rows
+    }  # python round is banker's — callers must pick off-boundary values
+    dim = len(next(iter(xq.values())))
+    sub = dim // m_sub
+    stride = n // k
+    seeds = [xq[j * stride] for j in range(k)]
+    cents = [[s[m * sub : (m + 1) * sub] for s in seeds] for m in range(m_sub)]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        sums = {}
+        for i, v in xq.items():
+            for m in range(m_sub):
+                sv = v[m * sub : (m + 1) * sub]
+                code = min(
+                    range(k), key=lambda j: (d2(sv, cents[m][j]), j)
+                )
+                s, cnt = sums.get((m, code), ([0] * sub, 0))
+                sums[(m, code)] = ([a + b for a, b in zip(s, sv)], cnt + 1)
+        for m in range(m_sub):
+            for j in range(k):
+                if (m, j) in sums:
+                    s, cnt = sums[(m, j)]
+                    cents[m][j] = [x // cnt for x in s]
+    out = {}
+    for i, v in xq.items():
+        codes, err = [], 0
+        for m in range(m_sub):
+            sv = v[m * sub : (m + 1) * sub]
+            code = min(range(k), key=lambda j: (d2(sv, cents[m][j]), j))
+            codes.append(str(code))
+            err += d2(sv, cents[m][code])
+        out[i] = ("|".join(codes), err)
+    return out
+
+
+def test_pq_matches_python_recompute(spark):
+    """The full distributed training replayed independently in Python
+    (deterministic non-trivial frame, off-grid-boundary coordinates so
+    HALF_UP and banker's rounding agree): every code string and exact
+    reconstruction error must match, at the default knobs AND a
+    non-default (m=2, k=3, iters=3) combination."""
+    from pipelinejobs_indexer_spark.llm.train import pq_plan
+
+    rows = [
+        (i, 0, [((i * 7 + d * 3) % 13) / 10.0 - 0.6 for d in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    for m_sub, k, iters in [(4, 4, 2), (2, 3, 3)]:
+        want = _pq_python(rows, m_sub, k, iters)
+        got = {
+            r["vec_id"]: (r["pq_code"], r["err"])
+            for r in pq_plan(df, m=m_sub, k=k, iters=iters).collect()
+        }
+        assert got == want, (m_sub, k, iters)
+
+
+def test_pq_nondefault_knobs_match_oracle(spark, ddb, sf_dir):
+    """m=2 subspaces / k=3 codes / 1 iteration instead of 4/4/2: plan and
+    regenerated oracle must still agree bit-for-bit."""
+    from pipelinejobs_indexer_spark.config import CONFIG
+    from pipelinejobs_indexer_spark.llm.train import _pq_sql, pq_plan
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity import assert_frames_match
+
+    assert (CONFIG.pq_m, CONFIG.pq_k, CONFIG.pq_iters) != (2, 3, 1)
+    sdf = pq_plan(load_table(spark, sf_dir, "embeddings"), m=2, k=3, iters=1)
+    duck = ddb.execute(_pq_sql(m=2, k=3, iters=1)).df()
+    assert_frames_match(sdf.toPandas(), duck, "llm_embedding_pq[2/3/1]")
+
+
+def test_config_rejects_bad_pq_knobs():
+    with pytest.raises(ValueError, match="pq_m"):
+        EngineConfig(pq_m=0)
+    with pytest.raises(ValueError, match="pq_m"):
+        EngineConfig(pq_m=65)
+    with pytest.raises(ValueError, match="pq_k"):
+        EngineConfig(pq_k=1)
+    with pytest.raises(ValueError, match="pq_iters"):
+        EngineConfig(pq_iters=0)
