@@ -83,6 +83,10 @@ SHOWCASE = {
     "llm_vocab_coverage": "one corpus-scale (source,token) combiner exchange; top-V cut is TakeOrderedAndProject over the types frame; vocab rejoins as a ≤V-row broadcast",
     "llm_embedding_outliers": "codegen per-vector squared-norm fold → 1-row stat aggregate broadcast back → codegen exact-decimal z-flag; no vector-payload shuffle, no corpus window",
     "llm_split_leakage": "L2a's banded pair DAG + pure md5 split labels computed ON the pair frame (zero extra corpus scans/joins) → groupBy over the leak set only",
+    "llm_corpus_report": "score/hash/split codegen riding ONE scan into ONE groupBy(source); the two exact distincts Expand 3x inside that exchange; token share via a global window over the tiny per-source frame",
+    "llm_corpus_curriculum": "codegen score → 1-row exact-percentile broadcast → one (stage, shard) hash exchange + per-shard local sorts — no global difficulty sort",
+    "llm_embedding_pq": "final encoding: per-subspace broadcast-literal argmin folds in one codegen projection — zero exchanges (each training iteration added one combiner groupBy of m*k*subdim rows)",
+    "stream_bloom_ingest": "stateless stream gate: 1-row set-bit array broadcast into the feed, forall/array_contains codegen decision — no watermark, no state store, no stream-side shuffle",
 }
 
 
