@@ -401,6 +401,32 @@ def pq_plan(
     O(model) exchange discipline as L3e/L3f. Codebooks live on the
     driver between iterations and ride the next plan as broadcast
     literals."""
+    q, cents, _sub, slices = _pq_fit(e, m, k, iters)
+    m_sub = len(cents)
+    assigns = [
+        _sub_assign(slices[mm], cents[mm]).alias(f"a{mm}")
+        for mm in range(m_sub)
+    ]
+    out = q.select("vec_id", *assigns)
+    code = F.concat_ws(
+        "|", *[F.col(f"a{mm}.j").cast("string") for mm in range(m_sub)]
+    )
+    err = F.col("a0.d")
+    for mm in range(1, m_sub):
+        err = err + F.col(f"a{mm}.d")
+    return out.select("vec_id", code.alias("pq_code"), err.alias("err"))
+
+
+def _pq_fit(
+    e: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+) -> tuple[DataFrame, list[list[list[int]]], int, list[str]]:
+    """Train the per-subspace codebooks; returns (checkpointed quantized
+    frame, cents[m][j][pos], subdim, per-subspace slice exprs) so both
+    the encoder (pq_plan) and the ADC search (pq_search_plan) run off
+    one fit."""
     m_sub = CONFIG.pq_m if m is None else m
     k = CONFIG.pq_k if k is None else k
     iters = CONFIG.pq_iters if iters is None else iters
@@ -485,29 +511,13 @@ def pq_plan(
             ]
             for m in range(m_sub)
         ]
-    assigns = [
-        _sub_assign(slices[m], cents[m]).alias(f"a{m}") for m in range(m_sub)
-    ]
-    out = q.select("vec_id", *assigns)
-    code = F.concat_ws(
-        "|", *[F.col(f"a{m}.j").cast("string") for m in range(m_sub)]
-    )
-    err = F.col("a0.d")
-    for m in range(1, m_sub):
-        err = err + F.col(f"a{m}.d")
-    return out.select("vec_id", code.alias("pq_code"), err.alias("err"))
+    return q, cents, sub, slices
 
 
-def _pq_sql(
-    m: int | None = None, k: int | None = None, iters: int | None = None
-) -> str:
-    """DuckDB oracle: the per-subspace Lloyd loops unrolled as CTEs over
-    the identical integer grid (the _kmeans_sql pattern, once per
-    subspace; sub-vector bounds derive from len(xq) so the SQL needs no
-    dimension literal)."""
-    m_sub = CONFIG.pq_m if m is None else m
-    k = CONFIG.pq_k if k is None else k
-    iters = CONFIG.pq_iters if iters is None else iters
+def _pq_ctes(m_sub: int, k: int, iters: int) -> list[str]:
+    """The shared CTE chain for the PQ oracles: quantize → per-subspace
+    slices → unrolled Lloyd loops → f{m} (final code per vector) with
+    c{iters}x{m} as the final codebooks."""
     dist = (
         "list_sum([(a.sq[i] - c.sq[i]) * (a.sq[i] - c.sq[i]) "
         "for i in generate_series(1, len(a.sq))])"
@@ -554,6 +564,20 @@ def _pq_sql(
             f"f{m} AS MATERIALIZED (SELECT vec_id, j, d FROM a{iters + 1}x{m} "
             "WHERE r = 1)"
         )
+    return ctes
+
+
+def _pq_sql(
+    m: int | None = None, k: int | None = None, iters: int | None = None
+) -> str:
+    """DuckDB oracle: the per-subspace Lloyd loops unrolled as CTEs over
+    the identical integer grid (the _kmeans_sql pattern, once per
+    subspace; sub-vector bounds derive from len(xq) so the SQL needs no
+    dimension literal)."""
+    m_sub = CONFIG.pq_m if m is None else m
+    k = CONFIG.pq_k if k is None else k
+    iters = CONFIG.pq_iters if iters is None else iters
+    ctes = _pq_ctes(m_sub, k, iters)
     code = " || '|' || ".join(f"CAST(f{m}.j AS VARCHAR)" for m in range(m_sub))
     err = " + ".join(f"f{m}.d" for m in range(m_sub))
     joins = "f0" + "".join(
@@ -588,3 +612,136 @@ def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen projection, zero exchanges. Oracle: the identical iterations
     unrolled per subspace as MATERIALIZED CTEs (the L3e pattern)."""
     return pq_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------- L3j PQ asymmetric-distance search
+PQ_SEARCH_QUERIES = 5  # query set: vec_id < 5 (the L3a convention)
+PQ_SEARCH_TOP_K = 10
+
+
+def pq_search_plan(
+    e: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the PQ fit: every corpus vector is reduced to its
+    per-subspace codes, every probe precomputes its k-entry distance
+    table per subspace (exact integer d² probe-subvector→centroid, on
+    the DRIVER — m×k×n_probes ints, the model-sized state this family
+    always keeps driver-side), and the scan scores each vector as the
+    sum of m table lookups — the asymmetric distance computation that
+    makes PQ indexes servable from RAM. Self-matches excluded; rank by
+    (adc, vec_id) so ordering is engine-independent (exact integers —
+    no float tie hazard at all)."""
+    q, cents, sub, slices = _pq_fit(e, m, k, iters)
+    m_sub = len(cents)
+    probes = sorted(
+        q.filter(F.col("vec_id") < PQ_SEARCH_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = q.select(
+        "vec_id",
+        *[
+            _sub_assign(slices[mm], cents[mm])["j"].alias(f"c{mm}")
+            for mm in range(m_sub)
+        ],
+    )
+    structs = []
+    for p in probes:
+        pv = list(p["xq"])
+        adc = None
+        for mm in range(m_sub):
+            table = [
+                d2(pv[mm * sub : (mm + 1) * sub], cents[mm][j])
+                for j in range(len(cents[mm]))
+            ]
+            arr = "array(" + ",".join(f"{v}L" for v in table) + ")"
+            term = F.expr(f"element_at({arr}, c{mm} + 1)")
+            adc = term if adc is None else adc + term
+        structs.append(
+            F.struct(
+                F.lit(int(p["vec_id"])).alias("qid"), adc.alias("adc")
+            )
+        )
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*structs)).alias("t"))
+        .select(F.col("t.qid").alias("qid"), "vec_id", F.col("t.adc").alias("adc"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_SEARCH_TOP_K)
+        .select("qid", "vec_id", "adc", "rank")
+    )
+
+
+def _pq_search_sql(
+    m: int | None = None, k: int | None = None, iters: int | None = None
+) -> str:
+    """Oracle: the shared PQ CTE chain + per-probe distance tables off
+    the final codebooks (c{iters}x{m}) + the same ADC sum and ranking."""
+    m_sub = CONFIG.pq_m if m is None else m
+    k = CONFIG.pq_k if k is None else k
+    iters = CONFIG.pq_iters if iters is None else iters
+    ctes = _pq_ctes(m_sub, k, iters)
+    dist = (
+        "list_sum([(p.sq[i] - c.sq[i]) * (p.sq[i] - c.sq[i]) "
+        "for i in generate_series(1, len(p.sq))])"
+    )
+    for mm in range(m_sub):
+        ctes.append(
+            f"""dt{mm} AS MATERIALIZED (SELECT p.vec_id AS qid, c.j, {dist} AS d
+       FROM em{mm} p CROSS JOIN c{iters}x{mm} c
+       WHERE p.vec_id < {PQ_SEARCH_QUERIES})"""
+        )
+    joins = ["f0 a0"]
+    for mm in range(1, m_sub):
+        joins.append(f"JOIN f{mm} a{mm} ON a{mm}.vec_id = a0.vec_id")
+    joins.append("JOIN dt0 d0 ON d0.j = a0.j")
+    for mm in range(1, m_sub):
+        joins.append(
+            f"JOIN dt{mm} d{mm} ON d{mm}.j = a{mm}.j AND d{mm}.qid = d0.qid"
+        )
+    adc = " + ".join(f"d{mm}.d" for mm in range(m_sub))
+    ctes.append(
+        f"""scored AS (SELECT d0.qid, a0.vec_id, CAST({adc} AS BIGINT) AS adc
+       FROM {' '.join(joins)}
+       WHERE a0.vec_id <> d0.qid)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""\nSELECT qid, vec_id, adc, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+         FROM scored
+       ) WHERE rank <= {PQ_SEARCH_TOP_K}"""
+    )
+
+
+@register("llm_similarity_pq", sql=_pq_search_sql)
+def llm_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3j: PQ asymmetric-distance top-k search — the consumer that makes
+    L3i's codes an INDEX rather than a compression stunt, and the third
+    leg of the ANN family (L3a exact brute force = the recall ceiling,
+    L3b/L3c prune the candidate set, this one shrinks the per-candidate
+    cost: m integer table lookups instead of a dim-length float dot
+    product, with the whole corpus representation small enough to pin in
+    RAM at 100 TB raw).
+
+    Plan shape: training (L3i's one-scan-per-iteration loop) + ONE
+    scoring scan where each probe's m×k distance table rides the plan as
+    a broadcast literal and each vector costs m element_at lookups in
+    codegen; the only search-side exchange is the per-probe top-k window
+    over (probes × corpus) rows — at scale, cap that with an LSH/IVF
+    pre-filter (L3b/L3c) feeding this scorer, the standard IVFPQ
+    composition. Exact integer end-to-end: the ADC sum, ranking, and
+    oracle hash carry no float anywhere."""
+    return pq_search_plan(load_table(spark, sf_dir, "embeddings"))

@@ -166,7 +166,7 @@ def _pq_python(rows, m_sub, k, iters, qscale=1000):
             codes.append(str(code))
             err += d2(sv, cents[m][code])
         out[i] = ("|".join(codes), err)
-    return out
+    return out, cents, xq, sub
 
 
 def test_pq_matches_python_recompute(spark):
@@ -183,7 +183,7 @@ def test_pq_matches_python_recompute(spark):
     ]
     df = spark.createDataFrame(rows, _SCHEMA)
     for m_sub, k, iters in [(4, 4, 2), (2, 3, 3)]:
-        want = _pq_python(rows, m_sub, k, iters)
+        want, _, _, _ = _pq_python(rows, m_sub, k, iters)
         got = {
             r["vec_id"]: (r["pq_code"], r["err"])
             for r in pq_plan(df, m=m_sub, k=k, iters=iters).collect()
@@ -216,3 +216,48 @@ def test_config_rejects_bad_pq_knobs():
         EngineConfig(pq_k=1)
     with pytest.raises(ValueError, match="pq_iters"):
         EngineConfig(pq_iters=0)
+
+
+def test_pq_search_matches_python_adc_recompute(spark):
+    """The full ADC search replayed in Python ints: codebooks from the
+    same recompute as the encoding test, per-probe distance tables, sum
+    of table lookups, (adc, vec_id) ranking with self excluded — every
+    (qid, vec_id, adc, rank) row must match."""
+    from pipelinejobs_indexer_spark.llm.train import (
+        PQ_SEARCH_QUERIES,
+        PQ_SEARCH_TOP_K,
+        pq_search_plan,
+    )
+
+    rows = [
+        (i, 0, [((i * 7 + d * 3) % 13) / 10.0 - 0.6 for d in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    m_sub, k, iters = 2, 3, 2
+    codes, cents, xq, sub = _pq_python(rows, m_sub, k, iters)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    want = set()
+    for qid in range(PQ_SEARCH_QUERIES):
+        pv = xq[qid]
+        tables = [
+            [d2(pv[m * sub : (m + 1) * sub], cents[m][j]) for j in range(k)]
+            for m in range(m_sub)
+        ]
+        scored = []
+        for i in xq:
+            if i == qid:
+                continue
+            cs = [int(c) for c in codes[i][0].split("|")]
+            scored.append((sum(tables[m][cs[m]] for m in range(m_sub)), i))
+        scored.sort()
+        for rank, (adc, i) in enumerate(scored[:PQ_SEARCH_TOP_K], start=1):
+            want.add((qid, i, adc, rank))
+    got = {
+        (r["qid"], r["vec_id"], r["adc"], r["rank"])
+        for r in pq_search_plan(df, m=m_sub, k=k, iters=iters).collect()
+    }
+    assert got == want
