@@ -478,6 +478,9 @@ def test_registry_loads_under_extreme_trainer_knobs():
         SPARK_GRAFT_KMEANS_K="64",
         SPARK_GRAFT_KMEANS_ITERS="50",
         SPARK_GRAFT_LOGREG_ITERS="50",
+        SPARK_GRAFT_PQ_M="8",
+        SPARK_GRAFT_PQ_K="64",
+        SPARK_GRAFT_PQ_ITERS="50",
     )
     out = subprocess.run(
         [
@@ -490,6 +493,8 @@ def test_registry_loads_under_extreme_trainer_knobs():
             "lg = registry.ORACLE['llm_classifier_logreg'];"
             "assert 'c50' in km and 'c51' not in km;"
             "assert 'w50' in lg and 'w51' not in lg;"
+            "pq = registry.ORACLE['llm_embedding_pq'];"
+            "assert 'c50x7' in pq and 'c51x7' not in pq and 'em8' not in pq;"
             "print('LOADED', len(registry.QUERIES))",
         ],
         env=env,

@@ -483,3 +483,35 @@ def test_logreg_matches_oracle_on_random_embeddings(spark):
         )
 
     check()
+
+
+def test_pq_training_matches_python_on_random_corpora(spark):
+    """PQ differential fuzz (the dedup-core pattern): random embedding
+    frames → full Spark training vs the independent Python recompute,
+    three seeds × two knob shapes. Coordinates are drawn off the 0.0005
+    grid midpoints so HALF_UP and banker's rounding agree."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.train import pq_plan
+    from test_train import _SCHEMA, _pq_python
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = rng.randrange(10, 25)
+        dim = rng.choice((4, 8))
+        rows = [
+            (
+                i,
+                0,
+                [rng.randrange(-600, 600) / 1000.0 for _ in range(dim)],
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        for m_sub, k in ((2, 3), (4, 2)):
+            want, _, _, _ = _pq_python(rows, m_sub, k, 2)
+            got = {
+                r["vec_id"]: (r["pq_code"], r["err"])
+                for r in pq_plan(df, m=m_sub, k=k, iters=2).collect()
+            }
+            assert got == want, (seed, m_sub, k)
