@@ -365,7 +365,25 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _centroid_array(e)
     cells = _ivf_cells(e, cents)
-    # query probing: N_QUERIES rows — the cross-join + window shape is fine
+    probes = _ivf_probe_cells(e, cents)
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qv", "v"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def _ivf_probe_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(qid, qv, cell) — each query's N_PROBE nearest cells by rounded
+    cosine (cell tiebreak ascending); N_QUERIES rows in, the cross-join +
+    window shape is fine. Shared by L3c and the L3k IVFPQ composition."""
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
@@ -393,18 +411,7 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= N_PROBE)
         .select("qid", "qv", "cell")
     )
-    scored = (
-        F.broadcast(probes)
-        .join(cells, "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(_cos("qv", "v"), 6).alias("cosine"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "vec_id", "cosine", "rank")
-    )
+    return probes
 
 
 # ---------------------------------------- L3d embedding-quality kNN eval

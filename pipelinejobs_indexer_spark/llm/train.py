@@ -745,3 +745,145 @@ def llm_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition. Exact integer end-to-end: the ADC sum, ranking, and
     oracle hash carry no float anywhere."""
     return pq_search_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------- L3k IVFPQ composed search
+def _ivfpq_sql() -> str:
+    from .similarity import _COS_LIST_SQL, CENT_STRIDE, N_PROBE
+
+    m_sub, k, iters = CONFIG.pq_m, CONFIG.pq_k, CONFIG.pq_iters
+    ctes = _pq_ctes(m_sub, k, iters)
+    dist = (
+        "list_sum([(p.sq[i] - c.sq[i]) * (p.sq[i] - c.sq[i]) "
+        "for i in generate_series(1, len(p.sq))])"
+    )
+    for mm in range(m_sub):
+        ctes.append(
+            f"""dt{mm} AS MATERIALIZED (SELECT p.vec_id AS qid, c.j, {dist} AS d
+       FROM em{mm} p CROSS JOIN c{iters}x{mm} c
+       WHERE p.vec_id < {PQ_SEARCH_QUERIES})"""
+        )
+    ctes.append(
+        "ed AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    ctes.append(
+        f"cc AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ed "
+        f"WHERE vec_id % {CENT_STRIDE} = 3)"
+    )
+    ctes.append(
+        f"""ass AS MATERIALIZED (SELECT ed.vec_id, cc.cid,
+       row_number() OVER (
+         PARTITION BY ed.vec_id
+         ORDER BY {_COS_LIST_SQL.format(a='ed.v', b='cc.cv')} DESC, cc.cid
+       ) AS r
+       FROM ed CROSS JOIN cc)"""
+    )
+    ctes.append("cells AS (SELECT vec_id, cid AS cell FROM ass WHERE r = 1)")
+    ctes.append(
+        f"qcells AS (SELECT vec_id AS qid, cid AS cell FROM ass "
+        f"WHERE vec_id < {PQ_SEARCH_QUERIES} AND r <= {N_PROBE})"
+    )
+    ctes.append(
+        """cand AS (SELECT p.qid, cells.vec_id
+       FROM qcells p JOIN cells ON cells.cell = p.cell
+       WHERE cells.vec_id <> p.qid)"""
+    )
+    joins = ["cand"]
+    for mm in range(m_sub):
+        joins.append(f"JOIN f{mm} a{mm} ON a{mm}.vec_id = cand.vec_id")
+    for mm in range(m_sub):
+        joins.append(
+            f"JOIN dt{mm} d{mm} ON d{mm}.j = a{mm}.j AND d{mm}.qid = cand.qid"
+        )
+    adc = " + ".join(f"d{mm}.d" for mm in range(m_sub))
+    ctes.append(
+        f"""scored AS (SELECT cand.qid, cand.vec_id, CAST({adc} AS BIGINT) AS adc
+       FROM {' '.join(joins)})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""\nSELECT qid, vec_id, adc, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+         FROM scored
+       ) WHERE rank <= {PQ_SEARCH_TOP_K}"""
+    )
+
+
+@register("llm_similarity_ivfpq", sql=lambda: _ivfpq_sql())
+def llm_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3k: IVFPQ — the standard production ANN composition, assembled
+    from this repo's own parts: L3c's inverted file prunes WHICH vectors
+    each query touches (nprobe nearest cells), L3j's PQ codes shrink
+    WHAT each touch costs (m integer table lookups). Separately each
+    half is an approximation with a measured knob (nprobe for recall —
+    ivf_sizing_probe.py; pq_m/pq_k for fidelity — L3i's reconstruction
+    audit); composed, a 100 TB corpus serves top-k from a RAM-resident
+    code table while scanning only nprobe/n_cells of it.
+
+    Plan shape: ONE corpus pass builds cell + codes together (the IVF
+    argmax fold and the PQ argmin folds are independent codegen
+    projections over the same scan); the probe→cell map is tiny and
+    broadcast, so candidate selection is a map-side join; the
+    candidate-sized frame broadcasts back onto the codes for ADC
+    scoring; the per-probe top-k window sees only candidates. The only
+    corpus-scale exchange in the whole search is... none — training's
+    combiner groupBys are the sole exchanges, exactly the property that
+    makes IVFPQ the shape that survives scale. Exact integer ADC, same
+    conventions as L3a/L3c/L3j so the four legs compare directly."""
+    from .similarity import _centroid_array, _ivf_cells, _ivf_probe_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, cents, sub, slices = _pq_fit(emb)
+    m_sub = len(cents)
+    e = spread(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    carr = _centroid_array(e)
+    cells = _ivf_cells(e, carr).select("vec_id", "cell")
+    qcells = _ivf_probe_cells(e, carr).select("qid", "cell")
+    cand = (
+        qcells.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    codes = q.select(
+        "vec_id",
+        *[
+            _sub_assign(slices[mm], cents[mm])["j"].alias(f"c{mm}")
+            for mm in range(m_sub)
+        ],
+    )
+    probes = sorted(
+        q.filter(F.col("vec_id") < PQ_SEARCH_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    adc = None
+    for p in probes:
+        pv = list(p["xq"])
+        term = None
+        for mm in range(m_sub):
+            table = [
+                d2(pv[mm * sub : (mm + 1) * sub], cents[mm][j])
+                for j in range(len(cents[mm]))
+            ]
+            arr = "array(" + ",".join(f"{v}L" for v in table) + ")"
+            t = F.expr(f"element_at({arr}, c{mm} + 1)")
+            term = t if term is None else term + t
+        branch = (F.col("qid") == int(p["vec_id"]), term)
+        adc = F.when(*branch) if adc is None else adc.when(*branch)
+    scored = codes.join(F.broadcast(cand), "vec_id").select(
+        "qid", "vec_id", adc.alias("adc")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_SEARCH_TOP_K)
+        .select("qid", "vec_id", "adc", "rank")
+    )

@@ -261,3 +261,47 @@ def test_pq_search_matches_python_adc_recompute(spark):
         for r in pq_search_plan(df, m=m_sub, k=k, iters=iters).collect()
     }
     assert got == want
+
+
+def test_ivfpq_consistent_with_pq_and_ivf(spark, sf_dir):
+    """The composition must not invent anything: every IVFPQ hit's adc
+    equals the full-scan ADC for that (probe, vector) pair (same fit,
+    same tables — only the candidate set differs), every hit lies in one
+    of its probe's nprobe cells, no self-matches, and per-probe ranks
+    are contiguous from 1."""
+    from collections import defaultdict
+
+    from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.llm.similarity import (
+        _centroid_array,
+        _ivf_cells,
+        _ivf_probe_cells,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table, spread
+
+    import pyspark.sql.functions as F
+
+    registry.load_all()
+    ivfpq = registry.QUERIES["llm_similarity_ivfpq"](spark, sf_dir).collect()
+    assert ivfpq
+    full = {
+        (r.qid, r.vec_id): r.adc
+        for r in registry.QUERIES["llm_similarity_pq"](spark, sf_dir).collect()
+    }
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    carr = _centroid_array(e)
+    cells = {r.vec_id: r.cell for r in _ivf_cells(e, carr).collect()}
+    probed = defaultdict(set)
+    for r in _ivf_probe_cells(e, carr).collect():
+        probed[r.qid].add(r.cell)
+    ranks = defaultdict(list)
+    for r in ivfpq:
+        assert r.vec_id != r.qid
+        assert cells[r.vec_id] in probed[r.qid], (r.qid, r.vec_id)
+        if (r.qid, r.vec_id) in full:
+            assert r.adc == full[(r.qid, r.vec_id)], (r.qid, r.vec_id)
+        ranks[r.qid].append(r.rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), qid
