@@ -87,6 +87,8 @@ SHOWCASE = {
     "llm_corpus_curriculum": "codegen score → 1-row exact-percentile broadcast → one (stage, shard) hash exchange + per-shard local sorts — no global difficulty sort",
     "llm_embedding_pq": "final encoding: per-subspace broadcast-literal argmin folds in one codegen projection — zero exchanges (each training iteration added one combiner groupBy of m*k*subdim rows)",
     "stream_bloom_ingest": "stateless stream gate: 1-row set-bit array broadcast into the feed, forall/array_contains codegen decision — no watermark, no state store, no stream-side shuffle",
+    "llm_similarity_pq": "ADC scan: per-probe m*k integer distance tables as broadcast literals, m element_at lookups per vector in codegen; only exchange is the per-probe top-k window",
+    "llm_similarity_ivfpq": "IVF cell + PQ codes off ONE corpus pass (independent codegen folds); broadcast probe-cell map -> map-side candidate join -> candidate frame broadcast onto codes; zero corpus-scale exchanges in the search",
 }
 
 
