@@ -80,6 +80,17 @@ EMBED = [
     "llm_dedup_semantic",
     "llm_dedup_embedding_lsh",
 ]
+# PQ-family mode (`scale_probe.py pq10`, round 7 continuation): the PQ
+# trainer/encoder, the full ADC scan, and the IVFPQ composition at
+# sf0.1's 2k vectors vs the sf1 probe's 20k (10x). Claims under test:
+# training cost is iters linear scans with O(m x k x subdim) exchanges
+# (scale-free reduce side), the ADC scan is one probe x corpus pass,
+# and the IVFPQ search adds NO corpus-scale exchange at either scale.
+PQ_FAMILY = [
+    "llm_embedding_pq",
+    "llm_similarity_pq",
+    "llm_similarity_ivfpq",
+]
 
 
 def _link_missing_tables(probe: str) -> None:
@@ -193,6 +204,9 @@ def main() -> None:
     elif mode == "embed10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = EMBED
+    elif mode == "pq10":
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = PQ_FAMILY
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES
