@@ -887,3 +887,138 @@ def llm_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_SEARCH_TOP_K)
         .select("qid", "vec_id", "adc", "rank")
     )
+
+
+# ------------------------------------- L3l PQ recall evaluation
+def _pq_recall_sql() -> str:
+    from .similarity import _COS_LIST_SQL
+
+    m_sub, k, iters = CONFIG.pq_m, CONFIG.pq_k, CONFIG.pq_iters
+    ctes = _pq_ctes(m_sub, k, iters)
+    dist = (
+        "list_sum([(p.sq[i] - c.sq[i]) * (p.sq[i] - c.sq[i]) "
+        "for i in generate_series(1, len(p.sq))])"
+    )
+    for mm in range(m_sub):
+        ctes.append(
+            f"""dt{mm} AS MATERIALIZED (SELECT p.vec_id AS qid, c.j, {dist} AS d
+       FROM em{mm} p CROSS JOIN c{iters}x{mm} c
+       WHERE p.vec_id < {PQ_SEARCH_QUERIES})"""
+        )
+    joins = ["f0 a0"]
+    for mm in range(1, m_sub):
+        joins.append(f"JOIN f{mm} a{mm} ON a{mm}.vec_id = a0.vec_id")
+    joins.append("JOIN dt0 d0 ON d0.j = a0.j")
+    for mm in range(1, m_sub):
+        joins.append(
+            f"JOIN dt{mm} d{mm} ON d{mm}.j = a{mm}.j AND d{mm}.qid = d0.qid"
+        )
+    adc = " + ".join(f"d{mm}.d" for mm in range(m_sub))
+    ctes.append(
+        f"""pq_hits AS (SELECT qid, vec_id FROM (
+       SELECT d0.qid, a0.vec_id,
+              row_number() OVER (PARTITION BY d0.qid
+                                 ORDER BY {adc}, a0.vec_id) AS rank
+       FROM {' '.join(joins)}
+       WHERE a0.vec_id <> d0.qid
+     ) WHERE rank <= {PQ_SEARCH_TOP_K})"""
+    )
+    ctes.append(
+        "ed AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    ctes.append(
+        f"""exact_hits AS (SELECT qid, vec_id FROM (
+       SELECT q.vec_id AS qid, ed.vec_id,
+              row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_COS_LIST_SQL.format(a='q.v', b='ed.v')} DESC, ed.vec_id
+              ) AS rank
+       FROM ed q CROSS JOIN ed
+       WHERE q.vec_id < {PQ_SEARCH_QUERIES} AND ed.vec_id <> q.vec_id
+     ) WHERE rank <= {PQ_SEARCH_TOP_K})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""\nSELECT e.qid,
+              CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+              round(count(p.vec_id) / CAST({PQ_SEARCH_TOP_K} AS DOUBLE), 6)
+                AS recall_at_{PQ_SEARCH_TOP_K}
+       FROM exact_hits e
+       LEFT JOIN pq_hits p ON p.qid = e.qid AND p.vec_id = e.vec_id
+       GROUP BY e.qid"""
+    )
+
+
+@register("llm_pq_recall_eval", sql=lambda: _pq_recall_sql())
+def llm_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3l: PQ recall@k against the exact answer — the number that
+    actually licenses deploying L3j/L3k: per probe, how much of the
+    exact cosine top-k (L3a's definition: rounded cosine DESC, vec_id
+    tiebreak, self excluded) survives in the ADC top-k. This is the
+    fidelity counterpart of L3i's reconstruction-error audit — error
+    says how lossy the codes are geometrically, recall says whether the
+    loss changes the ANSWERS; together they size pq_m/pq_k the way the
+    minhash S-curve probe sizes bands. Measured, not asserted, and
+    hash-oracled like every other query.
+
+    Plan shape: the ADC leg is L3j's (tables as broadcast literals, one
+    top-k window); the exact leg is L3a's (broadcast probe set, one
+    scan, one top-k window); the comparison joins two k×n_probes-row
+    frames — nothing corpus-scale beyond the two scans. Exact-leg cost
+    at 100 TB is the point of comparison, not the deployment path (it
+    IS the brute force PQ replaces — run the eval on a sampled slice
+    there, same plan)."""
+    return pq_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def pq_recall(
+    emb: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+) -> DataFrame:
+    """llm_pq_recall_eval's core with the knobs overridable, so tests
+    can pin that a richer codebook buys recall."""
+    e = spread(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pq_hits = pq_search_plan(emb, m=m, k=k, iters=iters).select(
+        "qid", "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < PQ_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x) /"
+        " (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x)) *"
+        "  sqrt(aggregate(v, 0D, (a, x) -> a + x * x)))"
+    )
+    from pyspark.sql.window import Window
+
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= PQ_SEARCH_TOP_K)
+        .select("qid", "vec_id")
+    )
+    hit = pq_hits.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(
+                F.count("hit") / F.lit(float(PQ_SEARCH_TOP_K)), 6
+            ).alias(f"recall_at_{PQ_SEARCH_TOP_K}"),
+        )
+    )

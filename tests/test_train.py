@@ -305,3 +305,29 @@ def test_ivfpq_consistent_with_pq_and_ivf(spark, sf_dir):
         ranks[r.qid].append(r.rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1)), qid
+
+
+def test_pq_recall_improves_with_richer_codebook(spark, sf_dir):
+    """The audit must move in the direction that justifies its existence:
+    growing the codebook (m=8 subspaces, k=16 codes vs the deliberately
+    tiny 4x4 default) must not lose recall, and every recall value must
+    be a consistent n_hits/k fraction in [0, 1]."""
+    from pipelinejobs_indexer_spark.llm.train import (
+        PQ_SEARCH_TOP_K,
+        pq_recall,
+    )
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {r["qid"]: r["n_hits"] for r in pq_recall(emb).collect()}
+    rich = {
+        r["qid"]: r["n_hits"]
+        for r in pq_recall(emb, m=8, k=16, iters=2).collect()
+    }
+    assert set(base) == set(rich)
+    assert sum(rich.values()) >= sum(base.values()), (base, rich)
+    for r in pq_recall(emb, m=8, k=16, iters=2).collect():
+        assert 0 <= r["n_hits"] <= PQ_SEARCH_TOP_K
+        assert r[f"recall_at_{PQ_SEARCH_TOP_K}"] == round(
+            r["n_hits"] / PQ_SEARCH_TOP_K, 6
+        )
