@@ -124,8 +124,7 @@ def main() -> None:
         mean = sum(warm) / len(warm)
         cv[name] = round(statistics.pstdev(warm) / mean, 4) if mean else 0.0
 
-    print(
-        json.dumps(
+    full_record = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(headline.values()), 4),
@@ -165,8 +164,43 @@ def main() -> None:
                     "projection work."
                 ),
             }
-        )
     )
+    print(full_record)
+    # Compact machine-parsable summary as the LAST line (VERDICT r7 item
+    # 1): the driver records only a ~2000-char tail of stdout, and the
+    # full record above has outgrown it since r03 (BENCH_r{N}.json
+    # "parsed": null). This line is kept <= 1500 chars — headline value
+    # (the frozen min-of-first-2 protocol, 1:1 vs BENCH_BASE), the ratio
+    # vs the pinned baseline, per-query BEST times (the jitter-resistant
+    # round-over-round comparator), and the warm-cv noise floor — so the
+    # tail always contains one complete parsable JSON line.
+    base_total = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_BASE.json")
+        ) as fh:
+            base_total = float(json.load(fh)["value"])
+    except (OSError, ValueError, KeyError):
+        pass
+    headline_total = round(sum(headline.values()), 4)
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": headline_total,
+        "unit": "sec",
+        "sf": sf,
+        "vs_base": (
+            round(headline_total / base_total, 3) if base_total else None
+        ),
+        "best_value": round(sum(best.values()), 3),
+        "cv_median": (
+            round(statistics.median(cv.values()), 3) if cv else 0.0
+        ),
+        "queries": {n: round(t, 3) for n, t in best.items()},
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 1500, f"summary line {len(line)} chars > 1500"
+    print(line)
     spark.stop()
 
 

@@ -702,11 +702,19 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): one scan → codegen per-vector squared norm (the only
     O(dim) work) → 1-row global stat aggregate broadcast back over the
     per-vector frame — no shuffle of vector payloads, no window over the
-    corpus; the flag is a codegen projection. Magnitude ceiling: s ≤
-    dims·1e12 (~6.4e13 at 64 dims), s² ~ 4e27, so Σs² fits decimal(38,0)
-    to ~1e10 vectors and (s·n − Σs)² to n ~ 5e8 at these norms — past
-    that, pre-scale the grid down (the test is scale-invariant) rather
-    than widening types. Vectors-with-no-corpus edge: n·Σs² − (Σs)² = 0
+    corpus; the flag is a codegen projection. Magnitude ceiling
+    (corrected per ADVICE r7): s ≤ dims·1e12 (~6.4e13 at 64 dims), so
+    Σs² ~ 4e27·n fits decimal(38,0) to ~2e10 vectors, but the WORST-CASE
+    deviation term (s·n − Σs)² ~ (6.4e13·n)² overflows decimal(38,0)
+    already around n ~ 2e5 — it stays in range at larger n only while
+    deviations remain far below s·n (the normal regime: for |z|-style
+    deviations the term is ~(3σ·n)², fine to ~1e8 even at σ ~ 1e12).
+    Because Spark non-ANSI decimal overflow yields NULL silently (DuckDB
+    HUGEINT would raise), the projection guards every flag: a NULL
+    dev²/bound from non-NULL inputs raises via raise_error instead of
+    quietly nulling is_outlier. Past the ceiling, pre-scale the grid
+    down (the test is scale-invariant) rather than widening types.
+    Vectors-with-no-corpus edge: n·Σs² − (Σs)² = 0
     for a single vector (or identical norms), the strict > keeps
     everything 'in' — no divide-by-zero class."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -737,13 +745,33 @@ def embedding_outliers(emb: DataFrame) -> DataFrame:
     bound = 9 * (
         F.col("n") * F.col("sumsq_s") - F.col("sum_s") * F.col("sum_s")
     )
+    # Decimal overflow in non-ANSI Spark yields NULL silently; NULL
+    # dev²/bound from a non-NULL norm means the (s·n − Σs)² headroom ran
+    # out (see docstring) — fail loudly instead of nulling the flags
+    # (ADVICE r7).
+    overflow = (
+        F.col("s").isNotNull()
+        & F.col("n").isNotNull()
+        & (dev2.isNull() | bound.isNull())
+    )
+    guard = F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "embedding_outliers: decimal(38,0) overflow in the z-test"
+                " — pre-scale the micro grid down (test is scale-"
+                "invariant) before re-running"
+            )
+        ).cast("boolean"),
+    )
     return (
         s.join(F.broadcast(stats))
         .select(
             "vec_id",
             F.col("s").cast("bigint").alias("norm2_micro2"),
-            (dev2 > bound).alias("is_outlier"),
-            F.when(dev2 <= bound, "in")
+            guard.otherwise(dev2 > bound).alias("is_outlier"),
+            F.when(guard.otherwise(F.lit(False)), F.lit("boom"))
+            .when(dev2 <= bound, "in")
             .when(F.col("s") * F.col("n") < F.col("sum_s"), "low")
             .otherwise("high")
             .alias("side"),

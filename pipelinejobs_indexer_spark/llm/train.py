@@ -615,7 +615,13 @@ def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------- L3j PQ asymmetric-distance search
-PQ_SEARCH_QUERIES = 5  # query set: vec_id < 5 (the L3a convention)
+# Query set: vec_id < N (the L3a convention). Aliased to similarity's
+# N_QUERIES — NOT independently defined — because llm_similarity_ivfpq
+# selects probe CELLS via similarity._ivf_probe_cells (which filters on
+# N_QUERIES) while its PQ probe set and DuckDB oracle filter on this
+# constant: two definitions could silently desynchronize the plan from
+# its oracle (ADVICE r7).
+from .similarity import N_QUERIES as PQ_SEARCH_QUERIES
 PQ_SEARCH_TOP_K = 10
 
 
@@ -640,6 +646,15 @@ def pq_search_plan(
         q.filter(F.col("vec_id") < PQ_SEARCH_QUERIES).collect(),
         key=lambda r: r["vec_id"],
     )
+    if not probes:
+        # n >= k can pass (_pq_fit's check) while the probe set is empty
+        # (no vec_id < PQ_SEARCH_QUERIES); F.array() of zero columns
+        # would only fail later at analysis with an opaque error
+        # (ADVICE r7).
+        raise ValueError(
+            "pq_search_plan: empty probe set — no rows with vec_id < "
+            f"{PQ_SEARCH_QUERIES} in the embeddings frame"
+        )
 
     def d2(a: list[int], b: list[int]) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -858,6 +873,11 @@ def llm_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.filter(F.col("vec_id") < PQ_SEARCH_QUERIES).collect(),
         key=lambda r: r["vec_id"],
     )
+    if not probes:
+        raise ValueError(
+            "llm_similarity_ivfpq: empty probe set — no rows with "
+            f"vec_id < {PQ_SEARCH_QUERIES} in the embeddings frame"
+        )
 
     def d2(a: list[int], b: list[int]) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))

@@ -232,7 +232,8 @@ SESSION_GAP_SEC = 4 * 3600
            SELECT user_id, session_idx,
                   min(ts) AS session_start, max(ts) AS session_end,
                   count(*) AS n_events,
-                  round(sum(value), 2) AS total_value
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) / 100.0 AS total_value
            FROM s GROUP BY user_id, session_idx""",
 )
 def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +271,16 @@ def sessionize(ev: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     s = ev.withColumn("is_new", is_new).withColumn(
         "session_idx", F.sum("is_new").over(w_run)
     )
+    # Sum value on an integer cents grid (ADVICE r7): round(sum(double))
+    # exposes per-session float summation ORDER, which differs between
+    # Spark and DuckDB — a sum landing near a half-cent boundary could
+    # round differently. Snapping each value to cents first (the repo's
+    # micro-grid discipline) makes the sum exact-integer in both engines;
+    # /100.0 is an exact bigint→double display conversion (< 2^53).
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return s.groupBy("user_id", "session_idx").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        (F.sum(cents) / 100.0).alias("total_value"),
     )

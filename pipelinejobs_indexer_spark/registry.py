@@ -45,7 +45,7 @@ _MODULES = [
 _loaded = False
 
 
-def _latest_green_round() -> dict[str, int]:
+def _latest_green_round(root: str | None = None) -> dict[str, int]:
     """Latest driver round with a full green (rows+schema+hash) row per
     query, read from the accumulated ``CORRECTNESS_r*.json`` files at the
     repo root. Queries absent from the mapping have no hash-level driver
@@ -57,7 +57,8 @@ def _latest_green_round() -> dict[str, int]:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -67,7 +68,26 @@ def _latest_green_round() -> dict[str, int]:
         try:
             with open(path) as fh:
                 data = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # A malformed evidence file must not silently reshuffle the
+            # whole sweep rotation (VERDICT r7 item 7 — the r6 bench-file
+            # lesson applied to correctness): warn loudly and skip.
+            import sys
+
+            print(
+                f"WARNING: registry rotation skipping unreadable evidence "
+                f"file {os.path.basename(path)}: {exc}",
+                file=sys.stderr,
+            )
+            continue
+        if not isinstance(data, dict):
+            import sys
+
+            print(
+                f"WARNING: registry rotation skipping non-object evidence "
+                f"file {os.path.basename(path)}",
+                file=sys.stderr,
+            )
             continue
         for name, row in data.items():
             if not isinstance(row, dict):

@@ -87,3 +87,31 @@ def test_registry_front_loads_unproven_queries():
         f"proven '{min(proven, key=positions.get)}' — rotate registry tiers "
         "from the CORRECTNESS files (see registry.load_all)"
     )
+
+
+def test_rotation_warns_on_malformed_evidence(tmp_path, capsys):
+    """A malformed CORRECTNESS_r*.json must not silently reshuffle the
+    sweep rotation (VERDICT r7 item 7 — the r6 bench-file lesson applied
+    to correctness): _latest_green_round skips it but warns on stderr,
+    and still reads the parsable files alongside."""
+    import json
+
+    from pipelinejobs_indexer_spark.registry import _latest_green_round
+
+    good = {
+        "q_ok": {"rows_match": True, "schema_match": True, "hash_match": True}
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{truncated")
+    (tmp_path / "CORRECTNESS_r03.json").write_text('["not", "an", "object"]')
+    latest = _latest_green_round(root=str(tmp_path))
+    err = capsys.readouterr().err
+    assert latest == {"q_ok": 1}
+    assert "CORRECTNESS_r02.json" in err and "WARNING" in err
+    assert "CORRECTNESS_r03.json" in err
+    # A clean tree stays silent.
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    (clean / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    assert _latest_green_round(root=str(clean)) == {"q_ok": 1}
+    assert capsys.readouterr().err == ""
