@@ -216,11 +216,17 @@ class EngineConfig:
     runtime where the dim is known), each trained with its own
     ``pq_k``-centroid / ``pq_iters``-iteration Lloyd loop under the same
     exact-integer discipline as L3e. Memory story the knobs encode: a
-    PQ code is m×log2(k) bits per vector (m=4,k=4: one byte) vs
+    PQ code is m×log2(k) bits per vector (m=16,k=16: 8 bytes) vs
     dim×4 bytes raw; recall wants m·k sized so k^m cells ≫ corpus
-    clusters. Same ≤64 centroid-expression cap per subspace as
-    ``kmeans_k``, same one-scan-per-iteration cost (ALL subspaces'
-    updates ride a single exchange of m×k×subdim rows per task).
+    clusters. The 16/16 default is the MEASURED knee of the m∈{4,8,16} ×
+    k∈{4,16,64} recall/cost surface at the sf1 probe's 20k vectors
+    (scripts/pq_sizing_probe.py, BENCH_sf1.md round-8 addendum):
+    recall@10 0.34 — equal to m16/k64 at 3.3× less search time — with
+    32× compression; at fixed code bits more subspaces beat more
+    centroids (m16/k16 0.34 vs m8/k64 0.22 at 64 vs 48 bits). Same ≤64
+    centroid-expression cap per subspace as ``kmeans_k``, same
+    one-scan-per-iteration cost (ALL subspaces' updates ride a single
+    exchange of m×k×subdim rows per task).
     ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
     quality-classifier trainer (L3f, ``llm_classifier_logreg``). Each
     sweep is one corpus scan + one map-side-combined gradient aggregate
@@ -260,8 +266,8 @@ class EngineConfig:
     resilient_checkpoints: bool = False
     kmeans_k: int = 4
     kmeans_iters: int = 3
-    pq_m: int = 4
-    pq_k: int = 4
+    pq_m: int = 16
+    pq_k: int = 16
     pq_iters: int = 2
     logreg_iters: int = 3
 

@@ -595,10 +595,12 @@ def _pq_sql(
 def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3i: product-quantization codebooks + codes — the memory side of
     the ANN stack (L6d's scalar quantize shrinks per-coordinate width;
-    PQ shrinks per-VECTOR width: pq_m codes of log2(pq_k) bits each, one
-    byte per vector at the 4×4 default vs 256 bytes raw float32, the
-    compression that lets a 100 TB embedding corpus serve distance
-    queries from RAM via asymmetric code-to-centroid lookup tables).
+    PQ shrinks per-VECTOR width: pq_m codes of log2(pq_k) bits each, 8
+    bytes per vector at the measured-knee 16×16 default vs 256 bytes raw
+    float32 — 32× — the compression that lets a 100 TB embedding corpus
+    serve distance queries from RAM via asymmetric code-to-centroid
+    lookup tables; defaults sized by scripts/pq_sizing_probe.py,
+    BENCH_sf1.md round-8 addendum).
     Trains per-subspace Lloyd codebooks under the L3e exact-integer
     discipline and emits each vector's code string plus its exact
     integer reconstruction error — the fidelity audit that sizes

@@ -91,6 +91,21 @@ PQ_FAMILY = [
     "llm_similarity_pq",
     "llm_similarity_ivfpq",
 ]
+# text-heavy mode (`scale_probe.py text10`, round 8, VERDICT r7 item 4):
+# the last heavy family with no second-decade row — these share the
+# token-explode shape (doc -> words/ngrams explode -> combiner groupBy)
+# whose map-side-combine effectiveness under a Zipf vocabulary is the
+# claim under test: the reduce side is O(distinct terms), not O(tokens),
+# so 10x the docs must cost ~linear time with an UNCHANGED exchange
+# census (the explode itself is zero-shuffle codegen).
+TEXT_HEAVY = [
+    "llm_text_bm25",
+    "llm_text_tfidf_keywords",
+    "llm_vocab_coverage",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "llm_text_logprob",
+]
 
 
 def _link_missing_tables(probe: str) -> None:
@@ -191,11 +206,13 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     probe_lo = os.path.join(ROOT, ".scale_probe", "sf1")
     _link_missing_tables(probe_lo)
-    if mode in ("sf10", "dedup10"):
+    if mode in ("sf10", "dedup10", "text10"):
         probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
         _link_missing_tables(probe_hi)
         scales = (("sf1", probe_lo), ("sf10", probe_hi))
-        queries = CURATION if mode == "sf10" else DEDUP_HEAVY
+        queries = {
+            "sf10": CURATION, "dedup10": DEDUP_HEAVY, "text10": TEXT_HEAVY
+        }[mode]
     elif mode == "train10":
         probe_hi = os.path.join(ROOT, ".scale_probe", "emb10")
         _link_missing_tables(probe_hi)

@@ -177,8 +177,19 @@ def test_multimodal_decode_stubs_raise():
     # error, while formats with no stdlib path keep the codec contract
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xffjpeg", "image/jpeg")
-    with pytest.raises(NotImplementedError):
+    import struct
+
+    # WebP decode is real now for VP8L (webp.py); a truncated container
+    # is a data error, while lossy VP8 (float DSP) keeps the codec
+    # contract.
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"RIFF....WEBPVP8 ", "image/webp")
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(lossy, "image/webp")
     # WAV decode is real now (stdlib wave); a truncated RIFF is a data
     # error, while compressed formats keep the missing-codec contract.
     with pytest.raises(EOFError):
@@ -189,8 +200,10 @@ def test_multimodal_decode_stubs_raise():
         multimodal.sample_frames(b"\x00", "video/mp4")
     with pytest.raises(ValueError):  # JPEG is decodable; payload truncated
         multimodal.resize_image(b"\xff\xd8\xffjpeg", "image/jpeg", 32, 32)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # WebP is decodable; container truncated
         multimodal.resize_image(b"RIFF....WEBPVP8 ", "image/webp", 32, 32)
+    with pytest.raises(NotImplementedError):  # lossy VP8 keeps the stub
+        multimodal.resize_image(lossy, "image/webp", 32, 32)
 
 
 def test_multimodal_frame_fanout_shape(spark):
@@ -712,8 +725,18 @@ def test_decode_image_and_resize_real_for_png():
     # error; only formats with no stdlib decoder keep the codec contract
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffnot-really-jpeg", "image/jpeg")
-    with pytest.raises(NotImplementedError):
+    # WebP decode is real now too (webp.py): a truncated container is a
+    # data error; a wellformed LOSSY container keeps the codec contract
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBPVP8 ", "image/webp")
+    import struct as _struct
+
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(lossy, "image/webp")
 
 
 # --- L5i: real GIF decode (gif.py) ---------------------------------------

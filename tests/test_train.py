@@ -108,7 +108,8 @@ def test_config_rejects_bad_trainer_knobs():
 def test_pq_rejects_indivisible_subspaces(spark):
     from pipelinejobs_indexer_spark.llm.train import pq_plan
 
-    rows = [(i, 0, [0.1, 0.2, 0.3]) for i in range(6)]  # dim 3, pq_m=4
+    # dim 3 vs pq_m=16 (n >= pq_k so the divisibility check is reached)
+    rows = [(i, 0, [0.1, 0.2, 0.3]) for i in range(20)]
     with pytest.raises(ValueError, match="must divide"):
         pq_plan(spark.createDataFrame(rows, _SCHEMA))
 
@@ -120,7 +121,9 @@ def test_pq_identical_vectors_code_zero_err_zero(spark):
     from pipelinejobs_indexer_spark.llm.train import pq_plan
 
     rows = [(i, 1, [0.25, -0.5, 0.75, 0.1]) for i in range(8)]
-    out = pq_plan(spark.createDataFrame(rows, _SCHEMA)).collect()
+    out = pq_plan(
+        spark.createDataFrame(rows, _SCHEMA), m=4, k=4, iters=2
+    ).collect()
     assert len(out) == 8
     assert all(r["pq_code"] == "0|0|0|0" and r["err"] == 0 for r in out)
 
@@ -309,8 +312,9 @@ def test_ivfpq_consistent_with_pq_and_ivf(spark, sf_dir):
 
 def test_pq_recall_improves_with_richer_codebook(spark, sf_dir):
     """The audit must move in the direction that justifies its existence:
-    growing the codebook (m=8 subspaces, k=16 codes vs the deliberately
-    tiny 4x4 default) must not lose recall, and every recall value must
+    the shipping 16/16 default (the measured knee of the
+    pq_sizing_probe.py surface) must not lose recall vs the deliberately
+    tiny 4x4 codebook it replaced (round 8), and every recall value must
     be a consistent n_hits/k fraction in [0, 1]."""
     from pipelinejobs_indexer_spark.llm.train import (
         PQ_SEARCH_TOP_K,
@@ -319,14 +323,14 @@ def test_pq_recall_improves_with_richer_codebook(spark, sf_dir):
     from pipelinejobs_indexer_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = {r["qid"]: r["n_hits"] for r in pq_recall(emb).collect()}
-    rich = {
+    base = {
         r["qid"]: r["n_hits"]
-        for r in pq_recall(emb, m=8, k=16, iters=2).collect()
+        for r in pq_recall(emb, m=4, k=4, iters=2).collect()
     }
+    rich = {r["qid"]: r["n_hits"] for r in pq_recall(emb).collect()}
     assert set(base) == set(rich)
     assert sum(rich.values()) >= sum(base.values()), (base, rich)
-    for r in pq_recall(emb, m=8, k=16, iters=2).collect():
+    for r in pq_recall(emb).collect():
         assert 0 <= r["n_hits"] <= PQ_SEARCH_TOP_K
         assert r[f"recall_at_{PQ_SEARCH_TOP_K}"] == round(
             r["n_hits"] / PQ_SEARCH_TOP_K, 6
