@@ -130,13 +130,21 @@ def decode_image(content: bytes, mime: str) -> "object":
 
 def decode_audio(content: bytes, mime: str) -> dict:
     """Decode an audio payload. WAV (RIFF/PCM 8- or 16-bit): REAL, via the
-    stdlib ``wave`` parser — returns {rate, channels, frames, samples}
-    with samples as signed ints. Compressed formats (mp3/ogg/flac) need
+    stdlib ``wave`` parser. FLAC: REAL (flac.py — rice coding, fixed +
+    integer-LPC predictors, stereo decorrelation, CRC-8/16 + MD5
+    verification; pure integer arithmetic). Both return {rate, channels,
+    frames, samples} with samples as signed ints, interleaved. The
+    remaining compressed formats (mp3/ogg — float MDCT synthesis) need
     codec libs absent from this container and keep the documented
     NotImplementedError contract."""
     import io
     import struct
     import wave
+
+    if mime in ("audio/flac", "audio/x-flac") or content[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(content)
 
     if mime in ("audio/wav", "audio/x-wav") or (
         content[:4] == b"RIFF" and content[8:12] == b"WAVE"
@@ -160,7 +168,8 @@ def decode_audio(content: bytes, mime: str) -> dict:
             "samples": samples,
         }
     raise NotImplementedError(
-        "compressed audio decode requires soundfile/ffmpeg (not in container)"
+        "mp3/ogg decode requires float-MDCT codec libs (soundfile/ffmpeg, "
+        "not in container); WAV and FLAC decode are real"
     )
 
 
@@ -921,6 +930,91 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column (S15 feeds it) instead of synthesizing."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id").mapInPandas(_audio_features, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------- L5k real FLAC decode path
+FLAC_FRAMES = 64   # samples per synthesized stereo clip
+FLAC_SEG = 16      # segment size for the feature sums (4 segments)
+
+
+def _flac_wave(doc_id: int):
+    """Closed-form stereo test signal: left(t) = (7*doc + t²) % 4001 −
+    2000, right(t) = (11*doc + 3t) % 4001 − 2000 — quadratic vs linear so
+    the two channels stress different predictor orders and mid/side
+    carries a genuinely mixed spectrum."""
+    import numpy as np
+
+    t = np.arange(FLAC_FRAMES, dtype=np.int64)
+    left = (doc_id * 7 + t * t) % 4001 - 2000
+    right = (doc_id * 11 + 3 * t) % 4001 - 2000
+    return np.stack([left, right], axis=1)
+
+
+def _flac_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .flac import encode_flac
+
+    for pdf in batches:
+        out = {"doc_id": [], "seg": [], "sum_left": [], "sum_right": []}
+        for doc_id in pdf["doc_id"]:
+            wave = _flac_wave(int(doc_id))
+            data = encode_flac(
+                wave, 8000, 16, stereo="mid-side", partition_order=2
+            )
+            audio = decode_audio(data, "audio/flac")
+            s = np.array(audio["samples"], dtype=np.int64).reshape(-1, 2)
+            for seg in range(FLAC_FRAMES // FLAC_SEG):
+                chunk = s[seg * FLAC_SEG : (seg + 1) * FLAC_SEG]
+                out["doc_id"].append(int(doc_id))
+                out["seg"].append(seg)
+                out["sum_left"].append(int(chunk[:, 0].sum()))
+                out["sum_right"].append(int(chunk[:, 1].sum()))
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+FLAC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg", LongType()),
+        StructField("sum_left", LongType()),
+        StructField("sum_right", LongType()),
+    ]
+)
+
+_FLAC_T = f"(s.seg * {FLAC_SEG} + t.t)"
+
+
+@register(
+    "llm_multimodal_flac",
+    sql=f"""SELECT d.doc_id, s.seg,
+                   CAST(sum((d.doc_id * 7 + {_FLAC_T} * {_FLAC_T}) % 4001
+                            - 2000) AS BIGINT) AS sum_left,
+                   CAST(sum((d.doc_id * 11 + 3 * {_FLAC_T}) % 4001
+                            - 2000) AS BIGINT) AS sum_right
+            FROM (SELECT doc_id FROM documents) d,
+                 generate_series(0, {FLAC_FRAMES // FLAC_SEG - 1}) AS s(seg),
+                 generate_series(0, {FLAC_SEG - 1}) AS t(t)
+            GROUP BY d.doc_id, s.seg""",
+)
+def llm_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5k: REAL FLAC decode in the audio-features path (round 8 — the
+    next audio class a stdlib-only container can honestly decode; FLAC
+    is pure integer arithmetic, unlike the float-MDCT mp3/ogg stubs).
+    Per doc, a closed-form stereo clip is encoded as a real FLAC stream
+    (mid-side decorrelation, auto constant/fixed predictors per
+    subframe, 4-partition rice residuals, CRC-8/16 framing, stream MD5)
+    and decoded by the pure-stdlib codec (flac.py) — which verifies both
+    CRCs and the MD5 before emitting per-segment channel sums. The
+    DuckDB oracle never sees a FLAC: it recomputes the sums from the
+    same closed form, so a rice, predictor, decorrelation, or framing
+    bug breaks the value hash (the PNG/GIF/WebP pattern). Scale shape:
+    identical to L5e — embarrassingly parallel mapInPandas, O(rows)
+    output, no shuffle of audio bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_flac_features, schema=FLAC_SCHEMA)
 
 
 # --------------------------------------------- L5f MP4 container probing

@@ -301,6 +301,29 @@ def test_encoder_input_validation():
         encode_webp(img[:2, :2], palette=True, subtract_green=True)
 
 
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 8))
+def test_mutation_robustness(seed, n_flips):
+    """Bit-flip fuzz: a mutated container must either decode to SOME
+    image of the declared shape or raise ValueError /
+    NotImplementedError — never crash, hang, or allocate unboundedly
+    (the codec is driven by untrusted bytes inside a mapInPandas
+    stage; an IndexError or MemoryError there kills the executor)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (6, 7, 4), dtype=np.uint8)
+    data = bytearray(encode_webp(img, use_lz77=True, cache_bits=3,
+                                 subtract_green=True))
+    for _ in range(n_flips):
+        i = rng.randint(0, len(data))
+        data[i] ^= 1 << rng.randint(0, 8)
+    try:
+        out = decode_webp(bytes(data))
+        assert out.ndim == 3 and out.shape[2] == 4
+        assert out.shape[0] * out.shape[1] <= MAX_PIXELS
+    except (ValueError, NotImplementedError):
+        pass
+
+
 def test_decode_image_dispatches_webp():
     from pipelinejobs_indexer_spark.llm.multimodal import decode_image
 
