@@ -1,0 +1,582 @@
+"""Pure-stdlib PDF text extraction: object/stream parsing + content
+tokenization, no PDF libraries.
+
+Purpose: PDF is one of the largest text-corpus sources an LLM data
+pipeline ingests, and its TEXT layer is honestly decodable with the
+stdlib — the container is a byte-offset object graph, the standard
+content filter is FlateDecode (zlib), the ASCII armors are
+ASCIIHexDecode/ASCII85Decode (binascii/base64), and text shows are
+PostScript-like operators over escaped strings. The reference ships a
+PDF fixture (tests/store/uploads/austin.pdf) that its indexer treats as
+an opaque blob; here the text layer is real, in the gif.py/webp.py/
+flac.py discipline: a spec-subset writer beside an independent parser
+so round trips cross-check both, plus closed-form Spark/DuckDB oracle
+evidence (llm/text.py::llm_text_pdf_extract).
+
+Scope (the classic pre-1.5 layout real generators still emit):
+%PDF header, indirect objects located by a full `N G obj` scan (robust
+to fixture PDFs with no xref, and immune to stale xref tables),
+dictionaries/arrays/names/numbers/strings/hex-strings/refs, the
+Root→Pages→Kids page tree (inter-node /Parent cycles rejected), page
+/Contents as a single stream or an array (concatenated in order),
+stream /Length possibly an indirect ref, filters FlateDecode /
+ASCIIHexDecode / ASCII85Decode (chained), and the text operators
+BT/ET, Tj, ', ", TJ (strings concatenated; kerning numbers are spacing
+hints, not glyphs, and emit nothing), with Td/TD (dy != 0), T*, ' and
+" breaking lines. Literal strings handle nesting, all escapes, octal
+codes, and line continuations.
+
+Out of honest scope (documented raises): encrypted PDFs, xref/object
+streams (PDF 1.5 compressed layout), and non-text filters (DCTDecode
+etc.) raise NotImplementedError; structural corruption (bad header,
+unterminated stream/string, missing pages, cyclic or broken refs)
+raises ValueError. Decompressed stream output is size-capped so a
+zlib bomb in a hostile PDF cannot balloon memory.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+#: cap on TOTAL decompressed content-stream bytes per document — a
+#: hostile FlateDecode stream must not balloon memory (gif.py bound
+#: discipline)
+MAX_TEXT_BYTES = 1 << 26
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Byte-level PDF object lexer."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d = self.data
+        while self.pos < len(d):
+            c = d[self.pos : self.pos + 1]
+            if c in b"%":  # comment to end of line
+                nl = d.find(b"\n", self.pos)
+                self.pos = len(d) if nl < 0 else nl + 1
+            elif c in _WS:
+                self.pos += 1
+            else:
+                return
+
+    def parse(self):
+        """Parse one object at the cursor; returns python values —
+        dict / list / bytes (strings) / str (names, prefixed '/') /
+        int / float / bool / None / ('ref', num, gen)."""
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated PDF object")
+        c = d[self.pos : self.pos + 1]
+        if c == b"<":
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._parse_dict()
+            return self._parse_hex_string()
+        if c == b"(":
+            return self._parse_string()
+        if c == b"[":
+            return self._parse_array()
+        if c == b"/":
+            return self._parse_name()
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.parse()
+            if not isinstance(key, str) or not key.startswith("/"):
+                raise ValueError("PDF dictionary key is not a name")
+            out[key] = self.parse()
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse())
+
+    def _parse_name(self) -> str:
+        d = self.data
+        start = self.pos
+        self.pos += 1
+        while self.pos < len(d) and d[self.pos] not in _WS and (
+            d[self.pos] not in _DELIM
+        ):
+            self.pos += 1
+        raw = d[start : self.pos].decode("latin-1")
+        # #xx hex escapes inside names
+        return re.sub(
+            r"#([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), raw
+        )
+
+    def _parse_hex_string(self) -> bytes:
+        d = self.data
+        end = d.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("unterminated PDF hex string")
+        hx = bytes(
+            b for b in d[self.pos + 1 : end] if bytes([b]) not in _WS
+        )
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"  # odd final digit pads with 0 (spec)
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (UnicodeDecodeError, ValueError) as exc:
+            raise ValueError(f"bad PDF hex string: {exc}") from None
+
+    def _parse_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("unterminated PDF literal string")
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash escapes
+                if self.pos >= len(d):
+                    raise ValueError("unterminated PDF string escape")
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append(
+                        {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e]
+                    )
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # 1-3 octal digits
+                    oct_digits = [e]
+                    while (
+                        len(oct_digits) < 3
+                        and self.pos < len(d)
+                        and 0x30 <= d[self.pos] <= 0x37
+                    ):
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(bytes(oct_digits), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < len(d) and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:  # unknown escape: the char stands for itself
+                    out.append(e)
+            elif c == 0x28:  # nested (
+                depth += 1
+                out.append(c)
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+
+    def _parse_number_or_ref(self):
+        d = self.data
+        m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", d[self.pos :])
+        if not m:
+            raise ValueError(
+                f"unparsable PDF token at byte {self.pos}: "
+                f"{d[self.pos:self.pos + 12]!r}"
+            )
+        tok = m.group(0)
+        self.pos += len(tok)
+        if b"." in tok:
+            return float(tok)
+        # `N G R` indirect reference lookahead
+        save = self.pos
+        self._skip_ws()
+        m2 = re.match(rb"(\d+)\s+R(?![A-Za-z0-9])", d[self.pos :])
+        if m2 and not tok.startswith((b"+", b"-")):
+            self.pos += m2.end()
+            return ("ref", int(tok), int(m2.group(1)))
+        self.pos = save
+        return int(tok)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Document:
+    """Indirect-object store located by a full scan (no xref reliance —
+    robust to the fixture PDFs that omit it and to stale tables)."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        if data.find(b"%%EOF") < 0:
+            raise ValueError("truncated PDF (missing %%EOF)")
+        if b"/Encrypt" in data:
+            raise NotImplementedError(
+                "encrypted PDF needs RC4/AES decryption (out of the "
+                "stdlib-honest text-extraction scope)"
+            )
+        self.data = data
+        self.offsets: dict[tuple[int, int], int] = {}
+        for m in _OBJ_RE.finditer(data):
+            self.offsets[(int(m.group(1)), int(m.group(2)))] = m.end()
+        self._cache: dict[tuple[int, int], object] = {}
+
+    def resolve(self, obj, depth: int = 0):
+        """Follow indirect references (memoized, cycle-bounded)."""
+        while isinstance(obj, tuple) and obj and obj[0] == "ref":
+            if depth > 32:
+                raise ValueError("PDF reference chain too deep (cycle?)")
+            key = (obj[1], obj[2])
+            if key in self._cache:
+                obj = self._cache[key]
+                break
+            if key not in self.offsets:
+                raise ValueError(f"PDF object {key[0]} {key[1]} not found")
+            lex = _Lexer(self.data, self.offsets[key])
+            val = lex.parse()
+            self._cache[key] = val
+            obj = val
+            depth += 1
+        return obj
+
+    def stream_bytes(self, key: tuple[int, int]) -> bytes:
+        """Decoded bytes of a stream object (dict followed by
+        stream...endstream), honoring /Length and /Filter."""
+        if key not in self.offsets:
+            raise ValueError(f"PDF stream object {key[0]} {key[1]} not found")
+        lex = _Lexer(self.data, self.offsets[key])
+        info = lex.parse()
+        if not isinstance(info, dict):
+            raise ValueError("PDF content object is not a stream")
+        if isinstance(info.get("/Type"), str) and info["/Type"] == "/ObjStm":
+            raise NotImplementedError(
+                "PDF 1.5 object streams (compressed xref layout) are out "
+                "of the classic-layout scope"
+            )
+        lex._skip_ws()
+        if not self.data.startswith(b"stream", lex.pos):
+            raise ValueError("PDF stream keyword missing after dictionary")
+        pos = lex.pos + len(b"stream")
+        if self.data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif self.data[pos : pos + 1] == b"\n":
+            pos += 1
+        length = self.resolve(info.get("/Length"))
+        if not isinstance(length, int) or length < 0:
+            raise ValueError("PDF stream /Length missing or invalid")
+        raw = self.data[pos : pos + length]
+        if len(raw) < length:
+            raise ValueError("truncated PDF stream body")
+        end = self.data.find(b"endstream", pos + length)
+        if end < 0:
+            raise ValueError("PDF stream missing endstream")
+        filters = self.resolve(info.get("/Filter"))
+        if filters is None:
+            chain = []
+        elif isinstance(filters, str):
+            chain = [filters]
+        elif isinstance(filters, list):
+            chain = [self.resolve(f) for f in filters]
+        else:
+            raise ValueError("bad PDF /Filter entry")
+        for f in chain:
+            if f == "/FlateDecode":
+                try:
+                    dec = zlib.decompressobj()
+                    raw = dec.decompress(raw, MAX_TEXT_BYTES + 1)
+                except zlib.error as exc:
+                    raise ValueError(f"bad FlateDecode stream: {exc}") from None
+                if len(raw) > MAX_TEXT_BYTES:
+                    raise ValueError(
+                        f"PDF stream inflates past the {MAX_TEXT_BYTES}-byte "
+                        "bound"
+                    )
+            elif f == "/ASCIIHexDecode":
+                body = raw.split(b">")[0]
+                hx = bytes(b for b in body if bytes([b]) not in _WS)
+                if len(hx) % 2:
+                    hx += b"0"
+                raw = bytes.fromhex(hx.decode("ascii"))
+            elif f == "/ASCII85Decode":
+                import base64
+
+                body = raw.split(b"~>")[0]
+                raw = base64.a85decode(
+                    bytes(b for b in body if bytes([b]) not in _WS)
+                )
+            else:
+                raise NotImplementedError(
+                    f"PDF filter {f} is not a text filter (needs codec libs)"
+                )
+        return raw
+
+    def pages(self) -> list[dict]:
+        """Page dictionaries in /Kids order from the Root page tree."""
+        root = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.data):
+            root = ("ref", int(m.group(1)), int(m.group(2)))
+        if root is None:
+            # fixture-grade PDFs may lack a trailer: fall back to the
+            # first /Type /Catalog object in the scan
+            for key in self.offsets:
+                val = self.resolve(("ref",) + key)
+                if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+                    root = ("ref",) + key
+                    break
+        if root is None:
+            raise ValueError("PDF has no document catalog")
+        catalog = self.resolve(root)
+        if not isinstance(catalog, dict) or "/Pages" not in catalog:
+            raise ValueError("PDF catalog has no /Pages tree")
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref) -> None:
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                raise ValueError("PDF page-tree node is not a dictionary")
+            if id(node) in seen:
+                raise ValueError("cycle in PDF page tree")
+            seen.add(id(node))
+            t = node.get("/Type")
+            if t == "/Page":
+                out.append(node)
+            elif t == "/Pages":
+                kids = self.resolve(node.get("/Kids"))
+                if not isinstance(kids, list):
+                    raise ValueError("PDF /Pages node has no /Kids array")
+                for k in kids:
+                    walk(k)
+            else:
+                raise ValueError(f"bad PDF page-tree node type {t!r}")
+
+        walk(catalog["/Pages"])
+        return out
+
+
+def _tokenize_content(data: bytes):
+    """Yield ('str', bytes) / ('num', float) / ('op', name) /
+    ('arr', list) tokens from a content stream."""
+    lex = _Lexer(data)
+    d = data
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(d):
+            return
+        c = d[lex.pos : lex.pos + 1]
+        if c == b"(":
+            yield ("str", lex._parse_string())
+        elif c == b"<" and d[lex.pos : lex.pos + 2] != b"<<":
+            yield ("str", lex._parse_hex_string())
+        elif c == b"<":
+            yield ("dict", lex._parse_dict())
+        elif c == b"[":
+            yield ("arr", lex._parse_array())
+        elif c == b"/":
+            yield ("name", lex._parse_name())
+        elif re.match(rb"[+-.\d]", c):
+            yield ("num", lex._parse_number_or_ref())
+        else:
+            m = re.match(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*", d[lex.pos :])
+            if not m:
+                raise ValueError(
+                    f"unparsable PDF content token {d[lex.pos:lex.pos + 8]!r}"
+                )
+            lex.pos += m.end()
+            yield ("op", m.group(0).decode("latin-1"))
+
+
+def extract_pdf_text(content: bytes) -> str:
+    """Extract the text layer of a classic-layout PDF: pages in tree
+    order (pages joined by form feed "\\f"), text-show strings in
+    content order, lines broken by Td/TD with dy != 0, T*, ' and ".
+    TJ kerning numbers emit nothing (spacing hints, not glyphs)."""
+    doc = _Document(content)
+    pages_text: list[str] = []
+    total = 0
+    for page in doc.pages():
+        raw_contents = page.get("/Contents")
+        if raw_contents is None:
+            pages_text.append("")
+            continue
+        if isinstance(raw_contents, tuple) and raw_contents[0] == "ref":
+            # a single stream ref, or an indirect ref to an array of them
+            val = doc.resolve(raw_contents)
+            refs = val if isinstance(val, list) else [raw_contents]
+        elif isinstance(raw_contents, list):
+            refs = raw_contents
+        else:
+            raise ValueError("bad PDF /Contents entry")
+        body = bytearray()
+        for r in refs:
+            if not (isinstance(r, tuple) and r and r[0] == "ref"):
+                raise ValueError("PDF /Contents entry is not a stream ref")
+            body += doc.stream_bytes((r[1], r[2]))
+            body += b"\n"  # streams are token-delimited at joins (spec)
+        total += len(body)
+        if total > MAX_TEXT_BYTES:
+            raise ValueError(
+                f"PDF content streams exceed the {MAX_TEXT_BYTES}-byte bound"
+            )
+        lines: list[str] = []
+        cur: list[str] = []
+        stack: list = []  # operand accumulator
+
+        def endline() -> None:
+            lines.append("".join(cur))
+            cur.clear()
+
+        for kind, val in _tokenize_content(bytes(body)):
+            if kind != "op":
+                stack.append((kind, val))
+                continue
+            if val == "Tj" and stack and stack[-1][0] == "str":
+                cur.append(stack[-1][1].decode("latin-1"))
+            elif val in ("'", '"') and stack and stack[-1][0] == "str":
+                if cur:
+                    endline()
+                cur.append(stack[-1][1].decode("latin-1"))
+            elif val == "TJ" and stack and stack[-1][0] == "arr":
+                for item in stack[-1][1]:
+                    if isinstance(item, bytes):
+                        cur.append(item.decode("latin-1"))
+            elif val in ("Td", "TD"):
+                dy = stack[-1][1] if len(stack) >= 1 and stack[-1][0] == "num" else 0
+                if dy != 0 and cur:
+                    endline()
+            elif val == "T*":
+                if cur:
+                    endline()
+            elif val == "ET":
+                if cur:
+                    endline()
+            stack.clear()
+        if cur:
+            endline()
+        pages_text.append("\n".join(lines))
+    return "\f".join(pages_text)
+
+
+# --------------------------------------------------------------- writer
+def _escape_string(s: bytes) -> bytes:
+    out = bytearray()
+    for b in s:
+        if b in b"()\\":
+            out += b"\\" + bytes([b])
+        elif b == 10:
+            out += b"\\n"
+        elif b == 13:
+            out += b"\\r"
+        elif b < 32 or b > 126:
+            out += ("\\%03o" % b).encode()
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def write_pdf(
+    pages: list[list[str]],
+    *,
+    compress: bool = True,
+    use_tj_array: bool = False,
+    hex_strings: bool = False,
+    ascii85: bool = False,
+) -> bytes:
+    """Write a classic-layout PDF whose text layer is ``pages`` (a list
+    of pages, each a list of text lines). Spec-subset but real: proper
+    object graph, page tree, xref table and trailer; content streams
+    use BT/Td/Tj/T*/ET (or TJ arrays / hex strings / an ASCII85+Flate
+    filter chain under the knobs, so the extractor's alternate paths
+    round-trip)."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)  # 1-based object number
+
+    n_pages = len(pages)
+    # reserve: 1 catalog, 2 pages-node; page i -> obj 3+2i, content 4+2i
+    page_refs = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(
+        f"<< /Type /Pages /Kids [{page_refs}] /Count {n_pages} >>".encode()
+    )
+    for i, lines in enumerate(pages):
+        content_num = 4 + 2 * i
+        add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            raw = line.encode("latin-1")
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            if use_tj_array and " " in line:
+                parts = raw.split(b" ")
+                arr = b" -250 ".join(
+                    b"(" + _escape_string(p + (b" " if k < len(parts) - 1 else b""))
+                    + b")"
+                    for k, p in enumerate(parts)
+                )
+                ops.append(b"[" + arr + b"] TJ")
+            elif hex_strings:
+                ops.append(b"<" + raw.hex().encode() + b"> Tj")
+            else:
+                ops.append(b"(" + _escape_string(raw) + b") Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        filters = []
+        if compress:
+            stream = zlib.compress(stream)
+            filters.append("/FlateDecode")
+        if ascii85:
+            import base64
+
+            stream = base64.a85encode(stream) + b"~>"
+            filters.insert(0, "/ASCII85Decode")
+        if len(filters) == 1:
+            fl = f" /Filter {filters[0]}"
+        elif filters:
+            fl = f" /Filter [{' '.join(filters)}]"
+        else:
+            fl = ""
+        head = f"<< /Length {len(stream)}{fl} >>".encode()
+        add(head + b"\nstream\n" + stream + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj ".encode() + body + b" endobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer << /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -69,6 +69,8 @@ SHOWCASE = {
     "llm_multimodal_video_frames": "one MapInPandas stage over the pruned doc_id scan — AVI walk + per-frame JPEG decode in place, only 9-int rows shuffle",
     "llm_dedup_cdc_gear": "alternate CDC boundary rule (md5 under the r7 gear default): same codegen array-expr shape and one combiner groupBy on the chunk hash; the primary llm_dedup_cdc now carries the pure-integer gear polynomial",
     "llm_multimodal_gif": "real GIF decode via mapInPandas: ArrowEvalPython over the doc_id projection only — O(rows) leaves the worker, no media bytes shuffle",
+    "llm_multimodal_webp": "real lossless-WebP (VP8L) decode via mapInPandas over the pruned doc_id scan — prefix codes + LZ77 + transforms run in place, only 3-int rows shuffle",
+    "llm_multimodal_flac": "real FLAC decode via mapInPandas over the pruned doc_id scan — rice/LPC/CRC/MD5 verification in place, only 4-int rows shuffle",
     "llm_dedup_cdc":"per-doc array-expression chunking (no position explode) → one combiner groupBy on the chunk hash",
     "llm_ngram_novelty": "cached shingle table feeds both sides: first-occurrence groupBy + equi-join back + per-doc agg, no pair joins",
     "llm_dedup_source_matrix": "minhash pair DAG + two source-lookup joins where the pruned (doc_id, source) corpus scans STREAM against broadcast pair-sized builds; one |sources|^2-key groupBy is the only new exchange",
