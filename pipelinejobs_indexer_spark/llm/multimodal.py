@@ -1051,6 +1051,7 @@ def _pdf_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 use_tj_array=(d % 3 == 1),
                 hex_strings=(d % 3 == 2),
                 ascii85=(d % 5 == 0),
+                encrypt_rc4=(d % 7 == 0),
             )
             text = extract_pdf_text(data)
             pages = text.split("\f")
@@ -1107,8 +1108,11 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     austin.pdf fixture as an opaque blob — tests/store/uploads/).
     Per doc, a closed-form multi-page text layer is written as a real
     PDF — the writer path VARIES per doc (plain/TJ-array/hex strings ×
-    optional ASCII85+Flate chain), so every extractor branch carries
-    driver-hash evidence — then extracted, and reduced to page/line/
+    optional ASCII85+Flate chain × RC4 Standard-handler encryption on
+    every 7th doc — MD5+RC4 are stdlib, so the owner-locked case
+    decrypts for real while AES/passworded docs keep the raise), so
+    every extractor branch carries driver-hash evidence — then
+    extracted, and reduced to page/line/
     char counts plus the digit sum of every token. The DuckDB oracle
     recomputes all four from doc_id arithmetic: a dropped line, a wrong
     filter chain, a broken escape, or a mis-ordered page tree shifts a

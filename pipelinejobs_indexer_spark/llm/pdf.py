@@ -26,12 +26,19 @@ hints, not glyphs, and emit nothing), with Td/TD (dy != 0), T*, ' and
 " breaking lines. Literal strings handle nesting, all escapes, octal
 codes, and line continuations.
 
-Out of honest scope (documented raises): encrypted PDFs, xref/object
+Encryption: the Standard security handler's RC4 variants (V1/V2,
+R2/R3) decrypt for real — MD5 key derivation (algorithms 2-5) and the
+RC4 cipher are pure stdlib arithmetic — with the EMPTY user password,
+the common "owner-locked" case every reader opens. Documents locked
+with a real user password (U-entry verification fails) and AES
+handlers (V4/5, needs a crypto lib) raise NotImplementedError.
+
+Out of honest scope (documented raises): AES encryption, xref/object
 streams (PDF 1.5 compressed layout), and non-text filters (DCTDecode
 etc.) raise NotImplementedError; structural corruption (bad header,
-unterminated stream/string, missing pages, cyclic or broken refs)
-raises ValueError. Decompressed stream output is size-capped so a
-zlib bomb in a hostile PDF cannot balloon memory.
+unterminated stream/string, missing pages, cyclic or broken refs,
+malformed /Encrypt) raises ValueError. Decompressed stream output is
+size-capped so a zlib bomb in a hostile PDF cannot balloon memory.
 """
 
 from __future__ import annotations
@@ -222,6 +229,96 @@ class _Lexer:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
+# ------------------------------ Standard security handler (RC4, R2/R3)
+#: the spec's 32-byte password padding constant (PDF 1.7 §7.6.3.3)
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher — pure arithmetic, stdlib-honest (the PDF
+    Standard handler's cipher for V1/V2; AES needs a crypto lib and
+    stays NotImplementedError)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def _std_file_key(
+    user_pw: bytes, o_value: bytes, p: int, doc_id: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_pad_password(user_pw))
+    h.update(o_value[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(doc_id)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_o_value(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    import hashlib
+
+    key = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:n]
+    o = _rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_u_value(file_key: bytes, doc_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U entry."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(file_key, _PAD)
+    u = _rc4(file_key, hashlib.md5(_PAD + doc_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # R3 pads U to 32 bytes (tail is arbitrary)
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key: MD5(file key + objnum[3 LE] + gen[2 LE])."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
 
 class _Document:
     """Indirect-object store located by a full scan (no xref reliance —
@@ -232,16 +329,66 @@ class _Document:
             raise ValueError("not a PDF (missing %PDF- header)")
         if data.find(b"%%EOF") < 0:
             raise ValueError("truncated PDF (missing %%EOF)")
-        if b"/Encrypt" in data:
-            raise NotImplementedError(
-                "encrypted PDF needs RC4/AES decryption (out of the "
-                "stdlib-honest text-extraction scope)"
-            )
         self.data = data
         self.offsets: dict[tuple[int, int], int] = {}
         for m in _OBJ_RE.finditer(data):
             self.offsets[(int(m.group(1)), int(m.group(2)))] = m.end()
         self._cache: dict[tuple[int, int], object] = {}
+        self.file_key: bytes | None = None
+        self._enc_key_obj: tuple[int, int] | None = None
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """RC4 Standard-handler support (V1/V2, R2/R3) with an EMPTY
+        user password — the common owner-locked case any reader opens.
+        AES (V4/5) and wrong-password documents keep the honest
+        NotImplementedError; a malformed /Encrypt dict is ValueError."""
+        enc_ref = None
+        for m in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data):
+            enc_ref = (int(m.group(1)), int(m.group(2)))
+        if enc_ref is None:
+            return
+        enc = self.resolve(("ref",) + enc_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        if enc.get("/Filter") != "/Standard" or enc.get("/V") not in (1, 2):
+            raise NotImplementedError(
+                "only the RC4 Standard security handler (V1/V2) is "
+                "stdlib-honest; AES / custom handlers need crypto libs"
+            )
+        r = enc.get("/R")
+        if r not in (2, 3):
+            raise ValueError(f"bad Standard-handler revision {r!r}")
+        n = 5 if enc["/V"] == 1 else int(enc.get("/Length", 40)) // 8
+        if not 5 <= n <= 16:
+            raise ValueError(f"bad RC4 key length {n * 8} bits")
+        o = enc.get("/O")
+        u = enc.get("/U")
+        p = enc.get("/P")
+        if not (isinstance(o, bytes) and isinstance(u, bytes)
+                and isinstance(p, int)):
+            raise ValueError("PDF /Encrypt missing O/U/P entries")
+        doc_id = b""
+        id_m = None
+        for m in re.finditer(rb"/ID\b", self.data):
+            id_m = m
+        if id_m is not None:
+            try:
+                ids = _Lexer(self.data, id_m.end()).parse()
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    doc_id = ids[0]
+            except ValueError:
+                pass  # stray '/ID' bytes inside a stream — no trailer ID
+        key = _std_file_key(b"", o, p, doc_id, r, n)
+        expect = _std_u_value(key, doc_id, r)
+        ok = u[:16] == expect[:16] if r >= 3 else u[:32] == expect[:32]
+        if not ok:
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password) — "
+                "cannot be decrypted without the password"
+            )
+        self.file_key = key
+        self._enc_key_obj = enc_ref
 
     def resolve(self, obj, depth: int = 0):
         """Follow indirect references (memoized, cycle-bounded)."""
@@ -292,6 +439,11 @@ class _Document:
         end = self.data.find(b"endstream", pos + length)
         if end < 0:
             raise ValueError("PDF stream missing endstream")
+        if self.file_key is not None and key != self._enc_key_obj:
+            # decrypt BEFORE filters (readers reverse the writer's
+            # filter-then-encrypt order); the /Encrypt object itself is
+            # never encrypted
+            raw = _rc4(_object_key(self.file_key, key[0], key[1]), raw)
         filters = self.resolve(info.get("/Filter"))
         if filters is None:
             chain = []
@@ -503,13 +655,28 @@ def write_pdf(
     use_tj_array: bool = False,
     hex_strings: bool = False,
     ascii85: bool = False,
+    encrypt_rc4: bool = False,
+    user_password: bytes = b"",
 ) -> bytes:
     """Write a classic-layout PDF whose text layer is ``pages`` (a list
     of pages, each a list of text lines). Spec-subset but real: proper
     object graph, page tree, xref table and trailer; content streams
     use BT/Td/Tj/T*/ET (or TJ arrays / hex strings / an ASCII85+Flate
     filter chain under the knobs, so the extractor's alternate paths
-    round-trip)."""
+    round-trip). ``encrypt_rc4`` applies the Standard security handler
+    (V2/R3, 128-bit RC4, filter-then-encrypt order); a non-empty
+    ``user_password`` produces a genuinely locked document the
+    extractor must refuse."""
+    enc = None
+    if encrypt_rc4:
+        import hashlib
+
+        doc_id = hashlib.md5(repr(pages).encode()).digest()
+        o_val = _std_o_value(b"", user_password, 3, 16)
+        p_val = -3904  # standard permissive permission bits
+        file_key = _std_file_key(user_password, o_val, p_val, doc_id, 3, 16)
+        u_val = _std_u_value(file_key, doc_id, 3)
+        enc = (file_key, o_val, u_val, p_val, doc_id)
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -557,6 +724,8 @@ def write_pdf(
 
             stream = base64.a85encode(stream) + b"~>"
             filters.insert(0, "/ASCII85Decode")
+        if enc is not None:  # filters first, encryption last (spec order)
+            stream = _rc4(_object_key(enc[0], content_num, 0), stream)
         if len(filters) == 1:
             fl = f" /Filter {filters[0]}"
         elif filters:
@@ -565,6 +734,19 @@ def write_pdf(
             fl = ""
         head = f"<< /Length {len(stream)}{fl} >>".encode()
         add(head + b"\nstream\n" + stream + b"\nendstream")
+    trailer_extra = ""
+    if enc is not None:
+        _, o_val, u_val, p_val, doc_id = enc
+        enc_num = add(
+            (
+                "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p_val} >>"
+            ).encode()
+        )
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R"
+            f" /ID [<{doc_id.hex()}> <{doc_id.hex()}>]"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
@@ -576,7 +758,7 @@ def write_pdf(
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer << /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer << /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -117,10 +117,29 @@ def test_corrupt_container_classes():
         extract_pdf_text(bad2)
 
 
+def test_rc4_encryption_roundtrip():
+    """The Standard handler's RC4 variants decrypt for real (empty user
+    password — the owner-locked case every reader opens), across every
+    content encoding; filter-then-encrypt order is the spec's."""
+    pages = [["hello world", "with (parens) \\ and \xe9"], ["page two"]]
+    want = "\f".join("\n".join(lines) for lines in pages)
+    for kw in ({}, {"use_tj_array": True}, {"hex_strings": True},
+               {"ascii85": True}, {"compress": False}):
+        data = write_pdf(pages, encrypt_rc4=True, **kw)
+        assert b"/Encrypt" in data and b"hello" not in data
+        assert extract_pdf_text(data) == want
+
+
 def test_honest_not_implemented_scope():
-    data = write_pdf([["hello"]])
-    with pytest.raises(NotImplementedError, match="encrypted"):
-        extract_pdf_text(data.replace(b"/Root", b"/Encrypt 9 0 R /Root"))
+    # a REAL user password locks the document: U verification fails
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(
+            write_pdf([["x"]], encrypt_rc4=True, user_password=b"secret")
+        )
+    # AES (V4) keeps the stub — RC4 is the stdlib-honest boundary
+    data = write_pdf([["x"]], encrypt_rc4=True)
+    with pytest.raises(NotImplementedError, match="RC4 Standard"):
+        extract_pdf_text(data.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
     with pytest.raises(NotImplementedError, match="filter"):
         extract_pdf_text(
             write_pdf([["x"]], compress=False).replace(
