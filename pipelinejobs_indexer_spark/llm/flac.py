@@ -456,6 +456,15 @@ def decode_flac(data: bytes) -> dict:
     out: list[list[int]] = [[] for _ in range(channels)]
     while pos < len(data):
         pos = _decode_frame(data, pos, info, out)
+        # STREAMINFO total=0 is spec-legal ("unknown length"), so the
+        # declared-total check above cannot bound such streams; cap the
+        # accumulated decode too, or a hostile stream of cheap
+        # constant-subframe frames expands without limit.
+        if len(out[0]) * channels > MAX_SAMPLES:
+            raise ValueError(
+                f"FLAC decoded {len(out[0])} samples x {channels} channels "
+                f"— exceeds the {MAX_SAMPLES}-sample bound"
+            )
         if info["total"] and len(out[0]) >= info["total"]:
             break
     n = len(out[0])

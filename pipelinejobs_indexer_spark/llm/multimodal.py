@@ -1103,8 +1103,9 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     text layer the stdlib honestly decodes (pdf.py: object-graph parse,
     Root→Pages→Kids tree walk, FlateDecode via zlib + ASCIIHex/ASCII85
     armors, full literal-string escape grammar, BT/Tj/TJ/'/"/Td/T*
-    text operators; encrypted PDFs and 1.5 object streams keep a
-    documented NotImplementedError; the reference stores its own
+    text operators; AES-encrypted / passworded PDFs and 1.5
+    xref/object streams keep a documented NotImplementedError while
+    RC4 owner-locked docs decrypt for real; the reference stores its own
     austin.pdf fixture as an opaque blob — tests/store/uploads/).
     Per doc, a closed-form multi-page text layer is written as a real
     PDF — the writer path VARIES per doc (plain/TJ-array/hex strings ×

@@ -505,7 +505,13 @@ class _Document:
         out: list[dict] = []
         seen: set[int] = set()
 
-        def walk(node_ref) -> None:
+        def walk(node_ref, depth: int = 0) -> None:
+            # The cycle check only catches revisits; a hostile non-cyclic
+            # tree nested thousands deep would otherwise blow Python's
+            # recursion limit with an uncaught RecursionError instead of
+            # the ValueError this module contracts for corruption.
+            if depth > 64:
+                raise ValueError("PDF page tree nested deeper than 64 levels")
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 raise ValueError("PDF page-tree node is not a dictionary")
@@ -520,7 +526,7 @@ class _Document:
                 if not isinstance(kids, list):
                     raise ValueError("PDF /Pages node has no /Kids array")
                 for k in kids:
-                    walk(k)
+                    walk(k, depth + 1)
             else:
                 raise ValueError(f"bad PDF page-tree node type {t!r}")
 

@@ -240,3 +240,31 @@ def test_decode_audio_dispatches_flac():
     # mp3/ogg keep the honest stub
     with pytest.raises(NotImplementedError, match="mp3/ogg"):
         decode_audio(b"\xff\xfbmp3-frame", "audio/mpeg")
+
+
+def test_unknown_length_stream_still_bounded(monkeypatch):
+    """STREAMINFO total=0 is spec-legal 'unknown length' and bypasses the
+    declared-total check, so the decode loop itself must cap accumulated
+    samples (ADVICE r8): shrink the bound and feed a total=0 stream that
+    exceeds it — the decoder must raise, not keep allocating."""
+    import pipelinejobs_indexer_spark.llm.flac as flacmod
+
+    data = bytearray(encode_flac(np.zeros(256, dtype=np.int64), 8000, 16,
+                                 block_size=64))
+    # rebuild STREAMINFO with total=0 (and zero MD5: the stream is
+    # 'unverifiable', which is exactly the hostile shape)
+    bw = _BitWriter()
+    bw.write(64, 16)   # min block
+    bw.write(64, 16)   # max block
+    bw.write(0, 24)    # min frame
+    bw.write(0, 24)    # max frame
+    bw.write(8000, 20)
+    bw.write(0, 3)     # channels-1
+    bw.write(15, 5)    # bits-1
+    bw.write(0, 36)    # total = 0: unknown length
+    patched = bytes(data[:8]) + bw.bytes() + b"\x00" * 16 + bytes(data[42:])
+    # sanity: with the real bound the patched stream decodes fine
+    assert len(decode_flac(patched)["samples"]) == 256
+    monkeypatch.setattr(flacmod, "MAX_SAMPLES", 128)
+    with pytest.raises(ValueError, match="sample bound"):
+        flacmod.decode_flac(patched)

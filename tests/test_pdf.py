@@ -203,3 +203,21 @@ def test_mutation_robustness(seed, n_flips):
         assert len(text) <= MAX_TEXT_BYTES
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_page_tree_depth_bounded():
+    """A non-cyclic page tree nested past 64 levels must raise ValueError
+    (the module's corruption contract), never RecursionError (ADVICE r8)."""
+    objs = [b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"]
+    depth = 80
+    for i in range(depth):
+        num = 2 + i
+        kid = num + 1
+        objs.append(
+            b"%d 0 obj << /Type /Pages /Kids [%d 0 R] /Count 1 >> endobj\n"
+            % (num, kid)
+        )
+    objs.append(b"%d 0 obj << /Type /Page >> endobj\n" % (2 + depth))
+    body = b"%PDF-1.4\n" + b"".join(objs) + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    with pytest.raises(ValueError, match="deeper than"):
+        extract_pdf_text(body)
