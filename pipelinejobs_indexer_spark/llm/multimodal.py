@@ -1052,6 +1052,11 @@ def _pdf_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 hex_strings=(d % 3 == 2),
                 ascii85=(d % 5 == 0),
                 encrypt_rc4=(d % 7 == 0),
+                # PDF 1.5 layouts: d%4==1 -> xref stream with the PNG Up
+                # predictor; d%4==3 -> xref stream + ObjStm packing (and
+                # d=21, 35, ... compose 1.5 layouts with RC4 encryption)
+                xref_stream=(d % 4 == 1),
+                objstm=(d % 4 == 3),
             )
             text = extract_pdf_text(data)
             pages = text.split("\f")
@@ -1103,15 +1108,17 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     text layer the stdlib honestly decodes (pdf.py: object-graph parse,
     Root→Pages→Kids tree walk, FlateDecode via zlib + ASCIIHex/ASCII85
     armors, full literal-string escape grammar, BT/Tj/TJ/'/"/Td/T*
-    text operators; AES-encrypted / passworded PDFs and 1.5
-    xref/object streams keep a documented NotImplementedError while
-    RC4 owner-locked docs decrypt for real; the reference stores its own
+    text operators; AES-encrypted / passworded PDFs keep a documented
+    NotImplementedError while RC4 owner-locked docs decrypt for real,
+    and the PDF 1.5 compressed layout — /Type /XRef cross-reference
+    streams with PNG predictors, /Type /ObjStm object streams — is
+    parsed per ISO 32000 §7.5.7-7.5.8; the reference stores its own
     austin.pdf fixture as an opaque blob — tests/store/uploads/).
     Per doc, a closed-form multi-page text layer is written as a real
     PDF — the writer path VARIES per doc (plain/TJ-array/hex strings ×
     optional ASCII85+Flate chain × RC4 Standard-handler encryption on
-    every 7th doc — MD5+RC4 are stdlib, so the owner-locked case
-    decrypts for real while AES/passworded docs keep the raise), so
+    every 7th doc × the d%4 container layout: classic xref table /
+    predictor-12 xref stream / xref stream + ObjStm packing), so
     every extractor branch carries driver-hash evidence — then
     extracted, and reduced to page/line/
     char counts plus the digit sum of every token. The DuckDB oracle

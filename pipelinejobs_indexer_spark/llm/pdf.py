@@ -13,18 +13,26 @@ flac.py discipline: a spec-subset writer beside an independent parser
 so round trips cross-check both, plus closed-form Spark/DuckDB oracle
 evidence (llm/text.py::llm_text_pdf_extract).
 
-Scope (the classic pre-1.5 layout real generators still emit):
-%PDF header, indirect objects located by a full `N G obj` scan (robust
-to fixture PDFs with no xref, and immune to stale xref tables),
-dictionaries/arrays/names/numbers/strings/hex-strings/refs, the
-Root→Pages→Kids page tree (inter-node /Parent cycles rejected), page
-/Contents as a single stream or an array (concatenated in order),
-stream /Length possibly an indirect ref, filters FlateDecode /
-ASCIIHexDecode / ASCII85Decode (chained), and the text operators
-BT/ET, Tj, ', ", TJ (strings concatenated; kerning numbers are spacing
-hints, not glyphs, and emit nothing), with Td/TD (dy != 0), T*, ' and
-" breaking lines. Literal strings handle nesting, all escapes, octal
-codes, and line continuations.
+Scope: %PDF header, indirect objects located by a full `N G obj` scan
+(robust to fixture PDFs with no xref, and immune to stale xref
+tables), dictionaries/arrays/names/numbers/strings/hex-strings/refs,
+the Root→Pages→Kids page tree (inter-node /Parent cycles rejected),
+page /Contents as a single stream or an array (concatenated in
+order), stream /Length possibly an indirect ref, filters FlateDecode
+(with /DecodeParms PNG predictors) / ASCIIHexDecode / ASCII85Decode
+(chained), and the text operators BT/ET, Tj, ', ", TJ (strings
+concatenated; kerning numbers are spacing hints, not glyphs, and emit
+nothing), with Td/TD (dy != 0), T*, ' and " breaking lines. Literal
+strings handle nesting, all escapes, octal codes, and line
+continuations. The PDF 1.5 compressed layout is real (ISO 32000
+§7.5.7-7.5.8): /Type /XRef cross-reference streams are parsed per the
+/W column widths and /Index subsections (PNG Up/Sub/Paeth predictors
+reversed, /Prev chains bounded), their type-2 entries locate
+compressed objects, and /Type /ObjStm object streams are decoded from
+their /N//First header pairs — with a scan-based fallback that
+registers ObjStm contents even when the xref stream is stale or
+absent, mirroring the `N G obj` scan's robustness for top-level
+objects.
 
 Encryption: the Standard security handler's RC4 variants (V1/V2,
 R2/R3) decrypt for real — MD5 key derivation (algorithms 2-5) and the
@@ -33,9 +41,9 @@ the common "owner-locked" case every reader opens. Documents locked
 with a real user password (U-entry verification fails) and AES
 handlers (V4/5, needs a crypto lib) raise NotImplementedError.
 
-Out of honest scope (documented raises): AES encryption, xref/object
-streams (PDF 1.5 compressed layout), and non-text filters (DCTDecode
-etc.) raise NotImplementedError; structural corruption (bad header,
+Out of honest scope (documented raises): AES encryption and non-text
+filters (DCTDecode etc.) raise NotImplementedError; structural
+corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
 size-capped so a zlib bomb in a hostile PDF cannot balloon memory.
@@ -336,7 +344,16 @@ class _Document:
         self._cache: dict[tuple[int, int], object] = {}
         self.file_key: bytes | None = None
         self._enc_key_obj: tuple[int, int] | None = None
+        #: compressed-object registry (PDF 1.5): objnum -> (objstm num,
+        #: index within the stream); filled from xref-stream type-2
+        #: entries first, then from a scan of /Type /ObjStm headers
+        self._objstm_map: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._objstm_loading: set[int] = set()
+        self._objstm_bytes = 0
         self._setup_encryption()
+        self._load_xref_streams()
+        self._register_objstms()
 
     def _setup_encryption(self) -> None:
         """RC4 Standard-handler support (V1/V2, R2/R3) with an EMPTY
@@ -390,6 +407,142 @@ class _Document:
         self.file_key = key
         self._enc_key_obj = enc_ref
 
+    # --------------------------- PDF 1.5 compressed layout (ISO 32000)
+    def _load_xref_streams(self) -> None:
+        """Parse cross-reference STREAMS (ISO 32000 §7.5.8): follow the
+        last ``startxref`` offset and the /Prev chain; type-2 entries
+        map compressed objects to their /Type /ObjStm container. Files
+        with a classic ``xref`` table (or none at all — fixture PDFs)
+        are untouched: the full `N G obj` scan stays authoritative for
+        top-level objects."""
+        last = None
+        for m in re.finditer(rb"startxref\s+(\d+)", self.data):
+            last = m
+        if last is None:
+            return
+        offset = int(last.group(1))
+        seen_offsets: set[int] = set()
+        for _ in range(32):  # bounded /Prev chain (cycles, hostile depth)
+            if offset in seen_offsets or not 0 <= offset < len(self.data):
+                return
+            seen_offsets.add(offset)
+            m = _OBJ_RE.match(self.data, offset)
+            if m is None:
+                return  # classic layout: startxref points at `xref`
+            key = (int(m.group(1)), int(m.group(2)))
+            info = _Lexer(self.data, m.end()).parse()
+            if not isinstance(info, dict) or info.get("/Type") != "/XRef":
+                return
+            rows = self.stream_bytes(key)
+            w = info.get("/W")
+            size = info.get("/Size")
+            if (not isinstance(w, list) or len(w) != 3
+                    or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+                    or w[1] == 0):
+                raise ValueError(f"bad PDF xref-stream /W {w!r}")
+            if not isinstance(size, int) or size <= 0:
+                raise ValueError("bad PDF xref-stream /Size")
+            index = info.get("/Index", [0, size])
+            if (not isinstance(index, list) or len(index) % 2
+                    or not all(isinstance(x, int) and x >= 0 for x in index)):
+                raise ValueError(f"bad PDF xref-stream /Index {index!r}")
+            width = sum(w)
+            n_rows = sum(index[1::2])
+            if len(rows) < n_rows * width:
+                raise ValueError(
+                    f"PDF xref stream holds {len(rows)} bytes, "
+                    f"needs {n_rows * width}"
+                )
+            pos = 0
+            for first, count in zip(index[0::2], index[1::2]):
+                for num in range(first, first + count):
+                    fields = []
+                    for wi in w:
+                        fields.append(
+                            int.from_bytes(rows[pos : pos + wi], "big")
+                        )
+                        pos += wi
+                    ftype = fields[0] if w[0] else 1
+                    if ftype == 2:
+                        # earliest-seen wins: the chain runs newest ->
+                        # oldest, and newer sections supersede /Prev
+                        self._objstm_map.setdefault(
+                            num, (fields[1], fields[2])
+                        )
+            prev = info.get("/Prev")
+            if not isinstance(prev, int):
+                return
+            offset = prev
+        raise ValueError("PDF xref /Prev chain deeper than 32")
+
+    def _register_objstms(self) -> None:
+        """Scan-based fallback: register the contents of every top-level
+        /Type /ObjStm from its own header pairs, so compressed objects
+        survive a stale/absent xref stream (the same no-xref robustness
+        the `N G obj` scan gives top-level objects). Xref-stream entries
+        keep priority via setdefault."""
+        if b"/ObjStm" not in self.data:
+            return
+        for key in list(self.offsets):
+            try:
+                info = _Lexer(self.data, self.offsets[key]).parse()
+            except (ValueError, NotImplementedError):
+                continue  # unrelated corrupt object: fails if resolved
+            if not isinstance(info, dict) or info.get("/Type") != "/ObjStm":
+                continue
+            try:
+                contents = self._decode_objstm(key[0])
+            except (ValueError, NotImplementedError):
+                continue
+            for idx, num in enumerate(contents):
+                self._objstm_map.setdefault(num, (key[0], idx))
+
+    def _decode_objstm(self, stm_num: int) -> dict[int, object]:
+        """Decode an object stream: /N pairs of (objnum, offset) then the
+        serialized objects, offsets relative to /First (§7.5.7)."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        if stm_num in self._objstm_loading:
+            raise ValueError("cycle between PDF object streams")
+        self._objstm_loading.add(stm_num)
+        try:
+            key = (stm_num, 0)
+            if key not in self.offsets:
+                raise ValueError(f"PDF object stream {stm_num} not found")
+            info = _Lexer(self.data, self.offsets[key]).parse()
+            if not isinstance(info, dict) or info.get("/Type") != "/ObjStm":
+                raise ValueError(f"PDF object {stm_num} is not /Type /ObjStm")
+            n = self.resolve(info.get("/N"))
+            first = self.resolve(info.get("/First"))
+            if not (isinstance(n, int) and isinstance(first, int)
+                    and 0 <= n <= 100_000 and 0 <= first):
+                raise ValueError("bad PDF /ObjStm /N or /First")
+            content = self.stream_bytes(key)
+            self._objstm_bytes += len(content)
+            if self._objstm_bytes > MAX_TEXT_BYTES:
+                raise ValueError(
+                    f"PDF object streams exceed the {MAX_TEXT_BYTES}-byte "
+                    "bound"
+                )
+            if first > len(content):
+                raise ValueError("PDF /ObjStm /First past stream end")
+            lex = _Lexer(content[:first])
+            pairs = []
+            for _ in range(n):
+                num = lex.parse()
+                off = lex.parse()
+                if not (isinstance(num, int) and isinstance(off, int)
+                        and num > 0 and 0 <= off <= len(content) - first):
+                    raise ValueError("bad PDF /ObjStm header pair")
+                pairs.append((num, off))
+            out: dict[int, object] = {}
+            for num, off in pairs:
+                out[num] = _Lexer(content, first + off).parse()
+            self._objstm_cache[stm_num] = out
+            return out
+        finally:
+            self._objstm_loading.discard(stm_num)
+
     def resolve(self, obj, depth: int = 0):
         """Follow indirect references (memoized, cycle-bounded)."""
         while isinstance(obj, tuple) and obj and obj[0] == "ref":
@@ -400,6 +553,20 @@ class _Document:
                 obj = self._cache[key]
                 break
             if key not in self.offsets:
+                # compressed objects always have generation 0 (§7.5.7)
+                if key[1] == 0 and key[0] in self._objstm_map:
+                    stm_num, idx = self._objstm_map[key[0]]
+                    contents = self._decode_objstm(stm_num)
+                    if key[0] not in contents:
+                        raise ValueError(
+                            f"PDF object {key[0]} missing from object "
+                            f"stream {stm_num}"
+                        )
+                    val = contents[key[0]]
+                    self._cache[key] = val
+                    obj = val
+                    depth += 1
+                    continue
                 raise ValueError(f"PDF object {key[0]} {key[1]} not found")
             lex = _Lexer(self.data, self.offsets[key])
             val = lex.parse()
@@ -412,16 +579,18 @@ class _Document:
         """Decoded bytes of a stream object (dict followed by
         stream...endstream), honoring /Length and /Filter."""
         if key not in self.offsets:
+            if key[1] == 0 and key[0] in self._objstm_map:
+                # §7.5.7: stream objects shall not be stored inside an
+                # object stream — a ref that lands there is corruption
+                raise ValueError(
+                    f"PDF object {key[0]} referenced as a stream lives "
+                    "inside an object stream"
+                )
             raise ValueError(f"PDF stream object {key[0]} {key[1]} not found")
         lex = _Lexer(self.data, self.offsets[key])
         info = lex.parse()
         if not isinstance(info, dict):
             raise ValueError("PDF content object is not a stream")
-        if isinstance(info.get("/Type"), str) and info["/Type"] == "/ObjStm":
-            raise NotImplementedError(
-                "PDF 1.5 object streams (compressed xref layout) are out "
-                "of the classic-layout scope"
-            )
         lex._skip_ws()
         if not self.data.startswith(b"stream", lex.pos):
             raise ValueError("PDF stream keyword missing after dictionary")
@@ -439,10 +608,11 @@ class _Document:
         end = self.data.find(b"endstream", pos + length)
         if end < 0:
             raise ValueError("PDF stream missing endstream")
-        if self.file_key is not None and key != self._enc_key_obj:
+        if (self.file_key is not None and key != self._enc_key_obj
+                and info.get("/Type") != "/XRef"):
             # decrypt BEFORE filters (readers reverse the writer's
-            # filter-then-encrypt order); the /Encrypt object itself is
-            # never encrypted
+            # filter-then-encrypt order); the /Encrypt object itself and
+            # cross-reference streams (§7.5.8.2) are never encrypted
             raw = _rc4(_object_key(self.file_key, key[0], key[1]), raw)
         filters = self.resolve(info.get("/Filter"))
         if filters is None:
@@ -453,7 +623,16 @@ class _Document:
             chain = [self.resolve(f) for f in filters]
         else:
             raise ValueError("bad PDF /Filter entry")
-        for f in chain:
+        parms = self.resolve(info.get("/DecodeParms", info.get("/DP")))
+        if parms is None or isinstance(parms, dict):
+            parms_chain = [parms] * max(len(chain), 1)
+        elif isinstance(parms, list):
+            parms_chain = [self.resolve(p) for p in parms]
+        else:
+            raise ValueError("bad PDF /DecodeParms entry")
+        if len(parms_chain) < len(chain):
+            parms_chain += [None] * (len(chain) - len(parms_chain))
+        for f, parm in zip(chain, parms_chain):
             if f == "/FlateDecode":
                 try:
                     dec = zlib.decompressobj()
@@ -465,6 +644,7 @@ class _Document:
                         f"PDF stream inflates past the {MAX_TEXT_BYTES}-byte "
                         "bound"
                     )
+                raw = self._apply_predictor(raw, parm)
             elif f == "/ASCIIHexDecode":
                 body = raw.split(b">")[0]
                 hx = bytes(b for b in body if bytes([b]) not in _WS)
@@ -483,6 +663,48 @@ class _Document:
                     f"PDF filter {f} is not a text filter (needs codec libs)"
                 )
         return raw
+
+    def _apply_predictor(self, raw: bytes, parm) -> bytes:
+        """Reverse a /DecodeParms predictor on FlateDecode output. PNG
+        predictors (/Predictor >= 10, §7.4.4.4) are the ones real xref
+        streams use; each row is a filter-type byte plus Columns x
+        Colors x BitsPerComponent/8 bytes, defiltered with the same
+        per-row logic as png.py."""
+        if not isinstance(parm, dict):
+            return raw
+        pred = self.resolve(parm.get("/Predictor", 1))
+        if pred == 1 or pred is None:
+            return raw
+        if pred == 2:
+            raise NotImplementedError(
+                "TIFF predictor 2 on a PDF stream (no xref stream uses it)"
+            )
+        if not (isinstance(pred, int) and pred >= 10):
+            raise ValueError(f"bad PDF /Predictor {pred!r}")
+        import numpy as np
+
+        from .png import _unfilter
+
+        columns = self.resolve(parm.get("/Columns", 1))
+        colors = self.resolve(parm.get("/Colors", 1))
+        bpc = self.resolve(parm.get("/BitsPerComponent", 8))
+        if not all(isinstance(x, int) and 1 <= x <= 1 << 20
+                   for x in (columns, colors, bpc)):
+            raise ValueError("bad PDF predictor /Columns//Colors//BPC")
+        row_len = (columns * colors * bpc + 7) // 8
+        bpp = max(1, (colors * bpc + 7) // 8)
+        if row_len == 0 or len(raw) % (row_len + 1):
+            raise ValueError(
+                f"PDF predictor rows misaligned: {len(raw)} bytes is not "
+                f"a multiple of {row_len + 1}"
+            )
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, row_len + 1)
+        prev = np.zeros(row_len, dtype=np.int32)
+        out = bytearray()
+        for row in arr:
+            prev = _unfilter(row[1:].astype(np.int32), prev, int(row[0]), bpp)
+            out += prev.astype(np.uint8).tobytes()
+        return bytes(out)
 
     def pages(self) -> list[dict]:
         """Page dictionaries in /Kids order from the Root page tree."""
@@ -663,16 +885,25 @@ def write_pdf(
     ascii85: bool = False,
     encrypt_rc4: bool = False,
     user_password: bytes = b"",
+    xref_stream: bool = False,
+    objstm: bool = False,
 ) -> bytes:
-    """Write a classic-layout PDF whose text layer is ``pages`` (a list
-    of pages, each a list of text lines). Spec-subset but real: proper
-    object graph, page tree, xref table and trailer; content streams
-    use BT/Td/Tj/T*/ET (or TJ arrays / hex strings / an ASCII85+Flate
-    filter chain under the knobs, so the extractor's alternate paths
-    round-trip). ``encrypt_rc4`` applies the Standard security handler
-    (V2/R3, 128-bit RC4, filter-then-encrypt order); a non-empty
+    """Write a PDF whose text layer is ``pages`` (a list of pages, each
+    a list of text lines). Spec-subset but real: proper object graph,
+    page tree, xref and trailer; content streams use BT/Td/Tj/T*/ET
+    (or TJ arrays / hex strings / an ASCII85+Flate filter chain under
+    the knobs, so the extractor's alternate paths round-trip).
+    ``encrypt_rc4`` applies the Standard security handler (V2/R3,
+    128-bit RC4, filter-then-encrypt order); a non-empty
     ``user_password`` produces a genuinely locked document the
-    extractor must refuse."""
+    extractor must refuse. ``xref_stream`` emits the PDF 1.5 layout: a
+    /Type /XRef cross-reference stream (W=[1 3 2], PNG Up predictor
+    12) instead of the classic table+trailer; ``objstm`` (implies
+    ``xref_stream``) additionally packs every non-stream object into a
+    /Type /ObjStm located by type-2 xref entries — the post-2003
+    layout most real-world PDFs use (ISO 32000 §7.5.7-7.5.8)."""
+    if objstm:
+        xref_stream = True
     enc = None
     if encrypt_rc4:
         import hashlib
@@ -683,24 +914,26 @@ def write_pdf(
         file_key = _std_file_key(user_password, o_val, p_val, doc_id, 3, 16)
         u_val = _std_u_value(file_key, doc_id, 3)
         enc = (file_key, o_val, u_val, p_val, doc_id)
-    objs: list[bytes] = []
+    objs: list[tuple[bytes, bool]] = []
 
-    def add(body: bytes) -> int:
-        objs.append(body)
+    def add(body: bytes, compressed: bool = False) -> int:
+        objs.append((body, compressed))
         return len(objs)  # 1-based object number
 
     n_pages = len(pages)
     # reserve: 1 catalog, 2 pages-node; page i -> obj 3+2i, content 4+2i
     page_refs = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(b"<< /Type /Catalog /Pages 2 0 R >>", objstm)
     add(
-        f"<< /Type /Pages /Kids [{page_refs}] /Count {n_pages} >>".encode()
+        f"<< /Type /Pages /Kids [{page_refs}] /Count {n_pages} >>".encode(),
+        objstm,
     )
     for i, lines in enumerate(pages):
         content_num = 4 + 2 * i
         add(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {content_num} 0 R >>".encode()
+            f"/Contents {content_num} 0 R >>".encode(),
+            objstm,
         )
         ops = [b"BT /F1 12 Tf 72 720 Td"]
         for j, line in enumerate(lines):
@@ -753,18 +986,100 @@ def write_pdf(
             f" /Encrypt {enc_num} 0 R"
             f" /ID [<{doc_id.hex()}> <{doc_id.hex()}>]"
         )
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+    objstm_num = None
+    objstm_index: dict[int, int] = {}  # objnum -> index within the ObjStm
+    if objstm:
+        compressed = [
+            (num, body)
+            for num, (body, comp) in enumerate(objs, start=1)
+            if comp
+        ]
+        header = bytearray()
+        payload = bytearray()
+        for idx, (num, body) in enumerate(compressed):
+            header += f"{num} {len(payload)} ".encode()
+            payload += body + b" "
+            objstm_index[num] = idx
+        first = len(header)
+        stm = bytes(header + payload)
+        filters = " /Filter /FlateDecode"
+        stm = zlib.compress(stm)
+        objstm_num = len(objs) + 1
+        if enc is not None:
+            stm = _rc4(_object_key(enc[0], objstm_num, 0), stm)
+        objstm_num = add(
+            (
+                f"<< /Type /ObjStm /N {len(compressed)} /First {first} "
+                f"/Length {len(stm)}{filters} >>"
+            ).encode()
+            + b"\nstream\n" + stm + b"\nendstream"
+        )
+
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for num, (body, _) in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj ".encode() + body + b" endobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer << /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # PDF 1.5 layout: no trailer keyword — the /Type /XRef stream object
+    # carries the trailer entries and the W=[1 3 2] entry rows
+    out = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+    for num, (body, comp) in enumerate(objs, start=1):
+        if comp:
+            continue
+        top_offsets[num] = len(out)
         out += f"{num} 0 obj ".encode() + body + b" endobj\n"
+    xref_num = len(objs) + 1
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer << /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535  # free-list head
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_at, 0  # the xref stream itself
+        elif num in objstm_index:
+            t, f2, f3 = 2, objstm_num, objstm_index[num]
+        else:
+            t, f2, f3 = 1, top_offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+    row_w = 6
+    parms = ""
+    if not objstm:
+        # PNG Up predictor (12) — the encoding real generators emit;
+        # the objstm variant stays unpredicted so both decode paths
+        # carry round-trip evidence
+        pred = bytearray()
+        prev = bytes(row_w)
+        for i in range(0, len(rows), row_w):
+            row = rows[i : i + row_w]
+            pred += b"\x02" + bytes(
+                (row[j] - prev[j]) & 0xFF for j in range(row_w)
+            )
+            prev = row
+        rows = pred
+        parms = f" /DecodeParms << /Predictor 12 /Columns {row_w} >>"
+    data = zlib.compress(bytes(rows))
+    head = (
+        f"<< /Type /XRef /Size {size} /W [1 3 2] /Index [0 {size}] "
+        f"/Root 1 0 R{trailer_extra} /Length {len(data)} "
+        f"/Filter /FlateDecode{parms} >>"
     ).encode()
+    out += (
+        f"{xref_num} 0 obj ".encode() + head
+        + b"\nstream\n" + data + b"\nendstream endobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

@@ -1,10 +1,11 @@
 """pdf.py text-extraction semantics: write→extract round trips over
-every content encoding (plain/TJ/hex × Flate/ASCII85 chains), string
-escape grammar, page-tree order, corrupt-container classes, the honest
-NotImplementedError scope (encryption, object streams, image filters),
-the decompression bound, and bit-flip robustness. Writer and extractor
-share only the published PDF grammar, so a round trip cross-checks
-independently-written paths."""
+every content encoding (plain/TJ/hex × Flate/ASCII85 chains) and both
+container layouts (classic xref table; PDF 1.5 xref streams with PNG
+predictors + object streams), string escape grammar, page-tree order,
+corrupt-container classes, the honest NotImplementedError scope (AES
+encryption, image filters), the decompression bound, and bit-flip
+robustness. Writer and extractor share only the published PDF grammar,
+so a round trip cross-checks independently-written paths."""
 
 from __future__ import annotations
 
@@ -221,3 +222,119 @@ def test_page_tree_depth_bounded():
     body = b"%PDF-1.4\n" + b"".join(objs) + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     with pytest.raises(ValueError, match="deeper than"):
         extract_pdf_text(body)
+
+
+# ------------------------------------------------- PDF 1.5 compressed layout
+def test_roundtrip_pdf15_layouts():
+    pages = [["hello world", "second line"], ["page two"]]
+    _rt(pages, xref_stream=True)                      # PNG Up predictor 12
+    _rt(pages, objstm=True)                           # + object stream
+    _rt(pages, objstm=True, use_tj_array=True, ascii85=True)
+    _rt(pages, xref_stream=True, hex_strings=True, compress=False)
+    _rt(pages, xref_stream=True, encrypt_rc4=True)    # xref never encrypted
+    _rt(pages, objstm=True, encrypt_rc4=True)         # ObjStm IS encrypted
+
+
+def test_xref_stream_type2_entries_locate_objects():
+    """The type-2 entries of the /Type /XRef stream (W=[1 3 2], §7.5.8)
+    must map every compressed object to its ObjStm container."""
+    from pipelinejobs_indexer_spark.llm.pdf import _Document
+
+    doc = _Document(write_pdf([["a"], ["b"]], objstm=True))
+    # catalog(1), pages node(2), both page dicts(3, 5) are compressed
+    assert set(doc._objstm_map) >= {1, 2, 3, 5}
+    stms = {stm for stm, _ in doc._objstm_map.values()}
+    assert len(stms) == 1
+    # ... and the objects genuinely resolve through the ObjStm
+    cat = doc.resolve(("ref", 1, 0))
+    assert cat.get("/Type") == "/Catalog"
+
+
+def test_objstm_scan_fallback_survives_stale_xref():
+    """A stale/broken startxref must not lose compressed objects: the
+    scan-based ObjStm registration mirrors the `N G obj` scan."""
+    import re
+
+    data = write_pdf([["fallback text"]], objstm=True)
+    broken = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+    assert extract_pdf_text(broken) == "fallback text"
+
+
+def test_xref_stream_corruption_classes():
+    import re
+
+    data = write_pdf([["x"]], xref_stream=True)
+    with pytest.raises(ValueError, match="/W"):
+        extract_pdf_text(data.replace(b"/W [1 3 2]", b"/W [1 3]"))
+    with pytest.raises(ValueError, match="/Size"):
+        extract_pdf_text(re.sub(rb"/Size \d+", b"/Size 0", data))
+    with pytest.raises(ValueError, match="/Index"):
+        extract_pdf_text(re.sub(rb"/Index \[0 (\d+)\]", rb"/Index [0 \1 7]",
+                                data))
+    # declare more rows than the stream holds
+    with pytest.raises(ValueError, match="needs"):
+        extract_pdf_text(re.sub(rb"/Index \[0 (\d+)\]", b"/Index [0 9999]",
+                                data))
+
+
+def test_predictor_misalignment_rejected():
+    """Predictor rows must tile the inflated stream exactly."""
+    import re
+
+    data = write_pdf([["x"]], xref_stream=True)
+    # lie about the columns: 6-byte rows no longer tile at 7+1
+    bad = data.replace(b"/Predictor 12 /Columns 6", b"/Predictor 12 /Columns 7")
+    with pytest.raises(ValueError, match="misaligned"):
+        extract_pdf_text(bad)
+    with pytest.raises(NotImplementedError, match="TIFF"):
+        extract_pdf_text(
+            data.replace(b"/Predictor 12 /Columns 6", b"/Predictor 2")
+        )
+
+
+def test_objstm_header_corruption_rejected():
+    data = write_pdf([["x"]], objstm=True)
+    with pytest.raises(ValueError, match="/N or /First|header pair|not found"):
+        extract_pdf_text(data.replace(b"/Type /ObjStm /N 3", b"/Type /ObjStm /N -1"))
+
+
+def test_stream_ref_into_objstm_rejected():
+    """§7.5.7: streams can't live inside an ObjStm — /Contents pointing
+    at a compressed object is corruption, reported precisely."""
+    import re
+
+    from pipelinejobs_indexer_spark.llm.pdf import _Document
+
+    doc = _Document(write_pdf([["x"]], objstm=True))
+    with pytest.raises(ValueError, match="inside an object stream"):
+        doc.stream_bytes((1, 0))
+
+
+def test_objstm_cycle_guard():
+    from pipelinejobs_indexer_spark.llm.pdf import _Document
+
+    doc = _Document(write_pdf([["x"]], objstm=True))
+    stm = next(iter({s for s, _ in doc._objstm_map.values()}))
+    doc._objstm_cache.clear()
+    doc._objstm_loading.add(stm)
+    with pytest.raises(ValueError, match="cycle between"):
+        doc._decode_objstm(stm)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 6))
+def test_mutation_robustness_pdf15(seed, n_flips):
+    """Bit-flip fuzz over the 1.5 compressed layout: decode correctly
+    or raise ValueError/NotImplementedError — never crash."""
+    import random
+
+    rng = random.Random(seed)
+    data = bytearray(write_pdf([["hello world", "line"], ["p2"]],
+                               objstm=(seed % 2 == 0), xref_stream=True))
+    for _ in range(n_flips):
+        data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+    try:
+        out = extract_pdf_text(bytes(data))
+        assert len(out) <= MAX_TEXT_BYTES
+    except (ValueError, NotImplementedError):
+        pass
