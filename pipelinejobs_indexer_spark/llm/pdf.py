@@ -35,15 +35,18 @@ absent, mirroring the `N G obj` scan's robustness for top-level
 objects.
 
 Encryption: the Standard security handler's RC4 variants (V1/V2,
-R2/R3) decrypt for real — MD5 key derivation (algorithms 2-5) and the
-RC4 cipher are pure stdlib arithmetic — with the EMPTY user password,
-the common "owner-locked" case every reader opens. Documents locked
-with a real user password (U-entry verification fails) and AES
-handlers (V4/5, needs a crypto lib) raise NotImplementedError.
+R2/R3) AND the V4 /AESV2 crypt filter (AES-128-CBC, R4) decrypt for
+real — MD5 key derivation (algorithms 2-5, + the "sAlT" object-key
+salt and /EncryptMetadata variant for V4), the RC4 cipher, and
+AES-128 (FIPS 197: computed S-box, GF(2^8) MixColumns, CBC + PKCS#7)
+are pure stdlib arithmetic — with the EMPTY user password, the common
+"owner-locked" case every reader opens. Documents locked with a real
+user password (U-entry verification fails) and AES-256 handlers (V5
+/AESV3, SHA-2 family derivation) raise NotImplementedError.
 
-Out of honest scope (documented raises): AES encryption and non-text
-filters (DCTDecode etc.) raise NotImplementedError; structural
-corruption (bad header,
+Out of honest scope (documented raises): V5/AES-256 encryption and
+non-text filters (DCTDecode etc.) raise NotImplementedError;
+structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
 size-capped so a zlib bomb in a hostile PDF cannot balloon memory.
@@ -272,8 +275,156 @@ def _pad_password(pw: bytes) -> bytes:
     return (pw + _PAD)[:32]
 
 
+# ------------------------------------------- AES-128 (FIPS 197, pure int)
+# The V4 Standard handler's /AESV2 crypt filter is AES-128-CBC; the
+# cipher is integer arithmetic over GF(2^8), so it stays stdlib-honest.
+# The S-box is COMPUTED from the spec (multiplicative inverse + affine
+# transform, FIPS 197 §5.1.1) rather than pasted, and the block cipher
+# is pinned in tests against the FIPS 197 Appendix C.1 vector.
+def _gf_mul(a: int, b: int) -> int:
+    out = 0
+    for _ in range(8):
+        if b & 1:
+            out ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B  # the AES reduction polynomial x^8+x^4+x^3+x+1
+        b >>= 1
+    return out
+
+
+def _build_sbox() -> tuple[bytes, bytes]:
+    # multiplicative inverses via exp/log tables over generator 3
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    sbox = bytearray(256)
+    for v in range(256):
+        inv = 0 if v == 0 else exp[255 - log[v]]
+        b = inv
+        s = b
+        for _ in range(4):  # affine transform: XOR of 4 rotations + 0x63
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[v] = s ^ 0x63
+    inv_sbox = bytearray(256)
+    for v, s in enumerate(sbox):
+        inv_sbox[s] = v
+    return bytes(sbox), bytes(inv_sbox)
+
+
+_SBOX, _INV_SBOX = _build_sbox()
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """128-bit key schedule: 11 round keys of 16 bytes (FIPS 197 §5.2)."""
+    if len(key) != 16:
+        raise ValueError(f"AES-128 needs a 16-byte key, got {len(key)}")
+    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        w = list(words[i - 1])
+        if i % 4 == 0:
+            w = [_SBOX[b] for b in w[1:] + w[:1]]
+            w[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        words.append([a ^ b for a, b in zip(w, words[i - 4])])
+    return [
+        [b for w in words[r * 4 : r * 4 + 4] for b in w] for r in range(11)
+    ]
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 11):
+        s = [_SBOX[b] for b in s]
+        # ShiftRows on the column-major state: row r rotates left by r
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        if rnd < 10:
+            m = []
+            for c in range(0, 16, 4):
+                a = s[c : c + 4]
+                m += [
+                    _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3],
+                    a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3],
+                    a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3),
+                    _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2),
+                ]
+            s = m
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+    return bytes(s)
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates right by r
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        if rnd > 0:
+            m = []
+            for c in range(0, 16, 4):
+                a = s[c : c + 4]
+                m += [
+                    _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11)
+                    ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9),
+                    _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14)
+                    ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13),
+                    _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9)
+                    ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11),
+                    _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13)
+                    ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14),
+                ]
+            s = m
+    return bytes(s)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF /AESV2 stream layout: IV || CBC ciphertext, PKCS#7-padded."""
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError(
+            f"AES-CBC stream of {len(data)} bytes is not IV + padded blocks"
+        )
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev)
+        )
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad AES-CBC padding (corrupt or wrong key)")
+    return bytes(out[:-pad])
+
+
 def _std_file_key(
-    user_pw: bytes, o_value: bytes, p: int, doc_id: bytes, r: int, n: int
+    user_pw: bytes, o_value: bytes, p: int, doc_id: bytes, r: int, n: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key."""
     import hashlib
@@ -283,6 +434,8 @@ def _std_file_key(
     h.update(o_value[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(doc_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -318,12 +471,17 @@ def _std_u_value(file_key: bytes, doc_id: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # R3 pads U to 32 bytes (tail is arbitrary)
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Per-object RC4 key: MD5(file key + objnum[3 LE] + gen[2 LE])."""
+def _object_key(
+    file_key: bytes, num: int, gen: int, aes: bool = False
+) -> bytes:
+    """Per-object key: MD5(file key + objnum[3 LE] + gen[2 LE]); the
+    /AESV2 crypt filter additionally salts with the spec's literal
+    "sAlT" bytes (ISO 32000 §7.6.2 algorithm 1)."""
     import hashlib
 
     h = hashlib.md5(
         file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -343,6 +501,7 @@ class _Document:
             self.offsets[(int(m.group(1)), int(m.group(2)))] = m.end()
         self._cache: dict[tuple[int, int], object] = {}
         self.file_key: bytes | None = None
+        self._aes = False
         self._enc_key_obj: tuple[int, int] | None = None
         #: compressed-object registry (PDF 1.5): objnum -> (objstm num,
         #: index within the stream); filled from xref-stream type-2
@@ -368,17 +527,44 @@ class _Document:
         enc = self.resolve(("ref",) + enc_ref)
         if not isinstance(enc, dict):
             raise ValueError("PDF /Encrypt is not a dictionary")
-        if enc.get("/Filter") != "/Standard" or enc.get("/V") not in (1, 2):
+        v = enc.get("/V")
+        if enc.get("/Filter") != "/Standard" or v not in (1, 2, 4):
             raise NotImplementedError(
-                "only the RC4 Standard security handler (V1/V2) is "
-                "stdlib-honest; AES / custom handlers need crypto libs"
+                "only the Standard security handler's RC4 (V1/V2) and "
+                "AES-128 (V4 /AESV2) variants are stdlib-honest; V5 "
+                "AES-256 and custom handlers need crypto libs"
             )
+        aes = False
+        if v == 4:
+            # crypt filters (§7.6.5): the default /StdCF drives streams
+            cf = self.resolve(enc.get("/CF"))
+            if not isinstance(cf, dict):
+                raise ValueError("PDF V4 /Encrypt has no /CF dictionary")
+            stmf = enc.get("/StmF", "/Identity")
+            stdcf = self.resolve(cf.get(stmf))
+            if not isinstance(stdcf, dict):
+                raise ValueError(f"PDF /Encrypt /StmF {stmf!r} not in /CF")
+            cfm = stdcf.get("/CFM")
+            if cfm == "/AESV2":
+                aes = True
+            elif cfm != "/V2":  # /V2 = RC4 under a V4 wrapper
+                raise NotImplementedError(
+                    f"crypt filter {cfm!r} is not stdlib-honest "
+                    "(AESV3/AES-256 needs crypto libs)"
+                )
         r = enc.get("/R")
-        if r not in (2, 3):
+        if r not in (2, 3, 4):
             raise ValueError(f"bad Standard-handler revision {r!r}")
-        n = 5 if enc["/V"] == 1 else int(enc.get("/Length", 40)) // 8
+        if v == 1:
+            n = 5
+        elif v == 4 and isinstance(stdcf.get("/Length"), int):
+            # CF /Length is bytes per the spec (Acrobat also wrote bits)
+            cl = stdcf["/Length"]
+            n = cl // 8 if cl >= 40 else cl
+        else:
+            n = int(enc.get("/Length", 40)) // 8
         if not 5 <= n <= 16:
-            raise ValueError(f"bad RC4 key length {n * 8} bits")
+            raise ValueError(f"bad encryption key length {n * 8} bits")
         o = enc.get("/O")
         u = enc.get("/U")
         p = enc.get("/P")
@@ -396,7 +582,10 @@ class _Document:
                     doc_id = ids[0]
             except ValueError:
                 pass  # stray '/ID' bytes inside a stream — no trailer ID
-        key = _std_file_key(b"", o, p, doc_id, r, n)
+        key = _std_file_key(
+            b"", o, p, doc_id, r, n,
+            encrypt_metadata=enc.get("/EncryptMetadata", True) is not False,
+        )
         expect = _std_u_value(key, doc_id, r)
         ok = u[:16] == expect[:16] if r >= 3 else u[:32] == expect[:32]
         if not ok:
@@ -405,6 +594,7 @@ class _Document:
                 "cannot be decrypted without the password"
             )
         self.file_key = key
+        self._aes = aes
         self._enc_key_obj = enc_ref
 
     # --------------------------- PDF 1.5 compressed layout (ISO 32000)
@@ -613,7 +803,13 @@ class _Document:
             # decrypt BEFORE filters (readers reverse the writer's
             # filter-then-encrypt order); the /Encrypt object itself and
             # cross-reference streams (§7.5.8.2) are never encrypted
-            raw = _rc4(_object_key(self.file_key, key[0], key[1]), raw)
+            if self._aes:
+                raw = _aes_cbc_decrypt(
+                    _object_key(self.file_key, key[0], key[1], aes=True),
+                    raw,
+                )
+            else:
+                raw = _rc4(_object_key(self.file_key, key[0], key[1]), raw)
         filters = self.resolve(info.get("/Filter"))
         if filters is None:
             chain = []
@@ -884,6 +1080,7 @@ def write_pdf(
     hex_strings: bool = False,
     ascii85: bool = False,
     encrypt_rc4: bool = False,
+    encrypt_aes: bool = False,
     user_password: bytes = b"",
     xref_stream: bool = False,
     objstm: bool = False,
@@ -894,9 +1091,10 @@ def write_pdf(
     (or TJ arrays / hex strings / an ASCII85+Flate filter chain under
     the knobs, so the extractor's alternate paths round-trip).
     ``encrypt_rc4`` applies the Standard security handler (V2/R3,
-    128-bit RC4, filter-then-encrypt order); a non-empty
-    ``user_password`` produces a genuinely locked document the
-    extractor must refuse. ``xref_stream`` emits the PDF 1.5 layout: a
+    128-bit RC4, filter-then-encrypt order) and ``encrypt_aes`` its V4
+    /AESV2 crypt filter (AES-128-CBC, IV || PKCS#7-padded blocks); a
+    non-empty ``user_password`` produces a genuinely locked document
+    the extractor must refuse. ``xref_stream`` emits the PDF 1.5 layout: a
     /Type /XRef cross-reference stream (W=[1 3 2], PNG Up predictor
     12) instead of the classic table+trailer; ``objstm`` (implies
     ``xref_stream``) additionally packs every non-stream object into a
@@ -904,16 +1102,33 @@ def write_pdf(
     layout most real-world PDFs use (ISO 32000 §7.5.7-7.5.8)."""
     if objstm:
         xref_stream = True
+    if encrypt_rc4 and encrypt_aes:
+        raise ValueError("choose one of encrypt_rc4 / encrypt_aes")
     enc = None
-    if encrypt_rc4:
+    _enc_stream = None
+    if encrypt_rc4 or encrypt_aes:
         import hashlib
 
+        enc_r = 4 if encrypt_aes else 3
         doc_id = hashlib.md5(repr(pages).encode()).digest()
-        o_val = _std_o_value(b"", user_password, 3, 16)
+        o_val = _std_o_value(b"", user_password, enc_r, 16)
         p_val = -3904  # standard permissive permission bits
-        file_key = _std_file_key(user_password, o_val, p_val, doc_id, 3, 16)
-        u_val = _std_u_value(file_key, doc_id, 3)
+        file_key = _std_file_key(
+            user_password, o_val, p_val, doc_id, enc_r, 16
+        )
+        u_val = _std_u_value(file_key, doc_id, enc_r)
         enc = (file_key, o_val, u_val, p_val, doc_id)
+
+        def _enc_stream(stream: bytes, num: int) -> bytes:
+            if encrypt_aes:
+                # deterministic IV (writer-side only; any IV is valid)
+                iv = hashlib.md5(
+                    doc_id + num.to_bytes(3, "little") + b"iv"
+                ).digest()
+                return _aes_cbc_encrypt(
+                    _object_key(file_key, num, 0, aes=True), iv, stream
+                )
+            return _rc4(_object_key(file_key, num, 0), stream)
     objs: list[tuple[bytes, bool]] = []
 
     def add(body: bytes, compressed: bool = False) -> int:
@@ -964,7 +1179,7 @@ def write_pdf(
             stream = base64.a85encode(stream) + b"~>"
             filters.insert(0, "/ASCII85Decode")
         if enc is not None:  # filters first, encryption last (spec order)
-            stream = _rc4(_object_key(enc[0], content_num, 0), stream)
+            stream = _enc_stream(stream, content_num)
         if len(filters) == 1:
             fl = f" /Filter {filters[0]}"
         elif filters:
@@ -976,12 +1191,19 @@ def write_pdf(
     trailer_extra = ""
     if enc is not None:
         _, o_val, u_val, p_val, doc_id = enc
-        enc_num = add(
-            (
+        if encrypt_aes:
+            enc_body = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p_val} >>"
+            )
+        else:
+            enc_body = (
                 "<< /Filter /Standard /V 2 /R 3 /Length 128 "
                 f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p_val} >>"
-            ).encode()
-        )
+            )
+        enc_num = add(enc_body.encode())
         trailer_extra = (
             f" /Encrypt {enc_num} 0 R"
             f" /ID [<{doc_id.hex()}> <{doc_id.hex()}>]"
@@ -1006,7 +1228,7 @@ def write_pdf(
         stm = zlib.compress(stm)
         objstm_num = len(objs) + 1
         if enc is not None:
-            stm = _rc4(_object_key(enc[0], objstm_num, 0), stm)
+            stm = _enc_stream(stm, objstm_num)
         objstm_num = add(
             (
                 f"<< /Type /ObjStm /N {len(compressed)} /First {first} "

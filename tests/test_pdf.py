@@ -137,10 +137,19 @@ def test_honest_not_implemented_scope():
         extract_pdf_text(
             write_pdf([["x"]], encrypt_rc4=True, user_password=b"secret")
         )
-    # AES (V4) keeps the stub — RC4 is the stdlib-honest boundary
-    data = write_pdf([["x"]], encrypt_rc4=True)
-    with pytest.raises(NotImplementedError, match="RC4 Standard"):
-        extract_pdf_text(data.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    # V5 / AES-256 keeps the stub — AES-128 V4 is the stdlib boundary now
+    data = write_pdf([["x"]], encrypt_aes=True)
+    with pytest.raises(NotImplementedError, match="AES-256"):
+        extract_pdf_text(data.replace(b"/V 4 /R 4", b"/V 5 /R 6"))
+    with pytest.raises(NotImplementedError, match="AESV3"):
+        extract_pdf_text(data.replace(b"/CFM /AESV2", b"/CFM /AESV3"))
+    # a V4 dict with no crypt-filter table is malformed, not a refusal
+    with pytest.raises(ValueError, match="/CF"):
+        extract_pdf_text(
+            write_pdf([["x"]], encrypt_rc4=True).replace(
+                b"/V 2 /R 3", b"/V 4 /R 4"
+            )
+        )
     with pytest.raises(NotImplementedError, match="filter"):
         extract_pdf_text(
             write_pdf([["x"]], compress=False).replace(
@@ -338,3 +347,58 @@ def test_mutation_robustness_pdf15(seed, n_flips):
         assert len(out) <= MAX_TEXT_BYTES
     except (ValueError, NotImplementedError):
         pass
+
+
+# --------------------------------------------------- AES-128 (V4 /AESV2)
+def test_aes_block_pins_fips197_vector():
+    """External golden vector: FIPS 197 Appendix C.1. The cipher is
+    validated against the published standard, not a round trip of our
+    own code (the ADVICE-r8 'symmetric misreading' concern)."""
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _aes_expand_key(key)
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_decrypt_block(rk, ct) == pt
+    # ... and the FIPS 197 Appendix A.1 key-schedule tail
+    rk2 = _aes_expand_key(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))
+    assert bytes(rk2[10]).hex() == "d014f9a8c9ee2589e13f0cc8b6630ca6"
+
+
+def test_roundtrip_aes_encrypted():
+    pages = [["hello world", "second line"], ["page two"]]
+    _rt(pages, encrypt_aes=True)
+    _rt(pages, encrypt_aes=True, objstm=True)       # encrypted ObjStm
+    _rt(pages, encrypt_aes=True, xref_stream=True)  # xref never encrypted
+    _rt(pages, encrypt_aes=True, ascii85=True, use_tj_array=True)
+
+
+def test_aes_passworded_refused_and_corruption_rejected():
+    data = write_pdf([["x"]], encrypt_aes=True, user_password=b"secret")
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(data)
+    # flip one ciphertext byte: CBC decrypt yields garbage -> the zlib
+    # filter or the padding check reports corruption, never a crash
+    good = write_pdf([["x"]], encrypt_aes=True)
+    import re
+
+    m = re.search(rb"stream\r?\n", good)
+    i = m.end() + 20
+    bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+    with pytest.raises(ValueError):
+        extract_pdf_text(bad)
+
+
+def test_aes_cbc_layout_rejected():
+    from pipelinejobs_indexer_spark.llm.pdf import _aes_cbc_decrypt
+
+    with pytest.raises(ValueError, match="IV"):
+        _aes_cbc_decrypt(bytes(16), b"short")
+    with pytest.raises(ValueError, match="padding"):
+        _aes_cbc_decrypt(bytes(16), bytes(32))
