@@ -310,3 +310,111 @@ def test_bloom_ingest_stream_matches_batch_audit(spark, sf_dir):
     assert set(stream) == set(hashes)
     for doc_id, dropped in stream.items():
         assert dropped == batch_audit[hashes[doc_id]], doc_id
+
+
+def _write_single_parquet(spark, rows, dest):
+    """Write rows as ONE parquet file at ``dest`` (a file path, not a
+    directory), so a file-source dir can receive discrete 'drops'."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(
+        rows, "job_uuid string, date timestamp, name string, event_seq long"
+    )
+    staging = str(dest) + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.copy(part, str(dest))
+    shutil.rmtree(staging)
+
+
+def _run_fsm_checkpointed(spark, src, ckpt, name):
+    """availableNow replay into a foreachBatch sink (the memory sink
+    does not support checkpoint recovery; foreachBatch does)."""
+    from pipelinejobs_indexer_spark.streaming.core import state_store_conf
+
+    stream = (
+        spark.readStream.schema(
+            "job_uuid string, date timestamp, name string, event_seq long"
+        )
+        .format("parquet")
+        .load(str(src))
+    )
+    rows = []
+    with state_store_conf(spark):
+        q = (
+            fsm_apply(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .queryName(name)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "checkpointed replay timed out"
+    return {r.job_uuid: r for r in rows}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("backend", ["hdfs", "rocksdb"])
+def test_fsm_checkpoint_kill_and_resume(spark, tmp_path, backend):
+    """The resilient_checkpoints durability contract, exercised for
+    real: stop a stream after batch 1, restart from the SAME
+    checkpoint, and the restarted query must (a) NOT re-read the
+    already-committed file (source offsets live in the checkpoint) and
+    (b) resume keyed FSM state (the state store lives there too), so
+    the final snapshot equals a single-pass replay — on both
+    state-store backends."""
+    import dataclasses as _dc
+
+    from pipelinejobs_indexer_spark import config as cfg
+
+    rows1 = [
+        ("jobA", T0, "create", 0),
+        ("jobA", T0 + timedelta(minutes=1), "run", 1),
+        ("jobB", T0, "create", 10),
+    ]
+    rows2 = [
+        ("jobA", T0 + timedelta(minutes=2), "finish", 2),
+        ("jobB", T0 + timedelta(minutes=1), "run", 11),
+        ("jobB", T0 + timedelta(minutes=2), "finish", 12),
+    ]
+    saved = cfg.CONFIG
+    cfg.CONFIG = _dc.replace(saved, state_store=backend)
+    try:
+        src = tmp_path / f"fsm_src_{backend}"
+        ckpt = tmp_path / f"fsm_ckpt_{backend}"
+        src.mkdir()
+        _write_single_parquet(spark, rows1, src / "drop1.parquet")
+        got1 = _run_fsm_checkpointed(
+            spark, src, ckpt, f"fsm_resume1_{backend}"
+        )
+        # batch 1: the query terminated (availableNow) = the "kill"
+        assert got1["jobA"].state == "RUNNING"
+        assert got1["jobA"].n_events == 2
+
+        _write_single_parquet(spark, rows2, src / "drop2.parquet")
+        got2 = _run_fsm_checkpointed(
+            spark, src, ckpt, f"fsm_resume2_{backend}"
+        )
+        # n_events == 3 is the double proof: 5 would mean drop1 was
+        # re-read; 1-per-key would mean the FSM state was lost (a
+        # 'finish' from INIT is illegal and would be rejected)
+        a, b = got2["jobA"], got2["jobB"]
+        assert (a.state, a.n_events, a.n_rejected, a.last_seq) == (
+            "FINISHED", 3, 0, 2,
+        )
+        assert (b.state, b.n_events, b.n_rejected, b.last_seq) == (
+            "FINISHED", 3, 0, 12,
+        )
+        # ... and the resumed snapshot equals a fresh single-pass replay
+        fresh = _run_fsm_checkpointed(
+            spark, src, tmp_path / f"fsm_ckpt_fresh_{backend}",
+            f"fsm_fresh_{backend}",
+        )
+        for k in ("jobA", "jobB"):
+            assert tuple(got2[k]) == tuple(fresh[k])
+    finally:
+        cfg.CONFIG = saved
