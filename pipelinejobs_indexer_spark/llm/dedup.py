@@ -1712,15 +1712,19 @@ _POS_SHINGLES_SQL = f"""
 """
 
 
-def _substring_sql() -> str:
-    """The full substring-span pair query (shared by the registration and
-    the v4 curation oracle, which nests it as a subquery)."""
+def _substring_sql(
+    anchor_mod: int = ANCHOR_MOD, df_cap: int = ANCHOR_DF_CAP
+) -> str:
+    """The full substring-span pair query (shared by the registration,
+    the v4 curation oracle — which nests it as a subquery — and the L12b
+    recall eval, which instantiates it twice: shipped defaults vs the
+    exhaustive anchor_mod=1 ground truth)."""
     return f"""WITH ps AS ({_POS_SHINGLES_SQL}),
          anch AS (
            SELECT doc_id, hf FROM (
-             SELECT DISTINCT doc_id, hf FROM ps WHERE hf % {ANCHOR_MOD} = 0
+             SELECT DISTINCT doc_id, hf FROM ps WHERE hf % {anchor_mod} = 0
            )
-           QUALIFY count(*) OVER (PARTITION BY hf) <= {ANCHOR_DF_CAP}
+           QUALIFY count(*) OVER (PARTITION BY hf) <= {df_cap}
          ),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1779,13 +1783,17 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def substring_span_pairs(
-    docs: DataFrame, anchor_df_cap: int = ANCHOR_DF_CAP
+    docs: DataFrame,
+    anchor_df_cap: int = ANCHOR_DF_CAP,
+    anchor_mod: int = ANCHOR_MOD,
 ) -> DataFrame:
     """llm_dedup_substring's core over any (doc_id, text) frame —
     separated so adversarial tests can plant hot-boilerplate corpora
     (tests/test_llm.py pins that the anchor df cap keeps a block shared
     by hundreds of docs from quadratically fanning out the candidate
-    join, the L12 scale guarantee)."""
+    join, the L12 scale guarantee). ``anchor_mod=1`` turns EVERY
+    shingle into an anchor — the exhaustive ground truth the L12b
+    recall eval measures the shipped 1/ANCHOR_MOD sample against."""
     from pyspark.sql.window import Window
 
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
@@ -1808,7 +1816,7 @@ def substring_span_pairs(
         ).alias("hf"),
     ).cache()
     anch = (
-        ps.filter(F.col("hf") % ANCHOR_MOD == 0)
+        ps.filter(F.col("hf") % anchor_mod == 0)
         .select("doc_id", "hf")
         .distinct()
         .withColumn("df", F.count("*").over(Window.partitionBy("hf")))
@@ -1857,6 +1865,88 @@ def substring_span_pairs(
         )
     )
     return spans.filter(F.col("span_words") >= MIN_SPAN_WORDS)
+
+
+_EXHAUSTIVE_DF_CAP = 1 << 40  # "uncapped" for the eval's ground-truth pass
+
+
+@register(
+    "llm_substring_recall_eval",
+    sql=f"""WITH exact AS ({_substring_sql(anchor_mod=1,
+                                           df_cap=_EXHAUSTIVE_DF_CAP)}),
+         approx AS ({_substring_sql()}),
+         j AS (
+           SELECT e.span_words AS se, a.span_words AS sa
+           FROM exact e LEFT JOIN approx a
+             ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+                CAST(count(sa) AS BIGINT) AS n_hit,
+                CAST(coalesce(sum(CASE WHEN sa IS NOT NULL AND sa <> se
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  AS n_span_mismatch,
+                CAST(CASE WHEN count(*) = 0 THEN 100
+                     ELSE (100 * count(sa)) // count(*) END AS BIGINT)
+                  AS recall_pct
+         FROM j""",
+)
+def llm_substring_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12b: measured recall of L12's anchor-shingle sampling vs the
+    exhaustive ground truth (the L3l llm_pq_recall_eval pattern: every
+    approximation knob carries evidence, not just a derivation). The
+    ground-truth pass reruns the identical span pipeline with
+    anchor_mod=1 (EVERY positioned shingle is a candidate anchor) and
+    the df cap effectively off — Lee et al.'s exact suffix-array answer
+    for this shingle size — and the shipped 1/ANCHOR_MOD pass is scored
+    against it: recall_pct = floor(100 * hits / exact pairs) (100 when
+    the corpus has no qualifying pairs), plus n_span_mismatch pinning
+    that a recalled pair's VERIFIED span length is byte-identical in
+    both passes (the positional verify join runs over all shingles
+    either way, so any nonzero value is a bug, not an approximation).
+
+    Scale: the exhaustive pass is quadratic in hot-shingle document
+    frequency (that is exactly what the df cap exists to bound), so at
+    100 TB this eval runs on a bounded doc_id-mod sample of the corpus
+    — pass a sampled frame to substring_span_pairs — while the test
+    SFs run it corpus-wide (max shingle df ~6 in the fixture data).
+    The derivation it certifies: a span of L >= {MIN_SPAN_WORDS} words
+    holds L-{SHINGLE_K}+1 shingle starts and misses the 1/{ANCHOR_MOD}
+    residue with probability ~({ANCHOR_MOD - 1}/{ANCHOR_MOD})^(L-2),
+    <17% at L=15 — recall_pct is that bound, measured."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact = substring_span_pairs(
+        docs, anchor_df_cap=_EXHAUSTIVE_DF_CAP, anchor_mod=1
+    )
+    approx = substring_span_pairs(docs).withColumnRenamed(
+        "span_words", "sa"
+    )
+    j = exact.join(approx, ["doc_a", "doc_b"], "left")
+    stats = j.agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.count("sa").cast("bigint").alias("n_hit"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("sa").isNotNull()
+                    & (F.col("sa") != F.col("span_words")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_span_mismatch"),
+    )
+    n_approx = approx.agg(F.count("*").cast("bigint").alias("n_approx"))
+    return stats.crossJoin(n_approx).select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        "n_span_mismatch",
+        F.expr(
+            "cast(case when n_exact = 0 then 100 "
+            "else (100 * n_hit) div n_exact end as bigint)"
+        ).alias("recall_pct"),
+    )
 
 
 # ------------------------------------------- L13 content-defined chunking

@@ -2481,3 +2481,57 @@ def test_curriculum_stages_monotone_and_pos_contiguous(spark, sf_dir):
         assert max(by_stage[lo]) < min(by_stage[hi]), (lo, hi)
     for key, poss in shards.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), key
+
+
+def test_substring_recall_eval_ground_truth_is_exhaustive(spark):
+    """L12b mechanism: anchor_mod=1 must catch a shared span whose
+    shingles ALL hash off the 1/ANCHOR_MOD residue (the exact miss case
+    the ~(7/8)^(L-2) derivation prices), while the shipped sampling
+    misses exactly that pair — so recall_pct measures something real."""
+    import hashlib
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        ANCHOR_MOD,
+        SHINGLE_K,
+        substring_span_pairs,
+    )
+
+    def hf(words, i):
+        s = " ".join(words[i : i + SHINGLE_K])
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def find_run(prefix, want_anchor):
+        seed = 0
+        while True:
+            run = [f"{prefix}{seed}w{k}" for k in range(16)]
+            has = any(
+                hf(run, i) % ANCHOR_MOD == 0
+                for i in range(len(run) - SHINGLE_K + 1)
+            )
+            if has == want_anchor:
+                return run
+            seed += 1
+
+    blind = find_run("m", want_anchor=False)  # invisible to the sample
+    seen = find_run("a", want_anchor=True)
+    rows = [
+        (1, " ".join([f"p1x{k}" for k in range(5)] + blind)),
+        (2, " ".join(blind + [f"p2x{k}" for k in range(5)])),
+        (3, " ".join([f"p3x{k}" for k in range(5)] + seen)),
+        (4, " ".join(seen + [f"p4x{k}" for k in range(5)])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b): r.span_words
+        for r in substring_span_pairs(
+            docs, anchor_df_cap=1 << 40, anchor_mod=1
+        ).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.span_words
+        for r in substring_span_pairs(docs).collect()
+    }
+    assert set(exact) == {(1, 2), (3, 4)}
+    assert set(approx) == {(3, 4)}  # the blind pair is the measured miss
+    assert exact[(3, 4)] == approx[(3, 4)] == 16  # verified spans agree
+    assert exact[(1, 2)] == 16
