@@ -639,18 +639,39 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is dims rows total. sum(v*v) of micro-grid values fits bigint
     through ~1e7 vectors per task at |x|<=1 (5e5² × 1e7 ≈ 2.5e18 <
     9.2e18); past that, widen the accumulator to DECIMAL(38,0) — the
-    plan shape is unchanged."""
+    plan shape is unchanged, and the hatch is a REAL code path
+    (embedding_dim_stats(accumulator='decimal')) whose forced-path test
+    overflows the bigint twin and pins the DECIMAL answer exact."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         F.expr(
             f"transform(cast(embedding as array<double>),"
             f" x -> cast(floor(x * {DIM_MICRO} + 0.5) as bigint))"
         ).alias("qv")
     )
+    return embedding_dim_stats(emb)
+
+
+def embedding_dim_stats(emb: DataFrame, accumulator: str = "bigint"):
+    """llm_embedding_dim_stats' core over any (qv: array<bigint>) frame.
+    ``accumulator='decimal'`` is the DOCUMENTED past-~1e7-vectors-per-
+    task escape hatch run for real: the v*v sum accumulates (and is
+    returned) in DECIMAL(38,0) — headroom ~1e38 vs bigint's 9.2e18 —
+    and every other column and the plan shape are unchanged; the
+    forced-path test overflows the bigint twin and pins that only this
+    path stays exact, and that both paths agree value-for-value on
+    in-range data."""
+    if accumulator not in ("bigint", "decimal"):
+        raise ValueError(f"bad dim-stats accumulator {accumulator!r}")
+    sumsq = (
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        if accumulator == "decimal"
+        else F.sum(F.col("v") * F.col("v"))
+    )
     flat = emb.select(F.posexplode("qv").alias("dim", "v"))
     return flat.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("sum_micro"),
-        F.sum(F.col("v") * F.col("v")).alias("sumsq_micro2"),
+        sumsq.alias("sumsq_micro2"),
         F.min("v").alias("min_micro"),
         F.max("v").alias("max_micro"),
         F.expr("div(sum(v), count(*))").alias("mean_micro"),

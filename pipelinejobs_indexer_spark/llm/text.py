@@ -1157,16 +1157,36 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan into ONE groupBy(source) — the two distinct aggregates
     (content hash, lang) Expand the input 3x inside the same exchange,
     the documented cost of exact dup/diversity counts (swap to
-    approx_count_distinct past ~1e10 docs/source if 3x is real money);
+    approx_count_distinct past ~1e10 docs/source if 3x is real money —
+    a REAL code path, corpus_report(distinct_mode='approx'), whose
+    forced-path test pins the HLL rsd bands against the exact twin);
     token share joins in from a global window over the tiny per-source
     frame, the L6l pattern, no second corpus scan."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return corpus_report(docs)
 
 
-def corpus_report(docs: DataFrame) -> DataFrame:
+def corpus_report(
+    docs: DataFrame, distinct_mode: str = "exact", rsd: float = 0.02
+) -> DataFrame:
     """llm_corpus_report's core over any (doc_id, text, lang, source)
-    frame so tests can replay every column against a Python recompute."""
+    frame so tests can replay every column against a Python recompute.
+
+    ``distinct_mode='approx'`` is the DOCUMENTED past-~1e10-docs-per-
+    source escape hatch run for real: the two exact distinct aggregates
+    (content hash, lang) become approx_count_distinct sketches at
+    ``rsd``, removing the 3x Expand from the exchange; the forced-path
+    test runs it against the exact twin and asserts the HLL error bands
+    the L6m plan note prices (the agg_approx_distinct self-certification
+    pattern)."""
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"bad corpus-report distinct_mode {distinct_mode!r}")
+    if distinct_mode == "approx":
+        n_dup = F.count("*") - F.approx_count_distinct("h", rsd)
+        n_langs = F.approx_count_distinct("lang", rsd)
+    else:
+        n_dup = F.count("*") - F.countDistinct("h")
+        n_langs = F.countDistinct("lang")
     per_doc = docs.select(
         "source",
         "lang",
@@ -1180,8 +1200,8 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     per_source = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        (F.count("*") - F.countDistinct("h")).alias("n_dup_docs"),
-        F.countDistinct("lang").alias("n_langs"),
+        n_dup.alias("n_dup_docs"),
+        n_langs.alias("n_langs"),
         F.expr("div(sum(score_micro), count(*))").alias("mean_score_micro"),
         F.sum("is_eval").alias("n_eval_docs"),
     )

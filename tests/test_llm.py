@@ -2535,3 +2535,84 @@ def test_substring_recall_eval_ground_truth_is_exhaustive(spark):
     assert set(approx) == {(3, 4)}  # the blind pair is the measured miss
     assert exact[(3, 4)] == approx[(3, 4)] == 16  # verified spans agree
     assert exact[(1, 2)] == 16
+
+
+def test_dim_stats_decimal_accumulator_swap_is_real(spark):
+    """L3g's documented past-~1e7-vectors escape hatch, run for real.
+    (a) On in-range data the DECIMAL(38,0) path agrees value-for-value
+    with the shipped bigint path. (b) On values sized so sum(v*v)
+    exceeds bigint's 9.2e18, the bigint twin fails hard (ANSI long
+    overflow — it cannot produce the number at all) while the DECIMAL
+    path returns the Python-exact moment — the swap is a correctness
+    hatch, not a style choice."""
+    from pipelinejobs_indexer_spark.llm.similarity import (
+        embedding_dim_stats,
+    )
+
+    # (a) value parity on in-range micro-grid vectors
+    rows = [([(d * 7 + i * 13) % 1000 - 500 for d in range(8)],)
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, "qv array<bigint>")
+    exact = {r.dim: tuple(r)[1:] for r in embedding_dim_stats(emb).collect()}
+    dec = {
+        r.dim: tuple(int(x) for x in tuple(r)[1:])
+        for r in embedding_dim_stats(emb, accumulator="decimal").collect()
+    }
+    assert dec == {k: tuple(int(x) for x in v) for k, v in exact.items()}
+
+    # (b) genuine overflow: v = 3.05e9 -> v*v ~ 9.3e18 > 2^63-1 per row
+    big = 3_050_000_000
+    over = spark.createDataFrame([([big],), ([big],)], "qv array<bigint>")
+    truth = 2 * big * big
+    assert truth > (1 << 63) - 1  # the case really overflows bigint
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        embedding_dim_stats(over).collect()  # bigint twin CANNOT answer
+    widened = int(
+        embedding_dim_stats(over, accumulator="decimal")
+        .collect()[0]
+        .sumsq_micro2
+    )
+    assert widened == truth  # ... the DECIMAL hatch answers exactly
+
+    with _pytest.raises(ValueError, match="accumulator"):
+        embedding_dim_stats(emb, accumulator="float")
+
+
+def test_corpus_report_approx_distinct_swap_within_bands(spark, sf_dir):
+    """L6m's documented past-~1e10-docs escape hatch, run for real: the
+    approx_count_distinct twin must agree with the exact report on
+    every non-sketched column and keep the sketched counts inside the
+    HLL rsd bands (4 sigma at rsd=0.02 — the agg_approx_distinct
+    self-certification pattern)."""
+    from pipelinejobs_indexer_spark.llm.text import corpus_report
+    from pipelinejobs_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.source: r.asDict() for r in corpus_report(docs).collect()}
+    approx = {
+        r.source: r.asDict()
+        for r in corpus_report(docs, distinct_mode="approx").collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for src, e in exact.items():
+        a = approx[src]
+        for col in ("n_docs", "n_tokens", "mean_score_micro",
+                    "n_eval_docs", "token_share"):
+            assert a[col] == e[col], (src, col)
+        # sketched columns: |approx - exact| <= 4 * rsd * exact (+1 slack
+        # for the tiny-cardinality regime where HLL is near-exact)
+        exact_distinct_h = e["n_docs"] - e["n_dup_docs"]
+        approx_distinct_h = a["n_docs"] - a["n_dup_docs"]
+        assert abs(approx_distinct_h - exact_distinct_h) <= max(
+            1, int(4 * 0.02 * exact_distinct_h)
+        ), src
+        assert abs(a["n_langs"] - e["n_langs"]) <= max(
+            1, int(4 * 0.02 * e["n_langs"])
+        ), src
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct_mode"):
+        corpus_report(docs, distinct_mode="sketchy")
