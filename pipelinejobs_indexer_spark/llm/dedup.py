@@ -984,21 +984,29 @@ def contamination_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame
 
     cap = CONTAM_DF_CAP if df_cap is None else df_cap
     sh = shingles(docs)
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    # Prune the EVAL side only — sufficient for measure and bound, since
+    # a train-side hot shingle cannot match an eval side it was pruned
+    # from. Orientation matters at scale: the corpus df scan streams
+    # against BROADCAST eval-side shingles (inner joins keep the flow
+    # eval-bounded), so no distinct-shingle-sized frame is ever
+    # collected — an anti-join against a materialized over-cap hot list
+    # would need that list driver-side, and adversarially it is
+    # corpus-sized.
+    eval_occ = sh.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
     # Global per-shingle df: one combiner groupBy — shuffle O(distinct
     # shingles), one extra corpus scan, the honest fixed price of
     # rare-n-gram decontamination (uncached: the bench clears caches per
     # run, and a string-row cache materialization measured slower than
-    # the rescan).
+    # the rescan). An r9 A/B measured the tempting alternative —
+    # semi-join the corpus scan against the broadcast eval shingle set
+    # BEFORE counting df, shrinking the wide exchange to O(eval
+    # shingles) — 1.2x SLOWER end-to-end at sf0.1 (1.71 s vs 2.09 s
+    # best-of-6 interleaved): the extra broadcast build + hash join
+    # costs more than the already-combiner-collapsed exchange saves at
+    # this scale. Past ~1e9 distinct shingles the tradeoff flips; the
+    # swap is three lines (BENCH_sf1.md r9 note) and changes no result.
     dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
-    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
-    # Prune the EVAL side only — sufficient for measure and bound, since
-    # a train-side hot shingle cannot match an eval side it was pruned
-    # from. Orientation matters at scale: the df table streams against
-    # the BROADCAST eval occurrences (inner join keeps df <= cap rows),
-    # so no distinct-shingle-sized frame is ever collected — an
-    # anti-join against a materialized over-cap hot list would need
-    # that list driver-side, and adversarially it is corpus-sized.
-    eval_occ = sh.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
     eval_sh = (
         dfs.join(F.broadcast(eval_occ), "s")
         .filter(F.col("df") <= cap)
