@@ -268,3 +268,94 @@ def test_unknown_length_stream_still_bounded(monkeypatch):
     monkeypatch.setattr(flacmod, "MAX_SAMPLES", 128)
     with pytest.raises(ValueError, match="sample bound"):
         flacmod.decode_flac(patched)
+
+
+# --------------------------- hand-authored spec fixture (ADVICE r8)
+def test_hand_authored_verbatim_fixture():
+    """A whole FLAC stream written byte-by-byte from RFC 9639 — MSB-first
+    packing, STREAMINFO layout, frame header field by field, a VERBATIM
+    subframe — with CRC-8/CRC-16 computed by independent test-local
+    implementations of the published polynomials and the MD5 via
+    hashlib. Never touches encode_flac, so a symmetric encoder/decoder
+    spec misreading that survives every round trip fails here."""
+    import hashlib
+
+    samples = [100, -7, 32767, -32768]
+
+    def crc8(data):  # poly x^8+x^2+x+1 = 0x07, init 0 (RFC 9639 §9.1.1)
+        c = 0
+        for b in data:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data):  # poly x^16+x^15+x^2+1 = 0x8005, init 0
+        c = 0
+        for b in data:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        return c
+
+    class Msb:
+        def __init__(self):
+            self.bits = []
+
+        def w(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                b = 0
+                for bit in self.bits[i : i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+            return bytes(out)
+
+    md5 = hashlib.md5()
+    for s in samples:
+        md5.update(int(s).to_bytes(2, "little", signed=True))
+
+    si = Msb()
+    si.w(4, 16)      # min block size
+    si.w(4, 16)      # max block size
+    si.w(0, 24)      # min frame size (unknown)
+    si.w(0, 24)      # max frame size
+    si.w(8000, 20)   # sample rate
+    si.w(0, 3)       # channels - 1
+    si.w(15, 5)      # bits per sample - 1
+    si.w(len(samples), 36)
+    streaminfo = si.bytes() + md5.digest()
+    assert len(streaminfo) == 34
+
+    fh = Msb()
+    fh.w(0b11111111111110, 14)  # sync
+    fh.w(0, 1)   # reserved
+    fh.w(0, 1)   # fixed blocksize strategy (coded number = frame index)
+    fh.w(0b0110, 4)  # blocksize: 8-bit value-1 follows header
+    fh.w(0b0000, 4)  # sample rate: from STREAMINFO
+    fh.w(0b0000, 4)  # channels: 1 (independent)
+    fh.w(0b100, 3)   # sample size: 16-bit
+    fh.w(0, 1)   # reserved
+    header = fh.bytes() + bytes([0x00])       # coded frame number 0
+    header += bytes([len(samples) - 1])       # blocksize - 1
+    header += bytes([crc8(header)])
+
+    sub = Msb()
+    sub.w(0, 1)          # padding bit
+    sub.w(0b000001, 6)   # subframe type: VERBATIM
+    sub.w(0, 1)          # no wasted bits
+    for s in samples:
+        sub.w(s & 0xFFFF, 16)
+    frame = header + sub.bytes()
+    frame += crc16(frame).to_bytes(2, "big")
+
+    data = b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo + frame
+    from pipelinejobs_indexer_spark.llm.flac import decode_flac
+
+    out = decode_flac(data)
+    assert out["rate"] == 8000 and out["channels"] == 1
+    assert [int(v) for v in out["samples"]] == samples

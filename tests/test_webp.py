@@ -330,3 +330,102 @@ def test_decode_image_dispatches_webp():
     img = np.arange(64, dtype=np.uint8).reshape(4, 4, 4)
     out = decode_image(encode_webp(img), "image/webp")
     assert np.array_equal(out, img)
+
+
+# --------------------------- hand-authored spec fixtures (ADVICE r8)
+class _LsbWriter:
+    """Test-local LSB-first bit packer, written straight off RFC 9649
+    §4 — deliberately NOT webp.py's _BitWriter, so these fixtures are a
+    second, independent derivation of the bit layout (the container has
+    no reference cwebp to generate goldens with)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _vp8l_container(payload: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _simple_code_lsb(bw, symbols):
+    """RFC 9649 §5.6.1 simple code length code: 1-2 symbols."""
+    bw.w(1, 1)                      # simple
+    bw.w(len(symbols) - 1, 1)       # num_symbols - 1
+    if symbols[0] < 2 and len(symbols) == 1:
+        bw.w(0, 1)                  # first symbol fits in 1 bit
+        bw.w(symbols[0], 1)
+    else:
+        bw.w(1, 1)                  # first symbol in 8 bits
+        bw.w(symbols[0], 8)
+    if len(symbols) == 2:
+        bw.w(symbols[1], 8)
+
+
+def test_hand_authored_1x1_fixture():
+    """A 1x1 VP8L image written bit-by-bit from the RFC, never touching
+    encode_webp: five single-symbol simple codes, zero pixel bits. Any
+    symmetric encoder/decoder misreading of the header/code layout
+    breaks this while round trips stay green."""
+    from pipelinejobs_indexer_spark.llm.webp import decode_webp
+
+    bw = _LsbWriter()
+    bw.w(0, 14)   # width - 1
+    bw.w(0, 14)   # height - 1
+    bw.w(0, 1)    # alpha hint
+    bw.w(0, 3)    # version
+    bw.w(0, 1)    # no transforms
+    bw.w(0, 1)    # no color cache
+    bw.w(0, 1)    # no meta prefix
+    _simple_code_lsb(bw, [7])     # green literal 7
+    _simple_code_lsb(bw, [200])   # red 200
+    _simple_code_lsb(bw, [1])     # blue 1 (1-bit form)
+    _simple_code_lsb(bw, [255])   # alpha 255
+    _simple_code_lsb(bw, [0])     # distance (unused but mandatory)
+    img = decode_webp(_vp8l_container(b"\x2f" + bw.bytes()))
+    assert img.shape == (1, 1, 4)
+    assert tuple(img[0, 0]) == (200, 7, 1, 255)  # RGBA
+
+
+def test_hand_authored_2x1_two_symbol_fixture():
+    """2x1 with a TWO-symbol green code: pins the spec's assignment of
+    1-bit codewords (first listed symbol = codeword 0) and that pixel
+    bits are consumed LSB-first in raster order."""
+    from pipelinejobs_indexer_spark.llm.webp import decode_webp
+
+    bw = _LsbWriter()
+    bw.w(1, 14)   # width - 1 = 1
+    bw.w(0, 14)   # height - 1
+    bw.w(0, 1)
+    bw.w(0, 3)
+    bw.w(0, 1)    # no transforms
+    bw.w(0, 1)    # no cache
+    bw.w(0, 1)    # no meta prefix
+    _simple_code_lsb(bw, [3, 9])  # green: 3 -> codeword 0, 9 -> codeword 1
+    _simple_code_lsb(bw, [10])    # red
+    _simple_code_lsb(bw, [20])    # blue
+    _simple_code_lsb(bw, [255])   # alpha
+    _simple_code_lsb(bw, [0])     # distance
+    bw.w(0, 1)    # pixel 0 green codeword -> 3
+    bw.w(1, 1)    # pixel 1 green codeword -> 9
+    img = decode_webp(_vp8l_container(b"\x2f" + bw.bytes()))
+    assert img.shape == (1, 2, 4)
+    assert tuple(img[0, 0]) == (10, 3, 20, 255)
+    assert tuple(img[0, 1]) == (10, 9, 20, 255)
