@@ -478,3 +478,63 @@ def synth_dc_jpeg(
     return (
         b"\xff\xd8" + qtab + sof + dht + sos + bw.flush() + b"\xff\xd9"
     )
+
+
+def synth_ac_jpeg(
+    blocks: list[tuple[int, int, int]], width: int, height: int, q: int = 16
+) -> bytes:
+    """Baseline grayscale JPEG whose blocks carry one AC coefficient:
+    ``blocks`` is per-8x8-block ``(dc, u, ac)`` — quantized DC, the
+    row-0 frequency index u (1..7, raster position (0,u)), and the
+    quantized AC value. This is the float-DSP door the DC-only synth
+    cannot open: a nonzero AC coefficient exercises the cosine terms of
+    the real IDCT, whose per-pixel values have no integer closed form —
+    the banded Parseval oracle (llm_multimodal_jpeg_dsp) certifies them
+    instead: for a single AC coefficient the block's centered energy is
+    exactly (q*ac)^2 before rounding (the 2D DCT-III basis functions
+    are orthogonal with norm 16/(C_u^2 C_v^2) under T.81's 1/4
+    scaling)."""
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(
+        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+    bw = _BitWriter()
+    n_blocks = (width // 8) * (height // 8)
+    if len(blocks) != n_blocks:
+        raise ValueError(f"need {n_blocks} blocks, got {len(blocks)}")
+    pred = 0
+    for dc, u, ac in blocks:
+        if not 1 <= u <= 7:
+            raise ValueError(f"AC frequency index {u} outside 1..7")
+        if ac == 0 or abs(ac).bit_length() > 10:
+            raise ValueError(f"AC value {ac} not codable (1..10 bits)")
+        diff = dc - pred
+        pred = dc
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        # raster (0, u) sits at zigzag stream index k; run = k-1 zeros,
+        # with ZRL (0xF0) batching runs past 15 (u=6,7 sit at stream
+        # index 27/28)
+        run = ZIGZAG.index(u) - 1
+        while run > 15:
+            zln, zcode = ac_codes[0xF0]
+            bw.write(zcode, zln)
+            run -= 16
+        size = abs(ac).bit_length()
+        ln, code = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(ac if ac > 0 else ac + (1 << size) - 1, size)
+        eln, ecode = ac_codes[0x00]  # EOB
+        bw.write(ecode, eln)
+    return b"\xff\xd8" + qtab + sof + dht + sos + bw.flush() + b"\xff\xd9"

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -1326,6 +1327,110 @@ def llm_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical stage shape — the engine-side contract is unchanged."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id").mapInPandas(_jpeg_features, schema=JPEG_SCHEMA)
+
+
+# -------------------------- L5m float-DSP (AC) JPEG with Parseval bands
+JPEG_DSP_Q = 16
+
+
+def _jpeg_dsp_blocks(d: int) -> list[tuple[int, int, int]]:
+    """Closed-form (dc, u, ac) per block: DCs stay in ±20 and ACs in
+    6..30 magnitude so no pixel clamps (max |ac pattern| is
+    0.177*q*|ac| ~ 85, plus the ±40 DC shift, inside 3..253)."""
+    n = 1 + d % 4
+    out = []
+    for b in range(n):
+        dc = (d * 3 + b * 5) % 41 - 20
+        u = 1 + (d + b) % 7
+        ac = (((d * 7 + b * 11) % 25) + 6) * (1 if (d + b) % 2 == 0 else -1)
+        out.append((dc, u, ac))
+    return out
+
+
+def _jpeg_dsp_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .jpeg import decode_jpeg, synth_ac_jpeg
+
+    q = JPEG_DSP_Q
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "n_blocks", "n_pixels", "dc_ok", "energy_ok")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            blocks = _jpeg_dsp_blocks(d)
+            jpg = synth_ac_jpeg(blocks, 8 * len(blocks), 8, q=q)
+            h, w, nc, px = decode_jpeg(jpg)
+            dc_ok = energy_ok = True
+            for b, (dc, u, ac) in enumerate(blocks):
+                pix = [px[y][8 * b + x] for y in range(8) for x in range(8)]
+                mean = sum(pix) / 64.0
+                energy = sum((p - mean) ** 2 for p in pix)
+                dc_ok = dc_ok and abs(mean - (128 + q * dc / 8.0)) <= 1.0
+                energy_ok = energy_ok and (
+                    abs(energy - (q * ac) ** 2) <= 16 * q * abs(ac) + 64
+                )
+            out["doc_id"].append(d)
+            out["n_blocks"].append(len(blocks))
+            out["n_pixels"].append(h * w)
+            out["dc_ok"].append(dc_ok)
+            out["energy_ok"].append(energy_ok)
+        yield pd.DataFrame(
+            {
+                k: pd.Series(
+                    v, dtype="int64" if k != "dc_ok" and k != "energy_ok"
+                    else "bool"
+                )
+                for k, v in out.items()
+            }
+        )
+
+
+JPEG_DSP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("dc_ok", BooleanType()),
+        StructField("energy_ok", BooleanType()),
+    ]
+)
+
+
+@register(
+    "llm_multimodal_jpeg_dsp",
+    sql="""SELECT doc_id,
+                  CAST(1 + doc_id % 4 AS BIGINT) AS n_blocks,
+                  CAST(64 * (1 + doc_id % 4) AS BIGINT) AS n_pixels,
+                  TRUE AS dc_ok, TRUE AS energy_ok
+           FROM documents""",
+)
+def llm_multimodal_jpeg_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5m: the float-DSP door, opened with the tolerance-banded oracle
+    pattern (VERDICT r8 item 6; the agg_approx_distinct shape). L5g's
+    DC-only blocks collapse the real float IDCT to integers; here every
+    block carries one nonzero AC coefficient (synth_ac_jpeg: run-length
+    + ZRL paths, frequencies u=1..7 cycled per doc), so the cosine
+    terms of the T.81 IDCT — genuinely float, no integer closed form
+    per pixel — execute on every doc, and the query certifies them with
+    Parseval bands instead of per-pixel equality: a lone quantized AC
+    coefficient F at (0,u) reconstructs to a block whose centered
+    energy is exactly (q*F)^2 before rounding (T.81's 1/4-scaled
+    DCT-III basis is orthogonal), and whose mean is exactly 128 +
+    q*dc/8. The emitted booleans assert |energy - (q*ac)^2| <=
+    16*q*|ac| + 64 (measured slack ~10x; a missing C_u normalization
+    or transposed basis is a ~2x energy error) and |mean - expected|
+    <= 1; the oracle recomputes the exact columns from doc_id
+    arithmetic and expects every boolean TRUE. This is also the lossy
+    codec's semantic truth: encoder and decoder could misread the spec
+    symmetrically and still not fake signal fidelity against the
+    closed-form source.
+
+    Scale: identical mapInPandas shape to L5g — synthesis + decode in
+    the worker, five fixed-width columns out, shuffle O(rows) never
+    O(bytes)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(
+        _jpeg_dsp_features, schema=JPEG_DSP_SCHEMA
+    )
 
 
 # ------------------------------------- L5h real MJPEG/AVI frame-pixel path

@@ -453,3 +453,58 @@ def test_non_interleaved_scan_raises_not_garbage():
     data = b"\xff\xd8" + qtab + sof + dht + sos_y_only + bw.flush() + b"\xff\xd9"
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(data)
+
+
+# ---------------------- synth_ac_jpeg + Parseval bands (L5m, round 9)
+def test_ac_blocks_parseval_energy_all_frequencies():
+    """One AC coefficient at (0,u) must reconstruct to centered block
+    energy (q*ac)^2 within the L5m band, for every u=1..7 (u=6,7 route
+    through ZRL), both signs, with the DC mean riding untouched."""
+    from pipelinejobs_indexer_spark.llm.jpeg import decode_jpeg, synth_ac_jpeg
+
+    q = 16
+    for u in range(1, 8):
+        for ac in (6, -17, 30):
+            dc = 9 if ac > 0 else -9
+            _, _, _, px = decode_jpeg(synth_ac_jpeg([(dc, u, ac)], 8, 8, q=q))
+            flat = [p for row in px for p in row]
+            mean = sum(flat) / 64.0
+            energy = sum((p - mean) ** 2 for p in flat)
+            assert abs(mean - (128 + q * dc / 8.0)) <= 1.0, (u, ac)
+            assert abs(energy - (q * ac) ** 2) <= 16 * q * abs(ac) + 64, (
+                u, ac, energy,
+            )
+
+
+def test_ac_band_discriminates_adjacent_quantization_levels():
+    """The certification band must be NARROWER than the energy gap to
+    the next representable coefficient — a decode that lands on ac±1
+    (or a ~2x energy error from a dropped C_u factor) fails the band."""
+    q = 16
+    for ac in (6, 12, 30):
+        gap = q * q * (2 * ac - 1)  # (q*ac)^2 - (q*(ac-1))^2
+        band = 16 * q * ac + 64
+        assert band < gap, (ac, band, gap)
+
+
+def test_ac_multiblock_dc_chain_and_errors():
+    from pipelinejobs_indexer_spark.llm.jpeg import decode_jpeg, synth_ac_jpeg
+
+    q = 16
+    blocks = [(10, 1, 15), (-5, 6, -10), (3, 3, 7), (0, 7, 22)]
+    _, w, _, px = decode_jpeg(synth_ac_jpeg(blocks, 32, 8, q=q))
+    assert w == 32
+    for b, (dc, u, ac) in enumerate(blocks):
+        pix = [px[y][8 * b + x] for y in range(8) for x in range(8)]
+        mean = sum(pix) / 64.0
+        energy = sum((p - mean) ** 2 for p in pix)
+        assert abs(mean - (128 + q * dc / 8.0)) <= 1.0, b
+        assert abs(energy - (q * ac) ** 2) <= 16 * q * abs(ac) + 64, b
+    import pytest
+
+    with pytest.raises(ValueError, match="frequency index"):
+        synth_ac_jpeg([(0, 8, 5)], 8, 8)
+    with pytest.raises(ValueError, match="not codable"):
+        synth_ac_jpeg([(0, 1, 0)], 8, 8)
+    with pytest.raises(ValueError, match="blocks"):
+        synth_ac_jpeg([(0, 1, 5)], 16, 8)
