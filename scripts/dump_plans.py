@@ -36,6 +36,8 @@ SHOWCASE = {
     "llm_dedup_ngram_jaccard": "prefix-filtered candidate equi-join (AllPairs); no cross join",
     "join_bucketed_colocated": "two bucketed scans, no shuffle Exchange anywhere (broadcast at this scale; the bucketed SortMergeJoin variant is pinned in tests/test_plans.py)",
     "llm_corpus_sample": "pure codegen hash-threshold filter, zero shuffle",
+    "llm_substring_recall_eval": "shipped + exhaustive span pipelines joined into a single-row scorecard; every join candidate-bounded",
+    "llm_multimodal_jpeg_dsp": "pure mapInPandas — JPEG synthesis + float-IDCT decode worker-side, five fixed-width columns out",
     "llm_embedding_quantize": "pure projection over the embeddings scan",
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
