@@ -1053,10 +1053,13 @@ def _pdf_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 hex_strings=(d % 3 == 2),
                 ascii85=(d % 5 == 0),
                 # every 7th doc RC4 (V2/R3), every 11th AES-128 (V4
-                # /AESV2, CBC + sAlT object keys); AES wins the d%77
-                # overlap so both ciphers carry driver-hash evidence
-                encrypt_rc4=(d % 7 == 0 and d % 11 != 0),
-                encrypt_aes=(d % 11 == 0),
+                # /AESV2, CBC + sAlT object keys), every 13th AES-256
+                # (V5/R6: Algorithm 2.B hardened-KDF unwrap, shared
+                # file key per spec); precedence 13 > 11 > 7 keeps the
+                # knobs exclusive and all three ciphers driver-hashed
+                encrypt_rc4=(d % 7 == 0 and d % 11 != 0 and d % 13 != 0),
+                encrypt_aes=(d % 11 == 0 and d % 13 != 0),
+                encrypt_aes256=(d % 13 == 0),
                 # PDF 1.5 layouts: d%4==1 -> xref stream with the PNG Up
                 # predictor; d%4==3 -> xref stream + ObjStm packing (and
                 # d=21, 33, ... compose 1.5 layouts with encryption)
@@ -1113,20 +1116,21 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     text layer the stdlib honestly decodes (pdf.py: object-graph parse,
     Root→Pages→Kids tree walk, FlateDecode via zlib + ASCIIHex/ASCII85
     armors, full literal-string escape grammar, BT/Tj/TJ/'/"/Td/T*
-    text operators; passworded and V5/AES-256 PDFs keep a documented
-    NotImplementedError while RC4 (V1/V2) AND AES-128 (V4 /AESV2,
-    FIPS-197-pinned pure-int cipher) owner-locked docs decrypt for
-    real, and the PDF 1.5 compressed layout — /Type /XRef
-    cross-reference streams with PNG predictors, /Type /ObjStm object
-    streams — is parsed per ISO 32000 §7.5.7-7.5.8; the reference
-    stores its own austin.pdf fixture as an opaque blob —
-    tests/store/uploads/). Per doc, a closed-form multi-page text
-    layer is written as a real PDF — the writer path VARIES per doc
-    (plain/TJ-array/hex strings × optional ASCII85+Flate chain × RC4
-    encryption every 7th doc and AES-128 every 11th × the d%4
-    container layout: classic xref table / predictor-12 xref stream /
-    xref stream + ObjStm packing), so
-    every extractor branch carries driver-hash evidence — then
+    text operators; the WHOLE Standard security handler decrypts for
+    real — RC4 V1/V2, AES-128 V4 /AESV2, and AES-256 V5/R6 with the
+    Algorithm 2.B hardened KDF, all on a FIPS-197-vector-pinned pure
+    -int AES core — while fully-passworded docs and custom handlers
+    keep the documented NotImplementedError, and the PDF 1.5
+    compressed layout — /Type /XRef cross-reference streams with PNG
+    predictors, /Type /ObjStm object streams — is parsed per ISO
+    32000 §7.5.7-7.5.8; the reference stores its own austin.pdf
+    fixture as an opaque blob — tests/store/uploads/). Per doc, a
+    closed-form multi-page text layer is written as a real PDF — the
+    writer path VARIES per doc (plain/TJ-array/hex strings × optional
+    ASCII85+Flate chain × RC4 every 7th doc, AES-128 every 11th,
+    AES-256 every 13th × the d%4 container layout: classic xref
+    table / predictor-12 xref stream / xref stream + ObjStm packing),
+    so every extractor branch carries driver-hash evidence — then
     extracted, and reduced to page/line/
     char counts plus the digit sum of every token. The DuckDB oracle
     recomputes all four from doc_id arithmetic: a dropped line, a wrong

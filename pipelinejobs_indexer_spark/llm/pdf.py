@@ -34,18 +34,21 @@ registers ObjStm contents even when the xref stream is stale or
 absent, mirroring the `N G obj` scan's robustness for top-level
 objects.
 
-Encryption: the Standard security handler's RC4 variants (V1/V2,
-R2/R3) AND the V4 /AESV2 crypt filter (AES-128-CBC, R4) decrypt for
-real — MD5 key derivation (algorithms 2-5, + the "sAlT" object-key
-salt and /EncryptMetadata variant for V4), the RC4 cipher, and
-AES-128 (FIPS 197: computed S-box, GF(2^8) MixColumns, CBC + PKCS#7)
-are pure stdlib arithmetic — with the EMPTY user password, the common
-"owner-locked" case every reader opens. Documents locked with a real
-user password (U-entry verification fails) and AES-256 handlers (V5
-/AESV3, SHA-2 family derivation) raise NotImplementedError.
+Encryption: the ENTIRE Standard security handler decrypts for real —
+RC4 (V1/V2, R2/R3: MD5 algorithms 2-5), AES-128 (V4 /AESV2, R4: the
+"sAlT" object-key salt, /EncryptMetadata variant, CBC + PKCS#7), and
+AES-256 (V5 /AESV3, R5/R6: the Algorithm 2.B hardened SHA-2 KDF built
+on this module's own AES-128-CBC, Algorithm 11/12 U/O verification,
+raw-CBC /UE //OE key unwrap, the /Perms ECB self-check). The AES core
+is FIPS 197 from first principles — computed S-box, GF(2^8) tables,
+128/256 key schedules — pinned in tests against the Appendix C.1/C.3
+block vectors. All of it with the EMPTY user (or owner) password, the
+common "owner-locked" case every reader opens; documents where BOTH
+passwords are real raise NotImplementedError.
 
-Out of honest scope (documented raises): V5/AES-256 encryption and
-non-text filters (DCTDecode etc.) raise NotImplementedError;
+Out of honest scope (documented raises): custom (non-Standard)
+security handlers, unknown crypt filters, and non-text filters
+(DCTDecode etc.) raise NotImplementedError;
 structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
@@ -321,41 +324,57 @@ def _build_sbox() -> tuple[bytes, bytes]:
 
 
 _SBOX, _INV_SBOX = _build_sbox()
+# GF(2^8) multiplication tables for Mix/InvMixColumns — computed, not
+# pasted, and essential for speed: the V5 Algorithm 2.B password hash
+# runs >=64 rounds of AES-CBC over a 2 KiB block, so per-multiply bit
+# loops would make every encrypted-PDF open take seconds.
+_M2, _M3 = (bytes(_gf_mul(v, c) for v in range(256)) for c in (2, 3))
+_M9, _M11, _M13, _M14 = (
+    bytes(_gf_mul(v, c) for v in range(256)) for c in (9, 11, 13, 14)
+)
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    """128-bit key schedule: 11 round keys of 16 bytes (FIPS 197 §5.2)."""
-    if len(key) != 16:
-        raise ValueError(f"AES-128 needs a 16-byte key, got {len(key)}")
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    """AES-128/256 key schedule: Nr+1 round keys of 16 bytes (FIPS 197
+    §5.2; Nk=4/Nr=10 or Nk=8/Nr=14 — AES-256 adds the extra SubWord on
+    i % Nk == 4)."""
+    if len(key) not in (16, 32):
+        raise ValueError(f"AES needs a 16/32-byte key, got {len(key)}")
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         w = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             w = [_SBOX[b] for b in w[1:] + w[:1]]
             w[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        words.append([a ^ b for a, b in zip(w, words[i - 4])])
+        elif nk == 8 and i % nk == 4:
+            w = [_SBOX[b] for b in w]
+        words.append([a ^ b for a, b in zip(w, words[i - nk])])
     return [
-        [b for w in words[r * 4 : r * 4 + 4] for b in w] for r in range(11)
+        [b for w in words[r * 4 : r * 4 + 4] for b in w]
+        for r in range(nr + 1)
     ]
 
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]
         # ShiftRows on the column-major state: row r rotates left by r
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             m = []
             for c in range(0, 16, 4):
-                a = s[c : c + 4]
+                a0, a1, a2, a3 = s[c : c + 4]
                 m += [
-                    _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3],
-                    a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3],
-                    a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3),
-                    _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2),
+                    _M2[a0] ^ _M3[a1] ^ a2 ^ a3,
+                    a0 ^ _M2[a1] ^ _M3[a2] ^ a3,
+                    a0 ^ a1 ^ _M2[a2] ^ _M3[a3],
+                    _M3[a0] ^ a1 ^ a2 ^ _M2[a3],
                 ]
             s = m
         s = [b ^ k for b, k in zip(s, rk[rnd])]
@@ -363,8 +382,9 @@ def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows: row r rotates right by r
         s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
@@ -372,27 +392,32 @@ def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
         if rnd > 0:
             m = []
             for c in range(0, 16, 4):
-                a = s[c : c + 4]
+                a0, a1, a2, a3 = s[c : c + 4]
                 m += [
-                    _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11)
-                    ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9),
-                    _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14)
-                    ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13),
-                    _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9)
-                    ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11),
-                    _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13)
-                    ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14),
+                    _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3],
+                    _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3],
+                    _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3],
+                    _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3],
                 ]
             s = m
     return bytes(s)
 
 
-def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """PDF /AESV2 stream layout: IV || CBC ciphertext, PKCS#7-padded."""
+def _aes_cbc_encrypt(
+    key: bytes, iv: bytes, data: bytes, pad: bool = True
+) -> bytes:
+    """PDF /AESV2-/AESV3 stream layout: IV || CBC ciphertext,
+    PKCS#7-padded. ``pad=False`` is the raw-CBC mode the V5 key wraps
+    (/UE //OE, Algorithm 2.B's 64-block loop) use — the IV is then NOT
+    prepended (the callers fix it structurally: zero for key wraps,
+    K[16:32] for 2.B)."""
     rk = _aes_expand_key(key)
-    pad = 16 - len(data) % 16
-    data += bytes([pad]) * pad
-    out = bytearray(iv)
+    if pad:
+        n = 16 - len(data) % 16
+        data += bytes([n]) * n
+    elif len(data) % 16:
+        raise ValueError("raw AES-CBC needs whole blocks")
+    out = bytearray(iv if pad else b"")
     prev = iv
     for i in range(0, len(data), 16):
         prev = _aes_encrypt_block(
@@ -402,24 +427,63 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    if len(data) < 32 or len(data) % 16:
+def _aes_cbc_decrypt(key: bytes, data: bytes, pad: bool = True) -> bytes:
+    """Inverse of :func:`_aes_cbc_encrypt`; with ``pad=False`` the data
+    is raw whole blocks (no leading IV — caller passes IV-zero
+    semantics by construction) and no padding is stripped."""
+    if pad and (len(data) < 32 or len(data) % 16):
         raise ValueError(
             f"AES-CBC stream of {len(data)} bytes is not IV + padded blocks"
         )
+    if not pad and (len(data) == 0 or len(data) % 16):
+        raise ValueError("raw AES-CBC needs whole blocks")
     rk = _aes_expand_key(key)
-    prev = data[:16]
+    prev = data[:16] if pad else bytes(16)
+    start = 16 if pad else 0
     out = bytearray()
-    for i in range(16, len(data), 16):
+    for i in range(start, len(data), 16):
         block = data[i : i + 16]
         out += bytes(
             a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev)
         )
         prev = block
-    pad = out[-1]
-    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+    if not pad:
+        return bytes(out)
+    n = out[-1]
+    if not 1 <= n <= 16 or out[-n:] != bytes([n]) * n:
         raise ValueError("bad AES-CBC padding (corrupt or wrong key)")
-    return bytes(out[:-pad])
+    return bytes(out[:-n])
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6): the hardened SHA-2 password hash
+    — iterated SHA-256/384/512 selected by an AES-128-CBC round over
+    the 64x-repeated input, terminating after >=64 rounds once the last
+    cipher byte falls under round-32. Every primitive is arithmetic we
+    already carry (hashlib SHA-2, the FIPS-197-pinned AES).
+
+    Memoized: the hash is an anti-brute-force KDF BY DESIGN (~10k AES
+    blocks, ~0.7 s in pure Python), so each distinct (password, salt,
+    udata) is derived once per worker; the fixture writer keeps V5
+    salts doc-independent so a corpus pass pays the KDF once, while
+    per-doc stream decryption still runs for real."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _std_file_key(
@@ -502,6 +566,7 @@ class _Document:
         self._cache: dict[tuple[int, int], object] = {}
         self.file_key: bytes | None = None
         self._aes = False
+        self._v5 = False
         self._enc_key_obj: tuple[int, int] | None = None
         #: compressed-object registry (PDF 1.5): objnum -> (objstm num,
         #: index within the stream); filled from xref-stream type-2
@@ -528,12 +593,15 @@ class _Document:
         if not isinstance(enc, dict):
             raise ValueError("PDF /Encrypt is not a dictionary")
         v = enc.get("/V")
-        if enc.get("/Filter") != "/Standard" or v not in (1, 2, 4):
+        if enc.get("/Filter") != "/Standard" or v not in (1, 2, 4, 5):
             raise NotImplementedError(
-                "only the Standard security handler's RC4 (V1/V2) and "
-                "AES-128 (V4 /AESV2) variants are stdlib-honest; V5 "
-                "AES-256 and custom handlers need crypto libs"
+                "only the Standard security handler (RC4 V1/V2, AES-128 "
+                "V4 /AESV2, AES-256 V5 /AESV3) is implemented; custom "
+                "security handlers need their own plugins"
             )
+        if v == 5:
+            self._setup_v5(enc, enc_ref)
+            return
         aes = False
         if v == 4:
             # crypt filters (§7.6.5): the default /StdCF drives streams
@@ -549,8 +617,8 @@ class _Document:
                 aes = True
             elif cfm != "/V2":  # /V2 = RC4 under a V4 wrapper
                 raise NotImplementedError(
-                    f"crypt filter {cfm!r} is not stdlib-honest "
-                    "(AESV3/AES-256 needs crypto libs)"
+                    f"crypt filter {cfm!r} is not one the V4 Standard "
+                    "handler defines (/AESV2 or /V2)"
                 )
         r = enc.get("/R")
         if r not in (2, 3, 4):
@@ -595,6 +663,65 @@ class _Document:
             )
         self.file_key = key
         self._aes = aes
+        self._enc_key_obj = enc_ref
+
+    def _setup_v5(self, enc: dict, enc_ref: tuple[int, int]) -> None:
+        """The V5 handler (ISO 32000-2 §7.6.4): AES-256 with SHA-2
+        password hashing — R6's Algorithm 2.B hardened hash (R5's plain
+        SHA-256 also accepted), Algorithm 11/12 U- and O-verification
+        with the EMPTY password, the file key unwrapped from /UE (or
+        /OE for owner-locked docs) by raw AES-256-CBC, and the /Perms
+        ECB self-check. All arithmetic already in the module: hashlib
+        SHA-2 plus the FIPS-197-pinned AES core."""
+        import hashlib
+
+        r = enc.get("/R")
+        if r not in (5, 6):
+            raise ValueError(f"bad V5 Standard-handler revision {r!r}")
+        cf = self.resolve(enc.get("/CF"))
+        stmf = enc.get("/StmF", "/Identity")
+        stdcf = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+        if not isinstance(stdcf, dict) or stdcf.get("/CFM") != "/AESV3":
+            raise NotImplementedError(
+                f"V5 crypt filter {stdcf.get('/CFM') if isinstance(stdcf, dict) else None!r} "
+                "is not the /AESV3 the Standard handler defines"
+            )
+        u, o = enc.get("/U"), enc.get("/O")
+        ue, oe = enc.get("/UE"), enc.get("/OE")
+        if not (isinstance(u, bytes) and isinstance(o, bytes)
+                and isinstance(ue, bytes) and isinstance(oe, bytes)
+                and len(u) >= 48 and len(o) >= 48
+                and len(ue) == 32 and len(oe) == 32):
+            raise ValueError("PDF V5 /Encrypt missing/malformed U/O/UE/OE")
+
+        def h(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+            if r == 6:
+                return _hash_2b(pw, salt, udata)
+            return hashlib.sha256(pw + salt + udata).digest()
+
+        if h(b"", u[32:40], b"") == u[:32]:  # Algorithm 11: user pw ""
+            ik = h(b"", u[40:48], b"")
+            key = _aes_cbc_decrypt(ik, ue, pad=False)
+        elif h(b"", o[32:40], u[:48]) == o[:32]:  # Algorithm 12: owner ""
+            ik = h(b"", o[40:48], u[:48])
+            key = _aes_cbc_decrypt(ik, oe, pad=False)
+        else:
+            raise NotImplementedError(
+                "password-protected PDF (V5: neither the user nor the "
+                "owner password is empty) — cannot be decrypted without "
+                "the password"
+            )
+        perms = enc.get("/Perms")
+        if isinstance(perms, bytes) and len(perms) >= 16:
+            dec = _aes_decrypt_block(_aes_expand_key(key), perms[:16])
+            if dec[9:12] != b"adb":
+                raise ValueError(
+                    "PDF V5 /Perms block fails the 'adb' check — corrupt "
+                    "encryption dictionary or mis-derived key"
+                )
+        self.file_key = key
+        self._aes = True
+        self._v5 = True
         self._enc_key_obj = enc_ref
 
     # --------------------------- PDF 1.5 compressed layout (ISO 32000)
@@ -804,8 +931,12 @@ class _Document:
             # filter-then-encrypt order); the /Encrypt object itself and
             # cross-reference streams (§7.5.8.2) are never encrypted
             if self._aes:
+                # V5 uses the file key directly (no per-object MD5
+                # derivation, §7.6.4); V4 /AESV2 salts per object
                 raw = _aes_cbc_decrypt(
-                    _object_key(self.file_key, key[0], key[1], aes=True),
+                    self.file_key
+                    if self._v5
+                    else _object_key(self.file_key, key[0], key[1], aes=True),
                     raw,
                 )
             else:
@@ -1081,6 +1212,7 @@ def write_pdf(
     ascii85: bool = False,
     encrypt_rc4: bool = False,
     encrypt_aes: bool = False,
+    encrypt_aes256: bool = False,
     user_password: bytes = b"",
     xref_stream: bool = False,
     objstm: bool = False,
@@ -1091,10 +1223,12 @@ def write_pdf(
     (or TJ arrays / hex strings / an ASCII85+Flate filter chain under
     the knobs, so the extractor's alternate paths round-trip).
     ``encrypt_rc4`` applies the Standard security handler (V2/R3,
-    128-bit RC4, filter-then-encrypt order) and ``encrypt_aes`` its V4
-    /AESV2 crypt filter (AES-128-CBC, IV || PKCS#7-padded blocks); a
-    non-empty ``user_password`` produces a genuinely locked document
-    the extractor must refuse. ``xref_stream`` emits the PDF 1.5 layout: a
+    128-bit RC4, filter-then-encrypt order), ``encrypt_aes`` its V4
+    /AESV2 crypt filter (AES-128-CBC, IV || PKCS#7-padded blocks), and
+    ``encrypt_aes256`` its V5/R6 form (AES-256, Algorithm 2.B KDF,
+    /UE //OE key wraps, /Perms); a non-empty ``user_password``
+    produces a user-locked document (still owner-openable under V5,
+    whose owner password here is empty — corrupt /O to fully lock). ``xref_stream`` emits the PDF 1.5 layout: a
     /Type /XRef cross-reference stream (W=[1 3 2], PNG Up predictor
     12) instead of the classic table+trailer; ``objstm`` (implies
     ``xref_stream``) additionally packs every non-stream object into a
@@ -1102,32 +1236,72 @@ def write_pdf(
     layout most real-world PDFs use (ISO 32000 §7.5.7-7.5.8)."""
     if objstm:
         xref_stream = True
-    if encrypt_rc4 and encrypt_aes:
-        raise ValueError("choose one of encrypt_rc4 / encrypt_aes")
+    if encrypt_rc4 + encrypt_aes + encrypt_aes256 > 1:
+        raise ValueError(
+            "choose one of encrypt_rc4 / encrypt_aes / encrypt_aes256"
+        )
     enc = None
     _enc_stream = None
-    if encrypt_rc4 or encrypt_aes:
+    v5_extra = None  # (ue, oe, perms) for the V5 dictionary
+    if encrypt_rc4 or encrypt_aes or encrypt_aes256:
         import hashlib
 
-        enc_r = 4 if encrypt_aes else 3
         doc_id = hashlib.md5(repr(pages).encode()).digest()
-        o_val = _std_o_value(b"", user_password, enc_r, 16)
         p_val = -3904  # standard permissive permission bits
-        file_key = _std_file_key(
-            user_password, o_val, p_val, doc_id, enc_r, 16
-        )
-        u_val = _std_u_value(file_key, doc_id, enc_r)
+        if encrypt_aes256:
+            # V5/R6: the file key is random in the spec (deterministic
+            # here for reproducible fixtures) and wrapped via the SHA-2
+            # hardened hash of each password (ISO 32000-2 algorithms
+            # 8/9); empty owner password keeps the doc owner-openable.
+            # Salts and key are doc-INDEPENDENT on purpose: Algorithm
+            # 2.B is an anti-brute-force KDF (~0.7 s/derivation in pure
+            # Python), and fixed inputs let the lru_cache on _hash_2b
+            # amortize it to once per worker across a whole corpus —
+            # per-doc encryption still differs via content and IVs.
+            file_key = (
+                hashlib.md5(b"graft-v5-K1").digest()
+                + hashlib.md5(b"graft-v5-K2").digest()
+            )
+            vs = hashlib.md5(b"graft-v5-vs").digest()[:8]
+            ks = hashlib.md5(b"graft-v5-ks").digest()[:8]
+            vso = hashlib.md5(b"graft-v5-vo").digest()[:8]
+            kso = hashlib.md5(b"graft-v5-ko").digest()[:8]
+            pw = user_password[:127]
+            u_val = _hash_2b(pw, vs, b"") + vs + ks
+            ue_val = _aes_cbc_encrypt(
+                _hash_2b(pw, ks, b""), bytes(16), file_key, pad=False
+            )
+            o_val = _hash_2b(b"", vso, u_val) + vso + kso
+            oe_val = _aes_cbc_encrypt(
+                _hash_2b(b"", kso, u_val), bytes(16), file_key, pad=False
+            )
+            perms_val = _aes_encrypt_block(
+                _aes_expand_key(file_key),
+                (p_val & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadbripp"[:12],
+            )
+            v5_extra = (ue_val, oe_val, perms_val)
+        else:
+            enc_r = 4 if encrypt_aes else 3
+            o_val = _std_o_value(b"", user_password, enc_r, 16)
+            file_key = _std_file_key(
+                user_password, o_val, p_val, doc_id, enc_r, 16
+            )
+            u_val = _std_u_value(file_key, doc_id, enc_r)
         enc = (file_key, o_val, u_val, p_val, doc_id)
 
         def _enc_stream(stream: bytes, num: int) -> bytes:
-            if encrypt_aes:
+            if encrypt_aes or encrypt_aes256:
                 # deterministic IV (writer-side only; any IV is valid)
                 iv = hashlib.md5(
                     doc_id + num.to_bytes(3, "little") + b"iv"
                 ).digest()
-                return _aes_cbc_encrypt(
-                    _object_key(file_key, num, 0, aes=True), iv, stream
+                key = (
+                    file_key
+                    if encrypt_aes256
+                    else _object_key(file_key, num, 0, aes=True)
                 )
+                return _aes_cbc_encrypt(key, iv, stream)
             return _rc4(_object_key(file_key, num, 0), stream)
     objs: list[tuple[bytes, bool]] = []
 
@@ -1191,7 +1365,17 @@ def write_pdf(
     trailer_extra = ""
     if enc is not None:
         _, o_val, u_val, p_val, doc_id = enc
-        if encrypt_aes:
+        if encrypt_aes256:
+            ue_val, oe_val, perms_val = v5_extra
+            enc_body = (
+                "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+                f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> "
+                f"/Perms <{perms_val.hex()}> /P {p_val} >>"
+            )
+        elif encrypt_aes:
             enc_body = (
                 "<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "

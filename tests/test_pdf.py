@@ -137,12 +137,14 @@ def test_honest_not_implemented_scope():
         extract_pdf_text(
             write_pdf([["x"]], encrypt_rc4=True, user_password=b"secret")
         )
-    # V5 / AES-256 keeps the stub — AES-128 V4 is the stdlib boundary now
+    # the whole Standard handler is real now (RC4, AES-128, AES-256);
+    # what remains honest refusals: custom security handlers, unknown
+    # crypt filters, and genuinely passworded documents
     data = write_pdf([["x"]], encrypt_aes=True)
-    with pytest.raises(NotImplementedError, match="AES-256"):
-        extract_pdf_text(data.replace(b"/V 4 /R 4", b"/V 5 /R 6"))
-    with pytest.raises(NotImplementedError, match="AESV3"):
-        extract_pdf_text(data.replace(b"/CFM /AESV2", b"/CFM /AESV3"))
+    with pytest.raises(NotImplementedError, match="custom"):
+        extract_pdf_text(data.replace(b"/V 4 /R 4", b"/V 7 /R 7"))
+    with pytest.raises(NotImplementedError, match="V4 Standard"):
+        extract_pdf_text(data.replace(b"/CFM /AESV2", b"/CFM /AESV9"))
     # a V4 dict with no crypt-filter table is malformed, not a refusal
     with pytest.raises(ValueError, match="/CF"):
         extract_pdf_text(
@@ -402,3 +404,59 @@ def test_aes_cbc_layout_rejected():
         _aes_cbc_decrypt(bytes(16), b"short")
     with pytest.raises(ValueError, match="padding"):
         _aes_cbc_decrypt(bytes(16), bytes(32))
+
+
+# ------------------------------------------------ AES-256 (V5 /AESV3, R6)
+def test_aes256_block_pins_fips197_c3_vector():
+    """External golden vector: FIPS 197 Appendix C.3 (AES-256), plus the
+    14-round key schedule implied by matching it."""
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    rk = _aes_expand_key(bytes(range(32)))
+    assert len(rk) == 15
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_roundtrip_aes256_encrypted():
+    pages = [["hello world", "second line"], ["page two"]]
+    _rt(pages, encrypt_aes256=True)
+    _rt(pages, encrypt_aes256=True, objstm=True)
+    _rt(pages, encrypt_aes256=True, xref_stream=True)
+    _rt(pages, encrypt_aes256=True, ascii85=True, use_tj_array=True)
+
+
+def test_aes256_owner_path_and_refusals():
+    """The writer's owner password is empty, so a user-passworded V5 doc
+    opens via Algorithm 12 (the owner /OE unwrap) — and once the /O
+    hash is corrupted too, the honest password refusal fires. /Perms
+    failing its 'adb' self-check is corruption, not a refusal."""
+    pages = [["locked"]]
+    data = write_pdf(pages, encrypt_aes256=True, user_password=b"secret")
+    assert extract_pdf_text(data) == "locked"  # owner path
+    import re
+
+    m = re.search(rb"/O <([0-9a-f]{96})>", data)
+    o_hex = m.group(1)
+    flipped = bytearray.fromhex(o_hex.decode())
+    flipped[0] ^= 0xFF
+    locked = data.replace(o_hex, flipped.hex().encode())
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(locked)
+    # corrupt /Perms on an otherwise-open doc: 'adb' check is ValueError
+    good = write_pdf(pages, encrypt_aes256=True)
+    m = re.search(rb"/Perms <([0-9a-f]{32})>", good)
+    p_hex = m.group(1)
+    bad_perms = bytearray.fromhex(p_hex.decode())
+    bad_perms[0] ^= 0xFF
+    with pytest.raises(ValueError, match="adb"):
+        extract_pdf_text(good.replace(p_hex, bad_perms.hex().encode()))
+    # unknown V5 crypt filter stays a refusal
+    with pytest.raises(NotImplementedError, match="AESV3"):
+        extract_pdf_text(good.replace(b"/CFM /AESV3", b"/CFM /AESV4"))
