@@ -1050,6 +1050,9 @@ def _pdf_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 _pdf_pages(d),
                 compress=True,
                 use_tj_array=(d % 3 == 1),
+                # every 9th-ish doc positions lines with the absolute
+                # text matrix (Tm) instead of relative Td moves
+                use_tm=(d % 9 == 4),
                 hex_strings=(d % 3 == 2),
                 ascii85=(d % 5 == 0),
                 # every 7th doc RC4 (V2/R3), every 11th AES-128 (V4

@@ -1149,6 +1149,7 @@ def extract_pdf_text(content: bytes) -> str:
             )
         lines: list[str] = []
         cur: list[str] = []
+        cur_ty: float | None = None  # last Tm vertical position
         stack: list = []  # operand accumulator
 
         def endline() -> None:
@@ -1173,6 +1174,17 @@ def extract_pdf_text(content: bytes) -> str:
                 dy = stack[-1][1] if len(stack) >= 1 and stack[-1][0] == "num" else 0
                 if dy != 0 and cur:
                     endline()
+            elif val == "Tm":
+                # text matrix set (the absolute positioning real
+                # generators emit): a vertical move = new line
+                if (
+                    len(stack) >= 6
+                    and all(k == "num" for k, _ in stack[-6:])
+                ):
+                    ty = stack[-1][1]
+                    if cur and ty != cur_ty:
+                        endline()
+                    cur_ty = ty
             elif val == "T*":
                 if cur:
                     endline()
@@ -1208,6 +1220,7 @@ def write_pdf(
     *,
     compress: bool = True,
     use_tj_array: bool = False,
+    use_tm: bool = False,
     hex_strings: bool = False,
     ascii85: bool = False,
     encrypt_rc4: bool = False,
@@ -1324,10 +1337,17 @@ def write_pdf(
             f"/Contents {content_num} 0 R >>".encode(),
             objstm,
         )
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        if use_tm:
+            ops = [b"BT /F1 12 Tf"]
+        else:
+            ops = [b"BT /F1 12 Tf 72 720 Td"]
         for j, line in enumerate(lines):
             raw = line.encode("latin-1")
-            if j > 0:
+            if use_tm:
+                # absolute positioning via the text matrix — the op
+                # real generators emit per line
+                ops.append(b"1 0 0 1 72 %d Tm" % (720 - 14 * j))
+            elif j > 0:
                 ops.append(b"0 -14 Td")
             if use_tj_array and " " in line:
                 parts = raw.split(b" ")

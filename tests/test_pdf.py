@@ -1,11 +1,15 @@
 """pdf.py text-extraction semantics: write→extract round trips over
-every content encoding (plain/TJ/hex × Flate/ASCII85 chains) and both
-container layouts (classic xref table; PDF 1.5 xref streams with PNG
-predictors + object streams), string escape grammar, page-tree order,
-corrupt-container classes, the honest NotImplementedError scope (AES
-encryption, image filters), the decompression bound, and bit-flip
-robustness. Writer and extractor share only the published PDF grammar,
-so a round trip cross-checks independently-written paths."""
+every content encoding (plain/TJ/hex × Flate/ASCII85 chains ×
+Td/Tm positioning), the container layouts (classic xref table; PDF
+1.5 xref streams with PNG predictors + object streams; hybrid
+reference), the full Standard security handler (RC4 V2/R3, AES-128
+V4 with the FIPS 197 C.1 vector, AES-256 V5/R6 with the C.3 vector
+and Algorithm 2.B KDF), string escape grammar, page-tree order,
+corrupt-container classes, the honest NotImplementedError scope
+(custom handlers, unknown crypt filters, fully-passworded docs,
+image filters), the decompression bound, and bit-flip robustness.
+Writer and extractor share only the published PDF grammar, so a
+round trip cross-checks independently-written paths."""
 
 from __future__ import annotations
 
@@ -460,3 +464,55 @@ def test_aes256_owner_path_and_refusals():
     # unknown V5 crypt filter stays a refusal
     with pytest.raises(NotImplementedError, match="AESV3"):
         extract_pdf_text(good.replace(b"/CFM /AESV3", b"/CFM /AESV4"))
+
+
+# --------------------------------------- Tm positioning + hybrid layout
+def test_tm_text_matrix_line_semantics():
+    """Tm (absolute text-matrix positioning — what real generators
+    emit per line) breaks lines on vertical moves only: a Tm to the
+    SAME baseline continues the line, a different ty starts a new
+    one."""
+    pages = [["alpha beta", "gamma", "delta"], ["page two"]]
+    _rt(pages, use_tm=True)
+    _rt(pages, use_tm=True, hex_strings=True)
+    _rt(pages, use_tm=True, objstm=True, encrypt_aes=True)
+    body = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (foo) Tj "
+        b"1 0 0 1 150 700 Tm (bar) Tj 1 0 0 1 72 686 Tm (baz) Tj ET"
+    )
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(data) == "foobar\nbaz"
+
+
+def test_hybrid_reference_layout_survives():
+    """A hybrid-reference file (what MS Word emits): classic xref table
+    + trailer whose /XRefStm points at the compressed layout. The
+    scan-based ObjStm registration must open it even though the
+    startxref chain leads to the classic table."""
+    import re
+
+    data = write_pdf([["hybrid text", "line"]], objstm=True)
+    # graft a classic trailer AFTER the xref-stream layout: startxref
+    # now points at a classic `xref` keyword whose trailer carries
+    # /XRefStm (which this parser ignores — the scan covers it)
+    m = re.search(rb"startxref\s+(\d+)\s*%%EOF", data)
+    xref_stream_at = int(m.group(1))
+    classic = (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer << /Size 99 /Root 1 0 R /XRefStm "
+        + str(xref_stream_at).encode() + b" >>\n"
+    )
+    at = len(data[: m.start()])
+    hybrid = (
+        data[: m.start()] + classic
+        + b"startxref\n" + str(at).encode() + b"\n%%EOF\n"
+    )
+    assert extract_pdf_text(hybrid) == "hybrid text\nline"
