@@ -1794,6 +1794,7 @@ def substring_span_pairs(
     docs: DataFrame,
     anchor_df_cap: int = ANCHOR_DF_CAP,
     anchor_mod: int = ANCHOR_MOD,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """llm_dedup_substring's core over any (doc_id, text) frame —
     separated so adversarial tests can plant hot-boilerplate corpora
@@ -1801,17 +1802,22 @@ def substring_span_pairs(
     by hundreds of docs from quadratically fanning out the candidate
     join, the L12 scale guarantee). ``anchor_mod=1`` turns EVERY
     shingle into an anchor — the exhaustive ground truth the L12b
-    recall eval measures the shipped 1/ANCHOR_MOD sample against."""
+    recall eval measures the shipped 1/ANCHOR_MOD sample against — and
+    an ``anchor_df_cap`` of None disables the cap (skipping the
+    corpus-wide df window entirely, not just filtering by infinity).
+    ``cache_shingles=False`` trades the shingle-scan recomputes for
+    zero cache-storage pressure — the right call when TWO pipelines
+    run in one query (the L12b eval) inside a small-heap session."""
     from pyspark.sql.window import Window
 
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= SHINGLE_K
     )
     parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(SHINGLE_K))
-    # cached: the positioned-shingle table feeds FOUR consumers (both
-    # anchor self-join sides via cand, plus the pa/pb positional joins)
-    # — one materialization of the corpus shingle scan, not four
-    # recomputes (the L2g disc-table pattern)
+    # cached (by default): the positioned-shingle table feeds FOUR
+    # consumers (both anchor self-join sides via cand, plus the pa/pb
+    # positional joins) — one materialization of the corpus shingle
+    # scan, not four recomputes (the L2g disc-table pattern)
     ps = w.select(
         "doc_id",
         F.explode(F.expr(f"sequence(1, size(w)-{SHINGLE_K - 1})")).alias("i"),
@@ -1822,15 +1828,30 @@ def substring_span_pairs(
         F.expr(
             f"cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10) as bigint)"
         ).alias("hf"),
-    ).cache()
-    anch = (
-        ps.filter(F.col("hf") % anchor_mod == 0)
-        .select("doc_id", "hf")
-        .distinct()
-        .withColumn("df", F.count("*").over(Window.partitionBy("hf")))
-        .filter(F.col("df") <= anchor_df_cap)
-        .select("doc_id", "hf")
     )
+    if cache_shingles:
+        ps = ps.cache()
+    anch = ps.filter(F.col("hf") % anchor_mod == 0).select(
+        "doc_id", "hf"
+    ).distinct()
+    if anchor_df_cap is not None:
+        anch = (
+            anch.withColumn(
+                "df", F.count("*").over(Window.partitionBy("hf"))
+            )
+            .filter(F.col("df") <= anchor_df_cap)
+            .select("doc_id", "hf")
+        )
+    # In the exhaustive (anchor_mod=1) eval mode, anch and cand are
+    # corpus-sized, and Catalyst's size misestimate after the
+    # distinct+window chain tries to BROADCAST them (driver OOM at the
+    # sf1 probe) — and even shuffle-hash cannot hold a per-partition
+    # hash relation of an all-pairs cand side. Pin spill-safe
+    # sort-merge joins there; the shipped sampled+capped path keeps
+    # its (correct) broadcast freedom.
+    exhaustive = anchor_mod == 1
+    if exhaustive:
+        anch = anch.hint("merge")
     a, b = anch.alias("a"), anch.alias("b")
     cand = (
         a.join(
@@ -1841,13 +1862,26 @@ def substring_span_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if exhaustive:
+        cand = cand.hint("merge")
+    # The positional sides are corpus-sized BY CONSTRUCTION (every
+    # shingle of every doc), yet Catalyst's estimate after the Generate
+    # chain reads small and it happily picks them as WHOLE-TABLE
+    # BroadcastHashJoin build sides — the r9 sf1 probe OOM'd exactly
+    # there, and at 100 TB a pb broadcast is a cluster-killer. Pin
+    # shuffle_hash in BOTH modes: the per-partition build is
+    # |side|/shuffle-partitions (scales with the cluster, unlike a
+    # broadcast copy per executor), and it avoids the per-task sort
+    # buffers that made full sort-merge OOM the 1 GB bare session at
+    # sf0.1. The genuinely small side (the sampled, df-capped anchor
+    # table) keeps its broadcast freedom in the shipped path.
     pa = ps.select(
         F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "hf"
-    )
+    ).hint("shuffle_hash")
     pb = ps.select(
         F.col("doc_id").alias("db"), F.col("i").alias("ib"),
         F.col("hf").alias("hfb"),
-    )
+    ).hint("shuffle_hash")
     m = (
         cand.join(pa, "doc_a")
         .join(pb, (F.col("doc_b") == F.col("db")) & (F.col("hf") == F.col("hfb")))
@@ -1923,13 +1957,22 @@ def llm_substring_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     residue with probability ~({ANCHOR_MOD - 1}/{ANCHOR_MOD})^(L-2),
     <17% at L=15 — recall_pct is that bound, measured."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # cap=None skips the corpus-wide df window (not just filters by
+    # infinity), and neither pass caches its shingle table: two cached
+    # corpus-shingle copies alongside the sort buffers OOM'd the 1 GB
+    # bare driver session at sf0.1 (r9) — recomputing the explode is
+    # the cheaper currency here
     exact = substring_span_pairs(
-        docs, anchor_df_cap=_EXHAUSTIVE_DF_CAP, anchor_mod=1
+        docs, anchor_df_cap=None, anchor_mod=1, cache_shingles=False
     )
-    approx = substring_span_pairs(docs).withColumnRenamed(
+    approx = substring_span_pairs(docs, cache_shingles=False).withColumnRenamed(
         "span_words", "sa"
     )
-    j = exact.join(approx, ["doc_a", "doc_b"], "left")
+    # both sides are span-pair-sized (small in practice) but their size
+    # ESTIMATES are garbage after the deep window/aggregate chains —
+    # Catalyst tried to broadcast one at the sf1 probe; sort-merge is
+    # free at this cardinality and never OOMs the driver
+    j = exact.hint("merge").join(approx, ["doc_a", "doc_b"], "left")
     stats = j.agg(
         F.count("*").cast("bigint").alias("n_exact"),
         F.count("sa").cast("bigint").alias("n_hit"),
