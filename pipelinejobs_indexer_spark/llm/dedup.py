@@ -530,9 +530,9 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------- n-gram Jaccard exact
-@register(
-    "llm_dedup_ngram_jaccard",
-    sql=f"""WITH sh AS ({_SHINGLES_SQL}),
+# shared by the L2c registration and the L2i recall eval, which nests it
+# as the exact ground truth against the minhash candidate generation
+_NGRAM_JACCARD_SQL = f"""WITH sh AS ({_SHINGLES_SQL}),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          common AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -544,8 +544,10 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
          FROM common
          JOIN sizes na ON na.doc_id = doc_a
          JOIN sizes nb ON nb.doc_id = doc_b
-         WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}""",
-)
+         WHERE c / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}"""
+
+
+@register("llm_dedup_ngram_jaccard", sql=_NGRAM_JACCARD_SQL)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
     family): result-identical to the naive inverted-index join, with the
@@ -611,6 +613,78 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_minhash_recall_eval",
+    sql=lambda: f"""WITH exact AS ({_NGRAM_JACCARD_SQL}),
+         approx AS ({_minhash_pairs_sql()}),
+         j AS (
+           SELECT e.jaccard AS je, a.jaccard AS ja
+           FROM exact e LEFT JOIN approx a
+             ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+                CAST(count(ja) AS BIGINT) AS n_hit,
+                CAST(coalesce(sum(CASE WHEN ja IS NOT NULL AND ja <> je
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  AS n_jaccard_mismatch,
+                CAST(CASE WHEN count(*) = 0 THEN 100
+                     ELSE (100 * count(ja)) // count(*) END AS BIGINT)
+                  AS recall_pct
+         FROM j""",
+)
+def llm_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2i: measured recall of L2a's MinHash-LSH candidate generation
+    against L2c's EXACT prefix-filtered jaccard pairs — completing the
+    measured-evidence triangle (PQ: L3l, substring anchors: L12b,
+    minhash bands: here). Both queries derive from the SAME shingle
+    set and JACCARD_THRESHOLD and both exact-verify their candidates,
+    so the minhash result is a strict subset of the exact one: n_hit
+    must equal n_approx and a recalled pair's jaccard must be
+    byte-identical (n_jaccard_mismatch stays 0 or the verify paths
+    diverged — a bug, not an approximation). What recall_pct measures
+    is therefore PURELY the LSH banding S-curve: with r rows x b bands
+    a true pair at jaccard j becomes a candidate with probability
+    1-(1-j^r)^b (~0.88 at j=0.8 under the shipped 4x4), and the
+    shipped band geometry now carries that number as driver-hash
+    evidence instead of a formula in a sizing note (the
+    minhash_scurve_probe script measured the same curve offline).
+
+    Scale: both sides are the shipped, scale-safe plans (prefix-filter
+    bounds L2c's hot-shingle fan-out; banding bounds L2a) — unlike
+    L12b there is no quadratic ground-truth pass to sample, so this
+    eval runs corpus-wide at ANY scale."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact = ngram_jaccard_pairs(docs)
+    approx = minhash_pairs(docs).withColumnRenamed("jaccard", "ja")
+    j = exact.hint("merge").join(approx, ["doc_a", "doc_b"], "left")
+    stats = j.agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.count("ja").cast("bigint").alias("n_hit"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ja").isNotNull()
+                    & (F.col("ja") != F.col("jaccard")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_jaccard_mismatch"),
+    )
+    n_approx = approx.agg(F.count("*").cast("bigint").alias("n_approx"))
+    return stats.crossJoin(n_approx).select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        "n_jaccard_mismatch",
+        F.expr(
+            "cast(case when n_exact = 0 then 100 "
+            "else (100 * n_hit) div n_exact end as bigint)"
+        ).alias("recall_pct"),
     )
 
 

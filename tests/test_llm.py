@@ -2616,3 +2616,43 @@ def test_corpus_report_approx_distinct_swap_within_bands(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="distinct_mode"):
         corpus_report(docs, distinct_mode="sketchy")
+
+
+def test_minhash_recall_eval_measures_banding_misses(spark):
+    """L2i mechanism: with 200 planted pairs at jaccard ~0.85, the exact
+    prefix-filter pass must catch ALL of them while the 4x4 LSH banding
+    deterministically misses a nonzero subset (S-curve ~0.9 here; the
+    chance of zero misses is ~1e-9) — and every pair minhash DOES emit
+    carries the byte-identical exact jaccard."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    for p in range(200):
+        words = [f"p{p}w{k}" for k in range(40)]
+        a = " ".join(words)
+        # two adjacent edits kill exactly 4 of 38 shingles: jaccard
+        # 34/42 ~ 0.810, just over the 0.8 gate, where the 4x4 S-curve
+        # sits at ~0.89 — the regime the eval exists to measure
+        bw = list(words)
+        bw[19] = f"p{p}x"
+        bw[20] = f"p{p}y"
+        b = " ".join(bw)
+        rows.append((2 * p, a))
+        rows.append((2 * p + 1, b))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.jaccard for r in minhash_pairs(docs).collect()
+    }
+    assert set(exact) == {(2 * p, 2 * p + 1) for p in range(200)}
+    missed = set(exact) - set(approx)
+    assert 0 < len(missed) < 100  # the S-curve tail, not a broken join
+    assert set(approx) <= set(exact)  # candidates are exact-verified
+    for k, v in approx.items():
+        assert v == exact[k], k  # same verify arithmetic on both sides
