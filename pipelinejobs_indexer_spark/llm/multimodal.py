@@ -1147,6 +1147,151 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_pdf_features, schema=PDF_SCHEMA)
 
 
+# ------------------------------------------ L5n PDF embedded-image decode
+PDF_IMG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_images", LongType()),
+        StructField("sum_width", LongType()),
+        StructField("sum_height", LongType()),
+        StructField("px_sum_jpeg", LongType()),
+        StructField("px_sum_raw", LongType()),
+    ]
+)
+
+
+def _pdf_image_specs(doc_id: int) -> tuple[list[list[str]], list[list[dict]]]:
+    """Per doc: 1 + doc_id%2 pages, each carrying one DC-only grayscale
+    JPEG (16x16, 4 blocks, DCs in [-23, 23] so no pixel clamps — every
+    pixel of block b is exactly 2*dc + 128 at q=16) and one raw 8x8
+    gray bitmap whose byte j is (doc_id*3 + p*7 + j) % 251; the raw
+    filter cycles Flate/RLE/LZW/none by doc so all four raster paths
+    carry driver-hash evidence."""
+    from .jpeg import synth_dc_jpeg
+
+    n_pages = 1 + doc_id % 2
+    raw_filter = ["flate", "rle", "lzw", None][doc_id % 4]
+    pages, images = [], []
+    for p in range(n_pages):
+        pages.append([f"img page {p}"])
+        dcs = [(doc_id * 3 + p * 5 + b * 7) % 47 - 23 for b in range(4)]
+        gray = bytes((doc_id * 3 + p * 7 + j) % 251 for j in range(64))
+        images.append(
+            [
+                {
+                    "kind": "jpeg",
+                    "data": synth_dc_jpeg([dcs], 16, 16, q=16),
+                    "width": 16,
+                    "height": 16,
+                    "ncomp": 1,
+                },
+                {
+                    "kind": "raw",
+                    "pixels": gray,
+                    "width": 8,
+                    "height": 8,
+                    "ncomp": 1,
+                    "filter": raw_filter,
+                },
+            ]
+        )
+    return pages, images
+
+
+def _pdf_image_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .pdf import extract_pdf_images, write_pdf
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_images", "sum_width", "sum_height",
+            "px_sum_jpeg", "px_sum_raw",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            pages, images = _pdf_image_specs(d)
+            data = write_pdf(
+                pages,
+                images=images,
+                # the L5l knob cycle: ciphers 13 > 11 > 7, d%4 layouts —
+                # so encrypted DCTDecode streams and ObjStm-packed image
+                # dictionaries both carry evidence here too
+                encrypt_rc4=(d % 7 == 0 and d % 11 != 0 and d % 13 != 0),
+                encrypt_aes=(d % 11 == 0 and d % 13 != 0),
+                encrypt_aes256=(d % 13 == 0),
+                xref_stream=(d % 4 == 1),
+                objstm=(d % 4 == 3),
+            )
+            per_page = extract_pdf_images(data)
+            imgs = [i for page in per_page for i in page]
+            out["doc_id"].append(d)
+            out["n_images"].append(len(imgs))
+            out["sum_width"].append(sum(i["width"] for i in imgs))
+            out["sum_height"].append(sum(i["height"] for i in imgs))
+            out["px_sum_jpeg"].append(
+                sum(sum(i["samples"]) for i in imgs if i["width"] == 16)
+            )
+            out["px_sum_raw"].append(
+                sum(sum(i["samples"]) for i in imgs if i["width"] == 8)
+            )
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_pdf_images",
+    sql="""WITH jp AS (
+             SELECT d.doc_id,
+                    CAST(SUM(64 * (2 * ((d.doc_id * 3 + p.p * 5 + b.b * 7)
+                                        % 47 - 23) + 128)) AS BIGINT)
+                      AS px_sum_jpeg
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 1) AS p(p),
+                  generate_series(0, 3) AS b(b)
+             WHERE p.p < 1 + d.doc_id % 2
+             GROUP BY d.doc_id),
+           rw AS (
+             SELECT d.doc_id,
+                    CAST(SUM((d.doc_id * 3 + p.p * 7 + s.s) % 251)
+                         AS BIGINT) AS px_sum_raw
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 1) AS p(p),
+                  generate_series(0, 63) AS s(s)
+             WHERE p.p < 1 + d.doc_id % 2
+             GROUP BY d.doc_id)
+           SELECT jp.doc_id,
+                  2 * (1 + jp.doc_id % 2) AS n_images,
+                  24 * (1 + jp.doc_id % 2) AS sum_width,
+                  24 * (1 + jp.doc_id % 2) AS sum_height,
+                  jp.px_sum_jpeg,
+                  rw.px_sum_raw
+           FROM jp JOIN rw USING (doc_id)""",
+)
+def llm_multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5n: REAL PDF embedded-image decode (round 9) — the image half
+    of corpus PDF ingest, closing the "image filters" refusal the L5l
+    docstring documented. Per doc, a multi-page PDF embeds two image
+    XObjects per page: a grayscale DC-only baseline JPEG under /Filter
+    /DCTDecode (decoded by the in-repo jpeg.py — exactly how real
+    generators embed photos) and a raw 8-bit gray bitmap whose raster
+    filter cycles Flate / RunLengthDecode (§7.4.5) / LZWDecode
+    (§7.4.4.2 TIFF variant, MSB-first 9→12-bit codes, EarlyChange) /
+    none. The L5l knob cycle applies on top (RC4/AES-128/AES-256
+    ciphers, xref-stream and ObjStm layouts), so an AES-encrypted
+    DCT-filtered image inside an ObjStm-packed container is a
+    driver-hashed path, not a hope. The oracle recomputes pixel sums
+    in closed form from doc_id arithmetic (DC-only blocks decode to
+    2*dc+128 per pixel; raw bytes are a modular series) — a wrong
+    Huffman code, LZW width bump, RLE run, predictor, or decryption
+    order shifts a sum. Scale shape: embarrassingly parallel
+    mapInPandas, O(rows) fixed-width output, decoded sample volume
+    capped by pdf.py MAX_TEXT_BYTES per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_pdf_image_features, schema=PDF_IMG_SCHEMA)
+
+
 # --------------------------------------------- L5f MP4 container probing
 VIDEO_TIMESCALE = 1000  # movie timescale of the synthesized fixtures
 

@@ -46,9 +46,19 @@ block vectors. All of it with the EMPTY user (or owner) password, the
 common "owner-locked" case every reader opens; documents where BOTH
 passwords are real raise NotImplementedError.
 
+Images: page /Resources → /XObject entries with /Subtype /Image
+decode to 8-bit samples (extract_pdf_images) — the raster filters are
+real: RunLengthDecode (§7.4.5), LZWDecode (§7.4.4.2 TIFF variant,
+MSB-first 9→12-bit codes, EarlyChange, predictors shared with
+FlateDecode), and DCTDecode through the in-repo baseline JPEG decoder
+(jpeg.py), so a JPEG photo embedded the way real generators embed
+them comes back as pixels. Device color spaces (Gray/RGB/CMYK) at
+8 bits per component are in scope.
+
 Out of honest scope (documented raises): custom (non-Standard)
-security handlers, unknown crypt filters, and non-text filters
-(DCTDecode etc.) raise NotImplementedError;
+security handlers, unknown crypt filters, codec-class raster filters
+(CCITTFaxDecode/JBIG2Decode/JPXDecode), and sub-8-bit or
+indexed/ICC image formats raise NotImplementedError;
 structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
@@ -67,6 +77,181 @@ MAX_TEXT_BYTES = 1 << 26
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+
+# ------------------------------------------------------------------ filters
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte 0..127 copies the
+    next length+1 bytes; 129..255 repeats the next byte 257-length
+    times; 128 is EOD. A stream that runs out before EOD is corrupt."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        ln = data[pos]
+        pos += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[pos : pos + ln + 1]
+            if len(chunk) < ln + 1:
+                raise ValueError("truncated RunLengthDecode literal run")
+            out += chunk
+            pos += ln + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated RunLengthDecode repeat run")
+            out += bytes([data[pos]]) * (257 - ln)
+            pos += 1
+        if len(out) > MAX_TEXT_BYTES:
+            raise ValueError(
+                f"RunLengthDecode inflates past the {MAX_TEXT_BYTES}-byte bound"
+            )
+    raise ValueError("RunLengthDecode stream missing EOD (128)")
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Writer-side RunLengthDecode encoder: repeat runs for >=3 equal
+    bytes, literal runs (<=128 bytes) otherwise, EOD-terminated."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4.2, the TIFF variant): MSB-first bit
+    packing, 9-bit codes growing to 12, 256=ClearTable, 257=EOD, and
+    the EarlyChange convention (default 1: the code width grows one
+    code early). Standard LZW table reconstruction including the
+    K[omega]K case (code == next table index)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZWDecode stream missing EOD (257)")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        bitbuf &= (1 << nbits) - 1
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"LZWDecode first code {code} after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZWDecode code {code} beyond table")
+        out += entry
+        prev = entry
+        if len(out) > MAX_TEXT_BYTES:
+            raise ValueError(
+                f"LZWDecode inflates past the {MAX_TEXT_BYTES}-byte bound"
+            )
+        if len(table) >= (1 << width) - early and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Writer-side LZW encoder with real dictionary growth, kept in
+    lockstep with the decoder's table: the decoder adds one entry per
+    code processed after the first since a clear, so the width bump is
+    driven by that projected size (the EarlyChange accounting the
+    decoder applies). At table index 4093 the dictionary clears —
+    12-bit codes never overflow."""
+    bits: list[tuple[int, int]] = [(256, 9)]  # leading ClearTable
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    dec_size = 258  # decoder table size BEFORE the next code is processed
+    emitted_since_clear = 0
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_size, emitted_since_clear
+        bits.append((code, width))
+        emitted_since_clear += 1
+        if emitted_since_clear > 1:
+            dec_size += 1
+        if dec_size >= (1 << width) - early and width < 12:
+            width += 1
+
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        if w + ch in d:
+            w += ch
+            continue
+        emit(d[w])
+        d[w + ch] = nxt
+        nxt += 1
+        w = ch
+        if nxt > 4093:
+            emit(d[w])  # flush the pending prefix before clearing
+            bits.append((256, width))
+            d = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+            dec_size = 258
+            emitted_since_clear = 0
+            w = b""
+    if w:
+        emit(d[w])
+    bits.append((257, width))
+    buf = 0
+    nbuf = 0
+    out = bytearray()
+    for code, cw in bits:
+        buf = (buf << cw) | code
+        nbuf += cw
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+            buf &= (1 << nbuf) - 1
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
 
 
 class _Lexer:
@@ -985,9 +1170,40 @@ class _Document:
                 raw = base64.a85decode(
                     bytes(b for b in body if bytes([b]) not in _WS)
                 )
+            elif f == "/RunLengthDecode":
+                raw = _rle_decode(raw)
+            elif f == "/LZWDecode":
+                ec = 1
+                if isinstance(parm, dict):
+                    ec = self.resolve(parm.get("/EarlyChange", 1))
+                    if ec not in (0, 1):
+                        raise ValueError(f"bad LZW /EarlyChange {ec!r}")
+                raw = _lzw_decode(raw, early=ec)
+                raw = self._apply_predictor(raw, parm)
+            elif f == "/DCTDecode":
+                # terminal filter: T.81 output is SAMPLES, not bytes to
+                # chain further — decoded with the in-repo baseline JPEG
+                # decoder (jpeg.py), interleaved row-major 8-bit
+                from .jpeg import decode_jpeg
+
+                h, w, nc, px = decode_jpeg(raw)
+                if w * h * nc > MAX_TEXT_BYTES:
+                    raise ValueError(
+                        f"DCTDecode image inflates past the "
+                        f"{MAX_TEXT_BYTES}-byte bound"
+                    )
+                flat = bytearray()
+                for row in px:
+                    if nc == 1:
+                        flat += bytes(row)
+                    else:
+                        for pxl in row:
+                            flat += bytes(pxl)
+                raw = bytes(flat)
             else:
                 raise NotImplementedError(
-                    f"PDF filter {f} is not a text filter (needs codec libs)"
+                    f"PDF filter {f} needs a codec outside the honest "
+                    "stdlib scope (CCITTFax/JBIG2/JPX)"
                 )
         return raw
 
@@ -1081,6 +1297,90 @@ class _Document:
 
         walk(catalog["/Pages"])
         return out
+
+    def page_images(self, page: dict) -> list[dict]:
+        """Image XObjects of one page, decoded to 8-bit samples:
+        /Resources → /XObject entries with /Subtype /Image, each a
+        stream whose filter chain ends in sample bytes (FlateDecode /
+        RunLengthDecode / LZWDecode raws, or DCTDecode through the
+        in-repo baseline JPEG decoder). Returns dicts with name, width,
+        height, n_components, and the interleaved row-major samples;
+        sample length is validated against the geometry so a wrong
+        filter chain cannot pass silently. Only 8-bit components and
+        the device color spaces are in scope (1/2/4-bit palettes raise
+        the documented NotImplementedError)."""
+        res = self.resolve(page.get("/Resources"))
+        if res is None:
+            return []
+        if not isinstance(res, dict):
+            raise ValueError("PDF /Resources is not a dictionary")
+        xobjs = self.resolve(res.get("/XObject"))
+        if xobjs is None:
+            return []
+        if not isinstance(xobjs, dict):
+            raise ValueError("PDF /XObject resource is not a dictionary")
+        out: list[dict] = []
+        for name in sorted(xobjs):
+            ref = xobjs[name]
+            if not (isinstance(ref, tuple) and ref and ref[0] == "ref"):
+                raise ValueError(f"PDF XObject {name} is not an indirect ref")
+            info = self.resolve(ref)
+            if not isinstance(info, dict) or info.get("/Subtype") != "/Image":
+                continue  # form XObjects etc. carry no pixels
+            width = self.resolve(info.get("/Width"))
+            height = self.resolve(info.get("/Height"))
+            if not all(isinstance(x, int) and 0 < x <= 1 << 16
+                       for x in (width, height)):
+                raise ValueError(f"bad PDF image geometry in {name}")
+            bpc = self.resolve(info.get("/BitsPerComponent", 8))
+            if bpc != 8:
+                raise NotImplementedError(
+                    f"{bpc}-bit PDF image components (palette depths) are "
+                    "outside the 8-bit sample scope"
+                )
+            cs = self.resolve(info.get("/ColorSpace"))
+            ncomp = {"/DeviceGray": 1, "/DeviceRGB": 3, "/DeviceCMYK": 4}.get(cs)
+            if ncomp is None:
+                raise NotImplementedError(
+                    f"PDF image color space {cs!r} (indexed/ICC) is outside "
+                    "the device-space scope"
+                )
+            samples = self.stream_bytes((ref[1], ref[2]))
+            if len(samples) != width * height * ncomp:
+                raise ValueError(
+                    f"PDF image {name}: {len(samples)} sample bytes for "
+                    f"{width}x{height}x{ncomp} geometry"
+                )
+            out.append(
+                {
+                    "name": name,
+                    "width": width,
+                    "height": height,
+                    "n_components": ncomp,
+                    "samples": samples,
+                }
+            )
+        return out
+
+
+def extract_pdf_images(content: bytes) -> list[list[dict]]:
+    """Decoded image XObjects per page, in page-tree order — the image
+    half of corpus PDF ingest (the text half is extract_pdf_text). Each
+    page is a list of page_images() dicts. The total decoded sample
+    volume shares the MAX_TEXT_BYTES bound so a hostile PDF packed with
+    images cannot balloon executor memory."""
+    doc = _Document(content)
+    out: list[list[dict]] = []
+    total = 0
+    for page in doc.pages():
+        imgs = doc.page_images(page)
+        total += sum(len(i["samples"]) for i in imgs)
+        if total > MAX_TEXT_BYTES:
+            raise ValueError(
+                f"PDF image samples exceed the {MAX_TEXT_BYTES}-byte bound"
+            )
+        out.append(imgs)
+    return out
 
 
 def _tokenize_content(data: bytes):
@@ -1229,6 +1529,7 @@ def write_pdf(
     user_password: bytes = b"",
     xref_stream: bool = False,
     objstm: bool = False,
+    images: list[list[dict]] | None = None,
 ) -> bytes:
     """Write a PDF whose text layer is ``pages`` (a list of pages, each
     a list of text lines). Spec-subset but real: proper object graph,
@@ -1246,7 +1547,15 @@ def write_pdf(
     12) instead of the classic table+trailer; ``objstm`` (implies
     ``xref_stream``) additionally packs every non-stream object into a
     /Type /ObjStm located by type-2 xref entries — the post-2003
-    layout most real-world PDFs use (ISO 32000 §7.5.7-7.5.8)."""
+    layout most real-world PDFs use (ISO 32000 §7.5.7-7.5.8).
+    ``images``, when given, is per-page: each entry a dict either
+    ``{"kind": "jpeg", "data": <baseline JPEG bytes>, "width", "height",
+    "ncomp"}`` (embedded verbatim under /Filter /DCTDecode, the way
+    real generators embed photos) or ``{"kind": "raw", "pixels":
+    <8-bit samples>, "width", "height", "ncomp", "filter": "flate" |
+    "rle" | "lzw" | None}``; each becomes an image XObject referenced
+    from the page /Resources and drawn with a ``q cm Do Q`` sequence
+    after the text block."""
     if objstm:
         xref_stream = True
     if encrypt_rc4 + encrypt_aes + encrypt_aes256 > 1:
@@ -1323,8 +1632,20 @@ def write_pdf(
         return len(objs)  # 1-based object number
 
     n_pages = len(pages)
-    # reserve: 1 catalog, 2 pages-node; page i -> obj 3+2i, content 4+2i
+    # reserve: 1 catalog, 2 pages-node; page i -> obj 3+2i, content 4+2i;
+    # image XObjects follow the pages in global order from 3+2*n_pages
     page_refs = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    if images is not None and len(images) != n_pages:
+        raise ValueError("images must have one (possibly empty) list per page")
+    img_specs = images if images is not None else [[] for _ in range(n_pages)]
+    img_names: list[list[tuple[str, int]]] = []
+    _gi = 0
+    for _per_page in img_specs:
+        _row = []
+        for _ in _per_page:
+            _row.append((f"Im{_gi}", 3 + 2 * n_pages + _gi))
+            _gi += 1
+        img_names.append(_row)
     add(b"<< /Type /Catalog /Pages 2 0 R >>", objstm)
     add(
         f"<< /Type /Pages /Kids [{page_refs}] /Count {n_pages} >>".encode(),
@@ -1332,9 +1653,13 @@ def write_pdf(
     )
     for i, lines in enumerate(pages):
         content_num = 4 + 2 * i
+        res = ""
+        if img_names[i]:
+            xo = " ".join(f"/{nm} {num} 0 R" for nm, num in img_names[i])
+            res = f" /Resources << /XObject << {xo} >> >>"
         add(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {content_num} 0 R >>".encode(),
+            f"/Contents {content_num} 0 R{res} >>".encode(),
             objstm,
         )
         if use_tm:
@@ -1362,6 +1687,12 @@ def write_pdf(
             else:
                 ops.append(b"(" + _escape_string(raw) + b") Tj")
         ops.append(b"ET")
+        for k, (nm, _num) in enumerate(img_names[i]):
+            spec = img_specs[i][k]
+            ops.append(
+                f"q {spec['width'] * 4} 0 0 {spec['height'] * 4} "
+                f"{60 + 90 * k} 80 cm /{nm} Do Q".encode()
+            )
         stream = b"\n".join(ops)
         filters = []
         if compress:
@@ -1382,6 +1713,48 @@ def write_pdf(
             fl = ""
         head = f"<< /Length {len(stream)}{fl} >>".encode()
         add(head + b"\nstream\n" + stream + b"\nendstream")
+    for i, per_page in enumerate(img_specs):
+        for k, spec in enumerate(per_page):
+            _nm, num = img_names[i][k]
+            ncomp = spec.get("ncomp", 1)
+            cspace = {1: "/DeviceGray", 3: "/DeviceRGB", 4: "/DeviceCMYK"}
+            if ncomp not in cspace:
+                raise ValueError(f"bad image ncomp {ncomp}")
+            if spec["kind"] == "jpeg":
+                body = spec["data"]
+                fl = " /Filter /DCTDecode"
+            elif spec["kind"] == "raw":
+                body = spec["pixels"]
+                if len(body) != spec["width"] * spec["height"] * ncomp:
+                    raise ValueError("raw image pixels do not match geometry")
+                filt = spec.get("filter")
+                if filt == "flate":
+                    body = zlib.compress(body)
+                    fl = " /Filter /FlateDecode"
+                elif filt == "rle":
+                    body = _rle_encode(body)
+                    fl = " /Filter /RunLengthDecode"
+                elif filt == "lzw":
+                    body = _lzw_encode(body)
+                    fl = " /Filter /LZWDecode"
+                elif filt is None:
+                    fl = ""
+                else:
+                    raise ValueError(f"bad image filter {filt!r}")
+            else:
+                raise ValueError(f"bad image kind {spec.get('kind')!r}")
+            if enc is not None:
+                body = _enc_stream(body, num)
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {spec['width']} "
+                f"/Height {spec['height']} /ColorSpace {cspace[ncomp]} "
+                f"/BitsPerComponent 8 /Length {len(body)}{fl} >>"
+            ).encode()
+            got = add(head + b"\nstream\n" + body + b"\nendstream")
+            if got != num:
+                raise AssertionError(
+                    f"image object numbering drifted: {got} != {num}"
+                )
     trailer_extra = ""
     if enc is not None:
         _, o_val, u_val, p_val, doc_id = enc

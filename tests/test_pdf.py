@@ -156,7 +156,15 @@ def test_honest_not_implemented_scope():
                 b"/V 2 /R 3", b"/V 4 /R 4"
             )
         )
-    with pytest.raises(NotImplementedError, match="filter"):
+    # codec-class raster filters stay honest refusals
+    with pytest.raises(NotImplementedError, match="JBIG2"):
+        extract_pdf_text(
+            write_pdf([["x"]], compress=False).replace(
+                b"<< /Length", b"<< /Filter /JBIG2Decode /Length"
+            )
+        )
+    # DCTDecode is REAL now — on non-JPEG bytes it's a data error
+    with pytest.raises(ValueError, match="JPEG"):
         extract_pdf_text(
             write_pdf([["x"]], compress=False).replace(
                 b"<< /Length", b"<< /Filter /DCTDecode /Length"
@@ -516,3 +524,133 @@ def test_hybrid_reference_layout_survives():
         + b"startxref\n" + str(at).encode() + b"\n%%EOF\n"
     )
     assert extract_pdf_text(hybrid) == "hybrid text\nline"
+
+
+# ------------------------------------------------------- image XObjects
+def _gray(n: int, a: int = 7, b: int = 3) -> bytes:
+    return bytes((i * a + b) % 251 for i in range(n))
+
+
+def test_image_roundtrip_all_filters_layouts_ciphers():
+    """Image XObjects decode to exact samples across every raster
+    filter (DCTDecode via jpeg.py, Flate, RLE, LZW, none), in every
+    container layout and under every Standard-handler cipher."""
+    from pipelinejobs_indexer_spark.llm.jpeg import synth_dc_jpeg
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    dcs = [5, -10, 3, 7]
+    jpg = synth_dc_jpeg([dcs], 16, 16, q=16)
+    gray = _gray(64)
+    imgs = [
+        [
+            {"kind": "jpeg", "data": jpg, "width": 16, "height": 16, "ncomp": 1},
+            {"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+             "ncomp": 1, "filter": "flate"},
+        ],
+        [
+            {"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+             "ncomp": 1, "filter": "rle"},
+            {"kind": "raw", "pixels": _gray(64 * 3, 11, 5), "width": 8,
+             "height": 8, "ncomp": 3, "filter": "lzw"},
+            {"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+             "ncomp": 1, "filter": None},
+        ],
+    ]
+    pages = [["hello world", "line two"], ["page two"]]
+    for kw in (
+        {},
+        {"encrypt_rc4": True},
+        {"encrypt_aes": True},
+        {"encrypt_aes256": True},
+        {"xref_stream": True},
+        {"objstm": True},
+        {"objstm": True, "encrypt_aes": True},
+        {"compress": False},
+        {"ascii85": True},
+    ):
+        data = write_pdf(pages, images=imgs, **kw)
+        # text layer is untouched by the image ops (q/cm/Do/Q)
+        assert extract_pdf_text(data) == "hello world\nline two\fpage two", kw
+        pg = extract_pdf_images(data)
+        assert [len(p) for p in pg] == [2, 3], kw
+        j = pg[0][0]
+        assert (j["width"], j["height"], j["n_components"]) == (16, 16, 1)
+        # DC-only JPEG closed form: every pixel of a block = 2*dc + 128
+        assert sum(j["samples"]) == 64 * sum(2 * d + 128 for d in dcs), kw
+        assert pg[0][1]["samples"] == gray, kw
+        assert pg[1][0]["samples"] == gray, kw
+        assert pg[1][1]["samples"] == _gray(64 * 3, 11, 5), kw
+        assert pg[1][1]["n_components"] == 3, kw
+        assert pg[1][2]["samples"] == gray, kw
+
+
+def test_image_error_classes():
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    gray = _gray(64)
+    img = [{"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+            "ncomp": 1, "filter": "flate"}]
+    data = write_pdf([["x"]], images=[img])
+    # sample-length mismatch: lie about /Width
+    with pytest.raises(ValueError, match="sample bytes"):
+        extract_pdf_images(data.replace(b"/Width 8", b"/Width 7"))
+    # sub-8-bit components are a documented refusal
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        extract_pdf_images(
+            data.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 4")
+        )
+    # indexed / ICC color spaces are a documented refusal
+    with pytest.raises(NotImplementedError, match="color space"):
+        extract_pdf_images(
+            data.replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /Indexed")
+        )
+    # a form XObject (no /Subtype /Image) carries no pixels: skipped
+    assert extract_pdf_images(
+        data.replace(b"/Subtype /Image", b"/Subtype /Form ")
+    ) == [[]]
+    # writer-side geometry validation
+    with pytest.raises(ValueError, match="geometry"):
+        write_pdf([["x"]], images=[[{"kind": "raw", "pixels": gray,
+                                     "width": 9, "height": 8, "ncomp": 1,
+                                     "filter": None}]])
+    with pytest.raises(ValueError, match="one .* per page"):
+        write_pdf([["x"], ["y"]], images=[img])
+
+
+def test_lzw_rle_codec_units():
+    """The two new §7.4 byte filters, pinned independently of PDF
+    containers: the classic ABABABA LZW stream (K-omega-K table
+    reconstruction) byte-for-byte, code-width growth across the
+    511/1023/2047 boundaries and the 4093 table clear, and both
+    decoders' corruption classes."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _lzw_decode,
+        _lzw_encode,
+        _rle_decode,
+        _rle_encode,
+    )
+
+    # hand-checkable spec stream: Clear,65,66,258('AB'),260('ABA'),65,EOD
+    # in MSB-first 9-bit codes
+    assert _lzw_encode(b"ABABABA") == bytes.fromhex("80104850282404")
+    assert _lzw_decode(bytes.fromhex("80104850282404")) == b"ABABABA"
+    rng = random.Random(11)
+    long = bytes(rng.randrange(256) for _ in range(60_000))
+    assert _lzw_decode(_lzw_encode(long)) == long  # crosses every width
+    for data in (b"", b"A", b"A" * 500, (b"ABC" * 999)[:2000], long[:333]):
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _rle_decode(_rle_encode(data)) == data
+    with pytest.raises(ValueError, match="EOD"):
+        _rle_decode(b"\x04hello")  # literal run, then no EOD
+    with pytest.raises(ValueError, match="truncated"):
+        _rle_decode(b"\x7fshort")
+    with pytest.raises(ValueError, match="EOD"):
+        _lzw_decode(_lzw_encode(b"abc")[:-2])
+    with pytest.raises(ValueError, match="after clear"):
+        # first code after clear must be a literal; 9-bit 300 is not
+        _lzw_decode(bytes([0b10000000, 0b01001011, 0b00000000]))
+    with pytest.raises(ValueError, match="beyond table"):
+        # clear, literal 65, then code 300 with no table entry past 257
+        _lzw_decode(bytes([0x80, 0x10, 0x65, 0x80]))
