@@ -150,6 +150,16 @@ def decode_audio(content: bytes, mime: str) -> dict:
     if mime in ("audio/wav", "audio/x-wav") or (
         content[:4] == b"RIFF" and content[8:12] == b"WAVE"
     ):
+        from .g711 import wav_format_tag
+
+        tag = wav_format_tag(content)
+        if tag is not None and tag != 1:
+            # non-PCM tags the stdlib wave module cannot read: G.711
+            # A-law/μ-law and IMA ADPCM decode for real (g711.py);
+            # genuinely compressed tags keep the codec refusal there
+            from .g711 import parse_companded_wav
+
+            return parse_companded_wav(content)
         with wave.open(io.BytesIO(content)) as w:
             rate = w.getframerate()
             nch = w.getnchannels()
@@ -931,6 +941,163 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column (S15 feeds it) instead of synthesizing."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id").mapInPandas(_audio_features, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------- L5p companded / ADPCM audio codecs
+AUDIO_CODEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mu_sum", LongType()),
+        StructField("alaw_sum", LongType()),
+        StructField("adpcm_sum", LongType()),
+        StructField("adpcm_last", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def _audio_codec_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import struct
+
+    from .g711 import (
+        WAVE_FMT_ALAW,
+        WAVE_FMT_IMA_ADPCM,
+        WAVE_FMT_MULAW,
+        write_wav,
+    )
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "mu_sum", "alaw_sum", "adpcm_sum", "adpcm_last",
+            "n_frames",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            mu_pay = bytes((d + t) % 256 for t in range(128))
+            al_pay = bytes((d * 5 + t * 3) % 256 for t in range(128))
+            mu = decode_audio(
+                write_wav(WAVE_FMT_MULAW, mu_pay, channels=1, rate=8000,
+                          bits=8, block_align=1, frames=128),
+                "audio/wav",
+            )
+            al = decode_audio(
+                write_wav(WAVE_FMT_ALAW, al_pay, channels=1, rate=8000,
+                          bits=8, block_align=1, frames=128),
+                "audio/wav",
+            )
+            # one mono IMA block: header predictor P0 / step index i0,
+            # then 64 constant nibbles c (0..3: index walks DOWN the
+            # step table, predictor strictly accumulates — parameters
+            # sized so the int16 clamp is provably never hit, keeping
+            # the decode on the closed-form grid)
+            p0 = d % 1000 - 500
+            i0 = d % 51
+            c = d % 4
+            hdr = struct.pack("<hBB", p0, i0, 0)
+            ad = decode_audio(
+                write_wav(WAVE_FMT_IMA_ADPCM, hdr + bytes([c | (c << 4)] * 32),
+                          channels=1, rate=8000, bits=4, block_align=36,
+                          frames=65),
+                "audio/wav",
+            )
+            out["doc_id"].append(d)
+            out["mu_sum"].append(sum(mu["samples"]))
+            out["alaw_sum"].append(sum(al["samples"]))
+            out["adpcm_sum"].append(sum(ad["samples"]))
+            out["adpcm_last"].append(ad["samples"][-1])
+            out["n_frames"].append(
+                mu["frames"] + al["frames"] + ad["frames"]
+            )
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+def _ima_steps_values() -> str:
+    from .g711 import IMA_STEPS
+
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEPS))
+
+
+@register(
+    "llm_multimodal_audio_codecs",
+    sql=f"""WITH steps(idx, step) AS (VALUES {_ima_steps_values()}),
+           mu AS (
+             SELECT doc_id,
+                    CAST(SUM(CASE WHEN u >= 128 THEN 132 - tv
+                             ELSE tv - 132 END) AS BIGINT) AS mu_sum
+             FROM (
+               SELECT d.doc_id,
+                      255 - (d.doc_id + s.t) % 256 AS u,
+                      ((255 - (d.doc_id + s.t) % 256) % 16 * 8 + 132)
+                        * (1 << (((255 - (d.doc_id + s.t) % 256) // 16) % 8))
+                        AS tv
+               FROM (SELECT doc_id FROM documents) d,
+                    generate_series(0, 127) AS s(t))
+             GROUP BY doc_id),
+           al AS (
+             SELECT doc_id,
+                    CAST(SUM(CASE WHEN a >= 128 THEN v ELSE -v END)
+                         AS BIGINT) AS alaw_sum
+             FROM (
+               SELECT doc_id, a,
+                      CASE WHEN (a // 16) % 8 = 0 THEN a % 16 * 16 + 8
+                           WHEN (a // 16) % 8 = 1 THEN a % 16 * 16 + 264
+                           ELSE (a % 16 * 16 + 264)
+                                  * (1 << ((a // 16) % 8 - 1)) END AS v
+               FROM (
+                 SELECT d.doc_id,
+                        xor((d.doc_id * 5 + s.t * 3) % 256, 85) AS a
+                 FROM (SELECT doc_id FROM documents) d,
+                      generate_series(0, 127) AS s(t)))
+             GROUP BY doc_id),
+           ad AS (
+             SELECT doc_id,
+                    CAST(65 * p0 + SUM((64 - t) * diff) AS BIGINT)
+                      AS adpcm_sum,
+                    CAST(p0 + SUM(diff) AS BIGINT) AS adpcm_last
+             FROM (
+               SELECT d.doc_id,
+                      d.doc_id % 1000 - 500 AS p0,
+                      s.t,
+                      st.step // 8
+                        + CASE WHEN (d.doc_id % 4) // 2 = 1
+                               THEN st.step // 2 ELSE 0 END
+                        + CASE WHEN d.doc_id % 4 % 2 = 1
+                               THEN st.step // 4 ELSE 0 END AS diff
+               FROM (SELECT doc_id FROM documents) d,
+                    generate_series(0, 63) AS s(t)
+                    JOIN steps st
+                      ON st.idx = greatest(d.doc_id % 51 - s.t, 0))
+             GROUP BY doc_id, p0)
+           SELECT mu.doc_id, mu.mu_sum, al.alaw_sum, ad.adpcm_sum,
+                  ad.adpcm_last, CAST(321 AS BIGINT) AS n_frames
+           FROM mu JOIN al USING (doc_id) JOIN ad USING (doc_id)""",
+)
+def llm_multimodal_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5p: REAL companded / ADPCM audio decode (round 9) — the WAV
+    formats the stdlib ``wave`` module cannot read but real archives
+    are full of: G.711 μ-law (fmt 7) and A-law (fmt 6), every PSTN /
+    telephony capture, and IMA ADPCM (fmt 0x11), the classic 4:1
+    voice codec — all exact integer arithmetic (g711.py), so they fit
+    the closed-form oracle discipline that keeps mp3/ogg honest
+    refusals. Per doc, three WAVs are synthesized (the G.711 payloads
+    are modular byte series; the IMA block is a header + 64 constant
+    nibbles whose step-table walk is closed-form because the index
+    only steps DOWN and the parameters provably never clamp) and
+    decoded through decode_audio's real dispatch. The DuckDB oracle
+    re-derives every decoded sample arithmetically: the Sun-g711.c
+    expansion formulas inline, and the 89-entry IMA step table as a
+    VALUES join with the (64-t)-weighted prefix-sum identity turning
+    the sequential predictor walk into one aggregate. A wrong bias,
+    segment shift, complement, nibble order, or index clamp shifts a
+    sum. Scale shape: embarrassingly parallel mapInPandas, O(rows)
+    output; the step-table join is a 64x89 broadcast-sized dimension,
+    never a data shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_audio_codec_features, schema=AUDIO_CODEC_SCHEMA)
 
 
 # --------------------------------------------- L5k real FLAC decode path

@@ -1,0 +1,154 @@
+"""g711.py semantics: G.711 μ-law/A-law expansion pinned on canonical
+anchor pairs and all-byte idempotence, segment-search encoders
+round-tripped against decode, the IMA ADPCM block walk (header
+predictor emission, nibble order, index clamps, int16 clamps, stereo
+interleave) hand-verified, the independent RIFF walker's error
+classes, and decode_audio's format-tag dispatch."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark.llm import multimodal  # noqa: E402
+from pipelinejobs_indexer_spark.llm.g711 import (  # noqa: E402
+    IMA_STEPS,
+    WAVE_FMT_ALAW,
+    WAVE_FMT_IMA_ADPCM,
+    WAVE_FMT_MULAW,
+    alaw_decode_byte,
+    alaw_encode_sample,
+    ima_adpcm_decode,
+    mulaw_decode_byte,
+    mulaw_encode_sample,
+    parse_companded_wav,
+    write_wav,
+)
+
+
+def test_g711_anchor_vectors():
+    # the canonical table corners every published G.711 listing shares
+    assert mulaw_decode_byte(0x00) == -32124
+    assert mulaw_decode_byte(0x80) == 32124
+    assert mulaw_decode_byte(0xFF) == 0
+    assert alaw_decode_byte(0x55) == -8
+    assert alaw_decode_byte(0xD5) == 8
+    assert alaw_decode_byte(0x2A) == -32256  # A-law full scale
+    assert alaw_decode_byte(0xAA) == 32256
+
+
+def test_g711_all_bytes_idempotent():
+    # encode(decode(b)) must land back on the same quantization cell
+    for b in range(256):
+        s = mulaw_decode_byte(b)
+        assert mulaw_decode_byte(mulaw_encode_sample(s)) == s, b
+        s = alaw_decode_byte(b)
+        assert alaw_decode_byte(alaw_encode_sample(s)) == s, b
+
+
+def test_g711_encode_quantization_bound():
+    # segment quantization: error bounded by the local step size
+    for s in range(-32000, 32001, 97):
+        assert abs(mulaw_decode_byte(mulaw_encode_sample(s)) - s) <= 1024
+        assert abs(alaw_decode_byte(alaw_encode_sample(s)) - s) <= 1024
+
+
+def test_ima_block_hand_decoded():
+    p0, i0 = 100, 20
+    hdr = struct.pack("<hBB", p0, i0, 0)
+    chans = ima_adpcm_decode(hdr + bytes([0x00] * 32), 1, 36)
+    # nibble 0: diff = step >> 3, index walks down one per nibble
+    want = [p0]
+    p = p0
+    for t in range(64):
+        p += IMA_STEPS[max(i0 - t, 0)] >> 3
+        want.append(p)
+    assert chans == [want]
+    # sign nibble 8 walks the predictor DOWN by the same magnitudes
+    chans = ima_adpcm_decode(hdr + bytes([0x88] * 32), 1, 36)
+    want = [p0]
+    p = p0
+    for t in range(64):
+        p -= IMA_STEPS[max(i0 - t, 0)] >> 3
+        want.append(p)
+    assert chans == [want]
+
+
+def test_ima_clamps():
+    # predictor clamp at +32767 (nibble 7 at the table top overshoots)
+    hdr = struct.pack("<hBB", 32700, 88, 0)
+    chans = ima_adpcm_decode(hdr + bytes([0x77] * 4), 1, 8)
+    assert chans[0][1] == 32767 and chans[0][-1] == 32767
+    # index clamp at 88: nibble 7 adjusts +8, must stick at 88
+    hdr = struct.pack("<hBB", -32700, 88, 0)
+    chans = ima_adpcm_decode(hdr + bytes([0xFF] * 4), 1, 8)
+    assert chans[0][-1] == -32768  # symmetric clamp at the floor
+
+
+def test_ima_stereo_interleave():
+    h = struct.pack("<hBB", 10, 5, 0) + struct.pack("<hBB", -10, 8, 0)
+    body = bytes([0x00] * 4) + bytes([0x88] * 4)  # ch0 up, ch1 down
+    chans = ima_adpcm_decode(h + body, 2, 16)
+    assert chans[0][0] == 10 and chans[1][0] == -10
+    assert chans[0][1] > 10 and chans[1][1] < -10
+    wav = write_wav(WAVE_FMT_IMA_ADPCM, h + body, channels=2, rate=8000,
+                    bits=4, block_align=16, frames=9)
+    out = parse_companded_wav(wav)
+    assert out["channels"] == 2 and out["frames"] == 9
+    assert out["samples"][0] == 10 and out["samples"][1] == -10
+    assert out["samples"][::2] == tuple(chans[0])
+
+
+def test_ima_error_classes():
+    hdr = struct.pack("<hBB", 0, 89, 0)  # step index past the table
+    with pytest.raises(ValueError, match="> 88"):
+        ima_adpcm_decode(hdr + bytes(32), 1, 36)
+    hdr = struct.pack("<hBB", 0, 5, 1)  # nonzero reserved byte
+    with pytest.raises(ValueError, match="reserved"):
+        ima_adpcm_decode(hdr + bytes(32), 1, 36)
+    with pytest.raises(ValueError, match="whole number"):
+        ima_adpcm_decode(bytes(35), 1, 36)
+    with pytest.raises(ValueError, match="misaligned"):
+        ima_adpcm_decode(bytes(36), 2, 36)  # 2ch needs >= 8 header bytes
+
+
+def test_wav_walker_and_dispatch():
+    pay = bytes(range(128))
+    wav = write_wav(WAVE_FMT_MULAW, pay, channels=1, rate=8000, bits=8,
+                    block_align=1, frames=128)
+    # decode_audio dispatches non-PCM tags here
+    out = multimodal.decode_audio(wav, "audio/wav")
+    assert out["samples"] == tuple(mulaw_decode_byte(b) for b in pay)
+    assert out["rate"] == 8000 and out["frames"] == 128
+    # odd-size data chunk gets a pad byte and still parses
+    wav_odd = write_wav(WAVE_FMT_ALAW, pay[:127], channels=1, rate=8000,
+                        bits=8, block_align=1, frames=127)
+    assert parse_companded_wav(wav_odd)["frames"] == 127
+    # genuinely compressed tags keep the codec refusal (mp3-in-WAV)
+    wav_mp3 = write_wav(0x0055, b"\x00" * 16, channels=1, rate=8000,
+                        bits=0, block_align=1, frames=16)
+    with pytest.raises(NotImplementedError, match="0x0055"):
+        multimodal.decode_audio(wav_mp3, "audio/wav")
+    # PCM stays on the stdlib wave path end-to-end
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, -2, 3, -4))
+    out = multimodal.decode_audio(buf.getvalue(), "audio/wav")
+    assert out["samples"] == (1, -2, 3, -4)
+    # PCM explicitly rejected by the companded parser (disjoint paths)
+    with pytest.raises(ValueError, match="stdlib wave path"):
+        parse_companded_wav(buf.getvalue())
+    # missing fmt chunk is a structural error
+    with pytest.raises(ValueError, match="fmt"):
+        parse_companded_wav(b"RIFF\x04\x00\x00\x00WAVE")
