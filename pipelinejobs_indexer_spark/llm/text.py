@@ -2677,3 +2677,122 @@ def llm_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "score", "stage", "shard", "pos")
     )
+
+
+# ------------------------------------------- L6p DSIR importance selection
+DSIR_BUCKETS = 512  # hashed-bigram feature dimension
+DSIR_TOP_K = 100    # selected corpus size
+
+
+def _dsir_bucket_sql(expr: str) -> str:
+    """Cross-engine hashed-feature bucket: md5 hex prefix → bigint →
+    mod DSIR_BUCKETS (the llm_corpus_sample idiom, Spark spelling)."""
+    return (
+        f"cast(conv(substr(md5(concat('dsir:', {expr})), 1, 15), 16, 10) "
+        f"as bigint) % {DSIR_BUCKETS}"
+    )
+
+
+@register(
+    "llm_dsir_select",
+    sql=f"""WITH db AS (
+             SELECT d.doc_id, d.lang,
+                    ('0x' || substr(md5('dsir:' || g.g), 1, 15))::BIGINT
+                      % {DSIR_BUCKETS} AS bucket,
+                    count(*) AS cnt
+             FROM (SELECT doc_id, lang,
+                          string_split(text, ' ') AS w
+                   FROM documents) d,
+                  LATERAL unnest(list_transform(
+                      range(1, len(d.w)),
+                      i -> d.w[i] || ' ' || d.w[i + 1])) AS g(g)
+             GROUP BY d.doc_id, d.lang, bucket),
+           bs AS (
+             SELECT bucket,
+                    CAST(SUM(cnt) AS BIGINT) AS n_r,
+                    CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                         AS BIGINT) AS n_t
+             FROM db GROUP BY bucket),
+           tot AS (
+             SELECT CAST(SUM(n_r) AS BIGINT) AS d_r,
+                    CAST(SUM(n_t) AS BIGINT) AS d_t
+             FROM bs)
+           SELECT db.doc_id,
+                  CAST(SUM(db.cnt * (bs.n_t * tot.d_r - bs.n_r * tot.d_t))
+                       AS BIGINT) AS score,
+                  CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
+           FROM db JOIN bs USING (bucket) CROSS JOIN tot
+           GROUP BY db.doc_id
+           ORDER BY score DESC, db.doc_id
+           LIMIT {DSIR_TOP_K}""",
+)
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6p: DSIR — Data Selection via Importance Resampling (Xie et
+    al., NeurIPS 2023): select raw-corpus documents whose hashed-bigram
+    feature distribution looks like a target corpus (here lang='en',
+    the dominant stratum standing in for "formal text"). The published
+    method scores log p_target/p_raw under bag-of-hashed-ngram models;
+    this implementation uses the LINEAR probability difference
+    score_i = Σ_g (N_t[b(g)]·D_r − N_r[b(g)]·D_t) — the same ranking
+    signal family cross-multiplied into exact integers so the driver
+    hash is grid-stable (the repo-wide exact-integer oracle
+    discipline; a log-ratio twin would rank near-identically but
+    float-hash-flake). Top-K by (score desc, doc_id) is a total order,
+    so both engines cut the same set.
+
+    Scale shape (the 100 TB lens): DSIR is inherently TWO corpus
+    passes — train the importance model, then score — and exactly two
+    is what runs: pass 1 aggregates bucket→(n_raw, n_target) counts
+    ({DSIR_BUCKETS} rows) and is COLLECTED — model-sized driver state,
+    the train.py k-means/PQ-codebook pattern — so the model and its
+    totals become literals instead of a re-computed lineage (the
+    naive broadcast-join formulation re-tokenizes the corpus once per
+    derived frame); pass 2 scores doc×bucket counts (map-side combine
+    on doc_id) against the broadcast model, and the final top-K is a
+    TakeOrderedAndProject — no global sort, no corpus shuffle beyond
+    the doc_id combine. The feature hash is the md5-prefix idiom
+    shared with llm_corpus_sample, so bucketing agrees with DuckDB
+    bit-for-bit."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(zip_with(slice(split(text, ' '), 1,"
+            " size(split(text, ' ')) - 1),"
+            " slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+            " (a, b) -> concat(a, ' ', b)))"
+        ).alias("g"),
+    )
+    doc_bucket = grams.groupBy(
+        "doc_id", "lang", F.expr(_dsir_bucket_sql("g")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    # pass 1: the hashed-bigram model — DSIR_BUCKETS rows of driver
+    # state (model-sized, like a PQ codebook), never the corpus
+    model = (
+        doc_bucket.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_r"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)
+            ).alias("n_t"),
+        )
+        .collect()
+    )
+    d_r = sum(r["n_r"] for r in model)
+    d_t = sum(r["n_t"] for r in model)
+    model_df = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["n_t"]) * d_r - int(r["n_r"]) * d_t)
+         for r in model],
+        "bucket bigint, w bigint",
+    )
+    # pass 2: score against the broadcast model
+    scored = (
+        doc_bucket.join(F.broadcast(model_df), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("score"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(DSIR_TOP_K)

@@ -2656,3 +2656,22 @@ def test_minhash_recall_eval_measures_banding_misses(spark):
     assert set(approx) <= set(exact)  # candidates are exact-verified
     for k, v in approx.items():
         assert v == exact[k], k  # same verify arithmetic on both sides
+
+
+def test_dsir_selection_enriches_target(spark, sf_dir):
+    """llm_dsir_select must actually DO importance selection: the
+    top-K it keeps should be enriched in the target stratum (lang='en')
+    relative to the raw corpus — the semantic claim of Xie et al.'s
+    method, beyond hash parity."""
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    sel = registry.QUERIES["llm_dsir_select"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    merged = sel.merge(docs[["doc_id", "lang"]], on="doc_id")
+    frac_sel = (merged["lang"] == "en").mean()
+    frac_all = (docs["lang"] == "en").mean()
+    assert frac_sel > frac_all + 0.2, (frac_sel, frac_all)
+    # scores must be strictly ranked with the doc_id tiebreak
+    s = list(zip(-sel["score"], sel["doc_id"]))
+    assert s == sorted(s)
