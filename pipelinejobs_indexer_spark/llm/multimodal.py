@@ -1235,6 +1235,14 @@ def _pdf_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # d=21, 33, ... compose 1.5 layouts with encryption)
                 xref_stream=(d % 4 == 1),
                 objstm=(d % 4 == 3),
+                # font machinery (round 9): the same closed-form ASCII
+                # text rides every encoding path — WinAnsi/MacRoman base
+                # codecs, /Differences remapping the WHOLE charset to
+                # codes 161+ (nothing decodes without the map), and
+                # Type0 Identity-H 2-byte codes through a /ToUnicode
+                # CMap — so a font-table bug shifts counts off the oracle
+                font=[None, "winansi", "differences", "type0",
+                      "macroman", None][d % 6],
             )
             text = extract_pdf_text(data)
             pages = text.split("\f")

@@ -46,6 +46,18 @@ block vectors. All of it with the EMPTY user (or owner) password, the
 common "owner-locked" case every reader opens; documents where BOTH
 passwords are real raise NotImplementedError.
 
+Fonts: string bytes decode through the Tf-selected font's encoding
+machinery, the part of PDF text extraction real-world documents
+actually exercise — /ToUnicode CMaps (bfchar + both bfrange forms,
+UTF-16BE destinations; how Unicode PDFs carry text), composite
+/Type0 Identity-H fonts with 2-byte codes, and simple-font
+/Encoding /Differences arrays (glyph names resolved algorithmically
+per the AGL spec for uniXXXX/uXXXXXX plus the printable-ASCII name
+table) over WinAnsi/MacRoman base encodings (stdlib cp1252 /
+mac_roman codecs). Content that names no resolvable font keeps the
+latin-1 built-in approximation; predefined non-Identity CMaps and
+glyph names outside the AGL subset raise NotImplementedError.
+
 Images: page /Resources → /XObject entries with /Subtype /Image
 decode to 8-bit samples (extract_pdf_images) — the raster filters are
 real: RunLengthDecode (§7.4.5), LZWDecode (§7.4.4.2 TIFF variant,
@@ -1415,11 +1427,225 @@ def _tokenize_content(data: bytes):
             yield ("op", m.group(0).decode("latin-1"))
 
 
+# --------------------------------------------------------- font encodings
+#: the AGL names a spec-subset extractor must know without the full
+#: 4000-entry Adobe Glyph List: ASCII letters name themselves, and these
+#: are the published names of the remaining printable-ASCII glyphs
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+
+_BASE_CODECS = {
+    None: "latin-1",  # no /Encoding: built-in ≈ Standard, latin-1 subset
+    "/WinAnsiEncoding": "cp1252",
+    "/MacRomanEncoding": "mac_roman",
+}
+
+
+def _glyph_char(name: str) -> str:
+    """Glyph name → character: single ASCII letters name themselves,
+    uniXXXX / uXXXX[XX] are algorithmic per the AGL specification, and
+    the printable-ASCII table covers the rest; anything else (the long
+    tail of the full AGL) is an honest refusal."""
+    n = name.lstrip("/")
+    if len(n) == 1 and (n.isalpha() or n.isdigit()):
+        return n
+    if n in _GLYPH_NAMES:
+        return _GLYPH_NAMES[n]
+    if n.startswith("uni") and len(n) == 7:
+        try:
+            return chr(int(n[3:], 16))
+        except ValueError:
+            pass
+    if n.startswith("u") and 5 <= len(n) <= 7:
+        try:
+            return chr(int(n[1:], 16))
+        except ValueError:
+            pass
+    raise NotImplementedError(
+        f"glyph name {name!r} is outside the AGL subset (ASCII + uniXXXX)"
+    )
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap's bfchar/bfrange sections into a
+    code → text map (destinations are UTF-16BE, possibly multi-char).
+    Spec-subset of the CMap grammar real generators emit."""
+    out: dict[int, str] = {}
+
+    def utf16(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise ValueError(f"bad ToUnicode destination <{hexs!r}>: {exc}")
+
+    for section in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", data, re.DOTALL
+    ):
+        pairs = re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                           section.group(1))
+        for src, dst in pairs:
+            out[int(src, 16)] = utf16(dst)
+    for section in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", data, re.DOTALL
+    ):
+        body = section.group(1)
+        # triple form: <lo> <hi> <dst>; array form: <lo> <hi> [<d>...]
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 0xFFFF:
+                raise ValueError("ToUnicode bfrange unreasonably wide")
+            base = utf16(dst)
+            if not base:
+                raise ValueError("empty ToUnicode bfrange destination")
+            for k in range(hi_i - lo_i + 1):
+                out[lo_i + k] = base[:-1] + chr(ord(base[-1]) + k)
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]",
+            body,
+        ):
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if len(dsts) != hi_i - lo_i + 1:
+                raise ValueError("ToUnicode bfrange array length mismatch")
+            for k, d in enumerate(dsts):
+                out[lo_i + k] = utf16(d)
+    return out
+
+
+def _font_decoder(doc: "_Document", font: dict):
+    """Build a string-bytes → text decoder for one font dictionary.
+    Precedence per the spec's text-extraction guidance: /ToUnicode
+    wins, then /Encoding /Differences over the base encoding, then the
+    base encoding itself. Composite /Type0 fonts decode 2-byte
+    Identity-H codes through their /ToUnicode CMap (how real Unicode
+    PDFs carry text); other CMap encodings are honest refusals."""
+    tou: dict[int, str] | None = None
+    tou_ref = font.get("/ToUnicode")
+    if isinstance(tou_ref, tuple) and tou_ref and tou_ref[0] == "ref":
+        tou = _parse_tounicode(doc.stream_bytes((tou_ref[1], tou_ref[2])))
+    if font.get("/Subtype") == "/Type0":
+        enc = doc.resolve(font.get("/Encoding"))
+        if enc not in ("/Identity-H", "/Identity-V"):
+            raise NotImplementedError(
+                f"Type0 font /Encoding {enc!r} needs a predefined CMap "
+                "(only Identity-H/V + /ToUnicode decode honestly)"
+            )
+        if tou is None:
+            raise NotImplementedError(
+                "Type0 font without /ToUnicode cannot map to text"
+            )
+
+        def dec0(bs: bytes) -> str:
+            if len(bs) % 2:
+                raise ValueError("odd-length Identity-H string")
+            out = []
+            for i in range(0, len(bs), 2):
+                code = (bs[i] << 8) | bs[i + 1]
+                if code not in tou:
+                    raise ValueError(
+                        f"Identity-H code {code} missing from /ToUnicode"
+                    )
+                out.append(tou[code])
+            return "".join(out)
+
+        return dec0
+    enc = doc.resolve(font.get("/Encoding"))
+    base = None
+    diffs: dict[int, str] = {}
+    if isinstance(enc, str):
+        base = enc
+    elif isinstance(enc, dict):
+        base = doc.resolve(enc.get("/BaseEncoding"))
+        darr = doc.resolve(enc.get("/Differences"))
+        if darr is not None:
+            if not isinstance(darr, list):
+                raise ValueError("PDF /Differences is not an array")
+            code = None
+            for item in darr:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                    if not 0 <= code <= 255:
+                        raise ValueError(f"/Differences code {code}")
+                elif isinstance(item, str):
+                    if code is None:
+                        raise ValueError("/Differences name before code")
+                    diffs[code] = _glyph_char(item)
+                    code += 1
+                else:
+                    raise ValueError("bad /Differences entry")
+    elif enc is not None:
+        raise ValueError("bad PDF font /Encoding entry")
+    if base not in _BASE_CODECS:
+        raise NotImplementedError(
+            f"font base encoding {base!r} (no stdlib codec; WinAnsi/"
+            "MacRoman/built-in decode honestly)"
+        )
+    codec = _BASE_CODECS[base]
+
+    def dec(bs: bytes) -> str:
+        out = []
+        for b in bs:
+            if tou is not None and b in tou:
+                out.append(tou[b])
+            elif b in diffs:
+                out.append(diffs[b])
+            else:
+                try:
+                    out.append(bytes([b]).decode(codec))
+                except UnicodeDecodeError:
+                    raise ValueError(
+                        f"byte 0x{b:02x} undefined in {codec}"
+                    ) from None
+        return "".join(out)
+
+    return dec
+
+
+def _page_fonts(doc: "_Document", page: dict) -> dict:
+    """Name → decoder for the page's /Resources /Font entries."""
+    res = doc.resolve(page.get("/Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("/Font"))
+    if fonts is None:
+        return {}
+    if not isinstance(fonts, dict):
+        raise ValueError("PDF /Font resource is not a dictionary")
+    out = {}
+    for name, ref in fonts.items():
+        fd = doc.resolve(ref)
+        if not isinstance(fd, dict):
+            raise ValueError(f"PDF font {name} is not a dictionary")
+        out[name] = _font_decoder(doc, fd)
+    return out
+
+
+def _default_decoder(bs: bytes) -> str:
+    return bs.decode("latin-1")
+
+
 def extract_pdf_text(content: bytes) -> str:
     """Extract the text layer of a classic-layout PDF: pages in tree
     order (pages joined by form feed "\\f"), text-show strings in
     content order, lines broken by Td/TD with dy != 0, T*, ' and ".
-    TJ kerning numbers emit nothing (spacing hints, not glyphs)."""
+    TJ kerning numbers emit nothing (spacing hints, not glyphs).
+    Strings decode through the Tf-selected font's encoding machinery
+    (/ToUnicode CMaps, /Differences over WinAnsi/MacRoman bases,
+    Type0 Identity-H); content that names no font keeps the latin-1
+    built-in approximation."""
     doc = _Document(content)
     pages_text: list[str] = []
     total = 0
@@ -1447,6 +1673,8 @@ def extract_pdf_text(content: bytes) -> str:
             raise ValueError(
                 f"PDF content streams exceed the {MAX_TEXT_BYTES}-byte bound"
             )
+        fonts = _page_fonts(doc, page)
+        decoder = _default_decoder
         lines: list[str] = []
         cur: list[str] = []
         cur_ty: float | None = None  # last Tm vertical position
@@ -1460,16 +1688,20 @@ def extract_pdf_text(content: bytes) -> str:
             if kind != "op":
                 stack.append((kind, val))
                 continue
-            if val == "Tj" and stack and stack[-1][0] == "str":
-                cur.append(stack[-1][1].decode("latin-1"))
+            if val == "Tf" and len(stack) >= 2 and stack[-2][0] == "name":
+                # unresolvable names keep the latin-1 built-in (fixture
+                # PDFs with no /Resources reference /F1 symbolically)
+                decoder = fonts.get(stack[-2][1], _default_decoder)
+            elif val == "Tj" and stack and stack[-1][0] == "str":
+                cur.append(decoder(stack[-1][1]))
             elif val in ("'", '"') and stack and stack[-1][0] == "str":
                 if cur:
                     endline()
-                cur.append(stack[-1][1].decode("latin-1"))
+                cur.append(decoder(stack[-1][1]))
             elif val == "TJ" and stack and stack[-1][0] == "arr":
                 for item in stack[-1][1]:
                     if isinstance(item, bytes):
-                        cur.append(item.decode("latin-1"))
+                        cur.append(decoder(item))
             elif val in ("Td", "TD"):
                 dy = stack[-1][1] if len(stack) >= 1 and stack[-1][0] == "num" else 0
                 if dy != 0 and cur:
@@ -1499,6 +1731,11 @@ def extract_pdf_text(content: bytes) -> str:
 
 
 # --------------------------------------------------------------- writer
+def _utf16_hex(c: str) -> str:
+    """One character as the UTF-16BE hex a ToUnicode destination holds."""
+    return c.encode("utf-16-be").hex().upper()
+
+
 def _escape_string(s: bytes) -> bytes:
     out = bytearray()
     for b in s:
@@ -1530,6 +1767,7 @@ def write_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     images: list[list[dict]] | None = None,
+    font: str | None = None,
 ) -> bytes:
     """Write a PDF whose text layer is ``pages`` (a list of pages, each
     a list of text lines). Spec-subset but real: proper object graph,
@@ -1555,7 +1793,17 @@ def write_pdf(
     <8-bit samples>, "width", "height", "ncomp", "filter": "flate" |
     "rle" | "lzw" | None}``; each becomes an image XObject referenced
     from the page /Resources and drawn with a ``q cm Do Q`` sequence
-    after the text block."""
+    after the text block.
+    ``font`` selects how string bytes encode (the extractor must map
+    them back through the font machinery): None keeps the bare-latin-1
+    fixture shape (no /Font resource); ``"winansi"``/``"macroman"``
+    declare a simple font with that base /Encoding and encode text
+    with the matching stdlib codec; ``"differences"`` remaps the
+    document's whole charset to codes 161+ via an /Encoding
+    /Differences array of uniXXXX names (so nothing decodes without
+    consulting the map); ``"type0"`` emits a composite Identity-H font
+    with 2-byte codes in a high CID block and a /ToUnicode CMap using
+    BOTH bfchar and array-form bfrange sections."""
     if objstm:
         xref_stream = True
     if encrypt_rc4 + encrypt_aes + encrypt_aes256 > 1:
@@ -1646,6 +1894,42 @@ def write_pdf(
             _row.append((f"Im{_gi}", 3 + 2 * n_pages + _gi))
             _gi += 1
         img_names.append(_row)
+    # font objects follow the images; the encoder turns line text into
+    # string bytes per the selected mode
+    font_num = 3 + 2 * n_pages + _gi
+    charset = sorted({ch for pg in pages for ln in pg for ch in ln})
+    if font is None:
+        def enc_text(s: str) -> bytes:
+            return s.encode("latin-1")
+
+        font_res = ""
+    elif font in ("winansi", "macroman"):
+        _codec = "cp1252" if font == "winansi" else "mac_roman"
+
+        def enc_text(s: str) -> bytes:
+            return s.encode(_codec)
+
+        font_res = f"/Font << /F1 {font_num} 0 R >>"
+    elif font == "differences":
+        if len(charset) > 94:
+            raise ValueError(
+                "differences font mode holds <= 94 distinct characters"
+            )
+        _code_of = {c: 161 + i for i, c in enumerate(charset)}
+
+        def enc_text(s: str) -> bytes:
+            return bytes(_code_of[c] for c in s)
+
+        font_res = f"/Font << /F1 {font_num} 0 R >>"
+    elif font == "type0":
+        _cid_of = {c: 0x4E01 + i for i, c in enumerate(charset)}
+
+        def enc_text(s: str) -> bytes:
+            return b"".join(_cid_of[c].to_bytes(2, "big") for c in s)
+
+        font_res = f"/Font << /F1 {font_num} 0 R >>"
+    else:
+        raise ValueError(f"bad font mode {font!r}")
     add(b"<< /Type /Catalog /Pages 2 0 R >>", objstm)
     add(
         f"<< /Type /Pages /Kids [{page_refs}] /Count {n_pages} >>".encode(),
@@ -1653,10 +1937,13 @@ def write_pdf(
     )
     for i, lines in enumerate(pages):
         content_num = 4 + 2 * i
-        res = ""
+        res_parts = []
         if img_names[i]:
             xo = " ".join(f"/{nm} {num} 0 R" for nm, num in img_names[i])
-            res = f" /Resources << /XObject << {xo} >> >>"
+            res_parts.append(f"/XObject << {xo} >>")
+        if font_res:
+            res_parts.append(font_res)
+        res = f" /Resources << {' '.join(res_parts)} >>" if res_parts else ""
         add(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {content_num} 0 R{res} >>".encode(),
@@ -1667,7 +1954,7 @@ def write_pdf(
         else:
             ops = [b"BT /F1 12 Tf 72 720 Td"]
         for j, line in enumerate(lines):
-            raw = line.encode("latin-1")
+            raw = enc_text(line)
             if use_tm:
                 # absolute positioning via the text matrix — the op
                 # real generators emit per line
@@ -1675,9 +1962,14 @@ def write_pdf(
             elif j > 0:
                 ops.append(b"0 -14 Td")
             if use_tj_array and " " in line:
-                parts = raw.split(b" ")
+                # split the TEXT (not the bytes): a multi-byte font code
+                # may legitimately contain 0x20
+                parts = line.split(" ")
                 arr = b" -250 ".join(
-                    b"(" + _escape_string(p + (b" " if k < len(parts) - 1 else b""))
+                    b"("
+                    + _escape_string(
+                        enc_text(p + (" " if k < len(parts) - 1 else ""))
+                    )
                     + b")"
                     for k, p in enumerate(parts)
                 )
@@ -1755,6 +2047,79 @@ def write_pdf(
                 raise AssertionError(
                     f"image object numbering drifted: {got} != {num}"
                 )
+    if font in ("winansi", "macroman"):
+        base = "/WinAnsiEncoding" if font == "winansi" else "/MacRomanEncoding"
+        got = add(
+            (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                f"/Encoding {base} >>"
+            ).encode(),
+            objstm,
+        )
+    elif font == "differences":
+        names = " ".join("/uni%04X" % ord(c) for c in charset)
+        got = add(
+            (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                f"/Encoding << /BaseEncoding /WinAnsiEncoding "
+                f"/Differences [161 {names}] >> >>"
+            ).encode(),
+            objstm,
+        )
+    elif font == "type0":
+        desc_num, tou_num = font_num + 1, font_num + 2
+        got = add(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID "
+                f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+                f"/ToUnicode {tou_num} 0 R >>"
+            ).encode(),
+            objstm,
+        )
+        add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID >>",
+            objstm,
+        )
+        # the CMap exercises BOTH mapping forms: bfchar entries for the
+        # first codes, one array-form bfrange for the remainder
+        n_char = min(4, len(charset))
+        bfchar = "".join(
+            f"<{0x4E01 + i:04X}> <{_utf16_hex(c)}>\n"
+            for i, c in enumerate(charset[:n_char])
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "12 dict begin\nbegincmap\n"
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            f"{n_char} beginbfchar\n{bfchar}endbfchar\n"
+        )
+        if len(charset) > n_char:
+            dsts = " ".join(
+                f"<{_utf16_hex(c)}>" for c in charset[n_char:]
+            )
+            cmap += (
+                "1 beginbfrange\n"
+                f"<{0x4E01 + n_char:04X}> <{0x4E00 + len(charset):04X}> "
+                f"[{dsts}]\nendbfrange\n"
+            )
+        cmap += "endcmap\nend\nend\n"
+        stm = cmap.encode("ascii")
+        tou_filter = ""
+        if compress:
+            stm = zlib.compress(stm)
+            tou_filter = " /Filter /FlateDecode"
+        if enc is not None:
+            stm = _enc_stream(stm, tou_num)
+        add(
+            (
+                f"<< /Length {len(stm)}{tou_filter} >>"
+            ).encode()
+            + b"\nstream\n" + stm + b"\nendstream"
+        )
+    if font is not None and got != font_num:
+        raise AssertionError(
+            f"font object numbering drifted: {got} != {font_num}"
+        )
     trailer_extra = ""
     if enc is not None:
         _, o_val, u_val, p_val, doc_id = enc

@@ -654,3 +654,78 @@ def test_lzw_rle_codec_units():
     with pytest.raises(ValueError, match="beyond table"):
         # clear, literal 65, then code 300 with no table entry past 257
         _lzw_decode(bytes([0x80, 0x10, 0x65, 0x80]))
+
+
+# ---------------------------------------------------------- font encodings
+def test_font_modes_roundtrip_nonascii():
+    """Every font mode must carry text the bare latin-1 path cannot
+    prove: accented latin through WinAnsi/MacRoman/Differences, CJK
+    through Type0 Identity-H + ToUnicode — across the string-encoding
+    knobs, ciphers, and container layouts."""
+    pages = [["hello world", "caf\xe9 na\xefve \xfcber"], ["page two \xe9\xe8"]]
+    want = "\f".join("\n".join(p) for p in pages)
+    for mode in ("winansi", "macroman", "differences", "type0"):
+        for kw in ({}, {"use_tj_array": True}, {"hex_strings": True},
+                   {"ascii85": True}, {"compress": False}, {"use_tm": True},
+                   {"encrypt_aes": True}, {"objstm": True},
+                   {"objstm": True, "encrypt_rc4": True}):
+            data = write_pdf(pages, font=mode, **kw)
+            assert extract_pdf_text(data) == want, (mode, kw)
+    # CJK: representable by NO single-byte encoding — Type0 only
+    pages2 = [["中文 text", "日本語 line"]]
+    data = write_pdf(pages2, font="type0", use_tj_array=True)
+    assert extract_pdf_text(data) == "中文 text\n日本語 line"
+    # a Differences doc's string bytes are FULLY remapped: the raw
+    # content must not contain the plaintext even uncompressed
+    data = write_pdf([["secret words"]], font="differences", compress=False)
+    assert b"secret" not in data
+    assert extract_pdf_text(data) == "secret words"
+    # type0 charset crossing the 0x20-low-byte code is TJ-safe (the
+    # split is on text, not encoded bytes)
+    chars = "".join(chr(0x100 + i) for i in range(40))
+    pages3 = [[chars[:20] + " " + chars[20:]]]
+    data = write_pdf(pages3, font="type0", use_tj_array=True)
+    assert extract_pdf_text(data) == pages3[0][0]
+
+
+def test_font_error_classes():
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _glyph_char,
+        _parse_tounicode,
+    )
+
+    # glyph-name subset: algorithmic + printable ASCII, honest refusal past it
+    assert _glyph_char("/uni00E9") == "\xe9"
+    assert _glyph_char("/A") == "A" and _glyph_char("/nine") == "9"
+    assert _glyph_char("/u1F600") == "\U0001f600"
+    with pytest.raises(NotImplementedError, match="AGL subset"):
+        _glyph_char("/eacute")  # full-AGL name outside the subset
+    # Type0 without /ToUnicode cannot map to text
+    data = write_pdf([["abc"]], font="type0", compress=False)
+    with pytest.raises(NotImplementedError, match="ToUnicode"):
+        extract_pdf_text(data.replace(b"/ToUnicode", b"/ToNothingg"))
+    # non-Identity Type0 CMaps are a refusal
+    with pytest.raises(NotImplementedError, match="predefined CMap"):
+        extract_pdf_text(data.replace(b"/Identity-H", b"/GBK-EUC-H "))
+    # unknown simple-font base encoding is a refusal
+    data = write_pdf([["abc"]], font="winansi", compress=False)
+    with pytest.raises(NotImplementedError, match="base encoding"):
+        extract_pdf_text(
+            data.replace(b"/WinAnsiEncoding", b"/PDFDocEncodin")
+        )
+    # bfrange array length mismatch is corruption
+    with pytest.raises(ValueError, match="length mismatch"):
+        _parse_tounicode(
+            b"1 beginbfrange <0001> <0003> [<0041> <0042>] endbfrange"
+        )
+    # odd-length Identity-H string is corruption
+    data = write_pdf([["ab"]], font="type0", compress=False)
+    start = data.index(b"BT")
+    end = data.index(b"ET", start)
+    body = data[start:end]
+    m = body.index(b"(")
+    n = body.index(b")", m)
+    # splice one byte out of the 2-byte-code string
+    bad = data[: start + m + 1] + data[start + m + 2 : ]
+    with pytest.raises(ValueError, match="odd-length"):
+        extract_pdf_text(bad)
