@@ -38,6 +38,9 @@ SHOWCASE = {
     "llm_corpus_sample": "pure codegen hash-threshold filter, zero shuffle",
     "llm_substring_recall_eval": "shipped + exhaustive span pipelines joined into a single-row scorecard; every join candidate-bounded",
     "llm_multimodal_jpeg_dsp": "pure mapInPandas — JPEG synthesis + float-IDCT decode worker-side, five fixed-width columns out",
+    "llm_multimodal_pdf_images": "zero-exchange mapInPandas — PDF object graph, raster filters (DCT/LZW/RLE/Flate), and decryption all worker-side; only pixel-sum rows leave",
+    "llm_multimodal_audio_codecs": "zero-exchange mapInPandas — G.711 expansion + IMA step-table walk worker-side, exact-integer feature rows out",
+    "llm_dsir_select": "two-pass DSIR: doc×bucket combine → broadcast 512-row model join → TakeOrderedAndProject; the model itself is collected driver state",
     "llm_embedding_quantize": "pure projection over the embeddings scan",
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
