@@ -2675,3 +2675,54 @@ def test_dsir_selection_enriches_target(spark, sf_dir):
     # scores must be strictly ranked with the doc_id tiebreak
     s = list(zip(-sel["score"], sel["doc_id"]))
     assert s == sorted(s)
+
+
+def test_ogg_mp3_probes():
+    """Ogg page-walk and MP3 frame-walk triage: CRC parameters pinned
+    by direct-algorithm identities (init 0 / no xorout / non-reflected
+    0x04C11DB7 — crc(0x01) == poly and xor-linearity distinguish them
+    from the reflected/inverted CRC-32 families), lacing-spanning
+    packets, EOS flags, bitrate/padding frame arithmetic, and the
+    corruption classes."""
+    import pytest as _pytest
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        _ogg_crc,
+        probe_mp3,
+        probe_ogg,
+        synth_mp3_frames,
+        synth_ogg,
+    )
+
+    assert _ogg_crc(b"\x00" * 9) == 0
+    assert _ogg_crc(b"\x01") == 0x04C11DB7
+    a, b = b"hello wor", b"ogg pages"
+    ab = bytes(x ^ y for x, y in zip(a, b))
+    assert _ogg_crc(a) ^ _ogg_crc(b) == _ogg_crc(ab)
+    for d in (0, 1, 7, 13, 38):
+        og = probe_ogg(synth_ogg(d))
+        assert og["n_pages"] == 2 + d % 4 == og["n_packets"]
+        assert og["final_granule"] == (2 + d % 4) * (100 + d % 50)
+        assert og["eos"]
+        mp = probe_mp3(synth_mp3_frames(d))
+        assert mp["n_frames"] == 5 + d % 20
+        assert mp["duration_ms"] == (5 + d % 20) * 1152 * 1000 // mp["sample_rate"]
+        assert not mp["vbr"]
+    # a flipped payload bit fails the page CRC
+    data = bytearray(synth_ogg(3))
+    data[40] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        probe_ogg(bytes(data))
+    # truncated final frame is a data error
+    with _pytest.raises(ValueError):
+        probe_mp3(synth_mp3_frames(2)[:-3])
+    # MPEG-2 / other layers are honest refusals, not wrong numbers
+    frames = bytearray(synth_mp3_frames(4))
+    frames[1] = 0xF3  # version bits 10 (MPEG-2), layer III
+    with _pytest.raises(NotImplementedError, match="MPEG-1"):
+        probe_mp3(bytes(frames))
+    # free-form bitrate index is a data error
+    frames = bytearray(synth_mp3_frames(4))
+    frames[2] &= 0x0F
+    with _pytest.raises(ValueError, match="bitrate"):
+        probe_mp3(bytes(frames))
