@@ -160,12 +160,18 @@ def decode_audio(content: bytes, mime: str) -> dict:
             from .g711 import parse_companded_wav
 
             return parse_companded_wav(content)
-        with wave.open(io.BytesIO(content)) as w:
-            rate = w.getframerate()
-            nch = w.getnchannels()
-            nframes = w.getnframes()
-            width = w.getsampwidth()
-            raw = w.readframes(nframes)
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                rate = w.getframerate()
+                nch = w.getnchannels()
+                nframes = w.getnframes()
+                width = w.getsampwidth()
+                raw = w.readframes(nframes)
+        except (wave.Error, EOFError, RuntimeError) as exc:
+            # normalize the stdlib parser's mixed error classes (incl.
+            # chunk.py's bare RuntimeError on corrupt seeks) to this
+            # module's corruption contract
+            raise ValueError(f"corrupt WAV payload: {exc!r}") from exc
         if width == 2:
             samples = struct.unpack(f"<{len(raw) // 2}h", raw)
         elif width == 1:

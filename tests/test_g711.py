@@ -152,3 +152,45 @@ def test_wav_walker_and_dispatch():
     # missing fmt chunk is a structural error
     with pytest.raises(ValueError, match="fmt"):
         parse_companded_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_mutation_robustness_wav_and_probes():
+    """Bit-flip fuzz over the round-9 audio surfaces: companded/ADPCM
+    WAVs and the Ogg/MP3 probes decode correctly or raise ValueError /
+    NotImplementedError — never crash (the pdf15 fuzz discipline)."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        probe_mp3,
+        probe_ogg,
+        synth_mp3_frames,
+        synth_ogg,
+    )
+
+    rng = random.Random(23)
+    mu_pay = bytes(range(128))
+    hdr = struct.pack("<hBB", 50, 30, 0)
+    fixtures = [
+        ("wav", write_wav(WAVE_FMT_MULAW, mu_pay, channels=1, rate=8000,
+                          bits=8, block_align=1, frames=128)),
+        ("wav", write_wav(WAVE_FMT_IMA_ADPCM, hdr + bytes(32), channels=1,
+                          rate=8000, bits=4, block_align=36, frames=65)),
+        ("ogg", synth_ogg(7)),
+        ("mp3", synth_mp3_frames(9)),
+    ]
+    for trial in range(300):
+        kind, clean = fixtures[trial % 4]
+        data = bytearray(clean)
+        for _ in range(1 + trial % 6):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            if kind == "wav":
+                out = multimodal.decode_audio(bytes(data), "audio/wav")
+                assert len(out["samples"]) <= 8 * len(data)
+            elif kind == "ogg":
+                probe_ogg(bytes(data))
+            else:
+                probe_mp3(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
+

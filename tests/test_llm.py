@@ -191,8 +191,9 @@ def test_multimodal_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(lossy, "image/webp")
     # WAV decode is real now (stdlib wave); a truncated RIFF is a data
-    # error, while compressed formats keep the missing-codec contract.
-    with pytest.raises(EOFError):
+    # error (stdlib parser errors normalize to ValueError), while
+    # compressed formats keep the missing-codec contract.
+    with pytest.raises(ValueError):
         multimodal.decode_audio(b"RIFF", "audio/wav")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"\xff\xfbmp3-frame", "audio/mpeg")

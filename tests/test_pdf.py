@@ -729,3 +729,43 @@ def test_font_error_classes():
     bad = data[: start + m + 1] + data[start + m + 2 : ]
     with pytest.raises(ValueError, match="odd-length"):
         extract_pdf_text(bad)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 12))
+def test_mutation_robustness_images_fonts(seed, n_flips):
+    """Bit-flip fuzz over the round-9 surfaces — image XObjects (all
+    four raster filters) and font machinery (Differences + Type0
+    ToUnicode): decode correctly or raise ValueError /
+    NotImplementedError — never crash, never balloon."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.jpeg import synth_dc_jpeg
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    rng = random.Random(seed)
+    gray = bytes((i * 7 + 3) % 251 for i in range(64))
+    imgs = [[
+        {"kind": "jpeg", "data": synth_dc_jpeg([[5, -3, 2, 9]], 16, 16, q=16),
+         "width": 16, "height": 16, "ncomp": 1},
+        {"kind": "raw", "pixels": gray, "width": 8, "height": 8, "ncomp": 1,
+         "filter": ["flate", "rle", "lzw", None][seed % 4]},
+    ]]
+    data = bytearray(write_pdf(
+        [["hello world", "line"]],
+        images=imgs,
+        font=["differences", "type0", "winansi"][seed % 3],
+        objstm=(seed % 2 == 0),
+    ))
+    for _ in range(n_flips):
+        data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+    try:
+        out = extract_pdf_text(bytes(data))
+        assert len(out) <= MAX_TEXT_BYTES
+    except (ValueError, NotImplementedError):
+        pass
+    try:
+        pages = extract_pdf_images(bytes(data))
+        assert sum(len(i["samples"]) for p in pages for i in p) <= MAX_TEXT_BYTES
+    except (ValueError, NotImplementedError):
+        pass
