@@ -123,9 +123,13 @@ def decode_image(content: bytes, mime: str) -> "object":
         from .webp import decode_webp
 
         return decode_webp(content)
+    if mime == "image/tiff" or content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(content)
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF/WebP image decode requires Pillow/cv2 (not in "
-        "container); plumbing is real — swap this function only"
+        "non-PNG/JPEG/GIF/WebP/TIFF image decode requires Pillow/cv2 (not "
+        "in container); plumbing is real — swap this function only"
     )
 
 
@@ -1849,6 +1853,129 @@ def llm_multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _audio_probe_features, schema=AUDIO_PROBE_SCHEMA
     )
+
+
+# --------------------------------------------- L5r baseline TIFF decode
+TIFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("gray_w", LongType()),
+        StructField("gray_h", LongType()),
+        StructField("gray_sum", LongType()),
+        StructField("rgb_sum", LongType()),
+    ]
+)
+
+
+def _tiff_gray(doc_id: int) -> list[list[int]]:
+    return [[(doc_id * 3 + y * 8 + x) % 251 for x in range(8)]
+            for y in range(8)]
+
+
+def _tiff_rgb(doc_id: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [
+            (
+                (doc_id + 3 * x + 7 * y) % 251,
+                (doc_id * 2 + x + y) % 251,
+                (doc_id * 5 + 2 * x + 3 * y) % 251,
+            )
+            for x in range(4)
+        ]
+        for y in range(4)
+    ]
+
+
+def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .tiff import write_tiff
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "gray_w", "gray_h", "gray_sum", "rgb_sum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            # knob cycle: compression none/LZW/PackBits, predictor 1/2,
+            # both byte orders, multi-strip splits, and the WhiteIsZero
+            # photometric inversion every 7th doc
+            gray = decode_image(
+                write_tiff(
+                    _tiff_gray(d),
+                    compression=[1, 5, 32773][d % 3],
+                    predictor=1 + d % 2,
+                    big_endian=(d // 2) % 2 == 0,
+                    rows_per_strip=2 + d % 3,
+                    photometric=0 if d % 7 == 0 else None,
+                ),
+                "image/tiff",
+            )
+            rgb = decode_image(
+                write_tiff(
+                    _tiff_rgb(d),
+                    spp=3,
+                    compression=[5, 32773, 1][d % 3],
+                    predictor=1 + (d // 3) % 2,
+                    big_endian=d % 2 == 0,
+                ),
+                "image/tiff",
+            )
+            h, w, _nc, px = gray
+            out["doc_id"].append(d)
+            out["gray_w"].append(w)
+            out["gray_h"].append(h)
+            out["gray_sum"].append(sum(v for row in px for v in row))
+            _h2, _w2, _nc2, px2 = rgb
+            out["rgb_sum"].append(
+                sum(c for row in px2 for p in row for c in p)
+            )
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_tiff",
+    sql="""WITH g AS (
+             SELECT d.doc_id,
+                    CAST(SUM((d.doc_id * 3 + s.j) % 251) AS BIGINT)
+                      AS gray_sum
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 63) AS s(j)
+             GROUP BY d.doc_id),
+           r AS (
+             SELECT d.doc_id,
+                    CAST(SUM(
+                        (d.doc_id + 3 * x.x + 7 * y.y) % 251
+                        + (d.doc_id * 2 + x.x + y.y) % 251
+                        + (d.doc_id * 5 + 2 * x.x + 3 * y.y) % 251
+                    ) AS BIGINT) AS rgb_sum
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 3) AS x(x),
+                  generate_series(0, 3) AS y(y)
+             GROUP BY d.doc_id)
+           SELECT g.doc_id,
+                  CAST(8 AS BIGINT) AS gray_w,
+                  CAST(8 AS BIGINT) AS gray_h,
+                  g.gray_sum, r.rgb_sum
+           FROM g JOIN r USING (doc_id)""",
+)
+def llm_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5r: REAL baseline-TIFF decode (round 9, tiff.py) — the
+    scanned-document archive format a corpus ingest meets right after
+    PDF: tag-directory walk in BOTH byte orders, strips with
+    RowsPerStrip splits, Compression 1/5/32773 (LZW shared
+    byte-for-byte with PDF LZWDecode; PackBits is TIFF 6.0 §9's
+    scheme where 128 is a no-op, NOT the PDF RunLengthDecode EOD),
+    horizontal-differencing predictor, and the WhiteIsZero photometric
+    inversion — all cycled per doc so every path carries driver-hash
+    evidence. Bilevel Group 3/4 fax stays an honest refusal: the
+    T.4/T.6 code tables are arbitrary published constants a
+    from-memory implementation could get self-consistently wrong.
+    Oracle: pixel sums in closed form from doc_id arithmetic. Scale
+    shape: zero-exchange mapInPandas, fixed-width rows out, pixel
+    volume capped per doc (MAX_TEXT_BYTES)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_tiff_features, schema=TIFF_SCHEMA)
 
 
 # ----------------------------------------------- L5g real JPEG decode path

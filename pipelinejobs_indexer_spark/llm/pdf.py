@@ -1231,9 +1231,29 @@ class _Document:
         if pred == 1 or pred is None:
             return raw
         if pred == 2:
-            raise NotImplementedError(
-                "TIFF predictor 2 on a PDF stream (no xref stream uses it)"
-            )
+            # TIFF horizontal differencing (real since round 9 — image
+            # streams use it with LZW/Flate; xref streams never do)
+            columns = self.resolve(parm.get("/Columns", 1))
+            colors = self.resolve(parm.get("/Colors", 1))
+            bpc = self.resolve(parm.get("/BitsPerComponent", 8))
+            if bpc != 8:
+                raise NotImplementedError(
+                    "TIFF predictor 2 with sub-8-bit components"
+                )
+            if not all(isinstance(x, int) and 1 <= x <= 1 << 20
+                       for x in (columns, colors)):
+                raise ValueError("bad PDF predictor /Columns//Colors")
+            row_len = columns * colors
+            if row_len == 0 or len(raw) % row_len:
+                raise ValueError(
+                    f"TIFF-predictor rows misaligned: {len(raw)} bytes vs "
+                    f"{row_len}-byte rows"
+                )
+            out = bytearray(raw)
+            for r0 in range(0, len(out), row_len):
+                for i in range(colors, row_len):
+                    out[r0 + i] = (out[r0 + i] + out[r0 + i - colors]) & 0xFF
+            return bytes(out)
         if not (isinstance(pred, int) and pred >= 10):
             raise ValueError(f"bad PDF /Predictor {pred!r}")
         import numpy as np

@@ -1,0 +1,357 @@
+"""Baseline TIFF (TIFF 6.0) decoder — pure stdlib.
+
+TIFF is the scanned-document archive format a corpus ingest meets right
+after PDF, and its baseline feature set is honest integer work: the
+container is a tag-directory walk (both byte orders), the codecs are
+ones this repo already proved — TIFF LZW is byte-identical to PDF
+LZWDecode (pdf.py, MSB-first 9→12-bit codes, EarlyChange) — plus
+PackBits (TIFF 6.0 §9: the Apple run-length scheme, NOT the PDF
+RunLengthDecode — 128 is a no-op here, not EOD), and the horizontal
+differencing predictor (tag 317 = 2) is a per-row prefix sum.
+
+Scope: classic (non-Big) TIFF, II and MM byte orders, the first IFD;
+8-bit samples, PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
+inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
+5 (LZW), 32773 (PackBits); Predictor 1/2; single or multiple strips
+(RowsPerStrip). Out of honest scope (documented raises): bilevel
+Group 3/4 fax compression (the T.4/T.6 run-length code tables are
+arbitrary published constants, not derivable — hand-recalling ~160
+codes would risk a self-consistent wrong codec), palette/planar/tiled
+layouts, sub-8-bit depths, BigTIFF.
+
+The spec-subset writer (write_tiff) exists so round trips cross-check
+independently-written paths, the png.py/gif.py discipline; strip
+splitting, both endiannesses, and every codec/predictor combination
+are exercised against closed-form pixels in tests and the
+llm_multimodal_tiff oracle.
+
+Reference parity: the reference pipeline stores uploaded scans as
+opaque blobs (SD2E/pipelinejobs-indexer catalogs files, never reads
+pixels); this module is part of the multimodal ingest surface a
+training-data pipeline adds on top.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .pdf import MAX_TEXT_BYTES, _lzw_decode, _lzw_encode
+
+II, MM = b"II", b"MM"
+
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SPP = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PREDICTOR = 317
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 PackBits: n in 0..127 copies n+1 literal bytes,
+    n in 129..255 (two's-complement -1..-127) repeats the next byte
+    1-n times, n == 128 is a no-op. Decoding stops when the expected
+    strip size is reached; running out of input first is corruption."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits strip")
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            continue
+        if n < 128:
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decodes to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Writer-side PackBits: repeat runs for >=3 equal bytes, literal
+    runs (<=128) otherwise. No terminator — strips are length-framed."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _undiff(row: bytearray, spp: int) -> None:
+    """Reverse horizontal differencing (predictor 2) in place."""
+    for i in range(spp, len(row)):
+        row[i] = (row[i] + row[i - spp]) & 0xFF
+
+
+def decode_tiff(data: bytes):
+    """Decode a baseline TIFF. Returns (height, width, n_components,
+    pixels) in decode_jpeg's row-list shape: rows of ints (grayscale,
+    BlackIsZero convention) or (r, g, b) tuples. Corruption raises
+    ValueError; out-of-scope features raise NotImplementedError."""
+    if len(data) < 8 or data[:2] not in (II, MM):
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    bo = "<" if data[:2] == II else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (magic 43) is out of scope")
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF IFD offset beyond the file")
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, off)
+        if typ not in _TYPE_SIZES:
+            continue  # unknown field types are skippable per spec
+        size = _TYPE_SIZES[typ] * count
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+            if voff + size > len(data):
+                raise ValueError(f"TIFF tag {tag} value beyond the file")
+        if typ == 3:
+            vals = list(struct.unpack_from(f"{bo}{count}H", data, voff))
+        elif typ in (1, 4):
+            fmt = "B" if typ == 1 else "I"
+            vals = list(struct.unpack_from(f"{bo}{count}{fmt}", data, voff))
+        else:
+            vals = []
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        vals = tags.get(tag)
+        if not vals:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return vals[0]
+
+    width = one(TAG_WIDTH)
+    height = one(TAG_HEIGHT)
+    spp = one(TAG_SPP, 1)
+    photometric = one(TAG_PHOTOMETRIC)
+    compression = one(TAG_COMPRESSION, 1)
+    predictor = one(TAG_PREDICTOR, 1)
+    bits = tags.get(TAG_BITS, [8])
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        raise ValueError("bad TIFF geometry")
+    if width * height * spp > MAX_TEXT_BYTES:
+        raise ValueError("TIFF pixel volume beyond the decode bound")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"{bits}-bit TIFF samples (only 8-bit decodes honestly)"
+        )
+    if photometric in (0, 1):
+        if spp != 1:
+            raise ValueError("grayscale TIFF with SamplesPerPixel != 1")
+    elif photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with SamplesPerPixel < 3")
+        if spp > 3:
+            raise NotImplementedError("extra samples (alpha) out of scope")
+    else:
+        raise NotImplementedError(
+            f"TIFF PhotometricInterpretation {photometric} "
+            "(palette/separation) is out of scope"
+        )
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} (Group 3/4 fax, JPEG-in-TIFF) "
+            "is out of scope"
+        )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    offsets = tags.get(TAG_STRIP_OFFSETS)
+    counts = tags.get(TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
+    rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
+    row_bytes = width * spp
+    raw = bytearray()
+    for si, (soff, scount) in enumerate(zip(offsets, counts)):
+        strip = data[soff : soff + scount]
+        if len(strip) < scount:
+            raise ValueError(f"TIFF strip {si} beyond the file")
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        expected = n_rows * row_bytes
+        if compression == 1:
+            if len(strip) != expected:
+                raise ValueError(
+                    f"uncompressed TIFF strip {si}: {len(strip)} bytes, "
+                    f"expected {expected}"
+                )
+            out = strip
+        elif compression == 5:
+            out = _lzw_decode(strip)
+            if len(out) != expected:
+                raise ValueError(
+                    f"LZW TIFF strip {si} decodes to {len(out)} bytes, "
+                    f"expected {expected}"
+                )
+        else:
+            out = packbits_decode(strip, expected)
+        raw += out
+    pixels = []
+    prev_invert = photometric == 0  # WhiteIsZero: invert to BlackIsZero
+    for y in range(height):
+        row = bytearray(raw[y * row_bytes : (y + 1) * row_bytes])
+        if predictor == 2:
+            _undiff(row, spp)
+        if prev_invert:
+            row = bytearray(255 - v for v in row)
+        if spp == 1:
+            pixels.append(list(row))
+        else:
+            pixels.append(
+                [tuple(row[x * 3 : x * 3 + 3]) for x in range(width)]
+            )
+    return height, width, (1 if spp == 1 else 3), pixels
+
+
+def write_tiff(
+    pixels: list,
+    *,
+    spp: int = 1,
+    compression: int = 1,
+    predictor: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+) -> bytes:
+    """Assemble a baseline TIFF around row-list pixels (ints for gray,
+    (r,g,b) tuples for RGB). Compression 1/5/32773, predictor 1/2,
+    either byte order, optional multi-strip splitting."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    if spp == 1:
+        flat = bytes(v for row in pixels for v in row)
+    else:
+        flat = bytes(c for row in pixels for px in row for c in px)
+    row_bytes = width * spp
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    if rows_per_strip is None:
+        rows_per_strip = height
+    bo = ">" if big_endian else "<"
+    strips: list[bytes] = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = bytearray(flat[y0 * row_bytes : (y0 + rows_per_strip) * row_bytes])
+        if photometric == 0:
+            rows = bytearray(255 - v for v in rows)
+        if predictor == 2:
+            for r0 in range(0, len(rows), row_bytes):
+                for i in range(row_bytes - 1, spp - 1, -1):
+                    rows[r0 + i] = (rows[r0 + i] - rows[r0 + i - spp]) & 0xFF
+        body = bytes(rows)
+        if compression == 5:
+            body = _lzw_encode(body)
+        elif compression == 32773:
+            body = packbits_encode(body)
+        elif compression != 1:
+            raise ValueError(f"bad compression {compression}")
+        strips.append(body)
+    # layout: header, IFD, tag-value arrays, strip data
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def short(tag: int, *vals: int) -> None:
+        entries.append((tag, 3, len(vals), struct.pack(f"{bo}{len(vals)}H", *vals)))
+
+    def long_(tag: int, *vals: int) -> None:
+        entries.append((tag, 4, len(vals), struct.pack(f"{bo}{len(vals)}I", *vals)))
+
+    short(TAG_WIDTH, width)
+    short(TAG_HEIGHT, height)
+    short(TAG_BITS, *([8] * spp))
+    short(TAG_COMPRESSION, compression)
+    short(TAG_PHOTOMETRIC, photometric)
+    long_(TAG_STRIP_OFFSETS, *([0] * len(strips)))  # patched below
+    short(TAG_SPP, spp)
+    short(TAG_ROWS_PER_STRIP, rows_per_strip)
+    long_(TAG_STRIP_COUNTS, *(len(s) for s in strips))
+    if predictor != 1:
+        short(TAG_PREDICTOR, predictor)
+    entries.sort()
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+    ext = bytearray()
+    fixed: list[bytes] = []
+    strip_off_at = None
+    for tag, typ, count, payload in entries:
+        size = _TYPE_SIZES[typ] * count
+        if size <= 4:
+            val = bytes(payload) + bytes(4 - size)
+        else:
+            if tag == TAG_STRIP_OFFSETS:
+                strip_off_at = ext_off + len(ext)
+            val = struct.pack(bo + "I", ext_off + len(ext))
+            ext += payload
+        fixed.append(struct.pack(bo + "HHI", tag, typ, count) + val)
+    data_off = ext_off + len(ext)
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    # patch strip offsets (either inline — single strip — or in ext)
+    if strip_off_at is None:
+        for k, (tag, typ, count, _payload) in enumerate(entries):
+            if tag == TAG_STRIP_OFFSETS:
+                fixed[k] = (
+                    struct.pack(bo + "HHI", tag, typ, count)
+                    + struct.pack(bo + "I", offs[0])
+                )
+    else:
+        ext[strip_off_at - ext_off : strip_off_at - ext_off + 4 * len(offs)] = (
+            struct.pack(f"{bo}{len(offs)}I", *offs)
+        )
+    out = bytearray()
+    out += (MM if big_endian else II) + struct.pack(bo + "HI", 42, ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    out += b"".join(fixed)
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -1,0 +1,155 @@
+"""tiff.py semantics: write→decode round trips over every codec ×
+predictor × byte order × strip split × photometric combination,
+PackBits vs PDF-RLE divergences (128 = no-op, not EOD), the honest
+refusal scope (Group 3/4 fax, BigTIFF, sub-8-bit, palette), corrupt
+containers, bit-flip robustness, the decode_image dispatch, and the
+TIFF predictor 2 now real inside PDF streams."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinejobs_indexer_spark.llm import multimodal  # noqa: E402
+from pipelinejobs_indexer_spark.llm.tiff import (  # noqa: E402
+    decode_tiff,
+    packbits_decode,
+    packbits_encode,
+    write_tiff,
+)
+
+GRAY = [[(x * 7 + y * 3) % 251 for x in range(10)] for y in range(6)]
+RGB = [
+    [((x * 3) % 251, (y * 5) % 251, (x + y) % 251) for x in range(5)]
+    for y in range(7)
+]
+
+
+def test_roundtrip_every_combination():
+    for px, spp in ((GRAY, 1), (RGB, 3)):
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for be in (False, True):
+                    for rps in (None, 2):
+                        data = write_tiff(px, spp=spp, compression=comp,
+                                          predictor=pred, big_endian=be,
+                                          rows_per_strip=rps)
+                        h, w, nc, out = decode_tiff(data)
+                        assert (h, w) == (len(px), len(px[0]))
+                        assert out == px, (spp, comp, pred, be, rps)
+    # WhiteIsZero photometric: stored inverted, decoded back upright
+    data = write_tiff(GRAY, photometric=0, compression=5)
+    assert decode_tiff(data)[3] == GRAY
+    assert b"\x00\x01\x00\x01" not in data[:8]  # sanity: not double-built
+
+
+def test_packbits_is_not_pdf_rle():
+    # 128 is a NO-OP in PackBits (TIFF 6.0 §9); in PDF RunLengthDecode
+    # it is EOD — the two schemes must not be conflated
+    assert packbits_decode(b"\x80\x02abc", 3) == b"abc"
+    from pipelinejobs_indexer_spark.llm.pdf import _rle_decode
+
+    assert _rle_decode(b"\x02abc\x80") == b"abc"
+    import random
+
+    rng = random.Random(3)
+    for _ in range(80):
+        n = rng.randrange(0, 600)
+        data = bytes(rng.choice(b"AAAB") for _ in range(n))
+        assert packbits_decode(packbits_encode(data), n) == data
+    with pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\x04ab", 5)
+
+
+def test_honest_refusal_scope():
+    data = write_tiff(GRAY)
+    # Group 4 fax compression (tag 259 = 4): the T.4/T.6 tables are
+    # out of honest reach
+    bad = bytearray(data)
+    at = data.index((259).to_bytes(2, "little"))
+    bad[at + 8] = 4
+    with pytest.raises(NotImplementedError, match="fax"):
+        decode_tiff(bytes(bad))
+    # BigTIFF magic
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        decode_tiff(b"II\x2b\x00" + data[4:])
+    # sub-8-bit samples
+    bad = bytearray(data)
+    at = data.index((258).to_bytes(2, "little"))
+    bad[at + 8] = 1
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_tiff(bytes(bad))
+    # palette photometric
+    bad = bytearray(data)
+    at = data.index((262).to_bytes(2, "little"))
+    bad[at + 8] = 3
+    with pytest.raises(NotImplementedError, match="Photometric"):
+        decode_tiff(bytes(bad))
+    # corrupt: not a TIFF at all
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"GIF89a")
+    # strip byte-count pointing past the file
+    bad = write_tiff(GRAY, compression=1)
+    with pytest.raises(ValueError, match="strip|bytes"):
+        decode_tiff(bad[:-10])
+
+
+def test_mutation_robustness_tiff():
+    import random
+
+    rng = random.Random(17)
+    clean = write_tiff(GRAY, compression=5, predictor=2, rows_per_strip=2)
+    for trial in range(300):
+        data = bytearray(clean)
+        for _ in range(1 + trial % 6):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            h, w, nc, px = decode_tiff(bytes(data))
+            assert h * w * nc <= 1 << 26
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_decode_image_dispatch():
+    out = multimodal.decode_image(write_tiff(GRAY, big_endian=True),
+                                  "image/tiff")
+    assert out[3] == GRAY
+    # magic-sniffed without the MIME hint too
+    out = multimodal.decode_image(write_tiff(RGB, spp=3), "")
+    assert out[3] == RGB
+
+
+def test_pdf_tiff_predictor2_real():
+    """LZWDecode + /Predictor 2 inside a PDF image stream — the
+    refusal this module's horizontal differencing closed."""
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _lzw_encode,
+        extract_pdf_images,
+        write_pdf,
+    )
+
+    gray = bytes((i * 7 + 3) % 251 for i in range(64))
+    rows = bytearray(gray)
+    for r0 in range(0, 64, 8):
+        for i in range(7, 0, -1):
+            rows[r0 + i] = (rows[r0 + i] - rows[r0 + i - 1]) & 0xFF
+    body = _lzw_encode(bytes(rows))
+    pdf = write_pdf(
+        [["x"]],
+        images=[[{"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+                  "ncomp": 1, "filter": None}]],
+        compress=False,
+    )
+    old = b"/Length 64 >>\nstream\n" + gray
+    new = (
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /LZWDecode /DecodeParms << /Predictor 2 /Columns 8 >>"
+        b" >>\nstream\n" + body
+    )
+    assert old in pdf
+    out = extract_pdf_images(pdf.replace(old, new))
+    assert out[0][0]["samples"] == gray
