@@ -1579,6 +1579,208 @@ def llm_multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- L5s EBML / WebM container probe
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer (RFC 8794 §4): the count
+    of leading zero bits in the first byte is the width minus one;
+    element IDs keep the marker bit, sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML vint wider than 8 bytes")
+    width = 9 - first.bit_length()
+    if pos + width > len(data):
+        raise ValueError("truncated EBML vint body")
+    val = first if keep_marker else first & ((1 << (8 - width)) - 1)
+    for b in data[pos + 1 : pos + width]:
+        val = (val << 8) | b
+    return val, pos + width
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def probe_webm(content: bytes) -> dict:
+    """REAL Matroska/WebM container probe — the EBML element walk (RFC
+    8794 vints) needs no codec: DocType from the EBML header,
+    TimestampScale + Duration from Segment>Info, and per-type track
+    counts from Segment>Tracks. Frame pixels stay with ffmpeg (VP9/AV1
+    are inter-frame codecs); like the MP4/Ogg probes this is the
+    header-only triage pass a 100 TB video corpus runs first."""
+    doctype = None
+    timescale = 1_000_000  # Matroska default (ns per timestamp unit)
+    duration = None
+    n_video = n_audio = 0
+    found_header = False
+    for eid, body, bend in _ebml_children(content, 0, len(content)):
+        if eid == 0x1A45DFA3:  # EBML header
+            found_header = True
+            for cid, cb, ce in _ebml_children(content, body, bend):
+                if cid == 0x4282:  # DocType
+                    doctype = content[cb:ce].decode("ascii", "replace")
+        elif eid == 0x18538067:  # Segment
+            for cid, cb, ce in _ebml_children(content, body, bend):
+                if cid == 0x1549A966:  # Info
+                    for iid, ib, ie in _ebml_children(content, cb, ce):
+                        if iid == 0x2AD7B1:
+                            timescale = int.from_bytes(
+                                content[ib:ie], "big"
+                            )
+                        elif iid == 0x4489:  # Duration: IEEE float
+                            import struct
+
+                            w = ie - ib
+                            if w == 4:
+                                (duration,) = struct.unpack(
+                                    ">f", content[ib:ie]
+                                )
+                            elif w == 8:
+                                (duration,) = struct.unpack(
+                                    ">d", content[ib:ie]
+                                )
+                            else:
+                                raise ValueError(
+                                    f"EBML Duration width {w}"
+                                )
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, tb, te in _ebml_children(content, cb, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        for fid, fb, fe in _ebml_children(content, tb, te):
+                            if fid == 0x83:  # TrackType
+                                t = int.from_bytes(content[fb:fe], "big")
+                                if t == 1:
+                                    n_video += 1
+                                elif t == 2:
+                                    n_audio += 1
+    if not found_header:
+        raise ValueError("not an EBML payload (no 0x1A45DFA3 header)")
+    if timescale <= 0:
+        raise ValueError("bad EBML TimestampScale")
+    duration_ms = (
+        None
+        if duration is None
+        else int(duration * timescale / 1_000_000)
+    )
+    return {
+        "doctype": doctype,
+        "duration_ms": duration_ms,
+        "n_video": n_video,
+        "n_audio": n_audio,
+    }
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    """One EBML element: raw ID bytes + 1-or-2-byte size vint."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    if n < 127:
+        size = bytes([0x80 | n])
+    elif n < 16383:
+        size = bytes([0x40 | (n >> 8), n & 0xFF])
+    else:
+        raise ValueError("fixture elements stay under 16 KiB")
+    return idb + size + payload
+
+
+def synth_webm(doc_id: int) -> bytes:
+    """Deterministic WebM: EBML header (DocType webm), Segment with
+    Info (TimestampScale 1e6, float64 Duration on the integer grid so
+    the parse is exact) and 1 + doc_id%2 video + doc_id%3 audio
+    TrackEntry elements."""
+    import struct
+
+    dur = float(2_000 + (doc_id % 113) * 40)
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(0x4489, struct.pack(">d", dur)),
+    )
+    tracks = b""
+    for k in range(1 + doc_id % 2):
+        tracks += _ebml_el(
+            0xAE, _ebml_el(0x83, b"\x01") + _ebml_el(0x86, b"V_VP9")
+        )
+    for k in range(doc_id % 3):
+        tracks += _ebml_el(
+            0xAE, _ebml_el(0x83, b"\x02") + _ebml_el(0x86, b"A_OPUS")
+        )
+    segment = _ebml_el(0x18538067, info + _ebml_el(0x1654AE6B, tracks))
+    return header + segment
+
+
+WEBM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("doctype", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_video", LongType()),
+        StructField("n_audio", LongType()),
+    ]
+)
+
+
+def _webm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "doctype", "duration_ms", "n_video", "n_audio",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            meta = probe_webm(synth_webm(d))
+            out["doc_id"].append(d)
+            out["doctype"].append(meta["doctype"])
+            out["duration_ms"].append(meta["duration_ms"])
+            out["n_video"].append(meta["n_video"])
+            out["n_audio"].append(meta["n_audio"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "doctype": pd.Series(out["doctype"], dtype="object"),
+                "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                "n_video": pd.Series(out["n_video"], dtype="int64"),
+                "n_audio": pd.Series(out["n_audio"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "llm_multimodal_webm_probe",
+    sql="""SELECT doc_id,
+                  'webm' AS doctype,
+                  2000 + (doc_id % 113) * 40 AS duration_ms,
+                  1 + doc_id % 2 AS n_video,
+                  doc_id % 3 AS n_audio
+           FROM documents""",
+)
+def llm_multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5s: REAL Matroska/WebM container probe (round 9) — the EBML
+    element walk per RFC 8794 (vint IDs keep the marker bit, sizes
+    strip it; children bounded by their parents), completing the
+    video-container triage family beside MP4 (L5f) and AVI (L5h):
+    DocType from the EBML header, TimestampScale + float Duration from
+    Segment>Info (the fixture Duration sits on the integer grid so the
+    float64 parse is exact — the L5m banded-oracle concern does not
+    arise), and per-type TrackEntry counts from Segment>Tracks. VP9/
+    AV1 frame pixels stay the honest ffmpeg refusal; at 100 TB this
+    header-only pass triages before any decode. Oracle: every field
+    from doc_id arithmetic. Scale: zero-exchange mapInPandas."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(
+        _webm_features, schema=WEBM_SCHEMA
+    )
+
+
 # ------------------------------- L5q Ogg / MP3 container + frame probes
 def _ogg_crc(data: bytes) -> int:
     """The Ogg page CRC (RFC 3533 §6): CRC-32 with polynomial

@@ -2727,3 +2727,52 @@ def test_ogg_mp3_probes():
     frames[2] &= 0x0F
     with _pytest.raises(ValueError, match="bitrate"):
         probe_mp3(bytes(frames))
+
+
+def test_webm_probe():
+    """EBML/WebM probe: vint widths, parent bounds, track-type counts,
+    exact integer-grid float Duration, corruption classes, fuzz."""
+    import random
+
+    import pytest as _pytest
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        _ebml_vint,
+        probe_webm,
+        synth_webm,
+    )
+
+    # vint grammar: 1-byte and 2-byte forms, marker kept for IDs only
+    assert _ebml_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    assert _ebml_vint(b"\x81", 0, keep_marker=True) == (0x81, 1)
+    assert _ebml_vint(b"\x40\x7f", 0, keep_marker=False) == (0x7F, 2)
+    with _pytest.raises(ValueError, match="wider"):
+        _ebml_vint(b"\x00\x01", 0, keep_marker=False)
+    with _pytest.raises(ValueError, match="truncated"):
+        _ebml_vint(b"\x40", 0, keep_marker=False)
+    for d in (0, 1, 5, 112, 113):
+        m = probe_webm(synth_webm(d))
+        assert m["doctype"] == "webm"
+        assert m["duration_ms"] == 2000 + (d % 113) * 40
+        assert m["n_video"] == 1 + d % 2 and m["n_audio"] == d % 3
+    # a child whose declared size overruns its parent is corruption
+    bad = bytearray(synth_webm(2))
+    # the EBML header payload is _ebml_el(0x4282, b"webm"): grow the
+    # DocType's declared size past the header's end
+    at = bytes(bad).index(b"\x42\x82") + 2
+    bad[at] = 0xBF  # size 63 > remaining header bytes
+    with _pytest.raises(ValueError, match="overruns"):
+        probe_webm(bytes(bad))
+    with _pytest.raises(ValueError, match="EBML"):
+        probe_webm(b"not an ebml stream")
+    # bit-flip fuzz: parse or ValueError, never crash
+    rng = random.Random(31)
+    clean = synth_webm(9)
+    for trial in range(300):
+        data = bytearray(clean)
+        for _ in range(1 + trial % 5):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            probe_webm(bytes(data))
+        except ValueError:
+            pass
