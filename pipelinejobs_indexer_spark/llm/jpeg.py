@@ -10,10 +10,19 @@ meets in practice:
     chroma upsampled by pixel replication);
   * Huffman entropy coding (DHT), byte-stuffing-aware bit reader,
     restart markers (DRI / RSTn);
-  * DQT 8-bit and 16-bit quantization tables.
+  * DQT 8-bit and 16-bit quantization tables;
+  * PROGRESSIVE mode (SOF2, round 9) — the variant most web JPEGs
+    actually are: scans accumulate into a per-block coefficient store
+    (DC-first interleaved or single-component, DC refinement bits,
+    AC-first spectral bands with EOB runs, AC refinement per T.81
+    G.1.2.3 including ZRL-in-refinement and run-crossing EOB), with
+    dequantize + IDCT once at EOI. The progressive path is
+    differential-tested against the baseline decoder on identical
+    coefficient content — exact pixel equality, no float tolerance.
 
-Not supported (loud errors, not wrong pixels): progressive (SOF2),
-arithmetic coding, 12-bit precision, hierarchical modes.
+Not supported (loud errors, not wrong pixels): arithmetic coding,
+12-bit precision, hierarchical modes, mixed-table DC scans out of
+frame order.
 
 Evidence strategy (the png.py pattern): unit tests hand-assemble
 bitstreams whose decoded pixels are KNOWN IN CLOSED FORM — a DC-only
@@ -222,10 +231,10 @@ def _decode_jpeg(data: bytes):
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, body)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", data, body)
             if prec != 8:
-                raise ValueError(f"{prec}-bit precision not baseline")
+                raise ValueError(f"{prec}-bit precision not supported")
             comps = []
             p = body + 6
             for _ in range(nc):
@@ -234,9 +243,10 @@ def _decode_jpeg(data: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq_}
                 )
                 p += 3
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2,):
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coef_store = _init_coef_store(frame)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"SOF{marker - 0xC0} mode not supported")
@@ -251,6 +261,20 @@ def _decode_jpeg(data: bytes):
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
                 p += 2
+            ss, se = data[p], data[p + 1]
+            ah, al = data[p + 2] >> 4, data[p + 2] & 0x0F
+            if frame["progressive"]:
+                pos = _decode_progressive_scan(
+                    data, seg_end, frame, scan, coef_store,
+                    qt, huff_dc, huff_ac, ss, se, ah, al,
+                    restart_interval,
+                )
+                continue
+            if (ss, se, ah) != (0, 63, 0):
+                raise ValueError(
+                    f"baseline scan with spectral selection {ss}..{se}/"
+                    f"Ah={ah}"
+                )
             # one interleaved scan covering every component IN FRAME
             # ORDER is the only supported shape — anything else (legal
             # non-interleaved baseline: one scan per component) must
@@ -269,7 +293,330 @@ def _decode_jpeg(data: bytes):
             )
             return frame["h"], frame["w"], len(frame["comps"]), pixels
         pos = seg_end
+    if frame is not None and frame.get("progressive"):
+        if not frame.get("_any_scan"):
+            raise ValueError("no scan data (missing SOS)")
+        pixels = _reconstruct_progressive(frame, coef_store, qt)
+        return frame["h"], frame["w"], len(frame["comps"]), pixels
     raise ValueError("no scan data (missing SOS)")
+
+
+# ------------------------------------------ progressive mode (Annex G)
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _init_coef_store(frame):
+    """Per-component MCU-padded block grids of raw (quantized)
+    coefficients — progressive scans accumulate into these and the
+    IDCT runs once at EOI."""
+    _hmax, _vmax, mcux, mcuy = _frame_geometry(frame)
+    store = []
+    for c in frame["comps"]:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        store.append([[[0] * 64 for _ in range(bw)] for _ in range(bh)])
+    return store
+
+
+def _noninterleaved_blocks(frame, comp):
+    """Block-grid dims of one component in a non-interleaved scan
+    (T.81 A.2.2: ceil of the scaled sample dims, NOT MCU-padded)."""
+    hmax, vmax, _mcux, _mcuy = _frame_geometry(frame)
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _expect_rst(reader, data, count, interval):
+    """T.81 E.1.4 restart check shared by progressive scans."""
+    reader.byte_align()
+    expected = 0xD0 + (count // interval - 1) % 8
+    rpos = reader.pos
+    while (
+        rpos + 1 < len(data)
+        and data[rpos] == 0xFF
+        and data[rpos + 1] == 0xFF
+    ):
+        rpos += 1
+    got = (
+        data[rpos + 1]
+        if rpos + 1 < len(data) and data[rpos] == 0xFF
+        else None
+    )
+    if got != expected:
+        raise ValueError(
+            f"expected RST{expected - 0xD0} at unit {count} (restart "
+            f"interval {interval}), found "
+            + (f"marker {got:#x}" if got is not None else "none")
+        )
+    reader.pos = rpos + 2
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, store, qt, huff_dc, huff_ac,
+    ss, se, ah, al, restart_interval,
+):
+    """One SOF2 scan into the coefficient store; returns the stream
+    position of the marker that follows the entropy data."""
+    frame["_any_scan"] = True
+    comps = frame["comps"]
+    if ah and ah != al + 1:
+        raise ValueError(f"successive approximation Ah={ah}, Al={al}")
+    if al > 13:
+        raise ValueError(f"point transform Al={al}")
+    reader = _BitReader(data, pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            _prog_dc_scan(
+                reader, data, frame, scan, store, huff_dc, ah, al,
+                restart_interval,
+            )
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scan must cover exactly one component"
+                )
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(f"bad spectral selection {ss}..{se}")
+            comp, _td, ta = scan[0]
+            ci = next(i for i, c in enumerate(comps) if c is comp)
+            _prog_ac_scan(
+                reader, data, frame, comp, store[ci], huff_ac[ta],
+                ss, se, ah, al, restart_interval,
+            )
+    except _MarkerHit:
+        where = (
+            f"marker {reader.marker:#x}"
+            if reader.marker is not None
+            else "a lone trailing 0xFF"
+        )
+        raise ValueError(f"entropy stream ended early at {where}") from None
+    reader.byte_align()
+    npos = reader.pos
+    while npos + 1 < len(data) and data[npos] == 0xFF and data[npos + 1] == 0xFF:
+        npos += 1
+    if npos >= len(data) or data[npos] != 0xFF:
+        raise ValueError("progressive scan not followed by a marker")
+    return npos
+
+
+def _prog_dc_scan(
+    reader, data, frame, scan, store, huff_dc, ah, al, restart_interval
+):
+    comps = frame["comps"]
+    _hmax, _vmax, mcux, mcuy = _frame_geometry(frame)
+    scan_idx = [
+        next(i for i, c in enumerate(comps) if c is s[0]) for s in scan
+    ]
+    if scan_idx != sorted(scan_idx):
+        raise ValueError("progressive DC scan components out of frame order")
+    pred = {s[0]["id"]: 0 for s in scan}
+    count = 0
+    if len(scan) == 1:
+        comp, td, _ta = scan[0]
+        ci = scan_idx[0]
+        nbw, nbh = _noninterleaved_blocks(frame, comp)
+        units = [
+            (ci, by, bx, td) for by in range(nbh) for bx in range(nbw)
+        ]
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for (comp, td, _ta), ci in zip(scan, scan_idx):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            units.append(
+                                (ci, my * comp["v"] + by,
+                                 mx * comp["h"] + bx, td)
+                            )
+        # restart intervals count MCUs; rewrite units into MCU groups
+    per_mcu = (
+        1 if len(scan) == 1
+        else sum(c["h"] * c["v"] for c, _t, _a in scan)
+    )
+    for ui, (ci, by, bx, td) in enumerate(units):
+        if (
+            restart_interval
+            and ui % per_mcu == 0
+            and (ui // per_mcu) % restart_interval == 0
+            and ui
+        ):
+            _expect_rst(reader, data, ui // per_mcu, restart_interval)
+            pred = {k: 0 for k in pred}
+        coef = store[ci][by][bx]
+        if ah == 0:
+            t = reader.read_huffman(huff_dc[td])
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            cid = frame["comps"][ci]["id"]
+            pred[cid] += diff
+            coef[0] = pred[cid] << al
+        else:
+            if reader.read_bit():
+                coef[0] |= 1 << al
+        count += 1
+
+
+def _prog_ac_scan(
+    reader, data, frame, comp, comp_store, ac_table,
+    ss, se, ah, al, restart_interval,
+):
+    nbw, nbh = _noninterleaved_blocks(frame, comp)
+    eobrun = 0
+    count = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                _expect_rst(reader, data, count, restart_interval)
+                eobrun = 0
+            coef = comp_store[by][bx]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    reader, coef, ac_table, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, coef, ac_table, ss, se, al, eobrun
+                )
+            count += 1
+    if eobrun:
+        raise ValueError("EOB run extends past the last block of the scan")
+
+
+def _ac_first_block(reader, coef, ac_table, ss, se, al, eobrun):
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huffman(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1  # current block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("AC run past the spectral band")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, coef, ac_table, ss, se, al, eobrun):
+    """T.81 G.1.2.3: refine already-nonzero coefficients with
+    correction bits while placing newly-significant ±1<<Al values."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(zz: int) -> None:
+        if reader.read_bit():
+            if coef[zz] > 0:
+                coef[zz] += p1
+            elif coef[zz] < 0:
+                coef[zz] += m1
+
+    k = ss
+    if not eobrun:
+        while k <= se:
+            rs = reader.read_huffman(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL in refinement: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        f"AC refinement with magnitude size {s}"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                zz = ZIGZAG[k]
+                if coef[zz]:
+                    correct(zz)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[zz] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun:
+        while k <= se:
+            zz = ZIGZAG[k]
+            if coef[zz]:
+                correct(zz)
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _reconstruct_progressive(frame, store, qt):
+    """Dequantize + IDCT every stored block, then crop/upsample with
+    the same plane logic as the baseline path."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    planes = [
+        [[0] * (mcux * 8 * hmax) for _ in range(mcuy * 8 * vmax)]
+        for _ in comps
+    ]
+    for ci, comp in enumerate(comps):
+        q = qt[comp["tq"]]
+        sx = hmax // comp["h"]
+        sy = vmax // comp["v"]
+        for by, rowblocks in enumerate(store[ci]):
+            for bx, raw in enumerate(rowblocks):
+                coef = [raw[i] * q[i] for i in range(64)]
+                block = _idct_block(coef)
+                ox, oy = bx * 8, by * 8
+                plane = planes[ci]
+                for yy in range(8):
+                    row_vals = block[yy * 8 : yy * 8 + 8]
+                    py = (oy + yy) * sy
+                    for ry in range(sy):
+                        prow = plane[py + ry]
+                        for xx in range(8):
+                            v = row_vals[xx]
+                            base = (ox + xx) * sx
+                            for rx in range(sx):
+                                prow[base + rx] = v
+    if len(comps) == 1:
+        return [planes[0][y][:w] for y in range(h)]
+    if len(comps) == 3:
+        out = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                yy = planes[0][y][x]
+                cb = planes[1][y][x] - 128
+                cr = planes[2][y][x] - 128
+                r = int(round(yy + 1.402 * cr))
+                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yy + 1.772 * cb))
+                row.append(tuple(max(0, min(255, v)) for v in (r, g, b)))
+            out.append(row)
+        return out
+    raise ValueError(f"{len(comps)}-component images not supported")
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -538,3 +885,127 @@ def synth_ac_jpeg(
         eln, ecode = ac_codes[0x00]  # EOB
         bw.write(ecode, eln)
     return b"\xff\xd8" + qtab + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def synth_progressive_jpeg(
+    blocks: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    q: int = 16,
+    refine_dc: bool = False,
+) -> bytes:
+    """Grayscale SOF2 progressive JPEG with a scripted scan sequence:
+    a DC-first scan (successive approximation Al=1 when ``refine_dc``),
+    an optional DC-refinement scan carrying each block's low bit, and
+    one AC-first scan over the 1..63 band whose all-zero tails compress
+    via EOB runs. ``blocks`` is per-8x8-block ``(dc, u, ac)`` as in
+    synth_ac_jpeg; ``ac == 0`` leaves the block DC-only (the closed-form
+    case: every pixel = clamp(round(q*dc/8)+128)). The scan script is
+    what real progressive encoders emit (DC pass, then spectral bands),
+    so the decoder's coefficient store, EOB-run accounting, and
+    successive-approximation paths all carry evidence."""
+    n_blocks = (width // 8) * (height // 8)
+    if len(blocks) != n_blocks:
+        raise ValueError(f"need {n_blocks} blocks, got {len(blocks)}")
+    qtab = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(
+        0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(STD_DC_LUM_BITS) + bytes(STD_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(STD_AC_LUM_BITS) + bytes(STD_AC_LUM_VALS),
+    )
+    dc_codes = _inverse_huffman(STD_DC_LUM_BITS, STD_DC_LUM_VALS)
+    ac_codes = _inverse_huffman(STD_AC_LUM_BITS, STD_AC_LUM_VALS)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8" + qtab + sof + dht)
+    # --- scan 1: DC first
+    al1 = 1 if refine_dc else 0
+    out += sos(0, 0, 0, al1)
+    bw = _BitWriter()
+    pred = 0
+    for dc, _u, _ac in blocks:
+        v = dc >> al1
+        diff = v - pred
+        pred = v
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+    # --- scan 2: DC refinement (one raw bit per block)
+    if refine_dc:
+        out += sos(0, 0, 1, 0)
+        bw = _BitWriter()
+        for dc, _u, _ac in blocks:
+            bw.write(dc & 1, 1)
+        out += bw.flush()
+    # --- scan 3: AC first over the whole 1..63 band, EOB runs for
+    # zero blocks (r bits of extension after the EOBn code). The
+    # Annex K table carries no EOBn symbols (real progressive encoders
+    # ship custom tables), so the symbols this scan actually uses get
+    # a flat 8-bit canonical table in DHT slot AC/1 — which also makes
+    # the decoder prove non-Annex-K table handling.
+    def ac_symbols_and_emit(emit) -> None:
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            emit(r << 4, None)
+            if r:
+                emit(None, (eobrun - (1 << r), r))
+            eobrun = 0
+
+        for _dc, u, ac in blocks:
+            if ac == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            if not 1 <= u <= 7:
+                raise ValueError(f"AC frequency index {u} outside 1..7")
+            run = ZIGZAG.index(u) - 1
+            while run > 15:
+                emit(0xF0, None)
+                run -= 16
+            size = abs(ac).bit_length()
+            emit((run << 4) | size, None)
+            emit(None, (ac if ac > 0 else ac + (1 << size) - 1, size))
+            eobrun += 1  # end of this block's band joins the next run
+        flush_eobrun()
+
+    used: list[int] = []
+    ac_symbols_and_emit(
+        lambda sym, raw: used.append(sym) if sym is not None else None
+    )
+    symbols = sorted(set(used)) or [0x00]
+    if len(symbols) > 255:
+        raise ValueError("progressive AC scan uses too many symbols")
+    flat_bits = [0] * 16
+    flat_bits[7] = len(symbols)
+    flat_codes = _inverse_huffman(flat_bits, symbols)
+    out += _seg(
+        0xC4, bytes([0x11]) + bytes(flat_bits) + bytes(symbols)
+    )
+    out += _seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x00]))
+    bw = _BitWriter()
+
+    def emit(sym, raw) -> None:
+        if sym is not None:
+            ln, code = flat_codes[sym]
+            bw.write(code, ln)
+        else:
+            bw.write(raw[0], raw[1])
+
+    ac_symbols_and_emit(emit)
+    out += bw.flush()
+    return bytes(out + b"\xff\xd9")

@@ -2267,6 +2267,79 @@ def llm_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_jpeg_features, schema=JPEG_SCHEMA)
 
 
+# ------------------------------ L5t progressive (SOF2) JPEG decode path
+def _jpeg_prog_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .jpeg import decode_jpeg, synth_progressive_jpeg
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_components",
+            "px_tl", "px_tr", "px_bl", "px_br",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            blocks = [(dc, 1, 0) for dc in _jpeg_dcs(d)]
+            jpg = synth_progressive_jpeg(
+                blocks, 16, 16, q=JPEG_Q,
+                # odd docs use DC successive approximation (a first
+                # scan at Al=1 + a refinement-bit scan), even docs a
+                # single full-precision DC scan — both real scan
+                # scripts, same closed-form pixels
+                refine_dc=(d % 2 == 1),
+            )
+            h, w, nc, px = decode_jpeg(jpg)
+            out["doc_id"].append(d)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_components"].append(nc)
+            out["px_tl"].append(px[0][0])
+            out["px_tr"].append(px[0][15])
+            out["px_bl"].append(px[15][0])
+            out["px_br"].append(px[15][15])
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_jpeg_progressive",
+    sql=f"""SELECT doc_id,
+                  CAST(16 AS BIGINT) AS width,
+                  CAST(16 AS BIGINT) AS height,
+                  CAST(1 AS BIGINT) AS n_components,
+                  128 + 2 * (doc_id % 41 - 20) AS px_tl,
+                  128 + 2 * ((doc_id // 7) % 53 - 26) AS px_tr,
+                  128 - 2 * (doc_id % 31) AS px_bl,
+                  128 + 2 * (doc_id % 23) AS px_br
+           FROM documents""",
+)
+def llm_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L5t: REAL progressive-JPEG decode (round 9) — SOF2 is what most
+    web JPEGs actually are, and it was this decoder's last honest
+    in-reach refusal: scans now accumulate into a per-block coefficient
+    store (DC-first, DC refinement bits, AC-first spectral bands with
+    EOB runs, AC refinement per T.81 G.1.2.3) with one dequantize+IDCT
+    at EOI. Fixtures use the same closed-form DC grid as L5g but
+    delivered through a REAL progressive scan script — DC scan (+
+    successive-approximation refinement on odd docs), then an AC band
+    scan whose all-zero blocks compress via EOB runs under a custom
+    (non-Annex-K) Huffman table — so the coefficient store, scan
+    sequencing, EOBRUN accounting, and approximation shifts all sit on
+    the driver hash; the oracle is the same corner-pixel arithmetic
+    (identical final pixels is exactly the claim: progressive is a
+    reordering, not a different image). Full random DC+AC progressive
+    content is differential-pinned against the baseline decoder in
+    unit tests, pixel-exact. Scale: the L5g mapInPandas shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id").mapInPandas(
+        _jpeg_prog_features, schema=JPEG_SCHEMA
+    )
+
+
 # -------------------------- L5m float-DSP (AC) JPEG with Parseval bands
 JPEG_DSP_Q = 16
 

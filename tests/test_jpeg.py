@@ -508,3 +508,137 @@ def test_ac_multiblock_dc_chain_and_errors():
         synth_ac_jpeg([(0, 1, 0)], 8, 8)
     with pytest.raises(ValueError, match="blocks"):
         synth_ac_jpeg([(0, 1, 5)], 16, 8)
+
+
+# ----------------------------------------------------- progressive mode
+def test_progressive_dc_closed_form_and_differential():
+    """SOF2: DC-only progressive (with and without successive
+    approximation) equals the baseline closed form; full random
+    DC+AC content equals the baseline decoder pixel-for-pixel —
+    exact, no float tolerance (same coefficients, same IDCT)."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.jpeg import (
+        synth_ac_jpeg,
+        synth_progressive_jpeg,
+    )
+
+    dcs = [5, -10, 3, 7]
+    base = decode_jpeg(synth_dc_jpeg([dcs], 16, 16, q=16))[3]
+    for refine in (False, True):
+        px = decode_jpeg(
+            synth_progressive_jpeg([(d, 1, 0) for d in dcs], 16, 16,
+                                   q=16, refine_dc=refine)
+        )[3]
+        assert px == base, refine
+    rng = random.Random(41)
+    for trial in range(25):
+        blocks = [
+            (rng.randrange(-20, 21), rng.randrange(1, 8),
+             rng.choice([x for x in range(-40, 41) if x]))
+            for _ in range(4)
+        ]
+        prog = decode_jpeg(
+            synth_progressive_jpeg(blocks, 16, 16, q=16,
+                                   refine_dc=trial % 2 == 0)
+        )
+        assert prog[3] == decode_jpeg(
+            synth_ac_jpeg(blocks, 16, 16, q=16)
+        )[3], trial
+
+
+def test_progressive_ac_refinement_hand_built():
+    """The AC-refinement scan algebra (T.81 G.1.2.3), hand-assembled
+    bit by bit: an AC-first scan at Al=1 plants coef=2; the refinement
+    scan at Al=0 corrects it to 3 AND places a newly-significant -1,
+    then EOB-runs out. Expected pixels computed from the coefficient
+    matrix directly — the claim under test is the scan algebra."""
+    import struct as _struct
+
+    from pipelinejobs_indexer_spark.llm.jpeg import (
+        _BitWriter,
+        _idct_block,
+        _inverse_huffman,
+    )
+
+    q = 16
+    qtab = b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([q] * 64)
+    sof = (
+        b"\xff\xc2" + _struct.pack(">H", 11)
+        + _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    dc_bits = [0] * 16
+    dc_bits[7] = 12
+    dc_syms = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 4
+    ac_syms = [0x00, 0x01, 0x11, 0xF0]
+    dht = (
+        b"\xff\xc4" + _struct.pack(">H", 2 + (17 + 12) + (17 + 4))
+        + bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    dcc = _inverse_huffman(dc_bits, dc_syms)
+    acc = _inverse_huffman(ac_bits, ac_syms)
+
+    def sos(ss, se, ah, al):
+        return (
+            b"\xff\xda" + _struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    out = bytearray(b"\xff\xd8" + qtab + sof + dht)
+    # scan 1: DC first, Al=0, dc = 6
+    out += sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    ln, code = dcc[3]
+    bw.write(code, ln)
+    bw.write(6, 3)
+    out += bw.flush()
+    # scan 2: AC first Ss=1..63, Al=1 — coef[zz(1)] = 1 << 1 = 2,
+    # then EOB (run of 1)
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    ln, code = acc[0x01]  # r=0, s=1
+    bw.write(code, ln)
+    bw.write(1, 1)  # value +1
+    ln, code = acc[0x00]  # EOB
+    bw.write(code, ln)
+    out += bw.flush()
+    # scan 3: AC refinement Ah=1, Al=0 — walk: k=1 nonzero -> correction
+    # bit 1 (2 -> 3); k=2 zero-history with r=0 -> place new -1; EOB run
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    ln, code = acc[0x01]
+    bw.write(code, ln)
+    bw.write(0, 1)  # sign bit: negative -> newval = -1
+    bw.write(1, 1)  # correction bit for existing coef at k=1
+    ln, code = acc[0x00]  # EOB run of 1: refine any remaining (none)
+    bw.write(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    h, w, nc, px = decode_jpeg(bytes(out))
+    assert (h, w, nc) == (8, 8, 1)
+    coef = [0] * 64
+    coef[0] = 6 * q
+    coef[ZIGZAG[1]] = 3 * q
+    coef[ZIGZAG[2]] = -1 * q
+    want = _idct_block(coef)
+    assert [v for row in px for v in row] == want
+
+
+def test_progressive_error_classes():
+    from pipelinejobs_indexer_spark.llm.jpeg import synth_progressive_jpeg
+
+    blocks = [(5, 1, 0)] * 4
+    data = synth_progressive_jpeg(blocks, 16, 16, q=16)
+    # an AC scan claiming two components is corrupt
+    at = data.rindex(b"\xff\xda")
+    bad = bytearray(data)
+    bad[at + 4] = 2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # truncated mid-scan (the cut may land anywhere; any ValueError is
+    # the contract — never wrong pixels, never a crash)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:-6] + b"\xff\xd9")
