@@ -12,7 +12,9 @@ differencing predictor (tag 317 = 2) is a per-row prefix sum.
 Scope: classic (non-Big) TIFF, II and MM byte orders, the first IFD;
 8-bit samples, PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
 inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
-5 (LZW), 32773 (PackBits); Predictor 1/2; single or multiple strips
+5 (LZW), 7 (new-style JPEG-in-TIFF — each strip a complete JPEG
+interchange stream through jpeg.py, baseline or progressive), 32773
+(PackBits); Predictor 1/2; single or multiple strips
 (RowsPerStrip). Out of honest scope (documented raises): bilevel
 Group 3/4 fax compression (the T.4/T.6 run-length code tables are
 arbitrary published constants, not derivable — hand-recalling ~160
@@ -193,10 +195,10 @@ def decode_tiff(data: bytes):
             f"TIFF PhotometricInterpretation {photometric} "
             "(palette/separation) is out of scope"
         )
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (Group 3/4 fax, JPEG-in-TIFF) "
-            "is out of scope"
+            f"TIFF compression {compression} (Group 3/4 fax, old-style "
+            "JPEG 6, Deflate 8 variants) is out of scope"
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -229,6 +231,26 @@ def decode_tiff(data: bytes):
                     f"LZW TIFF strip {si} decodes to {len(out)} bytes, "
                     f"expected {expected}"
                 )
+        elif compression == 7:
+            # new-style JPEG-in-TIFF (TTN2): each strip is a complete
+            # JPEG interchange stream — baseline or progressive, both
+            # real via jpeg.py
+            from .jpeg import decode_jpeg
+
+            jh, jw, jnc, jpx = decode_jpeg(strip)
+            if (jw, jnc) != (width, spp) or jh != n_rows:
+                raise ValueError(
+                    f"JPEG strip {si} geometry {jh}x{jw}x{jnc} does not "
+                    f"match {n_rows}x{width}x{spp}"
+                )
+            flatrows = bytearray()
+            for jrow in jpx:
+                if jnc == 1:
+                    flatrows += bytes(jrow)
+                else:
+                    for p in jrow:
+                        flatrows += bytes(p)
+            out = bytes(flatrows)
         else:
             out = packbits_decode(strip, expected)
         raw += out

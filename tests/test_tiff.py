@@ -153,3 +153,52 @@ def test_pdf_tiff_predictor2_real():
     assert old in pdf
     out = extract_pdf_images(pdf.replace(old, new))
     assert out[0][0]["samples"] == gray
+
+
+def test_jpeg_in_tiff():
+    """New-style JPEG-in-TIFF (compression 7): each strip is a complete
+    JPEG interchange stream — hand-spliced here since write_tiff has no
+    general JPEG encoder; both baseline and PROGRESSIVE strips decode,
+    and geometry mismatches are loud."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.jpeg import (
+        synth_dc_jpeg,
+        synth_progressive_jpeg,
+    )
+
+    dcs = [5, -10, 3, 7]
+    want = [[2 * dcs[(y // 8) * 2 + (x // 8)] + 128 for x in range(16)]
+            for y in range(16)]
+    for jpg in (
+        synth_dc_jpeg([dcs], 16, 16, q=16),
+        synth_progressive_jpeg([(d, 1, 0) for d in dcs], 16, 16, q=16,
+                               refine_dc=True),
+    ):
+        base = write_tiff(
+            [[0] * 16 for _ in range(16)], compression=1
+        )
+        # patch: compression 1 -> 7, swap the strip, fix its byte count
+        at = base.index((259).to_bytes(2, "little"))
+        patched = bytearray(base)
+        patched[at + 8] = 7
+        strip_at = len(base) - 256  # strip data is the file's tail
+        # strip byte count tag (279, LONG)
+        cat = bytes(patched).index((279).to_bytes(2, "little"))
+        patched[cat + 8 : cat + 12] = struct.pack("<I", len(jpg))
+        data = bytes(patched[:strip_at]) + jpg + bytes(
+            patched[strip_at + 256 :]
+        )
+        h, w, nc, px = decode_tiff(data)
+        assert (h, w, nc) == (16, 16, 1)
+        assert px == want
+    # geometry mismatch: an 8x8 JPEG in a 16x16 strip is corruption
+    small = synth_dc_jpeg([[5]], 8, 8, q=16)
+    data2 = bytes(patched[:strip_at]) + small + bytes(
+        patched[strip_at + 256 :]
+    )
+    data2 = bytearray(data2)
+    cat = bytes(data2).index((279).to_bytes(2, "little"))
+    data2[cat + 8 : cat + 12] = struct.pack("<I", len(small))
+    with pytest.raises(ValueError, match="geometry"):
+        decode_tiff(bytes(data2))
