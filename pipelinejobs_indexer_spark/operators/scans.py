@@ -421,3 +421,201 @@ def scan_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .select("doc_id", "lang", "source", "text")
     )
+
+
+# --------------------------------------------------- S16/S17 tar sources
+TAR_MEMBER_SCHEMA = (
+    "archive string, member string, size_bytes bigint, mtime bigint,"
+    " is_dir boolean, sha16 string"
+)
+TAR_MEMBER_COLS = ["archive", "member", "size_bytes", "mtime", "is_dir", "sha16"]
+
+
+def _tar_member_rows(archive_rel: str, content: bytes):
+    """One row per tar member via stdlib tarfile; mode 'r:*' sniffs
+    gzip/bz2/xz transports, all stdlib. Regular files carry a sha256
+    prefix of their extracted bytes so content (not just headers) is
+    evidence."""
+    import hashlib
+    import io
+    import tarfile
+
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:*")
+    except tarfile.TarError as exc:
+        raise ValueError(f"corrupt tar archive {archive_rel}: {exc}") from exc
+    with tf:
+        for info in tf:
+            if info.isreg():
+                body = tf.extractfile(info).read()
+                digest = hashlib.sha256(body).hexdigest()[:16]
+            else:
+                digest = ""
+            yield (
+                archive_rel,
+                info.name,
+                int(info.size),
+                int(info.mtime),
+                info.isdir(),
+                digest,
+            )
+
+
+def _tar_fixture_paths():
+    for dirpath, _, files in sorted(os.walk(_UPLOADS)):
+        for fn in sorted(files):
+            if fn.endswith((".tar", ".tar.gz")):
+                yield os.path.join(dirpath, fn)
+
+
+def _tar_members_oracle_sql() -> str:
+    rows = []
+    for p in _tar_fixture_paths():
+        rel = os.path.relpath(p, _UPLOADS)
+        with open(p, "rb") as f:
+            for r in _tar_member_rows(rel, f.read()):
+                rows.append(
+                    f"({_sql_str(r[0])}, {_sql_str(r[1])}, {r[2]}, {r[3]},"
+                    f" {str(r[4]).lower()}, {_sql_str(r[5])})"
+                )
+    values = ",\n           ".join(rows)
+    return f"""SELECT archive, member,
+           CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(mtime AS BIGINT) AS mtime, is_dir, sha16
+    FROM (VALUES {values})
+         t(archive, member, size_bytes, mtime, is_dir, sha16)"""
+
+
+@register("scan_tar_members", sql=_tar_members_oracle_sql)
+def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: expand every tar archive (plain or gz-compressed transport)
+    in the uploads tree into one row per member — the tar counterpart
+    of S13's zip expansion, and the container format training-data
+    shards actually ship in. binaryFile + pathGlobFilter prunes
+    non-tars at the listing; each archive's members are walked where
+    its bytes land (stdlib tarfile, 'r:*' transport sniffing) in an
+    Arrow mapInPandas stage, with regular-file members hashed so
+    extraction itself carries evidence. Scale shape: one task per
+    archive, no shuffle of archive bytes; at 100 TB the listing
+    partitions across executors and each shard is touched exactly
+    once (tar is sequential — there is no central directory, so the
+    walk IS the minimal read)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar*")
+        .option("recursiveFileLookup", "true")
+        .load(_UPLOADS)
+        .select("path", "content")
+    )
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rel = os.path.relpath(path.replace("file:", ""), _UPLOADS)
+                out.extend(_tar_member_rows(rel, bytes(content)))
+            yield pd.DataFrame(out, columns=TAR_MEMBER_COLS)
+
+    return df.mapInPandas(expand, TAR_MEMBER_SCHEMA)
+
+
+WEBDATASET_PARTS_SCHEMA = "shard string, key string, ext string, payload string"
+WEBDATASET_PARTS_COLS = ["shard", "key", "ext", "payload"]
+
+
+def _webdataset_oracle_sql() -> str:
+    """Ground truth: regroup the shard tars' members by sample key
+    driver-side and render VALUES; n_tokens is recomputed IN SQL from
+    the txt payload so the tokenization stays engine-side on both."""
+    import io
+    import tarfile
+
+    samples: dict[tuple[str, str], dict] = {}
+    for p in _tar_fixture_paths():
+        fn = os.path.basename(p)
+        if not (fn.startswith("shard-") and fn.endswith(".tar")):
+            continue
+        rel = os.path.relpath(p, _UPLOADS)
+        with open(p, "rb") as f:
+            with tarfile.open(fileobj=io.BytesIO(f.read()), mode="r:*") as tf:
+                for info in tf:
+                    if not info.isreg():
+                        continue
+                    key, _, ext = info.name.rpartition(".")
+                    s = samples.setdefault((rel, key), {"n": 0})
+                    s["n"] += 1
+                    s[ext] = tf.extractfile(info).read().decode("utf-8")
+    rows = []
+    for (rel, key), s in sorted(samples.items()):
+        rows.append(
+            f"({_sql_str(rel)}, {_sql_str(key)}, {_sql_str(s.get('txt', ''))},"
+            f" {int(s.get('cls', -1))}, {s['n']})"
+        )
+    values = ",\n           ".join(rows)
+    return f"""SELECT shard, key, txt, CAST(cls AS BIGINT) AS cls,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens
+    FROM (VALUES {values}) t(shard, key, txt, cls, n_parts)"""
+
+
+@register("scan_webdataset", sql=_webdataset_oracle_sql)
+def scan_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: WebDataset sample assembly — the tar-of-samples layout LLM
+    training shards ship in: members grouped by key (basename minus
+    extension), extensions pivoted into typed columns (txt payload,
+    cls label), plus an engine-side token count — the decode stage
+    composing straight into relational ops. Worker-side, each shard
+    tar is walked once (sequential read, the format's whole point:
+    shard-local sample assembly with NO shuffle — the groupBy key is
+    shard-local by construction, and Catalyst's partial aggregation
+    keeps it map-side). At 100 TB: one task per shard, samples never
+    leave their executor until reduced."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(_UPLOADS)
+        .select("path", "content")
+    )
+
+    def parts(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rel = os.path.relpath(path.replace("file:", ""), _UPLOADS)
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                ) as tf:
+                    for info in tf:
+                        if not info.isreg():
+                            continue
+                        key, _, ext = info.name.rpartition(".")
+                        out.append(
+                            (rel, key, ext,
+                             tf.extractfile(info).read().decode("utf-8"))
+                        )
+            yield pd.DataFrame(out, columns=WEBDATASET_PARTS_COLS)
+
+    p = df.mapInPandas(parts, WEBDATASET_PARTS_SCHEMA)
+    return p.groupBy("shard", "key").agg(
+        F.coalesce(
+            F.max(F.when(F.col("ext") == "txt", F.col("payload"))), F.lit("")
+        ).alias("txt"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("ext") == "cls", F.col("payload"))
+            ).cast("bigint"),
+            F.lit(-1),
+        ).alias("cls"),
+        F.count("*").alias("n_parts"),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("txt"), " ")).cast("bigint"),
+    )

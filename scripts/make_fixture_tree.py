@@ -86,6 +86,58 @@ def make_text(path: str) -> None:
         f.write("level: '0'\npatterns:\n  - '\\.bam$'\n")
 
 
+def make_webdataset_tar(path: str) -> None:
+    """WebDataset-style shard: sample keys 000000..000002, each a .txt
+    payload + a .cls label member — the tar-of-samples layout LLM
+    training shards actually ship in. Deterministic headers (fixed
+    mtime, zero uid/gid) so the committed bytes are stable."""
+    import io
+    import tarfile
+
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for k in range(3):
+            key = f"{k:06d}"
+            txt = f"sample {k} text with {k * 3 + 1} tokens\n".encode()
+            cls = str(k % 2).encode()
+            for ext, body in (("txt", txt), ("cls", cls)):
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(body)
+                info.mtime = 1533168000  # 2018-08-02, the fixture epoch
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(body))
+
+
+def make_tar_gz(path: str) -> None:
+    """Generic gz-compressed tar: nested paths, a directory entry, an
+    empty file — the member-shape variety bundle.zip gives the zip
+    scans. gzip mtime pinned so the committed bytes are stable."""
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("logs/")
+        d.type = tarfile.DIRTYPE
+        d.mtime = 1533168000
+        d.mode = 0o755
+        tf.addfile(d)
+        members = [
+            ("logs/run.log", b"INFO start\n" * 30),
+            ("logs/err.log", b""),
+            ("manifest.yml", b"version: 3\nfiles: 3\n"),
+        ]
+        for name, body in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            info.mtime = 1533168000
+            tf.addfile(info, io.BytesIO(body))
+    with open(path, "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(buf.getvalue())
+
+
 def main() -> None:
     os.makedirs(os.path.join(ROOT, "emerald", "201808"), exist_ok=True)
     make_zip(os.path.join(ROOT, "potato.zip"))
@@ -93,6 +145,8 @@ def main() -> None:
     make_pdf(os.path.join(ROOT, "austin.pdf"))
     make_png(os.path.join(ROOT, "emerald", "201808", "protein.png"))
     make_text(os.path.join(ROOT, "emerald", "ansible.yml"))
+    make_webdataset_tar(os.path.join(ROOT, "shard-000000.tar"))
+    make_tar_gz(os.path.join(ROOT, "emerald", "logs-bundle.tar.gz"))
     for dirpath, _, files in os.walk(ROOT):
         for fn in sorted(files):
             p = os.path.join(dirpath, fn)
