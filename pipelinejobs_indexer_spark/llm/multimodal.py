@@ -2103,7 +2103,7 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             gray = decode_image(
                 write_tiff(
                     _tiff_gray(d),
-                    compression=[1, 5, 32773][d % 3],
+                    compression=[1, 5, 32773, 8][d % 4],
                     predictor=1 + d % 2,
                     big_endian=(d // 2) % 2 == 0,
                     rows_per_strip=2 + d % 3,
@@ -2115,7 +2115,7 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 write_tiff(
                     _tiff_rgb(d),
                     spp=3,
-                    compression=[5, 32773, 1][d % 3],
+                    compression=[5, 32773, 1, 8][d % 4],
                     predictor=1 + (d // 3) % 2,
                     big_endian=d % 2 == 0,
                 ),
@@ -2165,10 +2165,10 @@ def llm_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5r: REAL baseline-TIFF decode (round 9, tiff.py) — the
     scanned-document archive format a corpus ingest meets right after
     PDF: tag-directory walk in BOTH byte orders, strips with
-    RowsPerStrip splits, Compression 1/5/32773 (LZW shared
+    RowsPerStrip splits, Compression 1/5/8/32773 (LZW shared
     byte-for-byte with PDF LZWDecode; PackBits is TIFF 6.0 §9's
-    scheme where 128 is a no-op, NOT the PDF RunLengthDecode EOD),
-    horizontal-differencing predictor, and the WhiteIsZero photometric
+    scheme where 128 is a no-op, NOT the PDF RunLengthDecode EOD; 8 is
+    Adobe Deflate), horizontal-differencing predictor, and the WhiteIsZero photometric
     inversion — all cycled per doc so every path carries driver-hash
     evidence. Bilevel Group 3/4 fax stays an honest refusal: the
     T.4/T.6 code tables are arbitrary published constants a

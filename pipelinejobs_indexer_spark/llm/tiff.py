@@ -13,8 +13,8 @@ Scope: classic (non-Big) TIFF, II and MM byte orders, the first IFD;
 8-bit samples, PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
 inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
 5 (LZW), 7 (new-style JPEG-in-TIFF — each strip a complete JPEG
-interchange stream through jpeg.py, baseline or progressive), 32773
-(PackBits); Predictor 1/2; single or multiple strips
+interchange stream through jpeg.py, baseline or progressive),
+8 (Adobe Deflate, zlib strips), 32773 (PackBits); Predictor 1/2; single or multiple strips
 (RowsPerStrip). Out of honest scope (documented raises): bilevel
 Group 3/4 fax compression (the T.4/T.6 run-length code tables are
 arbitrary published constants, not derivable — hand-recalling ~160
@@ -195,10 +195,10 @@ def decode_tiff(data: bytes):
             f"TIFF PhotometricInterpretation {photometric} "
             "(palette/separation) is out of scope"
         )
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} (Group 3/4 fax, old-style "
-            "JPEG 6, Deflate 8 variants) is out of scope"
+            "JPEG 6) is out of scope"
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -229,6 +229,23 @@ def decode_tiff(data: bytes):
             if len(out) != expected:
                 raise ValueError(
                     f"LZW TIFF strip {si} decodes to {len(out)} bytes, "
+                    f"expected {expected}"
+                )
+        elif compression == 8:
+            # Adobe Deflate: the strip is a zlib stream; max_length
+            # bounds a hostile bomb to expected+1 before the size check
+            import zlib
+
+            try:
+                dec = zlib.decompressobj()
+                out = dec.decompress(strip, expected + 1)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"bad Deflate TIFF strip {si}: {exc}"
+                ) from None
+            if len(out) != expected:
+                raise ValueError(
+                    f"Deflate TIFF strip {si} decodes to {len(out)} bytes, "
                     f"expected {expected}"
                 )
         elif compression == 7:
@@ -308,6 +325,10 @@ def write_tiff(
         body = bytes(rows)
         if compression == 5:
             body = _lzw_encode(body)
+        elif compression == 8:
+            import zlib
+
+            body = zlib.compress(body)
         elif compression == 32773:
             body = packbits_encode(body)
         elif compression != 1:

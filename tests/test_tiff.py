@@ -31,7 +31,7 @@ RGB = [
 
 def test_roundtrip_every_combination():
     for px, spp in ((GRAY, 1), (RGB, 3)):
-        for comp in (1, 5, 32773):
+        for comp in (1, 5, 8, 32773):
             for pred in (1, 2):
                 for be in (False, True):
                     for rps in (None, 2):
