@@ -437,3 +437,102 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("bigint").alias("shard"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+# ------------------------------------------------- S18 WebDataset sink
+WDS_SHARDS = 8
+
+
+@register(
+    "sink_webdataset",
+    sql=f"""SELECT CAST(('0x' || substr(md5('wds:' || doc_id::VARCHAR), 1, 15))
+                        ::BIGINT % {WDS_SHARDS} AS BIGINT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(SUM(length(text) + 26 + length(lang)
+                           + length(source)) AS BIGINT)
+                    AS sum_payload_chars,
+                  TRUE AS roundtrip_ok
+           FROM documents
+           GROUP BY 1""",
+)
+def sink_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: WRITE WebDataset shards — the inverse of S17's scan, and
+    the materialization a training loader consumes: documents hash
+    into {WDS_SHARDS} shards (the md5 idiom, no skew), and each shard
+    group builds one REAL tar (stdlib tarfile, ustar, zeroed
+    mtimes/uids so bytes are reproducible) holding per-sample
+    ``{{doc_id}}.txt`` + ``{{doc_id}}.json`` members in deterministic
+    doc_id order, writes it to scratch, RE-READS the written file and
+    re-parses it (scan_tar_members' walker) to verify sample count and
+    member sizes — the read-back discipline every sink here follows.
+    Only per-shard stats leave the worker: (n_samples,
+    sum_payload_chars, roundtrip_ok). The oracle recomputes counts and
+    payload-char sums from the raw table and expects roundtrip_ok
+    TRUE; a wrong member layout, a dropped sample, or a tar the
+    scanner cannot re-read flips a column. Scale: one task per shard
+    writing sequentially (tar has no random access — append order IS
+    doc order); real deployments pick the shard count so each tar
+    lands ~1 GB (the WebDataset convention), which is exactly the
+    shard-count knob this query parameterizes."""
+    import pandas as pd
+
+    out_dir = _scratch(spark, "webdataset")
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        F.expr(
+            "cast(conv(substr(md5(concat('wds:', cast(doc_id as string))),"
+            f" 1, 15), 16, 10) as bigint) % {WDS_SHARDS}"
+        ).alias("shard"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        from ..operators.scans import _tar_member_rows
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        n_chars = 0
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for row in pdf.itertuples(index=False):
+                txt = str(row.text)
+                meta = (
+                    '{"lang": "' + str(row.lang) + '", "source": "'
+                    + str(row.source) + '"}'
+                )
+                n_chars += len(txt) + len(meta)
+                for ext, body in (("txt", txt), ("json", meta)):
+                    data = body.encode("utf-8")
+                    info = tarfile.TarInfo(f"{int(row.doc_id):012d}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        # read-back verification: the WRITTEN file re-parses and the
+        # member census matches what was put in
+        with open(path, "rb") as f:
+            members = list(_tar_member_rows(os.path.basename(path), f.read()))
+        ok = (
+            len(members) == 2 * len(pdf)
+            and all(m[2] >= 0 and m[5] for m in members)
+        )
+        return pd.DataFrame(
+            {
+                "shard": pd.Series([shard], dtype="int64"),
+                "n_samples": pd.Series([len(pdf)], dtype="int64"),
+                "sum_payload_chars": pd.Series([n_chars], dtype="int64"),
+                "roundtrip_ok": pd.Series([ok], dtype="bool"),
+            }
+        )
+
+    return docs.groupBy("shard").applyInPandas(
+        build,
+        "shard bigint, n_samples bigint, sum_payload_chars bigint,"
+        " roundtrip_ok boolean",
+    )
