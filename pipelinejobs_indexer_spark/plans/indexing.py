@@ -146,3 +146,97 @@ def pipeline_reindex_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("files_missing") > 0)
     )
+
+
+# -------------------------------------- composed document-ingest pipeline
+@register(
+    "pipeline_document_ingest",
+    sql="""SELECT d.doc_id % 8 AS shard,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(SUM((1 + d.doc_id % 3) * (4 * 5 + 4 - 1)
+                           + d.doc_id % 3) AS BIGINT) AS sum_chars,
+                  CAST(SUM(ds.digit_sum) AS BIGINT) AS sum_digits
+           FROM (SELECT doc_id FROM documents) d
+           JOIN (
+             SELECT d2.doc_id,
+                    SUM((d2.doc_id * 5 + p.p * 11 + j.j) % 10
+                        + (d2.doc_id + 3 * j.j + p.p) % 10) AS digit_sum
+             FROM (SELECT doc_id FROM documents) d2,
+                  generate_series(0, 2) AS p(p),
+                  generate_series(0, 3) AS j(j)
+             WHERE p.p < 1 + d2.doc_id % 3
+             GROUP BY d2.doc_id
+           ) ds USING (doc_id)
+           GROUP BY 1""",
+)
+def pipeline_document_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-ingest pipeline (round 9) — the end-to-end
+    shape a PDF corpus crawl runs, in three plan stages that
+    deliberately cross the Python/JVM boundary exactly once:
+
+      1. DECODE (mapInPandas): per doc, a real PDF is synthesized with
+         the full L5l knob cycle (fonts, ciphers, 1.5 layouts) and its
+         text layer extracted — only (doc_id, text) leaves the worker;
+      2. FEATURES (WholeStageCodegen): char counts and the token digit
+         sum computed by CATALYST expressions over the extracted text
+         (length, aggregate(regexp_extract_all(...)) lambda) — the
+         decode output composing straight into codegen, no second UDF;
+      3. ROLLUP (one exchange): groupBy shard with partial aggregation.
+
+    The oracle recomputes everything from doc_id arithmetic (the L5l
+    closed forms, aggregated by shard) — so the extractor, the
+    Catalyst feature expressions, AND the rollup must all agree with
+    the closed form for the hash to match. Scale: stage 1 is
+    embarrassingly parallel; stage 2 rides the same tasks (no
+    boundary); stage 3 is the only shuffle, 8 groups with map-side
+    combine."""
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches):
+        import pandas as pd
+
+        from ..llm.multimodal import _pdf_pages
+        from ..llm.pdf import extract_pdf_text, write_pdf
+
+        for pdf in batches:
+            ids, texts = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                data = write_pdf(
+                    _pdf_pages(d),
+                    compress=True,
+                    use_tj_array=(d % 3 == 1),
+                    use_tm=(d % 9 == 4),
+                    hex_strings=(d % 3 == 2),
+                    ascii85=(d % 5 == 0),
+                    encrypt_rc4=(d % 7 == 0 and d % 11 != 0 and d % 13 != 0),
+                    encrypt_aes=(d % 11 == 0 and d % 13 != 0),
+                    encrypt_aes256=(d % 13 == 0),
+                    xref_stream=(d % 4 == 1),
+                    objstm=(d % 4 == 3),
+                    font=[None, "winansi", "differences", "type0",
+                          "macroman", None][d % 6],
+                )
+                ids.append(d)
+                texts.append(extract_pdf_text(data))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "text": pd.Series(texts, dtype="object")}
+            )
+
+    extracted = docs.mapInPandas(extract, "doc_id bigint, text string")
+    feats = extracted.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(
+            "aggregate(regexp_extract_all(text, 'w([0-9])', 1),"
+            " 0L, (a, x) -> a + cast(x as bigint))"
+        ).alias("digit_sum"),
+    )
+    return feats.groupBy((F.col("doc_id") % 8).alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("digit_sum").alias("sum_digits"),
+    )
