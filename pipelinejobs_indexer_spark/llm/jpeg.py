@@ -239,10 +239,15 @@ def _decode_jpeg(data: bytes):
             p = body + 6
             for _ in range(nc):
                 cid, hv, tq_ = data[p], data[p + 1], data[p + 2]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq_}
-                )
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {ch}x{cv} outside 1..4"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq_})
                 p += 3
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("JPEG frame with zero dimension/components")
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
             if marker == 0xC2:

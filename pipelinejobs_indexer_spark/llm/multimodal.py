@@ -57,6 +57,7 @@ _MAGIC = [
     (b"PK\x03\x04", "application/zip"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"RIFF", "audio/wav"),
+    (b"\x1f\x8b", "application/gzip"),
 ]
 
 # printable-ASCII head test, shared by every sniffer (Python, Column, and
@@ -80,6 +81,12 @@ def sniff_mime(head: bytes) -> str:
     for magic, mime in _MAGIC:
         if head.startswith(magic):
             return mime
+    # tar's magic lives at offset 257 (ustar), outside a 16-byte head:
+    # full-content callers get the real answer, head-only callers the
+    # octet-stream fallback (consistent on BOTH engine and oracle sides,
+    # which share this function's window)
+    if len(head) >= 262 and head[257:262] == b"ustar":
+        return "application/x-tar"
     if all(b in _PRINTABLE_BYTES for b in head[:16]):
         return "text/plain"
     return "application/octet-stream"

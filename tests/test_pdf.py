@@ -309,9 +309,19 @@ def test_predictor_misalignment_rejected():
     bad = data.replace(b"/Predictor 12 /Columns 6", b"/Predictor 12 /Columns 7")
     with pytest.raises(ValueError, match="misaligned"):
         extract_pdf_text(bad)
-    with pytest.raises(NotImplementedError, match="TIFF"):
+    # TIFF predictor 2 is REAL now (round 9): applied to the xref
+    # stream it merely garbles the table, and the scan-based fallback
+    # still opens the document — the stale-xref robustness claim
+    assert extract_pdf_text(
+        data.replace(b"/Predictor 12 /Columns 6", b"/Predictor 2")
+    ) == "x"
+    # sub-8-bit components remain the documented refusal
+    with pytest.raises(NotImplementedError, match="sub-8-bit"):
         extract_pdf_text(
-            data.replace(b"/Predictor 12 /Columns 6", b"/Predictor 2")
+            data.replace(
+                b"/Predictor 12 /Columns 6",
+                b"/Predictor 2 /BitsPerComponent 4",
+            )
         )
 
 

@@ -64,7 +64,18 @@ def test_sniffer_on_real_fixture_bytes(spark):
         "austin.pdf": "application/pdf",
         "protein.png": "image/png",
         "ansible.yml": "text/plain",
+        "logs-bundle.tar.gz": "application/gzip",
+        # tar magic sits at offset 257 — outside the 16-byte head, so
+        # the head-sniff honestly falls back; full-content sniff below
+        "shard-000000.tar": "application/octet-stream",
     }
+    from pipelinejobs_indexer_spark.llm.multimodal import sniff_mime
+    from pipelinejobs_indexer_spark.operators.scans import _UPLOADS as _UP
+
+    import os
+
+    with open(os.path.join(_UP, "shard-000000.tar"), "rb") as f:
+        assert sniff_mime(f.read()) == "application/x-tar"
 
 
 # --- X5: hashids ---------------------------------------------------------
