@@ -41,6 +41,9 @@ SHOWCASE = {
     "llm_multimodal_pdf_images": "zero-exchange mapInPandas — PDF object graph, raster filters (DCT/LZW/RLE/Flate), and decryption all worker-side; only pixel-sum rows leave",
     "llm_multimodal_audio_codecs": "zero-exchange mapInPandas — G.711 expansion + IMA step-table walk worker-side, exact-integer feature rows out",
     "llm_dsir_select": "two-pass DSIR: doc×bucket combine → broadcast 512-row model join → TakeOrderedAndProject; the model itself is collected driver state",
+    "scan_webdataset": "one sequential read per shard tar; sample assembly is a shard-local groupBy with map-side partial aggregation",
+    "sink_webdataset": "one applyInPandas task per shard writing a real tar sequentially; only 4-column stats rows leave workers",
+    "pipeline_document_ingest": "decode (mapInPandas) → Catalyst feature expressions (WholeStageCodegen, no second UDF) → one 8-group rollup exchange",
     "llm_embedding_quantize": "pure projection over the embeddings scan",
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
