@@ -2072,8 +2072,12 @@ TIFF_SCHEMA = StructType(
         StructField("gray_h", LongType()),
         StructField("gray_sum", LongType()),
         StructField("rgb_sum", LongType()),
+        StructField("pal_sum", LongType()),
     ]
 )
+
+TIFF_PALETTE = [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+                for i in range(16)]
 
 
 def _tiff_gray(doc_id: int) -> list[list[int]]:
@@ -2100,7 +2104,7 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         out = {k: [] for k in (
-            "doc_id", "gray_w", "gray_h", "gray_sum", "rgb_sum",
+            "doc_id", "gray_w", "gray_h", "gray_sum", "rgb_sum", "pal_sum",
         )}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
@@ -2128,6 +2132,19 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ),
                 "image/tiff",
             )
+            # 4-bit palette-color image: indices are doc arithmetic,
+            # the ColorMap is the fixed closed-form TIFF_PALETTE
+            pal = decode_image(
+                write_tiff(
+                    [[(d + y * 8 + x) % 16 for x in range(8)]
+                     for y in range(8)],
+                    palette=TIFF_PALETTE,
+                    bits=4,
+                    compression=[32773, 1, 5, 8][d % 4],
+                    big_endian=(d // 5) % 2 == 0,
+                ),
+                "image/tiff",
+            )
             h, w, _nc, px = gray
             out["doc_id"].append(d)
             out["gray_w"].append(w)
@@ -2136,6 +2153,10 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             _h2, _w2, _nc2, px2 = rgb
             out["rgb_sum"].append(
                 sum(c for row in px2 for p in row for c in p)
+            )
+            _h3, _w3, _nc3, px3 = pal
+            out["pal_sum"].append(
+                sum(c for row in px3 for p in row for c in p)
             )
         yield pd.DataFrame(
             {k: pd.Series(v, dtype="int64") for k, v in out.items()}
@@ -2161,12 +2182,21 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              FROM (SELECT doc_id FROM documents) d,
                   generate_series(0, 3) AS x(x),
                   generate_series(0, 3) AS y(y)
+             GROUP BY d.doc_id),
+           pl AS (
+             SELECT d.doc_id,
+                    CAST(SUM(((d.doc_id + s.j) % 16 * 5) % 251
+                             + ((d.doc_id + s.j) % 16 * 7) % 251
+                             + ((d.doc_id + s.j) % 16 * 11) % 251)
+                         AS BIGINT) AS pal_sum
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 63) AS s(j)
              GROUP BY d.doc_id)
            SELECT g.doc_id,
                   CAST(8 AS BIGINT) AS gray_w,
                   CAST(8 AS BIGINT) AS gray_h,
-                  g.gray_sum, r.rgb_sum
-           FROM g JOIN r USING (doc_id)""",
+                  g.gray_sum, r.rgb_sum, pl.pal_sum
+           FROM g JOIN r USING (doc_id) JOIN pl USING (doc_id)""",
 )
 def llm_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5r: REAL baseline-TIFF decode (round 9, tiff.py) — the

@@ -64,13 +64,15 @@ real: RunLengthDecode (§7.4.5), LZWDecode (§7.4.4.2 TIFF variant,
 MSB-first 9→12-bit codes, EarlyChange, predictors shared with
 FlateDecode), and DCTDecode through the in-repo baseline JPEG decoder
 (jpeg.py), so a JPEG photo embedded the way real generators embed
-them comes back as pixels. Device color spaces (Gray/RGB/CMYK) at
-8 bits per component are in scope.
+them comes back as pixels. Device color spaces (Gray/RGB/CMYK) and
+[/Indexed base hival lookup] palettes (the lookup is FILE data — a
+string or stream — mapped into the base space, §8.6.6.3) at 8 bits
+per component are in scope.
 
 Out of honest scope (documented raises): custom (non-Standard)
 security handlers, unknown crypt filters, codec-class raster filters
-(CCITTFaxDecode/JBIG2Decode/JPXDecode), and sub-8-bit or
-indexed/ICC image formats raise NotImplementedError;
+(CCITTFaxDecode/JBIG2Decode/JPXDecode), and sub-8-bit or ICC/
+separation image formats raise NotImplementedError;
 structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
@@ -1371,13 +1373,66 @@ class _Document:
                     "outside the 8-bit sample scope"
                 )
             cs = self.resolve(info.get("/ColorSpace"))
-            ncomp = {"/DeviceGray": 1, "/DeviceRGB": 3, "/DeviceCMYK": 4}.get(cs)
-            if ncomp is None:
-                raise NotImplementedError(
-                    f"PDF image color space {cs!r} (indexed/ICC) is outside "
-                    "the device-space scope"
-                )
+            lookup = None
+            if (
+                isinstance(cs, list)
+                and len(cs) == 4
+                and self.resolve(cs[0]) == "/Indexed"
+            ):
+                # [/Indexed base hival lookup]: the palette is FILE data
+                # (§8.6.6.3) — a string or a stream of base-space samples
+                base = self.resolve(cs[1])
+                hival = self.resolve(cs[2])
+                base_n = {"/DeviceGray": 1, "/DeviceRGB": 3,
+                          "/DeviceCMYK": 4}.get(base)
+                if base_n is None:
+                    raise NotImplementedError(
+                        f"Indexed base space {base!r} outside device spaces"
+                    )
+                if not (isinstance(hival, int) and 0 <= hival <= 255):
+                    raise ValueError(f"bad Indexed hival {hival!r}")
+                lk = cs[3]
+                if isinstance(lk, tuple) and lk and lk[0] == "ref":
+                    resolved = self.resolve(lk)
+                    if isinstance(resolved, bytes):
+                        table = resolved
+                    else:
+                        table = self.stream_bytes((lk[1], lk[2]))
+                elif isinstance(lk, bytes):
+                    table = lk
+                else:
+                    raise ValueError("bad Indexed lookup entry")
+                if len(table) < (hival + 1) * base_n:
+                    raise ValueError(
+                        f"Indexed lookup has {len(table)} bytes for "
+                        f"{hival + 1} x {base_n} entries"
+                    )
+                lookup = (table, hival, base_n)
+                ncomp = base_n
+            else:
+                ncomp = {"/DeviceGray": 1, "/DeviceRGB": 3,
+                         "/DeviceCMYK": 4}.get(cs)
+                if ncomp is None:
+                    raise NotImplementedError(
+                        f"PDF image color space {cs!r} (ICC/separation) is "
+                        "outside the device-space scope"
+                    )
             samples = self.stream_bytes((ref[1], ref[2]))
+            if lookup is not None:
+                table, hival, base_n = lookup
+                if len(samples) != width * height:
+                    raise ValueError(
+                        f"PDF Indexed image {name}: {len(samples)} index "
+                        f"bytes for {width}x{height} geometry"
+                    )
+                mapped = bytearray()
+                for idx in samples:
+                    if idx > hival:
+                        raise ValueError(
+                            f"Indexed sample {idx} exceeds hival {hival}"
+                        )
+                    mapped += table[idx * base_n : (idx + 1) * base_n]
+                samples = bytes(mapped)
             if len(samples) != width * height * ncomp:
                 raise ValueError(
                     f"PDF image {name}: {len(samples)} sample bytes for "
@@ -2032,9 +2087,34 @@ def write_pdf(
             cspace = {1: "/DeviceGray", 3: "/DeviceRGB", 4: "/DeviceCMYK"}
             if ncomp not in cspace:
                 raise ValueError(f"bad image ncomp {ncomp}")
+            cs_entry = None
             if spec["kind"] == "jpeg":
                 body = spec["data"]
                 fl = " /Filter /DCTDecode"
+            elif spec["kind"] == "indexed":
+                # [/Indexed base hival <hex lookup>] with index samples
+                pal = spec["palette"]
+                base = spec.get("base", "/DeviceRGB")
+                bn = {"/DeviceGray": 1, "/DeviceRGB": 3,
+                      "/DeviceCMYK": 4}[base]
+                if len(pal) % bn:
+                    raise ValueError("palette length misaligned with base")
+                body = spec["indices"]
+                if len(body) != spec["width"] * spec["height"]:
+                    raise ValueError("indexed pixels do not match geometry")
+                if max(body) >= len(pal) // bn:
+                    raise ValueError("index exceeds palette size")
+                cs_entry = (
+                    f"[/Indexed {base} {len(pal) // bn - 1} <{pal.hex()}>]"
+                )
+                filt = spec.get("filter")
+                if filt == "flate":
+                    body = zlib.compress(body)
+                    fl = " /Filter /FlateDecode"
+                elif filt is None:
+                    fl = ""
+                else:
+                    raise ValueError(f"bad indexed filter {filt!r}")
             elif spec["kind"] == "raw":
                 body = spec["pixels"]
                 if len(body) != spec["width"] * spec["height"] * ncomp:
@@ -2059,7 +2139,8 @@ def write_pdf(
                 body = _enc_stream(body, num)
             head = (
                 f"<< /Type /XObject /Subtype /Image /Width {spec['width']} "
-                f"/Height {spec['height']} /ColorSpace {cspace[ncomp]} "
+                f"/Height {spec['height']} "
+                f"/ColorSpace {cs_entry or cspace[ncomp]} "
                 f"/BitsPerComponent 8 /Length {len(body)}{fl} >>"
             ).encode()
             got = add(head + b"\nstream\n" + body + b"\nendstream")

@@ -14,12 +14,16 @@ Scope: classic (non-Big) TIFF, II and MM byte orders, the first IFD;
 inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
 5 (LZW), 7 (new-style JPEG-in-TIFF — each strip a complete JPEG
 interchange stream through jpeg.py, baseline or progressive),
-8 (Adobe Deflate, zlib strips), 32773 (PackBits); Predictor 1/2; single or multiple strips
-(RowsPerStrip). Out of honest scope (documented raises): bilevel
-Group 3/4 fax compression (the T.4/T.6 run-length code tables are
-arbitrary published constants, not derivable — hand-recalling ~160
-codes would risk a self-consistent wrong codec), palette/planar/tiled
-layouts, sub-8-bit depths, BigTIFF.
+8 (Adobe Deflate, zlib strips), 32773 (PackBits); Predictor 1/2;
+single or multiple strips (RowsPerStrip); PhotometricInterpretation 3
+palette-color with 8-bit AND 4-bit indices (the ColorMap is FILE
+data — 3*2^bits 16-bit entries — so no unrecallable constants are
+involved; 4-bit rows unpack high-nibble-first with byte padding).
+Out of honest scope (documented raises): bilevel Group 3/4 fax
+compression (the T.4/T.6 run-length code tables are arbitrary
+published constants, not derivable — hand-recalling ~160 codes would
+risk a self-consistent wrong codec), separation/YCbCr photometrics,
+planar/tiled layouts, sub-8-bit non-palette depths, BigTIFF.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
 independently-written paths, the png.py/gif.py discipline; strip
@@ -51,6 +55,7 @@ TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PREDICTOR = 317
+TAG_COLORMAP = 320
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -178,11 +183,33 @@ def decode_tiff(data: bytes):
         raise ValueError("bad TIFF geometry")
     if width * height * spp > MAX_TEXT_BYTES:
         raise ValueError("TIFF pixel volume beyond the decode bound")
-    if any(b != 8 for b in bits):
+    palette = None
+    if photometric == 3:
+        # palette-color: indices into the ColorMap (TIFF 6.0 §5) — the
+        # palette is FILE data, 3*2^bits 16-bit entries (reds, greens,
+        # blues), scaled down to 8-bit here
+        if spp != 1:
+            raise ValueError("palette TIFF with SamplesPerPixel != 1")
+        if bits[0] not in (4, 8):
+            raise NotImplementedError(
+                f"{bits[0]}-bit palette indices (4/8 decode honestly)"
+            )
+        cmap = tags.get(TAG_COLORMAP)
+        if not cmap or len(cmap) != 3 * (1 << bits[0]):
+            raise ValueError(
+                f"palette TIFF ColorMap has {len(cmap or [])} entries, "
+                f"needs {3 * (1 << bits[0])}"
+            )
+        n = 1 << bits[0]
+        palette = [
+            (cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8)
+            for i in range(n)
+        ]
+    elif any(b != 8 for b in bits):
         raise NotImplementedError(
             f"{bits}-bit TIFF samples (only 8-bit decodes honestly)"
         )
-    if photometric in (0, 1):
+    elif photometric in (0, 1):
         if spp != 1:
             raise ValueError("grayscale TIFF with SamplesPerPixel != 1")
     elif photometric == 2:
@@ -193,7 +220,7 @@ def decode_tiff(data: bytes):
     else:
         raise NotImplementedError(
             f"TIFF PhotometricInterpretation {photometric} "
-            "(palette/separation) is out of scope"
+            "(separation/YCbCr) is out of scope"
         )
     if compression not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
@@ -207,7 +234,8 @@ def decode_tiff(data: bytes):
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
     rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
-    row_bytes = width * spp
+    bps = bits[0] if palette is not None else 8
+    row_bytes = (width * spp * bps + 7) // 8
     raw = bytearray()
     for si, (soff, scount) in enumerate(zip(offsets, counts)):
         strip = data[soff : soff + scount]
@@ -275,6 +303,19 @@ def decode_tiff(data: bytes):
     prev_invert = photometric == 0  # WhiteIsZero: invert to BlackIsZero
     for y in range(height):
         row = bytearray(raw[y * row_bytes : (y + 1) * row_bytes])
+        if palette is not None:
+            if bps == 4:
+                idxs = []
+                for b in row:
+                    idxs.append(b >> 4)
+                    idxs.append(b & 0x0F)
+                idxs = idxs[:width]  # odd widths pad the last byte
+            else:
+                if predictor == 2:
+                    _undiff(row, 1)
+                idxs = list(row[:width])
+            pixels.append([palette[i] for i in idxs])
+            continue
         if predictor == 2:
             _undiff(row, spp)
         if prev_invert:
@@ -285,7 +326,8 @@ def decode_tiff(data: bytes):
             pixels.append(
                 [tuple(row[x * 3 : x * 3 + 3]) for x in range(width)]
             )
-    return height, width, (1 if spp == 1 else 3), pixels
+    return height, width, (3 if palette is not None else
+                           (1 if spp == 1 else 3)), pixels
 
 
 def write_tiff(
@@ -297,21 +339,40 @@ def write_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     photometric: int | None = None,
+    palette: list | None = None,
+    bits: int = 8,
 ) -> bytes:
     """Assemble a baseline TIFF around row-list pixels (ints for gray,
     (r,g,b) tuples for RGB). Compression 1/5/32773, predictor 1/2,
     either byte order, optional multi-strip splitting."""
     height = len(pixels)
     width = len(pixels[0]) if height else 0
-    if spp == 1:
+    if palette is not None:
+        photometric = 3
+        spp = 1
+        if bits == 4:
+            flat = bytearray()
+            for row in pixels:
+                for i in range(0, width, 2):
+                    hi = row[i] << 4
+                    lo = row[i + 1] if i + 1 < width else 0
+                    flat.append(hi | lo)
+            flat = bytes(flat)
+            row_bytes = (width + 1) // 2
+        else:
+            flat = bytes(v for row in pixels for v in row)
+            row_bytes = width
+    elif spp == 1:
         flat = bytes(v for row in pixels for v in row)
+        row_bytes = width
     else:
         flat = bytes(c for row in pixels for px in row for c in px)
-    row_bytes = width * spp
+        row_bytes = width * spp
     if photometric is None:
         photometric = 1 if spp == 1 else 2
     if rows_per_strip is None:
         rows_per_strip = height
+    del bits  # palette depth is carried via the packing above
     bo = ">" if big_endian else "<"
     strips: list[bytes] = []
     for y0 in range(0, height, rows_per_strip):
@@ -343,9 +404,12 @@ def write_tiff(
     def long_(tag: int, *vals: int) -> None:
         entries.append((tag, 4, len(vals), struct.pack(f"{bo}{len(vals)}I", *vals)))
 
+    pal_bits = 8
+    if palette is not None and row_bytes != width:
+        pal_bits = 4
     short(TAG_WIDTH, width)
     short(TAG_HEIGHT, height)
-    short(TAG_BITS, *([8] * spp))
+    short(TAG_BITS, *([pal_bits if palette is not None else 8] * spp))
     short(TAG_COMPRESSION, compression)
     short(TAG_PHOTOMETRIC, photometric)
     long_(TAG_STRIP_OFFSETS, *([0] * len(strips)))  # patched below
@@ -354,6 +418,16 @@ def write_tiff(
     long_(TAG_STRIP_COUNTS, *(len(s) for s in strips))
     if predictor != 1:
         short(TAG_PREDICTOR, predictor)
+    if palette is not None:
+        n = 1 << pal_bits
+        if len(palette) != n:
+            raise ValueError(f"palette needs {n} entries")
+        cmap = (
+            [r << 8 for r, _g, _b in palette]
+            + [g << 8 for _r, g, _b in palette]
+            + [b << 8 for _r, _g, b in palette]
+        )
+        short(TAG_COLORMAP, *cmap)
     entries.sort()
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4

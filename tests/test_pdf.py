@@ -779,3 +779,45 @@ def test_mutation_robustness_images_fonts(seed, n_flips):
         assert sum(len(i["samples"]) for p in pages for i in p) <= MAX_TEXT_BYTES
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_indexed_image_colorspace():
+    """[/Indexed base hival lookup] image XObjects: the palette is FILE
+    data (a hex-string lookup), indices map through it into the base
+    space; out-of-range indices and short lookups are corruption; ICC
+    bases stay refusals."""
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    pal = bytes(
+        b for i in range(16) for b in ((i * 5) % 251, (i * 7) % 251,
+                                       (i * 11) % 251)
+    )
+    idx = bytes((3 * j) % 16 for j in range(64))
+    img = {"kind": "indexed", "indices": idx, "palette": pal,
+           "width": 8, "height": 8, "filter": "flate"}
+    want = b"".join(pal[i * 3 : (i + 1) * 3] for i in idx)
+    for kw in ({}, {"objstm": True}, {"encrypt_aes": True},
+               {"compress": False}, {"xref_stream": True},
+               {"encrypt_rc4": True, "objstm": True}):
+        out = extract_pdf_images(write_pdf([["x"]], images=[[img]], **kw))
+        assert out[0][0]["n_components"] == 3
+        assert out[0][0]["samples"] == want, kw
+    # gray base
+    img2 = {"kind": "indexed", "indices": idx, "palette": bytes(range(16)),
+            "width": 8, "height": 8, "base": "/DeviceGray", "filter": None}
+    out = extract_pdf_images(write_pdf([["x"]], images=[[img2]]))[0][0]
+    assert out["n_components"] == 1 and out["samples"] == idx
+    # index past hival is corruption
+    data = write_pdf([["x"]], images=[[dict(img, filter=None)]])
+    with pytest.raises(ValueError, match="hival"):
+        extract_pdf_images(data.replace(idx, bytes([255]) + idx[1:]))
+    # short lookup table is corruption
+    with pytest.raises(ValueError, match="lookup has"):
+        extract_pdf_images(
+            data.replace(b"/Indexed /DeviceRGB 15", b"/Indexed /DeviceRGB 99")
+        )
+    # ICC base stays a refusal
+    with pytest.raises(NotImplementedError, match="base space"):
+        extract_pdf_images(
+            data.replace(b"/Indexed /DeviceRGB ", b"/Indexed /ICCBased32 ")
+        )

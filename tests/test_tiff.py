@@ -83,10 +83,15 @@ def test_honest_refusal_scope():
     bad[at + 8] = 1
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_tiff(bytes(bad))
-    # palette photometric
+    # palette photometric is REAL now — but claiming it without a
+    # ColorMap is corruption
     bad = bytearray(data)
     at = data.index((262).to_bytes(2, "little"))
     bad[at + 8] = 3
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(bad))
+    # separation photometric stays a refusal
+    bad[at + 8] = 5
     with pytest.raises(NotImplementedError, match="Photometric"):
         decode_tiff(bytes(bad))
     # corrupt: not a TIFF at all
@@ -202,3 +207,35 @@ def test_jpeg_in_tiff():
     data2[cat + 8 : cat + 12] = struct.pack("<I", len(small))
     with pytest.raises(ValueError, match="geometry"):
         decode_tiff(bytes(data2))
+
+
+def test_palette_tiff():
+    """Photometric 3 palette-color: the ColorMap is file data (16-bit
+    triplets scaled to 8), with 8-bit indices and 4-bit packed indices
+    (high nibble first, odd widths byte-padded)."""
+    pal8 = [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+            for i in range(256)]
+    pal4 = pal8[:16]
+    idx8 = [[(x * 3 + y * 5) % 256 for x in range(9)] for y in range(5)]
+    idx4 = [[(x + y) % 16 for x in range(7)] for y in range(4)]
+    for be in (False, True):
+        for comp in (1, 5, 8, 32773):
+            h, w, nc, px = decode_tiff(
+                write_tiff(idx8, palette=pal8, compression=comp,
+                           big_endian=be)
+            )
+            assert nc == 3
+            assert px == [[pal8[i] for i in row] for row in idx8]
+            h, w, nc, px = decode_tiff(
+                write_tiff(idx4, palette=pal4, bits=4, compression=comp,
+                           big_endian=be)
+            )
+            assert (h, w) == (4, 7)
+            assert px == [[pal4[i] for i in row] for row in idx4]
+    # 2-bit palette indices stay a refusal
+    data = write_tiff(idx4, palette=pal4, bits=4)
+    at = data.index((258).to_bytes(2, "little"))
+    bad = bytearray(data)
+    bad[at + 8] = 2
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(bytes(bad))
