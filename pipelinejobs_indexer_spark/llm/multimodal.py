@@ -1384,6 +1384,13 @@ def _pdf_image_specs(doc_id: int) -> tuple[list[list[str]], list[list[dict]]]:
                     "height": 8,
                     "ncomp": 1,
                     "filter": raw_filter,
+                    # every 5th-ish doc carries the raw bitmap INLINE
+                    # (BI/ID/EI in the content stream, §8.9.7) instead
+                    # of as an XObject — same pixels, same oracle, a
+                    # different decode path on the driver hash (inline
+                    # supports flate/raw, so it composes with the d%4
+                    # filter cycle only on those)
+                    "inline": doc_id % 5 == 2 and raw_filter in ("flate", None),
                 },
             ]
         )

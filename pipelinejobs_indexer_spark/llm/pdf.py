@@ -1450,17 +1450,56 @@ class _Document:
         return out
 
 
+def _page_content(doc: "_Document", page: dict) -> bytes:
+    """Concatenated decoded /Contents streams of one page (streams are
+    token-delimited at joins per the spec)."""
+    raw_contents = page.get("/Contents")
+    if raw_contents is None:
+        return b""
+    if isinstance(raw_contents, tuple) and raw_contents[0] == "ref":
+        val = doc.resolve(raw_contents)
+        refs = val if isinstance(val, list) else [raw_contents]
+    elif isinstance(raw_contents, list):
+        refs = raw_contents
+    else:
+        raise ValueError("bad PDF /Contents entry")
+    body = bytearray()
+    for r in refs:
+        if not (isinstance(r, tuple) and r and r[0] == "ref"):
+            raise ValueError("PDF /Contents entry is not a stream ref")
+        body += doc.stream_bytes((r[1], r[2]))
+        body += b"\n"
+    return bytes(body)
+
+
 def extract_pdf_images(content: bytes) -> list[list[dict]]:
-    """Decoded image XObjects per page, in page-tree order — the image
-    half of corpus PDF ingest (the text half is extract_pdf_text). Each
-    page is a list of page_images() dicts. The total decoded sample
-    volume shares the MAX_TEXT_BYTES bound so a hostile PDF packed with
-    images cannot balloon executor memory."""
+    """Decoded images per page, in page-tree order — the image half of
+    corpus PDF ingest (the text half is extract_pdf_text): image
+    XObjects from /Resources AND inline BI/ID/EI images from the
+    content streams (§8.9.7 — how real generators embed small
+    bitmaps). Each page is a list of sample dicts. The total decoded
+    volume shares the MAX_TEXT_BYTES bound so a hostile PDF packed
+    with images cannot balloon executor memory."""
     doc = _Document(content)
     out: list[list[dict]] = []
     total = 0
     for page in doc.pages():
         imgs = doc.page_images(page)
+        k = 0
+        for kind, val in _tokenize_content(_page_content(doc, page)):
+            if kind != "inlimg":
+                continue
+            params, raw = val
+            imgs.append(
+                {
+                    "name": f"__inline{k}",
+                    "width": params["/W"],
+                    "height": params["/H"],
+                    "n_components": params["_ncomp"],
+                    "samples": raw,
+                }
+            )
+            k += 1
         total += sum(len(i["samples"]) for i in imgs)
         if total > MAX_TEXT_BYTES:
             raise ValueError(
@@ -1470,9 +1509,83 @@ def extract_pdf_images(content: bytes) -> list[list[dict]]:
     return out
 
 
+_INLINE_CS = {"/G": 1, "/DeviceGray": 1, "/RGB": 3, "/DeviceRGB": 3,
+              "/CMYK": 4, "/DeviceCMYK": 4}
+
+
+def _parse_inline_image(lex: "_Lexer") -> tuple[dict, bytes]:
+    """BI ... ID <raw> EI (§8.9.7): key/value pairs with the
+    abbreviated names, then raw sample data whose extent is computed
+    (uncompressed) or discovered by the zlib stream's own end (/Fl).
+    Returns (params, decoded samples)."""
+    d = lex.data
+    params: dict = {}
+    while True:
+        lex._skip_ws()
+        if d.startswith(b"ID", lex.pos):
+            lex.pos += 2
+            break
+        if lex.pos >= len(d):
+            raise ValueError("inline image missing ID")
+        key = lex._parse_name()
+        params[key] = lex.parse()
+    if lex.pos < len(d) and d[lex.pos] in _WS:
+        lex.pos += 1  # exactly one whitespace after ID
+    w = params.get("/W", params.get("/Width"))
+    h = params.get("/H", params.get("/Height"))
+    bpc = params.get("/BPC", params.get("/BitsPerComponent", 8))
+    cs = params.get("/CS", params.get("/ColorSpace", "/G"))
+    filt = params.get("/F", params.get("/Filter"))
+    if not all(isinstance(x, int) and 0 < x <= 1 << 12 for x in (w, h)):
+        raise ValueError(f"bad inline image geometry {w!r}x{h!r}")
+    if bpc != 8:
+        raise NotImplementedError(
+            f"{bpc}-bit inline image components (8-bit decodes honestly)"
+        )
+    ncomp = _INLINE_CS.get(cs)
+    if ncomp is None:
+        raise NotImplementedError(
+            f"inline image color space {cs!r} outside the device spaces"
+        )
+    need = w * h * ncomp
+    if need > MAX_TEXT_BYTES:
+        raise ValueError("inline image exceeds the decode bound")
+    if filt in ("/Fl", "/FlateDecode"):
+        dec = zlib.decompressobj()
+        try:
+            raw = dec.decompress(d[lex.pos :], need + 1)
+        except zlib.error as exc:
+            raise ValueError(f"bad inline image Flate data: {exc}") from None
+        if not dec.eof:
+            raise ValueError("inline image Flate stream did not terminate")
+        consumed = len(d) - lex.pos - len(dec.unused_data)
+        lex.pos += consumed
+    elif filt is None:
+        raw = d[lex.pos : lex.pos + need]
+        lex.pos += need
+    else:
+        raise NotImplementedError(
+            f"inline image filter {filt!r} (only /Fl and raw decode here; "
+            "big images belong in XObjects)"
+        )
+    if len(raw) != need:
+        raise ValueError(
+            f"inline image has {len(raw)} sample bytes for "
+            f"{w}x{h}x{ncomp} geometry"
+        )
+    lex._skip_ws()
+    if not d.startswith(b"EI", lex.pos):
+        raise ValueError("inline image missing EI terminator")
+    lex.pos += 2
+    params["/W"], params["/H"] = w, h
+    params["_ncomp"] = ncomp
+    return params, raw
+
+
 def _tokenize_content(data: bytes):
     """Yield ('str', bytes) / ('num', float) / ('op', name) /
-    ('arr', list) tokens from a content stream."""
+    ('arr', list) / ('inlimg', (params, samples)) tokens from a
+    content stream."""
     lex = _Lexer(data)
     d = data
     while True:
@@ -1499,7 +1612,13 @@ def _tokenize_content(data: bytes):
                     f"unparsable PDF content token {d[lex.pos:lex.pos + 8]!r}"
                 )
             lex.pos += m.end()
-            yield ("op", m.group(0).decode("latin-1"))
+            op = m.group(0).decode("latin-1")
+            if op == "BI":
+                # raw sample bytes follow — they MUST be consumed here
+                # or they would shred the token stream
+                yield ("inlimg", _parse_inline_image(lex))
+            else:
+                yield ("op", op)
 
 
 # --------------------------------------------------------- font encodings
@@ -1725,24 +1844,10 @@ def extract_pdf_text(content: bytes) -> str:
     pages_text: list[str] = []
     total = 0
     for page in doc.pages():
-        raw_contents = page.get("/Contents")
-        if raw_contents is None:
+        if page.get("/Contents") is None:
             pages_text.append("")
             continue
-        if isinstance(raw_contents, tuple) and raw_contents[0] == "ref":
-            # a single stream ref, or an indirect ref to an array of them
-            val = doc.resolve(raw_contents)
-            refs = val if isinstance(val, list) else [raw_contents]
-        elif isinstance(raw_contents, list):
-            refs = raw_contents
-        else:
-            raise ValueError("bad PDF /Contents entry")
-        body = bytearray()
-        for r in refs:
-            if not (isinstance(r, tuple) and r and r[0] == "ref"):
-                raise ValueError("PDF /Contents entry is not a stream ref")
-            body += doc.stream_bytes((r[1], r[2]))
-            body += b"\n"  # streams are token-delimited at joins (spec)
+        body = _page_content(doc, page)
         total += len(body)
         if total > MAX_TEXT_BYTES:
             raise ValueError(
@@ -1961,13 +2066,16 @@ def write_pdf(
     if images is not None and len(images) != n_pages:
         raise ValueError("images must have one (possibly empty) list per page")
     img_specs = images if images is not None else [[] for _ in range(n_pages)]
-    img_names: list[list[tuple[str, int]]] = []
+    img_names: list[list[tuple[str, int] | None]] = []
     _gi = 0
     for _per_page in img_specs:
-        _row = []
-        for _ in _per_page:
-            _row.append((f"Im{_gi}", 3 + 2 * n_pages + _gi))
-            _gi += 1
+        _row: list[tuple[str, int] | None] = []
+        for _spec in _per_page:
+            if _spec.get("inline"):
+                _row.append(None)  # BI/ID/EI in the content stream
+            else:
+                _row.append((f"Im{_gi}", 3 + 2 * n_pages + _gi))
+                _gi += 1
         img_names.append(_row)
     # font objects follow the images; the encoder turns line text into
     # string bytes per the selected mode
@@ -2013,8 +2121,9 @@ def write_pdf(
     for i, lines in enumerate(pages):
         content_num = 4 + 2 * i
         res_parts = []
-        if img_names[i]:
-            xo = " ".join(f"/{nm} {num} 0 R" for nm, num in img_names[i])
+        xobj_refs = [e for e in img_names[i] if e is not None]
+        if xobj_refs:
+            xo = " ".join(f"/{nm} {num} 0 R" for nm, num in xobj_refs)
             res_parts.append(f"/XObject << {xo} >>")
         if font_res:
             res_parts.append(font_res)
@@ -2054,8 +2163,33 @@ def write_pdf(
             else:
                 ops.append(b"(" + _escape_string(raw) + b") Tj")
         ops.append(b"ET")
-        for k, (nm, _num) in enumerate(img_names[i]):
+        for k, entry in enumerate(img_names[i]):
             spec = img_specs[i][k]
+            if entry is None:
+                # inline image (§8.9.7): abbreviated keys, one
+                # whitespace after ID, raw or /Fl sample data
+                body = spec["pixels"]
+                csname = {1: "/G", 3: "/RGB", 4: "/CMYK"}[
+                    spec.get("ncomp", 1)
+                ]
+                if spec.get("filter") == "flate":
+                    body = zlib.compress(body)
+                    fdecl = b" /F /Fl"
+                elif spec.get("filter") is None:
+                    fdecl = b""
+                else:
+                    raise ValueError("inline images take flate or None")
+                ops.append(
+                    f"q {spec['width'] * 4} 0 0 {spec['height'] * 4} "
+                    f"{60 + 90 * k} 80 cm".encode()
+                )
+                ops.append(
+                    f"BI /W {spec['width']} /H {spec['height']} /BPC 8 "
+                    f"/CS {csname}".encode()
+                    + fdecl + b" ID " + body + b" EI Q"
+                )
+                continue
+            nm, _num = entry
             ops.append(
                 f"q {spec['width'] * 4} 0 0 {spec['height'] * 4} "
                 f"{60 + 90 * k} 80 cm /{nm} Do Q".encode()
@@ -2082,6 +2216,8 @@ def write_pdf(
         add(head + b"\nstream\n" + stream + b"\nendstream")
     for i, per_page in enumerate(img_specs):
         for k, spec in enumerate(per_page):
+            if img_names[i][k] is None:
+                continue  # inline: already emitted in the content stream
             _nm, num = img_names[i][k]
             ncomp = spec.get("ncomp", 1)
             cspace = {1: "/DeviceGray", 3: "/DeviceRGB", 4: "/DeviceCMYK"}

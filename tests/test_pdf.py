@@ -821,3 +821,44 @@ def test_indexed_image_colorspace():
         extract_pdf_images(
             data.replace(b"/Indexed /DeviceRGB ", b"/Indexed /ICCBased32 ")
         )
+
+
+def test_inline_images():
+    """BI/ID/EI inline images (§8.9.7): raw sample bytes inside the
+    content stream must not shred the tokenizer; abbreviated keys,
+    computed extents (raw) and self-terminating zlib (/Fl) both decode;
+    text around them survives; error classes are loud."""
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    gray = bytes((i * 7 + 3) % 251 for i in range(64))
+    rgbpx = bytes((i * 3 + 1) % 251 for i in range(4 * 4 * 3))
+    imgs = [[
+        {"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+         "ncomp": 1, "filter": "flate", "inline": True},
+        {"kind": "raw", "pixels": gray, "width": 8, "height": 8,
+         "ncomp": 1, "filter": "rle"},
+        {"kind": "raw", "pixels": rgbpx, "width": 4, "height": 4,
+         "ncomp": 3, "filter": None, "inline": True},
+    ]]
+    for kw in ({}, {"compress": False}, {"encrypt_aes": True},
+               {"objstm": True}, {"use_tj_array": True}, {"ascii85": True},
+               {"font": "type0"}):
+        data = write_pdf([["hello world", "line two"]], images=imgs, **kw)
+        assert extract_pdf_text(data) == "hello world\nline two", kw
+        byname = {i["name"]: i for i in extract_pdf_images(data)[0]}
+        assert byname["__inline0"]["samples"] == gray, kw
+        assert byname["__inline1"]["samples"] == rgbpx, kw
+        assert byname["__inline1"]["n_components"] == 3, kw
+        assert byname["/Im0"]["samples"] == gray, kw
+    # error classes: missing EI, bad geometry, unsupported filter
+    data = write_pdf([["x"]], images=[[dict(imgs[0][2])]], compress=False)
+    with pytest.raises(ValueError, match="EI"):
+        extract_pdf_images(data.replace(b" EI Q", b" EQ Q"))
+    with pytest.raises(ValueError, match="geometry"):
+        extract_pdf_images(data.replace(b"/W 4 /H 4", b"/W 0 /H 4"))
+    with pytest.raises(NotImplementedError, match="filter"):
+        extract_pdf_images(
+            data.replace(b"/CS /RGB ID", b"/CS /RGB /F /AHx ID")
+        )
+    with pytest.raises(NotImplementedError, match="color space"):
+        extract_pdf_images(data.replace(b"/CS /RGB", b"/CS /Lab"))
