@@ -2796,3 +2796,67 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(DSIR_TOP_K)
+
+
+# ------------------------------------ L4m tokenizer fertility by stratum
+def _fertility_sql(k_merges: int = BPE_MERGES) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_cte_parts(k_merges, through=k_merges))
+        + f"""
+         SELECT t.lang,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(trim(w.s), ' '))) AS BIGINT)
+                  AS n_tokens,
+                CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+                CAST(sum(len(string_split(trim(w.s), ' '))) * 1000
+                     // count(*) AS BIGINT) AS fertility_milli
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+               FROM documents) t
+         JOIN w{k_merges} w USING (word)
+         GROUP BY t.lang"""
+    )
+
+
+@register("llm_tokenizer_fertility", sql=_fertility_sql())
+def llm_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str, k_merges: int = BPE_MERGES
+) -> DataFrame:
+    """L4m: tokenizer fertility audit — BPE tokens per word by language
+    stratum, THE metric a tokenizer review reads first (a lang whose
+    fertility is 2x another's pays 2x the context budget for the same
+    text, the classic multilingual-tokenizer equity problem). Composes
+    the learned tokenizer (L4j) over the corpus exactly like L4j2 but
+    aggregates per LANG: words, subword tokens, characters, and
+    fertility in exact milli-units (integer floor division — the
+    repo's exact-integer oracle discipline; the true ratio is
+    n_tokens/n_words to any precision downstream).
+
+    Plan: the merge loop runs once on vocab-sized data (_bpe_learn),
+    the corpus is exploded once and equi-joined to the broadcast
+    word→segmentation table, and the rollup is a tiny per-lang
+    combiner aggregate — at 100 TB the join is the only corpus-sized
+    stage and it carries no shuffle (broadcast dimension)."""
+    _, w_final = _bpe_learn(spark, sf_dir, k_merges)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    seg = w_final.select(
+        "word",
+        F.expr("size(split(trim(s), ' '))").cast("long").alias("n_sub"),
+    )
+    return (
+        tokens.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            # integer DIV, not float /: a double that lands a hair
+            # under the exact ratio would truncate one off the oracle
+            F.expr("sum(n_sub) * 1000L div count(*)")
+            .cast("bigint")
+            .alias("fertility_milli"),
+        )
+    )

@@ -755,11 +755,18 @@ def test_mutation_robustness_images_fonts(seed, n_flips):
 
     rng = random.Random(seed)
     gray = bytes((i * 7 + 3) % 251 for i in range(64))
+    pal = bytes(b for i in range(16)
+                for b in ((i * 5) % 251, (i * 7) % 251, (i * 11) % 251))
     imgs = [[
         {"kind": "jpeg", "data": synth_dc_jpeg([[5, -3, 2, 9]], 16, 16, q=16),
          "width": 16, "height": 16, "ncomp": 1},
         {"kind": "raw", "pixels": gray, "width": 8, "height": 8, "ncomp": 1,
          "filter": ["flate", "rle", "lzw", None][seed % 4]},
+        {"kind": "raw", "pixels": gray, "width": 8, "height": 8, "ncomp": 1,
+         "filter": ["flate", None][seed % 2], "inline": True},
+        {"kind": "indexed", "indices": bytes(j % 16 for j in range(64)),
+         "palette": pal, "width": 8, "height": 8,
+         "filter": ["flate", None][seed % 2]},
     ]]
     data = bytearray(write_pdf(
         [["hello world", "line"]],
