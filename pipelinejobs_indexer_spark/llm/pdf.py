@@ -1410,6 +1410,10 @@ class _Document:
                 lookup = (table, hival, base_n)
                 ncomp = base_n
             else:
+                if not isinstance(cs, str):
+                    # an array that is not a well-formed /Indexed entry
+                    # (fuzz-found: corrupt hival/lookup shapes)
+                    raise ValueError(f"malformed PDF /ColorSpace array {cs!r}")
                 ncomp = {"/DeviceGray": 1, "/DeviceRGB": 3,
                          "/DeviceCMYK": 4}.get(cs)
                 if ncomp is None:
