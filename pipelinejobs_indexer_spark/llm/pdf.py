@@ -1487,13 +1487,26 @@ def extract_pdf_images(content: bytes) -> list[list[dict]]:
     doc = _Document(content)
     out: list[list[dict]] = []
     total = 0
+
+    def bump(n: int) -> None:
+        nonlocal total
+        total += n
+        if total > MAX_TEXT_BYTES:
+            raise ValueError(
+                f"PDF image samples exceed the {MAX_TEXT_BYTES}-byte bound"
+            )
+
     for page in doc.pages():
         imgs = doc.page_images(page)
+        bump(sum(len(i["samples"]) for i in imgs))
         k = 0
         for kind, val in _tokenize_content(_page_content(doc, page)):
             if kind != "inlimg":
                 continue
             params, raw = val
+            # bound INSIDE the loop: many small /Fl bombs must trip the
+            # cap before they accumulate, not after the page finishes
+            bump(len(raw))
             imgs.append(
                 {
                     "name": f"__inline{k}",
@@ -1504,11 +1517,6 @@ def extract_pdf_images(content: bytes) -> list[list[dict]]:
                 }
             )
             k += 1
-        total += sum(len(i["samples"]) for i in imgs)
-        if total > MAX_TEXT_BYTES:
-            raise ValueError(
-                f"PDF image samples exceed the {MAX_TEXT_BYTES}-byte bound"
-            )
         out.append(imgs)
     return out
 
