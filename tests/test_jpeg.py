@@ -642,3 +642,105 @@ def test_progressive_error_classes():
     # the contract — never wrong pixels, never a crash)
     with pytest.raises(ValueError):
         decode_jpeg(data[:-6] + b"\xff\xd9")
+
+
+def test_progressive_ac_refinement_zrl_and_eobrun():
+    """The two hairiest AC-refinement paths, hand-assembled: ZRL inside
+    a refinement scan (skip 16 ZERO-HISTORY positions while emitting
+    correction bits for nonzeros passed), a run-length symbol whose
+    walk crosses a nonzero-history coefficient (correction bit mid-run,
+    placement after), and an EOB run covering MULTIPLE blocks whose
+    remaining in-band nonzeros get refined. Expected pixels from the
+    coefficient matrix directly."""
+    import struct as _struct
+
+    from pipelinejobs_indexer_spark.llm.jpeg import (
+        _BitWriter,
+        _idct_block,
+        _inverse_huffman,
+    )
+
+    q = 16
+    qtab = b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([q] * 64)
+    # 24x8 grayscale: three blocks in raster order
+    sof = (
+        b"\xff\xc2" + _struct.pack(">H", 11)
+        + _struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    )
+    dc_bits = [0] * 16
+    dc_bits[7] = 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0x01, 0x10, 0xC1, 0xF0]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    dht = (
+        b"\xff\xc4"
+        + _struct.pack(">H", 2 + (17 + 12) + (17 + len(ac_syms)))
+        + bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    dcc = _inverse_huffman(dc_bits, dc_syms)
+    acc = _inverse_huffman(ac_bits, ac_syms)
+
+    def sos(ss, se, ah, al):
+        return (
+            b"\xff\xda" + _struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    def wsym(bw, sym):
+        ln, code = acc[sym]
+        bw.write(code, ln)
+
+    out = bytearray(b"\xff\xd8" + qtab + sof + dht)
+    # scan 1: DC first Al=0, dcs 4, 8, -4 (diffs 4, 4, -12)
+    out += sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    for diff in (4, 4, -12):
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        ln, code = dcc[t]
+        bw.write(code, ln)
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+    # scan 2: AC first Ss=1..63 Al=1 — block0 gets +1@k1 and -1@k30
+    # (coef values 2 and -2 after the Al shift), blocks 1-2 an EOB run
+    bw = _BitWriter()
+    out += sos(1, 63, 0, 1)
+    wsym(bw, 0x01)           # r=0, s=1 at k=1
+    bw.write(1, 1)           # +1
+    wsym(bw, 0xF0)           # ZRL: 16 zeros (k=2..17)
+    wsym(bw, 0xC1)           # r=12, s=1: 12 more zeros (k=18..29), k=30
+    bw.write(0, 1)           # -1
+    wsym(bw, 0x00)           # EOB for block 0
+    wsym(bw, 0x10)           # EOBn r=1 for blocks 1-2
+    bw.write(0, 1)           # extra bit: eobrun = 2
+    out += bw.flush()
+    # scan 3: AC refinement Ah=1 Al=0
+    bw = _BitWriter()
+    out += sos(1, 63, 1, 0)
+    wsym(bw, 0xF0)           # ZRL in refinement
+    bw.write(1, 1)           # correction for k=1: 2 -> 3
+    # r=12: zero-history positions k=18..29 (11 decrements + the break
+    # slot is NOT how refinement counts — the placement slot is the
+    # (r+1)-th zero-history coef, so 12 skips land placement at k=31
+    # after the nonzero k=30 is passed with a correction bit)
+    wsym(bw, 0xC1)           # r=12, s=1
+    bw.write(1, 1)           # sign: newval = +1
+    bw.write(0, 1)           # correction for k=30 passed mid-run: stays -2
+    wsym(bw, 0x00)           # EOB (run of 1) for block 0
+    wsym(bw, 0x10)           # EOBn r=1: blocks 1-2 refined by the run
+    bw.write(0, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    h, w, nc, px = decode_jpeg(bytes(out))
+    assert (h, w, nc) == (8, 24, 1)
+    want_blocks = []
+    for dc, extra in ((4, {1: 3, 30: -2, 31: 1}), (8, {}), (-4, {})):
+        coef = [0] * 64
+        coef[0] = dc * q
+        for k, v in extra.items():
+            coef[ZIGZAG[k]] = v * q
+        want_blocks.append(_idct_block(coef))
+    for b, want in enumerate(want_blocks):
+        got = [px[y][b * 8 + x] for y in range(8) for x in range(8)]
+        assert got == want, b
