@@ -2136,6 +2136,8 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     compression=[5, 32773, 1, 8][d % 4],
                     predictor=1 + (d // 3) % 2,
                     big_endian=d % 2 == 0,
+                    # every 6th-ish doc ships the RGB image as BigTIFF
+                    big=(d % 6 == 1),
                 ),
                 "image/tiff",
             )

@@ -9,7 +9,9 @@ PackBits (TIFF 6.0 §9: the Apple run-length scheme, NOT the PDF
 RunLengthDecode — 128 is a no-op here, not EOD), and the horizontal
 differencing predictor (tag 317 = 2) is a per-row prefix sum.
 
-Scope: classic (non-Big) TIFF, II and MM byte orders, the first IFD;
+Scope: classic TIFF AND BigTIFF (magic 43: 8-byte offsets, 20-byte
+IFD entries, LONG8 fields — the container modern large scans ship
+in), II and MM byte orders, the first IFD;
 8-bit samples, PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
 inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
 5 (LZW), 7 (new-style JPEG-in-TIFF — each strip a complete JPEG
@@ -23,7 +25,7 @@ Out of honest scope (documented raises): bilevel Group 3/4 fax
 compression (the T.4/T.6 run-length code tables are arbitrary
 published constants, not derivable — hand-recalling ~160 codes would
 risk a self-consistent wrong codec), separation/YCbCr photometrics,
-planar/tiled layouts, sub-8-bit non-palette depths, BigTIFF.
+planar/tiled layouts, sub-8-bit non-palette depths.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
 independently-written paths, the png.py/gif.py discipline; strip
@@ -57,7 +59,7 @@ TAG_STRIP_COUNTS = 279
 TAG_PREDICTOR = 317
 TAG_COLORMAP = 320
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}  # + LONG8 (BigTIFF)
 
 
 def packbits_decode(data: bytes, expected: int) -> bytes:
@@ -132,33 +134,57 @@ def decode_tiff(data: bytes):
     if len(data) < 8 or data[:2] not in (II, MM):
         raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
     bo = "<" if data[:2] == II else ">"
-    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
     if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) is out of scope")
-    if magic != 42:
+        # BigTIFF: 8-byte offsets throughout (the container modern
+        # large scans ship in); the tag grammar is otherwise identical
+        offsize, pad = struct.unpack_from(bo + "HH", data, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError(
+                f"bad BigTIFF offset size {offsize}/pad {pad}"
+            )
+        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+        big = True
+    elif magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        big = False
+    else:
         raise ValueError(f"bad TIFF magic {magic}")
-    if ifd_off + 2 > len(data):
+    cnt_size, entry_size, inline = (8, 20, 8) if big else (2, 12, 4)
+    if ifd_off + cnt_size > len(data):
         raise ValueError("TIFF IFD offset beyond the file")
-    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    (n_entries,) = struct.unpack_from(
+        bo + ("Q" if big else "H"), data, ifd_off
+    )
+    if n_entries > 4096:
+        raise ValueError(f"implausible TIFF IFD entry count {n_entries}")
     tags: dict[int, list[int]] = {}
     for k in range(n_entries):
-        off = ifd_off + 2 + 12 * k
-        if off + 12 > len(data):
+        off = ifd_off + cnt_size + entry_size * k
+        if off + entry_size > len(data):
             raise ValueError("truncated TIFF IFD")
-        tag, typ, count = struct.unpack_from(bo + "HHI", data, off)
+        tag, typ = struct.unpack_from(bo + "HH", data, off)
+        (count,) = struct.unpack_from(
+            bo + ("Q" if big else "I"), data, off + 4
+        )
         if typ not in _TYPE_SIZES:
             continue  # unknown field types are skippable per spec
+        if count > 1 << 20:
+            raise ValueError(f"implausible TIFF tag {tag} count {count}")
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
-            voff = off + 8
+        vpos = off + entry_size - inline
+        if size <= inline:
+            voff = vpos
         else:
-            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+            (voff,) = struct.unpack_from(
+                bo + ("Q" if big else "I"), data, vpos
+            )
             if voff + size > len(data):
                 raise ValueError(f"TIFF tag {tag} value beyond the file")
         if typ == 3:
             vals = list(struct.unpack_from(f"{bo}{count}H", data, voff))
-        elif typ in (1, 4):
-            fmt = "B" if typ == 1 else "I"
+        elif typ in (1, 4, 16):
+            fmt = {1: "B", 4: "I", 16: "Q"}[typ]
             vals = list(struct.unpack_from(f"{bo}{count}{fmt}", data, voff))
         else:
             vals = []
@@ -341,6 +367,7 @@ def write_tiff(
     photometric: int | None = None,
     palette: list | None = None,
     bits: int = 8,
+    big: bool = False,
 ) -> bytes:
     """Assemble a baseline TIFF around row-list pixels (ints for gray,
     (r,g,b) tuples for RGB). Compression 1/5/32773, predictor 1/2,
@@ -396,6 +423,7 @@ def write_tiff(
             raise ValueError(f"bad compression {compression}")
         strips.append(body)
     # layout: header, IFD, tag-value arrays, strip data
+    cnt_size, entry_size, inline = (8, 20, 8) if big else (2, 12, 4)
     entries: list[tuple[int, int, int, bytes | int]] = []
 
     def short(tag: int, *vals: int) -> None:
@@ -429,22 +457,23 @@ def write_tiff(
         )
         short(TAG_COLORMAP, *cmap)
     entries.sort()
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    ifd_off = 16 if big else 8
+    ifd_size = cnt_size + entry_size * len(entries) + (8 if big else 4)
     ext_off = ifd_off + ifd_size
     ext = bytearray()
     fixed: list[bytes] = []
     strip_off_at = None
     for tag, typ, count, payload in entries:
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
-            val = bytes(payload) + bytes(4 - size)
+        if size <= inline:
+            val = bytes(payload) + bytes(inline - size)
         else:
             if tag == TAG_STRIP_OFFSETS:
                 strip_off_at = ext_off + len(ext)
-            val = struct.pack(bo + "I", ext_off + len(ext))
+            val = struct.pack(bo + ("Q" if big else "I"), ext_off + len(ext))
             ext += payload
-        fixed.append(struct.pack(bo + "HHI", tag, typ, count) + val)
+        head_fmt = bo + ("HHQ" if big else "HHI")
+        fixed.append(struct.pack(head_fmt, tag, typ, count) + val)
     data_off = ext_off + len(ext)
     offs = []
     pos = data_off
@@ -455,19 +484,31 @@ def write_tiff(
     if strip_off_at is None:
         for k, (tag, typ, count, _payload) in enumerate(entries):
             if tag == TAG_STRIP_OFFSETS:
+                # LONG values sit LEFT-JUSTIFIED in the inline field
+                # regardless of the container's offset width (packing
+                # as Q would zero a big-endian read) — and BigTIFF's
+                # 8-byte field holds TWO inline LONGs
                 fixed[k] = (
-                    struct.pack(bo + "HHI", tag, typ, count)
-                    + struct.pack(bo + "I", offs[0])
+                    struct.pack(bo + ("HHQ" if big else "HHI"),
+                                tag, typ, count)
+                    + struct.pack(f"{bo}{len(offs)}I", *offs)
+                    + bytes(inline - 4 * len(offs))
                 )
     else:
         ext[strip_off_at - ext_off : strip_off_at - ext_off + 4 * len(offs)] = (
             struct.pack(f"{bo}{len(offs)}I", *offs)
         )
     out = bytearray()
-    out += (MM if big_endian else II) + struct.pack(bo + "HI", 42, ifd_off)
-    out += struct.pack(bo + "H", len(entries))
+    if big:
+        out += (MM if big_endian else II) + struct.pack(
+            bo + "HHHQ", 43, 8, 0, ifd_off
+        )
+        out += struct.pack(bo + "Q", len(entries))
+    else:
+        out += (MM if big_endian else II) + struct.pack(bo + "HI", 42, ifd_off)
+        out += struct.pack(bo + "H", len(entries))
     out += b"".join(fixed)
-    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += struct.pack(bo + ("Q" if big else "I"), 0)  # no next IFD
     out += ext
     for s in strips:
         out += s

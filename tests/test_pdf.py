@@ -869,3 +869,22 @@ def test_inline_images():
         )
     with pytest.raises(NotImplementedError, match="color space"):
         extract_pdf_images(data.replace(b"/CS /RGB", b"/CS /Lab"))
+
+
+def test_progressive_jpeg_inside_pdf():
+    """Cross-layer: a PROGRESSIVE JPEG under /Filter /DCTDecode — the
+    decoder upgrade propagates through the PDF image path without any
+    plumbing changes (and through encrypted/ObjStm containers)."""
+    from pipelinejobs_indexer_spark.llm.jpeg import synth_progressive_jpeg
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    dcs = [5, -10, 3, 7]
+    jpg = synth_progressive_jpeg([(d, 1, 0) for d in dcs], 16, 16,
+                                 q=16, refine_dc=True)
+    img = {"kind": "jpeg", "data": jpg, "width": 16, "height": 16,
+           "ncomp": 1}
+    for kw in ({}, {"encrypt_aes256": True, "objstm": True}):
+        out = extract_pdf_images(write_pdf([["x"]], images=[[img]], **kw))
+        assert sum(out[0][0]["samples"]) == 64 * sum(
+            2 * d + 128 for d in dcs
+        ), kw

@@ -74,8 +74,9 @@ def test_honest_refusal_scope():
     bad[at + 8] = 4
     with pytest.raises(NotImplementedError, match="fax"):
         decode_tiff(bytes(bad))
-    # BigTIFF magic
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
+    # BigTIFF is REAL now — but a classic body grafted behind a
+    # BigTIFF magic has a malformed offset-size header
+    with pytest.raises(ValueError, match="BigTIFF|offset size|IFD"):
         decode_tiff(b"II\x2b\x00" + data[4:])
     # sub-8-bit samples
     bad = bytearray(data)
@@ -239,3 +240,30 @@ def test_palette_tiff():
     bad[at + 8] = 2
     with pytest.raises(NotImplementedError, match="palette"):
         decode_tiff(bytes(bad))
+
+
+def test_bigtiff_roundtrip():
+    """BigTIFF (magic 43): 8-byte offsets, 20-byte IFD entries, inline
+    fields holding up to two LONGs — every codec x endianness x strip
+    split again under the big container."""
+    pal4 = [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+            for i in range(16)]
+    idx4 = [[(x + y) % 16 for x in range(7)] for y in range(4)]
+    for be in (False, True):
+        for comp in (1, 5, 8, 32773):
+            for rps in (None, 2):
+                d = write_tiff(GRAY, compression=comp, big_endian=be,
+                               big=True, rows_per_strip=rps)
+                assert d[2:4] in (b"\x2b\x00", b"\x00\x2b")
+                assert decode_tiff(d)[3] == GRAY, (be, comp, rps)
+                d = write_tiff(idx4, palette=pal4, bits=4, compression=comp,
+                               big_endian=be, big=True, rows_per_strip=rps)
+                assert decode_tiff(d)[3] == [
+                    [pal4[i] for i in r] for r in idx4
+                ], (be, comp, rps)
+    # implausible entry counts are loud, not allocation bombs
+    import struct
+
+    hdr = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+    with pytest.raises(ValueError, match="entry count"):
+        decode_tiff(hdr + struct.pack("<Q", 1 << 40))
