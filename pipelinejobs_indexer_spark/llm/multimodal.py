@@ -579,7 +579,16 @@ def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id in pdf["doc_id"]:
             yy, xx = np.mgrid[0:w, 0:w]
             img = ((int(doc_id) * 7 + yy * w + xx) % 256).astype(np.uint8)
-            dec = decode_png(encode_png_gray(img, row_filters=(0, 1, 2, 3, 4)))
+            # odd docs take the Adam7-interlaced layout (round 9): same
+            # pixels out, so the closed-form oracle is untouched while
+            # the seven-pass scatter path carries driver-hash evidence
+            dec = decode_png(
+                encode_png_gray(
+                    img,
+                    row_filters=(0, 1, 2, 3, 4),
+                    interlace=(int(doc_id) % 2 == 1),
+                )
+            )
             dec = dec[:, :, 0].astype(np.int64)
             for k in range(PNG_GRID * PNG_GRID):
                 qy, qx = divmod(k, PNG_GRID)

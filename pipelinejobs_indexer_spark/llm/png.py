@@ -7,7 +7,9 @@ the Paeth predictor). The reference ships a PNG fixture
 (tests/store/uploads/emerald/201808/protein.png) through its magic-byte
 sniffing path; here the decode itself is real.
 
-Scope: 8-bit depth, no interlace; color types 0 (gray), 2 (RGB),
+Scope: 8-bit depth, sequential AND Adam7-interlaced layouts (seven
+independently filtered passes scattered on the §8.2 grid); color
+types 0 (gray), 2 (RGB),
 3 (palette), 4 (gray+alpha), 6 (RGBA). The encoder writes grayscale only
 (all the fixtures need) and can cycle every filter type per row, which
 makes an encode→decode round trip exercise each of the five defilter
@@ -28,6 +30,12 @@ SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass grid (x_start, y_start, x_step, y_step), PNG spec §8.2
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     return (
@@ -46,15 +54,13 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png_gray(img: np.ndarray, row_filters: tuple[int, ...] = (0,)) -> bytes:
-    """Encode an HxW uint8 array as an 8-bit grayscale PNG. ``row_filters``
-    cycles per scanline (``(0, 1, 2, 3, 4)`` exercises every filter)."""
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape
+def _filter_rows(sub: np.ndarray, row_filters: tuple[int, ...]) -> bytearray:
+    """Filter one (sub-)image's rows per the cycling filter list."""
+    h, w = sub.shape
     raw = bytearray()
     prev = np.zeros(w, dtype=np.int32)
     for y in range(h):
-        row = img[y].astype(np.int32)
+        row = sub[y].astype(np.int32)
         left = np.concatenate(([0], row[:-1]))
         ft = row_filters[y % len(row_filters)]
         raw.append(ft)
@@ -73,7 +79,29 @@ def encode_png_gray(img: np.ndarray, row_filters: tuple[int, ...] = (0,)) -> byt
             raise ValueError(f"unknown filter type {ft}")
         raw.extend((enc % 256).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return raw
+
+
+def encode_png_gray(
+    img: np.ndarray,
+    row_filters: tuple[int, ...] = (0,),
+    interlace: bool = False,
+) -> bytes:
+    """Encode an HxW uint8 array as an 8-bit grayscale PNG. ``row_filters``
+    cycles per scanline (``(0, 1, 2, 3, 4)`` exercises every filter);
+    ``interlace`` emits the Adam7 pass layout (each pass filtered
+    independently, per spec)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                raw += _filter_rows(sub, row_filters)
+    else:
+        raw = _filter_rows(img, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace))
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -142,25 +170,55 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth} interlace={interlace}); "
-            "this decoder covers 8-bit non-interlaced images"
+            "this decoder covers 8-bit images (sequential or Adam7)"
         )
     channels = _CHANNELS[color_type]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        prev = _unfilter(line.astype(np.int32), prev, ft, channels)
-        out[y] = prev
-    img = out.astype(np.uint8).reshape(h, w, channels)
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        out = np.zeros((h, stride), dtype=np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            off = y * (stride + 1)
+            ft = raw[off]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + 1
+            )
+            prev = _unfilter(line.astype(np.int32), prev, ft, channels)
+            out[y] = prev
+        img = out.astype(np.uint8).reshape(h, w, channels)
+    else:
+        # Adam7 (PNG spec §8.2): seven passes, each an independently
+        # filtered sub-image scattered onto the (y0::dy, x0::dx) grid
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            pstride = wp * channels
+            need = hp * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("IDAT too short for the Adam7 passes")
+            prev = np.zeros(pstride, dtype=np.int32)
+            for py in range(hp):
+                ft = raw[off]
+                line = np.frombuffer(
+                    raw, dtype=np.uint8, count=pstride, offset=off + 1
+                )
+                prev = _unfilter(line.astype(np.int32), prev, ft, channels)
+                img[y0 + py * dy, x0::dx] = (
+                    prev.astype(np.uint8).reshape(wp, channels)
+                )
+                off += pstride + 1
+        if off != len(raw):
+            raise ValueError("IDAT length does not match the Adam7 passes")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")

@@ -2776,3 +2776,47 @@ def test_webm_probe():
             probe_webm(bytes(data))
         except ValueError:
             pass
+
+
+def test_png_adam7_interlace():
+    """Adam7 (PNG §8.2): seven independently filtered passes scattered
+    on the pass grid — round trips across sizes that leave passes
+    empty, every filter type, and pixel-exact equality with the
+    sequential layout; half-written pass data is loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pipelinejobs_indexer_spark.llm.png import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (33, 31)]:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for filters in [(0,), (0, 1, 2, 3, 4), (4,)]:
+            inter = decode_png(
+                encode_png_gray(img, row_filters=filters, interlace=True)
+            )
+            seq = decode_png(encode_png_gray(img, row_filters=filters))
+            assert (inter == seq).all() and (inter[:, :, 0] == img).all()
+    # truncated pass data is a data error, not wrong pixels
+    import struct
+    import zlib as _zlib
+
+    data = bytearray(encode_png_gray(img, interlace=True))
+    # shrink the IDAT payload by re-deflating a truncated raw stream
+    from pipelinejobs_indexer_spark.llm.png import SIGNATURE, _chunk
+
+    raw = _zlib.decompress(
+        bytes(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8])
+    )
+    ihdr = struct.pack(">IIBBBBB", 31, 33, 8, 0, 0, 0, 1)
+    bad = (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(raw[:-40]))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="Adam7|IDAT"):
+        decode_png(bad)
