@@ -72,8 +72,14 @@ _DIST_MAP = (
     (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
     (-6, 6), (2, 8), (-2, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5),
     (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (-8, 5), (8, 6), (5, 8),
-    (-5, 8), (7, 6), (-7, 6), (8, 7), (-8, 7), (6, 7), (-6, 7), (8, 8),
 )
+# exactly 120 entries: distance codes 1..120 are mapped, >120 are the
+# linear form (dist_code - 120). The table once carried 8 extra pairs
+# past index 119 — unreachable in the decoder (which indexes
+# dist_code-1 <= 119) but FATAL in the encoder, whose reverse map
+# emitted codes 121+ that decode as tiny linear distances
+# (hypothesis-found corruption, round 9).
+assert len(_DIST_MAP) == 120
 
 _CACHE_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec)
 

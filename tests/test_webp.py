@@ -429,3 +429,35 @@ def test_hand_authored_2x1_two_symbol_fixture():
     assert img.shape == (1, 2, 4)
     assert tuple(img[0, 0]) == (10, 3, 20, 255)
     assert tuple(img[0, 1]) == (10, 9, 20, 255)
+
+
+def test_distance_map_is_exactly_120_codes():
+    """Distance codes 1..120 are mapped, >120 are linear (RFC 9649):
+    a table longer than 120 makes the encoder's reverse map emit codes
+    the decoder reads as tiny linear distances — the hypothesis-found
+    corruption this pins (seed-25 regression below)."""
+    from pipelinejobs_indexer_spark.llm.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120
+    # the regression image: T-predictor residuals whose repeat distance
+    # (41 at width 5) was only reachable through a phantom code
+    rng = np.random.RandomState(25)
+    pal = rng.randint(0, 256, (4, 4), dtype=np.uint8)
+    img = pal[rng.randint(0, 4, (11, 5))]
+    out = decode_webp(encode_webp(img, use_lz77=True, cache_bits=0,
+                                  subtract_green=False, predictor_mode=2))
+    assert np.array_equal(out, img)
+    # every mapped code the encoder can emit must decode to the same
+    # distance it encoded, at any width
+    from pipelinejobs_indexer_spark.llm.webp import _dist_code_for
+
+    for w in (1, 2, 5, 16, 300):
+        rev = {}
+        for code, (dx, dy) in enumerate(_DIST_MAP, start=1):
+            d = dx + dy * w
+            if d >= 1 and d not in rev:
+                rev[d] = code
+        for d, code in rev.items():
+            assert 1 <= code <= 120
+            dx, dy = _DIST_MAP[code - 1]
+            assert max(1, dx + dy * w) == d, (w, d, code)
