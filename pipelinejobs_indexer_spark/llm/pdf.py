@@ -1702,11 +1702,27 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                            section.group(1))
         for src, dst in pairs:
             out[int(src, 16)] = utf16(dst)
+    array_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]"
+    )
     for section in re.finditer(
         rb"beginbfrange(.*?)endbfrange", data, re.DOTALL
     ):
         body = section.group(1)
-        # triple form: <lo> <hi> <dst>; array form: <lo> <hi> [<d>...]
+        # array form FIRST, and blanked out of the body before the
+        # triple scan — the destination list is itself a run of hex
+        # strings, so a naive triple regex would match INSIDE it and
+        # flood the map with phantom ranges (soak-found: a destination
+        # pair like <00E9> <4E2D> <6587> spanned the real codes)
+        for lo, hi, arr in array_re.findall(body):
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if len(dsts) != hi_i - lo_i + 1:
+                raise ValueError("ToUnicode bfrange array length mismatch")
+            for k, d in enumerate(dsts):
+                out[lo_i + k] = utf16(d)
+        body = array_re.sub(b"", body)
+        # triple form: <lo> <hi> <dst>
         for lo, hi, dst in re.findall(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
         ):
@@ -1718,16 +1734,6 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                 raise ValueError("empty ToUnicode bfrange destination")
             for k in range(hi_i - lo_i + 1):
                 out[lo_i + k] = base[:-1] + chr(ord(base[-1]) + k)
-        for lo, hi, arr in re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]",
-            body,
-        ):
-            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
-            lo_i, hi_i = int(lo, 16), int(hi, 16)
-            if len(dsts) != hi_i - lo_i + 1:
-                raise ValueError("ToUnicode bfrange array length mismatch")
-            for k, d in enumerate(dsts):
-                out[lo_i + k] = utf16(d)
     return out
 
 

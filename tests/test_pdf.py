@@ -888,3 +888,30 @@ def test_progressive_jpeg_inside_pdf():
         assert sum(out[0][0]["samples"]) == 64 * sum(
             2 * d + 128 for d in dcs
         ), kw
+
+
+def test_tounicode_array_destinations_do_not_flood():
+    """Soak-found: a bfrange ARRAY's destination list is itself a run
+    of hex strings, so a naive triple-form regex matches inside it —
+    a destination pair like <00E9> <4E2D> <6587> then floods thousands
+    of phantom codes ACROSS the real bfchar range. The parser must
+    consume array bodies before scanning triples."""
+    from pipelinejobs_indexer_spark.llm.pdf import _parse_tounicode
+
+    # the minimized real-world shape: 16-char charset whose array
+    # destinations span 0x00E9 and CJK values
+    pages = [["éac \\X\\(X\t)文céYa\\éé  Z\t)a(\t文a Y(0)b"],
+             ["中 Y9 文"]]
+    want = "\f".join("\n".join(p) for p in pages)
+    for kw in ({}, {"use_tj_array": True}, {"ascii85": True},
+               {"encrypt_aes": True, "objstm": True}):
+        got = extract_pdf_text(write_pdf(pages, font="type0", **kw))
+        assert got == want, kw
+    # direct parser pin: triple-lookalike inside an array stays inert
+    cmap = _parse_tounicode(
+        b"1 beginbfchar <4E01> <0041> endbfchar\n"
+        b"1 beginbfrange <4E05> <4E07> [<00E9> <4E2D> <6587>] endbfrange"
+    )
+    assert cmap[0x4E01] == "A"
+    assert cmap[0x4E05] == "\xe9" and cmap[0x4E07] == "文"
+    assert 0x4E02 not in cmap and len(cmap) == 4
