@@ -744,3 +744,75 @@ def test_progressive_ac_refinement_zrl_and_eobrun():
     for b, want in enumerate(want_blocks):
         got = [px[y][b * 8 + x] for y in range(8) for x in range(8)]
         assert got == want, b
+
+
+def test_progressive_three_component_interleaved_dc():
+    """The interleaved multi-component progressive DC path (plus one
+    AC band scan per component): a 3-component DC-only SOF2 stream,
+    hand-assembled, must decode pixel-identical to the baseline
+    3-component DC synth — the YCbCr conversion and per-component
+    predictors riding the coefficient store."""
+    import struct as _struct
+
+    from pipelinejobs_indexer_spark.llm.jpeg import (
+        _BitWriter,
+        _inverse_huffman,
+    )
+
+    q = 16
+    dcs = [[5, -7], [3, 2], [-4, 6]]  # per component, 2 blocks (16x8)
+    base = decode_jpeg(synth_dc_jpeg(dcs, 16, 8, q=q))
+    qtab = b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([q] * 64)
+    sof = (
+        b"\xff\xc2" + _struct.pack(">H", 17)
+        + _struct.pack(">BHHB", 8, 8, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    dc_bits = [0] * 16
+    dc_bits[7] = 12
+    dc_syms = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 2
+    ac_syms = [0x00, 0x10]
+    dht = (
+        b"\xff\xc4"
+        + _struct.pack(">H", 2 + (17 + 12) + (17 + 2))
+        + bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    dcc = _inverse_huffman(dc_bits, dc_syms)
+    acc = _inverse_huffman(ac_bits, ac_syms)
+    out = bytearray(b"\xff\xd8" + qtab + sof + dht)
+    # interleaved DC-first scan over all three components, MCU order:
+    # (c1,c2,c3) for block 0, then block 1 — per-component predictors
+    out += (
+        b"\xff\xda" + _struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    )
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for b in range(2):
+        for ci in range(3):
+            diff = dcs[ci][b] - pred[ci]
+            pred[ci] = dcs[ci][b]
+            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            ln, code = dcc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+    # one AC band scan per component: all zero via an EOB run of 2
+    for comp_id in (1, 2, 3):
+        out += (
+            b"\xff\xda" + _struct.pack(">H", 8)
+            + bytes([1, comp_id, 0x00, 1, 63, 0x00])
+        )
+        bw = _BitWriter()
+        ln, code = acc[0x10]  # EOBn r=1
+        bw.write(code, ln)
+        bw.write(0, 1)  # eobrun = 2 (both blocks)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    h, w, nc, px = decode_jpeg(bytes(out))
+    assert (h, w, nc) == (8, 16, 3)
+    assert px == base[3]
