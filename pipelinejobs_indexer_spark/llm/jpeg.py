@@ -167,6 +167,97 @@ def _idct_block(coef: list[int]) -> list[int]:
     return out
 
 
+def _fancy_upsample_h(plane: list[list[int]]) -> list[list[int]]:
+    """Horizontal 2x triangle-filter upsample (the libjpeg
+    h2v1_fancy_upsample weights, 3/4-1/4 with edge copy): out[2i] =
+    (3*in[i] + in[i-1] + 1) >> 2, out[2i+1] = (3*in[i] + in[i+1] + 2)
+    >> 2. T.81 leaves the upsampling filter to the decoder; this is the
+    de-facto-standard choice (libjpeg do_fancy_upsampling), pinned
+    externally by the round-10 JDK conformance fixtures."""
+    out = []
+    for row in plane:
+        n = len(row)
+        if n == 1:
+            out.append([row[0], row[0]])
+            continue
+        orow = [0] * (2 * n)
+        orow[0] = row[0]
+        orow[1] = (3 * row[0] + row[1] + 2) >> 2
+        for i in range(1, n - 1):
+            v3 = 3 * row[i]
+            orow[2 * i] = (v3 + row[i - 1] + 1) >> 2
+            orow[2 * i + 1] = (v3 + row[i + 1] + 2) >> 2
+        orow[2 * n - 2] = (3 * row[n - 1] + row[n - 2] + 1) >> 2
+        orow[2 * n - 1] = row[n - 1]
+        out.append(orow)
+    return out
+
+
+def _fancy_upsample_h2v2(plane: list[list[int]]) -> list[list[int]]:
+    """2x2 triangle-filter upsample (libjpeg h2v2_fancy_upsample):
+    vertical 3:1 blend of the two nearest input rows, then the same
+    horizontal 3:1 blend, with >>4 roundings of 8 and 7 alternating so
+    the filter is exactly invertible against libjpeg output."""
+    h = len(plane)
+    out = []
+    for oy in range(2 * h):
+        iy = oy >> 1
+        ny = iy - 1 if oy % 2 == 0 else iy + 1
+        ny = min(max(ny, 0), h - 1)
+        r0, r1 = plane[iy], plane[ny]
+        n = len(r0)
+        colsum = [3 * r0[i] + r1[i] for i in range(n)]
+        if n == 1:
+            v = colsum[0]
+            out.append([(v * 4 + 8) >> 4, (v * 4 + 7) >> 4])
+            continue
+        orow = [0] * (2 * n)
+        orow[0] = (colsum[0] * 4 + 8) >> 4
+        orow[1] = (colsum[0] * 3 + colsum[1] + 7) >> 4
+        for i in range(1, n - 1):
+            c3 = colsum[i] * 3
+            orow[2 * i] = (c3 + colsum[i - 1] + 8) >> 4
+            orow[2 * i + 1] = (c3 + colsum[i + 1] + 7) >> 4
+        orow[2 * n - 2] = (colsum[n - 1] * 3 + colsum[n - 2] + 8) >> 4
+        orow[2 * n - 1] = (colsum[n - 1] * 4 + 7) >> 4
+        out.append(orow)
+    return out
+
+
+def _upsample_plane(
+    plane: list[list[int]], sx: int, sy: int, cw: int, ch: int,
+    out_w: int, out_h: int,
+) -> list[list[int]]:
+    """Upsample a component-resolution plane to frame resolution.
+    The plane is first cropped to its true downsampled dims (cw x ch)
+    so edge-copy filter semantics see the real image edge, not MCU
+    padding — matching libjpeg, which upsamples at downsampled_width.
+    2x ratios get the triangle filter; anything else replicates
+    (libjpeg int_upsample does the same for non-2x ratios)."""
+    if sx == 1 and sy == 1:
+        return plane
+    cropped = [row[:cw] for row in plane[:ch]]
+    if (sx, sy) == (2, 1):
+        up = _fancy_upsample_h(cropped)
+    elif (sx, sy) == (2, 2):
+        up = _fancy_upsample_h2v2(cropped)
+    else:
+        up = []
+        for row in cropped:
+            orow = [v for v in row for _ in range(sx)]
+            for _ in range(sy):
+                up.append(orow)
+    # pad back out to at least (out_h, out_w) by edge replication so
+    # the caller's crop indexing never falls off (odd frame dims make
+    # 2*cw == out_w + 1 or out_w)
+    while len(up) < out_h:
+        up.append(up[-1])
+    for row in up:
+        while len(row) < out_w:
+            row.append(row[-1])
+    return up
+
+
 def decode_jpeg(data: bytes):
     """Decode a baseline JPEG. Returns (height, width, n_components,
     pixels) with pixels as a list of rows; each row a list of ints
@@ -576,19 +667,17 @@ def _ac_refine_block(reader, coef, ac_table, ss, se, al, eobrun):
 
 
 def _reconstruct_progressive(frame, store, qt):
-    """Dequantize + IDCT every stored block, then crop/upsample with
-    the same plane logic as the baseline path."""
+    """Dequantize + IDCT every stored block into component-resolution
+    planes, then upsample/crop/convert via _planes_to_pixels — the
+    same tail as the baseline path."""
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    _hmax, _vmax, mcux, mcuy = _frame_geometry(frame)
     planes = [
-        [[0] * (mcux * 8 * hmax) for _ in range(mcuy * 8 * vmax)]
-        for _ in comps
+        [[0] * (mcux * 8 * c["h"]) for _ in range(mcuy * 8 * c["v"])]
+        for c in comps
     ]
     for ci, comp in enumerate(comps):
         q = qt[comp["tq"]]
-        sx = hmax // comp["h"]
-        sy = vmax // comp["v"]
         for by, rowblocks in enumerate(store[ci]):
             for bx, raw in enumerate(rowblocks):
                 coef = [raw[i] * q[i] for i in range(64)]
@@ -596,32 +685,8 @@ def _reconstruct_progressive(frame, store, qt):
                 ox, oy = bx * 8, by * 8
                 plane = planes[ci]
                 for yy in range(8):
-                    row_vals = block[yy * 8 : yy * 8 + 8]
-                    py = (oy + yy) * sy
-                    for ry in range(sy):
-                        prow = plane[py + ry]
-                        for xx in range(8):
-                            v = row_vals[xx]
-                            base = (ox + xx) * sx
-                            for rx in range(sx):
-                                prow[base + rx] = v
-    if len(comps) == 1:
-        return [planes[0][y][:w] for y in range(h)]
-    if len(comps) == 3:
-        out = []
-        for y in range(h):
-            row = []
-            for x in range(w):
-                yy = planes[0][y][x]
-                cb = planes[1][y][x] - 128
-                cr = planes[2][y][x] - 128
-                r = int(round(yy + 1.402 * cr))
-                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
-                b = int(round(yy + 1.772 * cb))
-                row.append(tuple(max(0, min(255, v)) for v in (r, g, b)))
-            out.append(row)
-        return out
-    raise ValueError(f"{len(comps)}-component images not supported")
+                    plane[oy + yy][ox : ox + 8] = block[yy * 8 : yy * 8 + 8]
+    return _planes_to_pixels(frame, planes)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -630,9 +695,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component sample planes at full (upsampled) resolution
+    # per-component sample planes at COMPONENT resolution; subsampled
+    # components are upsampled once at the end (triangle filter), not
+    # replicated block by block
     planes = [
-        [[0] * (mcux * 8 * hmax) for _ in range(mcuy * 8 * vmax)] for _ in comps
+        [[0] * (mcux * 8 * c["h"]) for _ in range(mcuy * 8 * c["v"])]
+        for c in comps
     ]
     reader = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
@@ -677,21 +745,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                                 qt[comp["tq"]], pred, comp["id"],
                             )
                             block = _idct_block(coef)
-                            # replicate into the full-res plane
-                            sx = hmax // comp["h"]
-                            sy = vmax // comp["v"]
                             ox = (mx * comp["h"] + bx) * 8
                             oy = (my * comp["v"] + by) * 8
                             plane = planes[ci]
                             for yy in range(8):
-                                row_vals = block[yy * 8 : yy * 8 + 8]
-                                for ry in range(sy):
-                                    prow = plane[(oy + yy) * sy + ry]
-                                    for xx in range(8):
-                                        v = row_vals[xx]
-                                        base = (ox + xx) * sx
-                                        for rx in range(sx):
-                                            prow[base + rx] = v
+                                plane[oy + yy][ox : ox + 8] = (
+                                    block[yy * 8 : yy * 8 + 8]
+                                )
             except _MarkerHit:
                 where = (
                     f"marker {reader.marker:#x}"
@@ -702,17 +762,33 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                     f"entropy stream ended early at {where}"
                 ) from None
             mcu_count += 1
-    # crop to (h, w) and convert color
+    return _planes_to_pixels(frame, planes)
+
+
+def _planes_to_pixels(frame, planes):
+    """Upsample component planes to frame resolution, crop to (h, w),
+    and convert color (1 component: gray; 3: JFIF YCbCr -> RGB)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, comp in enumerate(comps):
+        sx = hmax // comp["h"]
+        sy = vmax // comp["v"]
+        cw = (w * comp["h"] + hmax - 1) // hmax
+        ch = (h * comp["v"] + vmax - 1) // vmax
+        full.append(_upsample_plane(planes[ci], sx, sy, cw, ch, w, h))
     if len(comps) == 1:
-        return [planes[0][y][:w] for y in range(h)]
+        return [full[0][y][:w] for y in range(h)]
     if len(comps) == 3:
         out = []
         for y in range(h):
             row = []
             for x in range(w):
-                yy = planes[0][y][x]
-                cb = planes[1][y][x] - 128
-                cr = planes[2][y][x] - 128
+                yy = full[0][y][x]
+                cb = full[1][y][x] - 128
+                cr = full[2][y][x] - 128
                 r = int(round(yy + 1.402 * cr))
                 g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
                 b = int(round(yy + 1.772 * cb))

@@ -20,12 +20,15 @@ interchange stream through jpeg.py, baseline or progressive),
 single or multiple strips (RowsPerStrip); PhotometricInterpretation 3
 palette-color with 8-bit AND 4-bit indices (the ColorMap is FILE
 data — 3*2^bits 16-bit entries — so no unrecallable constants are
-involved; 4-bit rows unpack high-nibble-first with byte padding).
-Out of honest scope (documented raises): bilevel Group 3/4 fax
-compression (the T.4/T.6 run-length code tables are arbitrary
-published constants, not derivable — hand-recalling ~160 codes would
-risk a self-consistent wrong codec), separation/YCbCr photometrics,
-planar/tiled layouts, sub-8-bit non-palette depths.
+involved; 4-bit rows unpack high-nibble-first with byte padding);
+Compression 2/3/4 (CCITT RLE / Group 3 T.4 / Group 4 T.6 bilevel fax,
+fax.py — REAL since round 10: the transcribed run-length tables are
+pinned EXTERNALLY by JDK-encoded conformance fixtures under
+tests/fixtures/conformance/, decoded bit-exactly in both directions);
+Compression 32946 (the pre-Adobe Deflate code, aliased to 8).
+Out of honest scope (documented raises): separation/YCbCr
+photometrics, planar/tiled layouts, sub-8-bit non-palette non-fax
+depths, T.4/T.6 uncompressed mode.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
 independently-written paths, the png.py/gif.py discipline; strip
@@ -56,6 +59,8 @@ TAG_STRIP_OFFSETS = 273
 TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
+TAG_T4_OPTIONS = 292
+TAG_T6_OPTIONS = 293
 TAG_PREDICTOR = 317
 TAG_COLORMAP = 320
 
@@ -204,11 +209,33 @@ def decode_tiff(data: bytes):
     photometric = one(TAG_PHOTOMETRIC)
     compression = one(TAG_COMPRESSION, 1)
     predictor = one(TAG_PREDICTOR, 1)
-    bits = tags.get(TAG_BITS, [8])
+    # BitsPerSample's spec default is 1 (bilevel); fax writers lean on
+    # it (the JDK omits tag 258 entirely). Non-fax paths keep the
+    # historical 8-bit assumption for absent tags.
+    bits = tags.get(TAG_BITS, [1] if compression in (2, 3, 4) else [8])
     if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
         raise ValueError("bad TIFF geometry")
     if width * height * spp > MAX_TEXT_BYTES:
         raise ValueError("TIFF pixel volume beyond the decode bound")
+    if compression == 32946:
+        # the original Deflate code (pre-Adobe-8 registration) — same
+        # zlib strips; JDK ImageIO writes this one, which is how the
+        # round-10 conformance fixtures caught the missing alias
+        compression = 8
+    fax = compression in (2, 3, 4)
+    if fax:
+        # CCITT fax (RLE/G3/G4, fax.py — REAL since round 10, tables
+        # externally pinned by the JDK-written conformance fixtures):
+        # bilevel only, by definition of the codec
+        if bits != [1] or spp != 1:
+            raise ValueError(
+                f"fax-compressed TIFF must be 1-bit bilevel, got "
+                f"bits={bits} spp={spp}"
+            )
+        if photometric not in (0, 1):
+            raise ValueError(
+                f"fax TIFF with photometric {photometric}"
+            )
     palette = None
     if photometric == 3:
         # palette-color: indices into the ColorMap (TIFF 6.0 §5) — the
@@ -231,7 +258,7 @@ def decode_tiff(data: bytes):
             (cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8)
             for i in range(n)
         ]
-    elif any(b != 8 for b in bits):
+    elif any(b != 8 for b in bits) and not fax:
         raise NotImplementedError(
             f"{bits}-bit TIFF samples (only 8-bit decodes honestly)"
         )
@@ -248,10 +275,10 @@ def decode_tiff(data: bytes):
             f"TIFF PhotometricInterpretation {photometric} "
             "(separation/YCbCr) is out of scope"
         )
-    if compression not in (1, 5, 7, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (Group 3/4 fax, old-style "
-            "JPEG 6) is out of scope"
+            f"TIFF compression {compression} (old-style JPEG 6) "
+            "is out of scope"
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -271,6 +298,20 @@ def decode_tiff(data: bytes):
         if n_rows <= 0:
             raise ValueError("TIFF has more strips than rows")
         expected = n_rows * row_bytes
+        if fax:
+            # CCITT runs decode to 0 (white) / 1 (black) samples; store
+            # them as 0/255 gray so the shared photometric-inversion
+            # path below lands black ink at 0 in the BlackIsZero output
+            # convention (photometric 0 files — the fax default)
+            from .fax import decode_fax
+
+            rows01 = decode_fax(
+                strip, width, n_rows, compression,
+                one(TAG_T4_OPTIONS, 0), one(TAG_T6_OPTIONS, 0),
+            )
+            for r01 in rows01:
+                raw += bytes(255 if v else 0 for v in r01)
+            continue
         if compression == 1:
             if len(strip) != expected:
                 raise ValueError(
@@ -368,10 +409,14 @@ def write_tiff(
     palette: list | None = None,
     bits: int = 8,
     big: bool = False,
+    t4_two_d: bool = False,
 ) -> bytes:
     """Assemble a baseline TIFF around row-list pixels (ints for gray,
     (r,g,b) tuples for RGB). Compression 1/5/32773, predictor 1/2,
-    either byte order, optional multi-strip splitting."""
+    either byte order, optional multi-strip splitting. Compression
+    2/3/4 (CCITT fax, fax.py) takes rows of 0/1 CCITT samples
+    (0 = white, 1 = black) and writes a photometric-0 bilevel file;
+    t4_two_d sets T4Options bit 0 (2D-coded Group 3)."""
     height = len(pixels)
     width = len(pixels[0]) if height else 0
     if palette is not None:
@@ -401,8 +446,21 @@ def write_tiff(
         rows_per_strip = height
     del bits  # palette depth is carried via the packing above
     bo = ">" if big_endian else "<"
+    fax_mode = compression in (2, 3, 4)
     strips: list[bytes] = []
-    for y0 in range(0, height, rows_per_strip):
+    if fax_mode:
+        from .fax import encode_g3, encode_g4, encode_mh
+
+        photometric = 0  # MinIsWhite: the fax-file convention
+        for y0 in range(0, height, rows_per_strip):
+            rows = pixels[y0 : y0 + rows_per_strip]
+            if compression == 2:
+                strips.append(encode_mh(rows, width))
+            elif compression == 3:
+                strips.append(encode_g3(rows, width, two_d=t4_two_d))
+            else:
+                strips.append(encode_g4(rows, width))
+    for y0 in range(0, height, rows_per_strip) if not fax_mode else ():
         rows = bytearray(flat[y0 * row_bytes : (y0 + rows_per_strip) * row_bytes])
         if photometric == 0:
             rows = bytearray(255 - v for v in rows)
@@ -437,9 +495,12 @@ def write_tiff(
         pal_bits = 4
     short(TAG_WIDTH, width)
     short(TAG_HEIGHT, height)
-    short(TAG_BITS, *([pal_bits if palette is not None else 8] * spp))
+    short(TAG_BITS, *([1 if fax_mode else
+                       pal_bits if palette is not None else 8] * spp))
     short(TAG_COMPRESSION, compression)
     short(TAG_PHOTOMETRIC, photometric)
+    if compression == 3 and t4_two_d:
+        long_(TAG_T4_OPTIONS, 1)
     long_(TAG_STRIP_OFFSETS, *([0] * len(strips)))  # patched below
     short(TAG_SPP, spp)
     short(TAG_ROWS_PER_STRIP, rows_per_strip)

@@ -67,12 +67,13 @@ def test_packbits_is_not_pdf_rle():
 
 def test_honest_refusal_scope():
     data = write_tiff(GRAY)
-    # Group 4 fax compression (tag 259 = 4): the T.4/T.6 tables are
-    # out of honest reach
+    # Group 4 fax compression (tag 259 = 4) is REAL since round 10 —
+    # but grafting it onto an 8-bit gray file is a corrupt combination
+    # (fax is bilevel by definition), a loud data error
     bad = bytearray(data)
     at = data.index((259).to_bytes(2, "little"))
     bad[at + 8] = 4
-    with pytest.raises(NotImplementedError, match="fax"):
+    with pytest.raises(ValueError, match="bilevel"):
         decode_tiff(bytes(bad))
     # BigTIFF is REAL now — but a classic body grafted behind a
     # BigTIFF magic has a malformed offset-size header
