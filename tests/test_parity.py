@@ -50,6 +50,30 @@ def test_entry(spark):
     assert set(oracle) <= keys
 
 
+def test_survey_section2_matches_registry():
+    """SURVEY.md §2 is the coverage checklist the engine is graded
+    against; its name set must equal the registry exactly — a query
+    registered but not surveyed is invisible to the inventory, and a
+    surveyed name with no registration is a false claim (VERDICT r9
+    item 7 pinned a 175-vs-187 drift; this keeps it from recurring)."""
+    import os
+    import re
+
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    s2 = survey.split("## 2. Operator inventory")[1].split("\n## 3.")[0]
+    table = set(
+        re.findall(r"^\|\s*[^|]*\|\s*`([a-z0-9_]+)`\s*\|", s2, re.M)
+    )
+    assert table == set(registry.QUERIES), (
+        sorted(set(registry.QUERIES) - table),
+        sorted(table - set(registry.QUERIES)),
+    )
+
+
 def test_registry_front_loads_unproven_queries():
     """The external driver caps its correctness sweep at ~50 queries per
     round, so the registry MUST enumerate queries with no green driver row
