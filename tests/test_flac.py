@@ -359,3 +359,17 @@ def test_hand_authored_verbatim_fixture():
     out = decode_flac(data)
     assert out["rate"] == 8000 and out["channels"] == 1
     assert [int(v) for v in out["samples"]] == samples
+
+
+def test_crc_published_check_values():
+    """External pins for the FLAC framing CRCs (round 10): the reveng
+    catalogue check values for the ASCII string '123456789' — CRC-8
+    poly 0x07 init 0 non-reflected = 0xF4; CRC-16 poly 0x8005 init 0
+    non-reflected (CRC-16/UMTS, the FLAC frame CRC) = 0xFEE8. A wrong
+    polynomial, init, or bit order cannot produce both."""
+    from pipelinejobs_indexer_spark.llm.flac import _crc8, _crc16
+
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+    assert _crc8(b"") == 0
+    assert _crc16(b"") == 0

@@ -194,3 +194,90 @@ def test_mutation_robustness_wav_and_probes():
         except (ValueError, NotImplementedError):
             pass
 
+
+
+# --------------------------------------------------------------------------
+# External conformance: CPython's audioop (an independent C implementation
+# of G.711 companding and IMA/DVI ADPCM) — round-10 discipline: codec
+# claims must not rest solely on in-repo round trips. audioop is
+# deprecated-but-present on this interpreter; skip cleanly if removed.
+audioop = pytest.importorskip("audioop")
+
+
+def test_mulaw_decode_matches_audioop_all_codes():
+    from pipelinejobs_indexer_spark.llm.g711 import mulaw_decode_byte
+
+    for b in range(256):
+        (ref,) = struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))
+        assert mulaw_decode_byte(b) == ref, b
+
+
+def test_alaw_decode_matches_audioop_all_codes():
+    from pipelinejobs_indexer_spark.llm.g711 import alaw_decode_byte
+
+    for b in range(256):
+        (ref,) = struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))
+        assert alaw_decode_byte(b) == ref, b
+
+
+def test_alaw_encode_matches_audioop_full_domain():
+    from pipelinejobs_indexer_spark.llm.g711 import alaw_encode_sample
+
+    for s in range(-32768, 32768, 17):  # dense stride + exact boundaries
+        assert alaw_encode_sample(s) == audioop.lin2alaw(
+            struct.pack("<h", s), 2
+        )[0], s
+    for s in (-32768, -32767, -1, 0, 1, 32766, 32767):
+        assert alaw_encode_sample(s) == audioop.lin2alaw(
+            struct.pack("<h", s), 2
+        )[0], s
+
+
+def test_mulaw_encode_matches_audioop_after_14bit_quantization():
+    """audioop pre-quantizes to 14 bits with an arithmetic >>2 (so
+    negative samples round toward -inf) before the segment search; this
+    module encodes the 16-bit sample directly, Sun-g711.c style. Both
+    are G.711-legal readings — the exact relation, verified over the
+    full domain when this test was written, is
+    audioop(s) == ours((s >> 2) * 4)."""
+    from pipelinejobs_indexer_spark.llm.g711 import mulaw_encode_sample
+
+    for s in range(-32632, 32636, 13):
+        q = (s >> 2) * 4
+        assert mulaw_encode_sample(q) == audioop.lin2ulaw(
+            struct.pack("<h", s), 2
+        )[0], s
+    # and on the shared exact-agreement subset (positives), no
+    # quantization caveat at all
+    for s in range(0, 32636, 11):
+        assert mulaw_encode_sample(s) == audioop.lin2ulaw(
+            struct.pack("<h", s), 2
+        )[0], s
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """The nibble->sample state machine must agree with audioop's
+    Intel/DVI decoder: decode the same nibble stream through a WAV
+    block (predictor 0, step 0 — the first output sample IS the
+    header predictor) and through audioop with state (0, 0). Packing
+    differs by design: IMA WAV is low-nibble-first, audioop is
+    high-nibble-first."""
+    from pipelinejobs_indexer_spark.llm.g711 import ima_adpcm_decode
+
+    rng_state = 0x1234
+    nibbles = []
+    for _ in range(64):
+        rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+        nibbles.append(rng_state % 16)
+    body = bytes(
+        (nibbles[i + 1] << 4) | nibbles[i] for i in range(0, len(nibbles), 2)
+    )
+    block = struct.pack("<hBB", 0, 0, 0) + body
+    mine = ima_adpcm_decode(block, 1, len(block))[0]
+    packed = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, len(nibbles), 2)
+    )
+    pcm, _state = audioop.adpcm2lin(packed, 2, (0, 0))
+    theirs = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    assert mine[0] == 0  # the header predictor
+    assert mine[1:] == theirs

@@ -915,3 +915,174 @@ def test_tounicode_array_destinations_do_not_flood():
     assert cmap[0x4E01] == "A"
     assert cmap[0x4E05] == "\xe9" and cmap[0x4E07] == "文"
     assert 0x4E02 not in cmap and len(cmap) == 4
+
+
+# --------------------------------------------------------------------------
+# Published cipher test vectors (round-10 external conformance): the PDF
+# Standard-handler crypto primitives checked against constants from the
+# public specifications — RC4 (the classic Key/Wiki/Secret vectors),
+# FIPS 197 Appendix C ECB examples, NIST SP 800-38A CBC examples. A
+# transcribed S-box / key-schedule / MixColumns error cannot survive these.
+def test_rc4_published_vectors():
+    from pipelinejobs_indexer_spark.llm.pdf import _rc4
+
+    for key, pt, ct_hex in [
+        (b"Key", b"Plaintext", "bbf316e8d940af0ad3"),
+        (b"Wiki", b"pedia", "1021bf0420"),
+        (b"Secret", b"Attack at dawn", "45a01f645fc35b383552544b9bf5"),
+    ]:
+        assert _rc4(key, pt).hex() == ct_hex, key
+        assert _rc4(key, bytes.fromhex(ct_hex)) == pt, key  # symmetric
+
+
+def test_aes_fips197_appendix_c_vectors():
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # C.1: AES-128
+    rk = _aes_expand_key(bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_decrypt_block(rk, ct) == pt
+    # C.3: AES-256
+    rk = _aes_expand_key(bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    ))
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_cbc_nist_sp800_38a_vectors():
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    p2 = bytes.fromhex("ae2d8a571e03ac9c9eb76fac45af8e51")
+    # F.2.1 CBC-AES128.Encrypt, first two blocks
+    rk = _aes_expand_key(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))
+    c1 = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(p1, iv)))
+    c2 = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(p2, c1)))
+    assert c1.hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert c2.hex() == "5086cb9b507219ee95db113a917678b2"
+    # F.2.5 CBC-AES256.Encrypt, first block
+    rk = _aes_expand_key(bytes.fromhex(
+        "603deb1015ca71be2b73aef0857d7781"
+        "1f352c073b6108d72d9810a30914dff4"
+    ))
+    c1 = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(p1, iv)))
+    assert c1.hex() == "f58c4c04d6e5f1ba779eabfb5f7bfbd6"
+
+
+# --------------------------------------------------------------------------
+# Structure-aware fuzz (round 10, VERDICT r9 item 8): beyond bit flips —
+# surgically corrupted 1.5-layout structures. Contract everywhere:
+# correct text (the scan fallback rescued it) or ValueError; never a
+# crash, hang, or silently wrong output.
+def _extract_or_valueerror(data: bytes) -> str | None:
+    try:
+        return extract_pdf_text(data)
+    except ValueError:
+        return None
+
+
+def test_truncated_xref_stream_never_crashes():
+    data = write_pdf([["x"]], xref_stream=True)
+    stream_at = data.rindex(b"stream\n")
+    end_at = data.rindex(b"\nendstream")
+    for cut in range(stream_at + 7, end_at, max(1, (end_at - stream_at) // 13)):
+        got = _extract_or_valueerror(data[:cut])
+        assert got in (None, "x"), cut
+    # also: intact xref object but body zeroed (inflate garbage)
+    bad = data[:stream_at + 7] + b"\0" * (end_at - stream_at - 7) + data[end_at:]
+    assert _extract_or_valueerror(bad) in (None, "x")
+
+
+def test_objstm_misdeclared_n_and_first():
+    data = write_pdf([["x"]], objstm=True)
+    assert b"/Type /ObjStm /N 3" in data
+    for bad_header in (
+        b"/Type /ObjStm /N 30",     # more pairs than the stream holds
+        b"/Type /ObjStm /N 0",      # no pairs: every lookup must miss
+        b"/Type /ObjStm /N 999999", # header-pair flood
+    ):
+        got = _extract_or_valueerror(
+            data.replace(b"/Type /ObjStm /N 3", bad_header)
+        )
+        assert got in (None, "x"), bad_header
+    import re
+
+    m = re.search(rb"/ObjStm /N 3 /First (\d+)", data)
+    assert m
+    for first in (b"0", b"1", b"999999"):
+        got = _extract_or_valueerror(
+            data[: m.start(1)] + first + data[m.end(1) :]
+        )
+        assert got in (None, "x"), first
+
+
+def _rewrite_xref_rows(data: bytes, mutate) -> bytes:
+    """Decompress the (unpredicted, objstm-layout) xref stream, hand the
+    6-byte [type, f2:3, f3:2] rows to ``mutate``, and splice the
+    recompressed table back with a fixed-up /Length."""
+    import re
+    import zlib
+
+    stream_at = data.rindex(b"stream\n") + 7
+    end_at = data.rindex(b"\nendstream")
+    rows = bytearray(zlib.decompress(data[stream_at:end_at]))
+    mutate(rows)
+    packed = zlib.compress(bytes(rows))
+    head_at = data.rindex(b"<< /Type /XRef")
+    head = data[head_at:stream_at]
+    head = re.sub(
+        rb"/Length \d+", b"/Length %d" % len(packed), head
+    )
+    return data[:head_at] + head[: head.rindex(b"stream\n") + 7] + packed + data[end_at:]
+
+
+def test_self_referential_objstm_rejected():
+    """A type-2 xref row claiming the ObjStm lives inside ITSELF is the
+    recursion class bit-flip fuzz can't reach: resolving any compressed
+    object must hit the cycle/containment guard, not recurse."""
+    data = write_pdf([["x"]], objstm=True)
+
+    def make_recursive(rows: bytearray) -> None:
+        objstm_num = None
+        for i in range(0, len(rows), 6):
+            if rows[i] == 2:
+                objstm_num = int.from_bytes(rows[i + 1 : i + 4], "big")
+                break
+        assert objstm_num is not None
+        at = objstm_num * 6
+        rows[at] = 2
+        rows[at + 1 : at + 4] = objstm_num.to_bytes(3, "big")
+        rows[at + 4 : at + 6] = (0).to_bytes(2, "big")
+
+    bad = _rewrite_xref_rows(data, make_recursive)
+    got = _extract_or_valueerror(bad)
+    assert got in (None, "x")
+
+
+def test_mutual_objstm_reference_rejected():
+    """Two compressed objects pointed at EACH OTHER's container rows —
+    the two-node cycle variant."""
+    data = write_pdf([["x"]], objstm=True)
+
+    def cross_wire(rows: bytearray) -> None:
+        # point every type-2 row at a bogus container: the catalog (1)
+        for i in range(0, len(rows), 6):
+            if rows[i] == 2:
+                rows[i + 1 : i + 4] = (1).to_bytes(3, "big")
+
+    bad = _rewrite_xref_rows(data, cross_wire)
+    got = _extract_or_valueerror(bad)
+    assert got in (None, "x")

@@ -418,3 +418,113 @@ def test_fsm_checkpoint_kill_and_resume(spark, tmp_path, backend):
             assert tuple(got2[k]) == tuple(fresh[k])
     finally:
         cfg.CONFIG = saved
+
+
+def _write_single_parquet_schema(spark, rows, schema, dest):
+    """Schema-parametrized twin of _write_single_parquet."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(rows, schema)
+    staging = str(dest) + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.copy(part, str(dest))
+
+
+def _run_dead_letter_checkpointed(spark, src, ckpt, name):
+    """availableNow replay of the T6b dead-letter route into a
+    foreachBatch sink with a durable checkpoint (the memory sink does
+    not support recovery)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pipelinejobs_indexer_spark.streaming.core import state_store_conf
+    from pipelinejobs_indexer_spark.streaming.queries import _dead_letter_fn
+
+    schema = "msg_id long, uuid string, name string, ts timestamp, job_key long"
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src))
+    )
+    rows = []
+    with state_store_conf(spark):
+        q = (
+            stream.groupBy("job_key")
+            .applyInPandasWithState(
+                _dead_letter_fn,
+                outputStructType=(
+                    "msg_id bigint, uuid string, name string, "
+                    "lateness_us bigint"
+                ),
+                stateStructType="high bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .queryName(name)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "checkpointed replay timed out"
+    return {r.msg_id: r.lateness_us for r in rows}
+
+
+@pytest.mark.parametrize("backend", ["hdfs", "rocksdb"])
+def test_dead_letter_checkpoint_kill_and_resume(spark, tmp_path, backend):
+    """T6b durability (VERDICT r9 item 4): stop the dead-letter stream
+    after batch 1, restart from the SAME checkpoint, and the restarted
+    query must (a) NOT re-emit batch 1's dead letters (source offsets
+    committed) and (b) still hold every per-job high-water mark (the
+    state store lives in the checkpoint), so a second-batch row below a
+    FIRST-batch mark dead-letters with the exact same lateness a fresh
+    single-pass replay computes — on both state-store backends."""
+    import dataclasses as _dc
+
+    from pipelinejobs_indexer_spark import config as cfg
+
+    schema = "msg_id long, uuid string, name string, ts timestamp, job_key long"
+    drop1 = [
+        (1, "u1", "index", T0 + timedelta(hours=2), 1),  # job1 mark 2:00
+        (2, "u2", "index", T0, 2),                        # job2 mark 0:00
+        (3, "u1", "index", T0, 1),  # 2h below job1's mark -> dead (run 1)
+    ]
+    drop2 = [
+        # 1h55m below job1's CHECKPOINTED mark: dead-letters iff the
+        # high-water state survived the restart
+        (4, "u1", "index", T0 + timedelta(minutes=5), 1),
+        (5, "u2", "index", T0 + timedelta(hours=1), 2),   # job2 advances
+        (6, "u2", "index", T0, 2),  # 1h below job2's new mark -> dead
+    ]
+    lateness = {
+        3: (2 * 3600 - 600) * 1_000_000,
+        4: (2 * 3600 - 5 * 60 - 600) * 1_000_000,
+        6: (3600 - 600) * 1_000_000,
+    }
+    saved = cfg.CONFIG
+    cfg.CONFIG = _dc.replace(saved, state_store=backend)
+    try:
+        src = tmp_path / f"dl_src_{backend}"
+        ckpt = tmp_path / f"dl_ckpt_{backend}"
+        src.mkdir()
+        _write_single_parquet_schema(spark, drop1, schema, src / "d1.parquet")
+        got1 = _run_dead_letter_checkpointed(
+            spark, src, ckpt, f"dl_resume1_{backend}"
+        )
+        assert got1 == {3: lateness[3]}
+
+        _write_single_parquet_schema(spark, drop2, schema, src / "d2.parquet")
+        got2 = _run_dead_letter_checkpointed(
+            spark, src, ckpt, f"dl_resume2_{backend}"
+        )
+        # msg 3 absent = drop1 not re-read; msg 4 present with the
+        # drop1-derived lateness = the mark survived the restart
+        assert got2 == {4: lateness[4], 6: lateness[6]}
+
+        fresh = _run_dead_letter_checkpointed(
+            spark, src, tmp_path / f"dl_ckpt_fresh_{backend}",
+            f"dl_fresh_{backend}",
+        )
+        assert {**got1, **got2} == fresh == lateness
+    finally:
+        cfg.CONFIG = saved
