@@ -209,10 +209,11 @@ def decode_tiff(data: bytes):
     photometric = one(TAG_PHOTOMETRIC)
     compression = one(TAG_COMPRESSION, 1)
     predictor = one(TAG_PREDICTOR, 1)
-    # BitsPerSample's spec default is 1 (bilevel); fax writers lean on
-    # it (the JDK omits tag 258 entirely). Non-fax paths keep the
-    # historical 8-bit assumption for absent tags.
-    bits = tags.get(TAG_BITS, [1] if compression in (2, 3, 4) else [8])
+    # BitsPerSample's spec default is 1 (bilevel, TIFF 6.0 §3); bilevel
+    # writers lean on it — the JDK omits tag 258 for both fax and
+    # bit-packed files, which is how the round-10 conformance fixtures
+    # caught the old [8] assumption.
+    bits = tags.get(TAG_BITS, [1])
     if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
         raise ValueError("bad TIFF geometry")
     if width * height * spp > MAX_TEXT_BYTES:
@@ -258,9 +259,17 @@ def decode_tiff(data: bytes):
             (cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8)
             for i in range(n)
         ]
+    elif bits == [1] and photometric in (0, 1):
+        # bilevel with a byte-codec (or none): rows are bit-packed
+        # MSB-first, padded to a byte boundary (TIFF 6.0 §3) — REAL
+        # since round 10, JDK fixture-pinned alongside the fax paths
+        if spp != 1:
+            raise ValueError("bilevel TIFF with SamplesPerPixel != 1")
+        if predictor != 1:
+            raise NotImplementedError("predictor on bilevel samples")
     elif any(b != 8 for b in bits) and not fax:
         raise NotImplementedError(
-            f"{bits}-bit TIFF samples (only 8-bit decodes honestly)"
+            f"{bits}-bit TIFF samples (only 1/4/8-bit decode honestly)"
         )
     elif photometric in (0, 1):
         if spp != 1:
@@ -287,8 +296,11 @@ def decode_tiff(data: bytes):
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
     rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
-    bps = bits[0] if palette is not None else 8
+    bilevel_packed = bits == [1] and not fax and palette is None
+    bps = bits[0] if (palette is not None or bilevel_packed) else 8
     row_bytes = (width * spp * bps + 7) // 8
+    if fax:
+        row_bytes = width  # fax strips decode straight to byte samples
     raw = bytearray()
     for si, (soff, scount) in enumerate(zip(offsets, counts)):
         strip = data[soff : soff + scount]
@@ -383,6 +395,15 @@ def decode_tiff(data: bytes):
                 idxs = list(row[:width])
             pixels.append([palette[i] for i in idxs])
             continue
+        if bilevel_packed:
+            # MSB-first bit rows, byte-padded (TIFF 6.0 §3); scale
+            # samples to 0/255 so the photometric mapping below is the
+            # same one the 8-bit and fax paths use
+            expanded = bytearray()
+            for b in row:
+                for k in range(7, -1, -1):
+                    expanded.append(255 if (b >> k) & 1 else 0)
+            row = expanded[:width]
         if predictor == 2:
             _undiff(row, spp)
         if prev_invert:

@@ -81,6 +81,16 @@ public class GenFixtures {
         writeTiff(bilevelConst(40, 8, true), "CCITT T.6", "fax_g4_black.tif");
         writeTiff(bilevelStripes(63, 9), "CCITT T.6", "fax_g4_stripes.tif");
 
+        // round-10 additions: bit-packed (non-fax) bilevel, 4-bit
+        // palette TIFF, and tall images the JDK splits into multiple
+        // strips (fax reference lines must reset per strip)
+        writeTiff(bilevelNoise(61, 18), null, "bilevel_none.tif");
+        writeTiff(bilevelNoise(61, 18), "LZW", "bilevel_lzw.tif");
+        writeTiff(pal4Image(30, 14), "PackBits", "pal4_packbits.tif");
+        writeTiff(grayImage(33, 600), "LZW", "gray_lzw_tall.tif");
+        writeTiff(bilevelNoise(64, 2400), "CCITT T.6", "fax_g4_tall.tif");
+        writeTiff(bilevelRuns(1728, 200), "CCITT T.4", "fax_g3_tall.tif");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")
@@ -125,6 +135,24 @@ public class GenFixtures {
         for (int y = 0; y < h; y++)
             for (int x = 0; x < w; x++)
                 img.getRaster().setSample(x, y, 0, (x + y * 3 + rnd(4)) % 16);
+        return img;
+    }
+
+    static BufferedImage pal4Image(int w, int h) {
+        // 4-bit palette TIFF: the writer emits BitsPerSample 4 with a
+        // 16-entry ColorMap (packed high-nibble-first rows)
+        byte[] r = new byte[16], g = new byte[16], b = new byte[16];
+        for (int i = 0; i < 16; i++) {
+            r[i] = (byte) (i * 13);
+            g[i] = (byte) (200 - i * 9);
+            b[i] = (byte) ((i * 23) % 256);
+        }
+        IndexColorModel cm = new IndexColorModel(4, 16, r, g, b);
+        BufferedImage img = new BufferedImage(
+                w, h, BufferedImage.TYPE_BYTE_BINARY, cm);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                img.getRaster().setSample(x, y, 0, (x * 2 + y + rnd(3)) % 16);
         return img;
     }
 

@@ -79,11 +79,12 @@ def test_honest_refusal_scope():
     # BigTIFF magic has a malformed offset-size header
     with pytest.raises(ValueError, match="BigTIFF|offset size|IFD"):
         decode_tiff(b"II\x2b\x00" + data[4:])
-    # sub-8-bit samples
+    # 16-bit samples stay a refusal (1-bit bilevel is REAL since
+    # round 10, so the old sub-8-bit probe now decodes-or-ValueErrors)
     bad = bytearray(data)
     at = data.index((258).to_bytes(2, "little"))
-    bad[at + 8] = 1
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    bad[at + 8] = 16
+    with pytest.raises(NotImplementedError, match="bit"):
         decode_tiff(bytes(bad))
     # palette photometric is REAL now — but claiming it without a
     # ColorMap is corruption
