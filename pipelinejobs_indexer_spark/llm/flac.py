@@ -28,6 +28,15 @@ escapes), any stereo mode, any partition order — so an encode→decode
 round trip exercises every decoder branch with independently-written
 bit paths (the webp.py pattern).
 
+Conformance status (round 10): the CRC layer is pinned EXTERNALLY —
+both framing CRCs match the published reveng catalogue check values
+for "123456789" (CRC-8 poly 0x07 → 0xF4; CRC-16 poly 0x8005 init 0 →
+0xFEE8, tests/test_flac.py), and the stream MD5 is hashlib's. The
+rice/LPC/stereo-decorrelation layers remain in-repo-verified only (no
+reference FLAC encoder ships in this container); committing bytes from
+the official flac tool or the RFC 9639 test-files corpus is the open
+fix, as for webp.py.
+
 Memory bounds: total samples are capped before allocation
 (MAX_SAMPLES), per-frame block sizes are spec-bounded (<= 65535), and
 residual reads cannot overrun the declared block size.

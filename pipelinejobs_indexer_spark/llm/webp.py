@@ -33,6 +33,17 @@ any allocation, backref copies cannot overrun the declared pixel count,
 and every malformed-container class raises ValueError (truncated RIFF,
 bad signature, bad version, duplicate transform, over/under-subscribed
 prefix code, out-of-range distance/cache index, short pixel data).
+
+Conformance status (round 10, stated honestly): this is the ONE image
+codec in the repo whose evidence is still in-repo-only — the container
+ships no independent VP8L encoder (no libwebp/Pillow; the JDK's
+javax.imageio, which externally pins jpeg/png/gif/tiff/fax via
+tests/fixtures/conformance/, has no WebP plugin), so a symmetric
+encoder/decoder misreading of RFC 9649 (e.g. a transposed _DIST_MAP
+entry) would round-trip cleanly here. Mitigations in place: the
+hand-built entropy-image stream, bit-flip fuzz, and the closed-form
+oracles; the open fix is committing bytes from a real cwebp -lossless
+once any reference encoder is available.
 """
 
 from __future__ import annotations
