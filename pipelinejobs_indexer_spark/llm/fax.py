@@ -526,3 +526,132 @@ def encode_g3(rows, width: int, two_d: bool = False) -> bytes:
         else:
             _encode_1d_line(w, changes, width)
     return w.flush()
+
+
+# --------------------------------------------- PDF CCITTFaxDecode layer
+def _rest_is_zero_fill(bits: _Bits) -> bool:
+    """True when every bit from the current position to the end of the
+    data is zero — i.e. what remains is pad/fill, not another line (no
+    fax line can be all zero bits: every code table entry contains a
+    1)."""
+    rem = 8 * len(bits.data) - bits.pos
+    if rem <= 0:
+        return True
+    partial = min((-bits.pos) % 8, rem)
+    if partial:
+        v, _ = bits.peek(partial)
+        if v:
+            return False
+    return not any(bits.data[(bits.pos + partial) >> 3 :])
+
+
+def decode_fax_pdf(
+    data: bytes,
+    columns: int,
+    rows: int | None,
+    k: int,
+    byte_align: bool = False,
+) -> list[bytearray]:
+    """ISO 32000 §7.4.6 CCITTFaxDecode parameter semantics over the
+    same T.4/T.6 machinery as `decode_fax`: /K < 0 is pure T.6 MMR
+    (what real scanners emit), /K == 0 is one-dimensional MH coding —
+    contiguous code lines by default, each line starting on a byte
+    boundary under /EncodedByteAlign, with any writer-emitted EOLs
+    (/EndOfLine) consumed where found — and /K > 0 is mixed
+    two-dimensional T.4 (EOL per line carrying the 1D/2D flag bit,
+    fill tolerated). ``rows=None`` (/Rows absent or 0) decodes until
+    the data ends, an EOFB (two EOLs back-to-back) is met, or only
+    zero-fill remains. Returns rows of 0/1 samples with 1 = black —
+    /BlackIs1 mapping and bit packing are the caller's (pdf.py's) job.
+    """
+    if columns <= 0:
+        raise ValueError("CCITTFax image with zero width")
+    if rows is not None and rows <= 0:
+        raise ValueError("CCITTFax image with zero height")
+    bits = _Bits(data)
+    out: list[bytearray] = []
+    ref: list[int] = [columns, columns]
+    # a hard backstop so a hostile stream with rows=None cannot spin:
+    # each decoded line consumes >= 1 bit, but bound rows anyway
+    max_rows = rows if rows is not None else 8 * len(data) + 1
+    while len(out) < max_rows:
+        if rows is None:
+            rem = 8 * len(data) - bits.pos
+            if rem <= 0:
+                break
+            head, got = bits.peek(24)
+            if got == 24 and head == 0b000000000001_000000000001:
+                break  # EOFB
+            if _rest_is_zero_fill(bits):
+                break  # zero pad tail, not a line
+        if k < 0:
+            if byte_align and out:
+                bits.byte_align()
+            changes = _decode_2d_line(bits, ref, columns)
+        elif k == 0:
+            if byte_align and out:
+                bits.byte_align()
+            # consume a writer-emitted EOL (optionally fill-prefixed)
+            head, got = bits.peek(12)
+            if got == 12 and (head == 1 or head == 0):
+                if not _find_eol(bits):
+                    break  # nothing but fill remained
+            changes = _decode_mh_line(bits, columns)
+        else:
+            # K > 0: EOL-prefixed lines with the 1D/2D flag bit;
+            # tolerate a missing leading EOL like decode_fax does
+            head, got = bits.peek(12)
+            has_eol = got >= 12 and (head >> 1) == 0
+            if out == [] and not has_eol:
+                pass
+            elif not _find_eol(bits):
+                if rows is None:
+                    break
+                raise ValueError(
+                    f"fax stream ends after {len(out)} of {rows} rows"
+                )
+            if bits.read(1):
+                changes = _decode_mh_line(bits, columns)
+            else:
+                changes = _decode_2d_line(bits, ref, columns)
+        out.append(_changes_to_bits(changes, columns))
+        ref = changes if changes else [columns, columns]
+    if rows is not None and len(out) < rows:
+        raise ValueError(
+            f"fax stream ends after {len(out)} of {rows} rows"
+        )
+    return out
+
+
+def encode_ccitt_pdf(
+    rows, width: int, k: int, byte_align: bool = False
+) -> bytes:
+    """Writer-side mate of `decode_fax_pdf`: /K < 0 encodes T.6 MMR
+    with a trailing EOFB, /K > 0 the mixed-2D T.4 EOL stream, /K == 0
+    plain MH lines (contiguous, or byte-aligned per line when the
+    stream will be declared /EncodedByteAlign). Encoder and decoder
+    share only the published code tables — the gif.py discipline."""
+    if k < 0:
+        if not byte_align:
+            return encode_g4(rows, width)
+        # /EncodedByteAlign with MMR: each coded line begins on a byte
+        # boundary (rare but legal — §7.4.6 Table 11)
+        w = _BitW()
+        ref = [width, width]
+        for i, row in enumerate(rows):
+            if i:
+                w.byte_align()
+            changes = _row_changes(row, width)
+            _encode_2d_line(w, changes, ref, width)
+            ref = changes if changes else [width, width]
+        w.byte_align()
+        w.put(EOL + EOL)  # EOFB
+        return w.flush()
+    if k > 0:
+        return encode_g3(rows, width, two_d=True)
+    if byte_align:
+        return encode_mh(rows, width)
+    w = _BitW()
+    for row in rows:
+        _encode_1d_line(w, _row_changes(row, width), width)
+    return w.flush()

@@ -2340,6 +2340,150 @@ def llm_multimodal_tiff_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_fax_features, schema=FAX_SCHEMA)
 
 
+# ------------------------------------- L5w PDF CCITTFaxDecode filter path
+PDF_FAX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_images", LongType()),
+        StructField("black_a", LongType()),
+        StructField("wsum_a", LongType()),
+        StructField("black_b", LongType()),
+        StructField("wsum_b", LongType()),
+    ]
+)
+
+
+def _pdf_fax_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .pdf import extract_pdf_images, write_pdf
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_images", "black_a", "wsum_a", "black_b", "wsum_b",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            wa, ha, rows_a = _fax_bitmap(d)
+            wb = 16 + d % 9
+            hb = 8 + d % 5
+            rows_b = [
+                [1 if (2 * d + 1 + 3 * x + 5 * y) % 7 < 3 else 0
+                 for x in range(wb)]
+                for y in range(hb)
+            ]
+            kb = d % 2  # image B cycles /K 0 (MH) and /K 1 (mixed 2D)
+            data = write_pdf(
+                [["fax doc"]],
+                images=[[
+                    {
+                        # image A: /K < 0 T.6 MMR — what office scanners
+                        # actually emit — cycling /EncodedByteAlign and
+                        # the /BlackIs1 + /Decode [1 0] writer pairing
+                        "kind": "fax", "rows": rows_a,
+                        "width": wa, "height": ha, "k": -1,
+                        "byte_align": d % 2 == 1,
+                        "black_is_1": d % 5 == 0,
+                    },
+                    {
+                        "kind": "fax", "rows": rows_b,
+                        "width": wb, "height": hb, "k": kb,
+                        "byte_align": kb == 0 and d % 3 == 0,
+                        "black_is_1": d % 5 == 3,
+                    },
+                ]],
+                # the L5l container cycle: ciphers 13 > 11 > 7, layouts
+                encrypt_rc4=(d % 7 == 0 and d % 11 != 0 and d % 13 != 0),
+                encrypt_aes=(d % 11 == 0 and d % 13 != 0),
+                encrypt_aes256=(d % 13 == 0),
+                xref_stream=(d % 4 == 1),
+                objstm=(d % 4 == 3),
+            )
+            imgs = extract_pdf_images(data)[0]
+            if len(imgs) != 2:
+                raise ValueError(f"expected 2 fax images, got {len(imgs)}")
+            sums = []
+            for im, (w, h) in zip(imgs, ((wa, ha), (wb, hb))):
+                if (im["width"], im["height"]) != (w, h):
+                    raise ValueError("fax image geometry drifted")
+                black = pos = 0
+                for i, v in enumerate(im["samples"]):
+                    if v == 0:  # /Decode-normalized: black = gray 0
+                        black += 1
+                        pos += i + 1
+                sums.append((black, pos))
+            out["doc_id"].append(d)
+            out["n_images"].append(len(imgs))
+            out["black_a"].append(sums[0][0])
+            out["wsum_a"].append(sums[0][1])
+            out["black_b"].append(sums[1][0])
+            out["wsum_b"].append(sums[1][1])
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_pdf_fax",
+    sql="""WITH a AS (
+             SELECT d.doc_id,
+                    CAST(SUM(CASE WHEN (d.doc_id + 3 * x.x + 5 * y.y) % 7 < 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS black_a,
+                    CAST(SUM(CASE WHEN (d.doc_id + 3 * x.x + 5 * y.y) % 7 < 3
+                             THEN x.x + (24 + d.doc_id % 13) * y.y + 1
+                             ELSE 0 END) AS BIGINT) AS wsum_a
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 36) AS x(x),
+                  generate_series(0, 10) AS y(y)
+             WHERE x.x < 24 + d.doc_id % 13
+               AND y.y < 6 + d.doc_id % 5
+             GROUP BY d.doc_id),
+           b AS (
+             SELECT d.doc_id,
+                    CAST(SUM(CASE WHEN (2 * d.doc_id + 1 + 3 * x.x + 5 * y.y)
+                                       % 7 < 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS black_b,
+                    CAST(SUM(CASE WHEN (2 * d.doc_id + 1 + 3 * x.x + 5 * y.y)
+                                       % 7 < 3
+                             THEN x.x + (16 + d.doc_id % 9) * y.y + 1
+                             ELSE 0 END) AS BIGINT) AS wsum_b
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 24) AS x(x),
+                  generate_series(0, 12) AS y(y)
+             WHERE x.x < 16 + d.doc_id % 9
+               AND y.y < 8 + d.doc_id % 5
+             GROUP BY d.doc_id)
+           SELECT a.doc_id,
+                  CAST(2 AS BIGINT) AS n_images,
+                  a.black_a, a.wsum_a, b.black_b, b.wsum_b
+           FROM a JOIN b USING (doc_id)""",
+)
+def llm_multimodal_pdf_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5w: PDF /CCITTFaxDecode raster filter (round 10) — scanner PDFs
+    are fax strips wrapped per page, so this closes the last common
+    raster-filter refusal in pdf.py. Per doc, two bilevel image
+    XObjects: A is /K < 0 T.6 MMR (the dominant real-world dialect)
+    cycling /EncodedByteAlign and the /BlackIs1-with-/Decode-[1 0]
+    writer pairing; B cycles /K 0 (contiguous or byte-aligned MH) and
+    /K 1 (EOL + 1D/2D flag-bit T.4). The full L5l container cycle
+    (RC4/AES-128/AES-256, xref-stream, ObjStm) applies on top, so an
+    AES-encrypted CCITT strip inside an ObjStm container is a
+    driver-hashed path. The filter's T.4/T.6 tables and the PDF
+    parameter mapping are pinned EXTERNALLY: JDK-TIFFFaxCompressor
+    strips rewrapped verbatim as /CCITTFaxDecode streams decode
+    bit-exactly (tests/test_conformance.py). Oracle: black count and a
+    1-based position-weighted sum per image in closed form — placement
+    pinning, so a BlackIs1 inversion, /Decode misread, byte-align
+    desync, or transposed fax mode word cannot cancel. Scale shape:
+    zero-exchange mapInPandas, O(rows) fixed-width output.
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs uploaded PDFs as opaque blobs; the
+    image-decode surface is what a training-data pipeline adds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_pdf_fax_features, schema=PDF_FAX_SCHEMA)
+
+
 # ----------------------------------------------- L5g real JPEG decode path
 JPEG_Q = 16  # flat quant table: every pixel of a DC-only block = 2*DC + 128
 

@@ -62,17 +62,22 @@ Images: page /Resources → /XObject entries with /Subtype /Image
 decode to 8-bit samples (extract_pdf_images) — the raster filters are
 real: RunLengthDecode (§7.4.5), LZWDecode (§7.4.4.2 TIFF variant,
 MSB-first 9→12-bit codes, EarlyChange, predictors shared with
-FlateDecode), and DCTDecode through the in-repo baseline JPEG decoder
+FlateDecode), DCTDecode through the in-repo baseline JPEG decoder
 (jpeg.py), so a JPEG photo embedded the way real generators embed
-them comes back as pixels. Device color spaces (Gray/RGB/CMYK) and
+them comes back as pixels, and CCITTFaxDecode (§7.4.6, round 10)
+through fax.py — /K selects T.6 MMR (< 0), 1D MH (0) or mixed-2D T.4
+(> 0), with /Columns//Rows//BlackIs1//EncodedByteAlign honored and
+the packed bilevel raster expanded through the image's /Decode array
+(the scanned-document path: a scanner PDF is a CCITT-wrapped fax
+strip per page). Device color spaces (Gray/RGB/CMYK) and
 [/Indexed base hival lookup] palettes (the lookup is FILE data — a
 string or stream — mapped into the base space, §8.6.6.3) at 8 bits
-per component are in scope.
+per component are in scope, plus 1-bit /DeviceGray bilevel rasters.
 
 Out of honest scope (documented raises): custom (non-Standard)
 security handlers, unknown crypt filters, codec-class raster filters
-(CCITTFaxDecode/JBIG2Decode/JPXDecode), and sub-8-bit or ICC/
-separation image formats raise NotImplementedError;
+(JBIG2Decode/JPXDecode), and sub-8-bit (other than 1-bit gray) or
+ICC/separation image formats raise NotImplementedError;
 structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
 malformed /Encrypt) raises ValueError. Decompressed stream output is
@@ -1214,10 +1219,59 @@ class _Document:
                         for pxl in row:
                             flat += bytes(pxl)
                 raw = bytes(flat)
+            elif f == "/CCITTFaxDecode":
+                # terminal filter (§7.4.6): output is the packed 1-bit
+                # raster (rows byte-padded, MSB first), decoded through
+                # the in-repo T.4/T.6 machinery (fax.py — tables pinned
+                # by the JDK conformance fixtures). /BlackIs1 defaults
+                # FALSE: decoded 0 bits mean black.
+                from .fax import decode_fax_pdf
+
+                parmd = parm if isinstance(parm, dict) else {}
+                kk = self.resolve(parmd.get("/K", 0))
+                cols = self.resolve(parmd.get("/Columns", 1728))
+                nrows = self.resolve(parmd.get("/Rows", 0))
+                black1 = self.resolve(parmd.get("/BlackIs1", False))
+                balign = self.resolve(
+                    parmd.get("/EncodedByteAlign", False)
+                )
+                if not isinstance(kk, int) or not isinstance(cols, int):
+                    raise ValueError("bad CCITTFaxDecode /K or /Columns")
+                if not isinstance(nrows, int) or nrows < 0:
+                    raise ValueError("bad CCITTFaxDecode /Rows")
+                if not nrows:
+                    # writers that omit /Rows still declare /Height on
+                    # the image dictionary itself
+                    h = self.resolve(info.get("/Height"))
+                    nrows = h if isinstance(h, int) and h > 0 else None
+                if nrows is not None and (cols * nrows) // 8 > MAX_TEXT_BYTES:
+                    raise ValueError(
+                        f"CCITTFax image inflates past the "
+                        f"{MAX_TEXT_BYTES}-byte bound"
+                    )
+                lines = decode_fax_pdf(
+                    raw, cols, nrows, kk, byte_align=bool(balign)
+                )
+                stride = (cols + 7) >> 3
+                if len(lines) * stride > MAX_TEXT_BYTES:
+                    raise ValueError(
+                        f"CCITTFax image inflates past the "
+                        f"{MAX_TEXT_BYTES}-byte bound"
+                    )
+                packed = bytearray(len(lines) * stride)
+                for y, line in enumerate(lines):
+                    base = y * stride
+                    for x, s in enumerate(line):
+                        # fax 1 = black; output bit is the sample under
+                        # /BlackIs1, its complement otherwise
+                        bit = s if black1 else 1 - s
+                        if bit:
+                            packed[base + (x >> 3)] |= 0x80 >> (x & 7)
+                raw = bytes(packed)
             else:
                 raise NotImplementedError(
                     f"PDF filter {f} needs a codec outside the honest "
-                    "stdlib scope (CCITTFax/JBIG2/JPX)"
+                    "stdlib scope (JBIG2/JPX)"
                 )
         return raw
 
@@ -1337,12 +1391,14 @@ class _Document:
         /Resources → /XObject entries with /Subtype /Image, each a
         stream whose filter chain ends in sample bytes (FlateDecode /
         RunLengthDecode / LZWDecode raws, or DCTDecode through the
-        in-repo baseline JPEG decoder). Returns dicts with name, width,
+        in-repo baseline JPEG decoder, or CCITTFaxDecode bilevel
+        rasters through fax.py). Returns dicts with name, width,
         height, n_components, and the interleaved row-major samples;
         sample length is validated against the geometry so a wrong
-        filter chain cannot pass silently. Only 8-bit components and
-        the device color spaces are in scope (1/2/4-bit palettes raise
-        the documented NotImplementedError)."""
+        filter chain cannot pass silently. 8-bit components in the
+        device color spaces and 1-bit /DeviceGray (expanded 0/255
+        through the /Decode array) are in scope; 2/4-bit depths raise
+        the documented NotImplementedError."""
         res = self.resolve(page.get("/Resources"))
         if res is None:
             return []
@@ -1367,10 +1423,10 @@ class _Document:
                        for x in (width, height)):
                 raise ValueError(f"bad PDF image geometry in {name}")
             bpc = self.resolve(info.get("/BitsPerComponent", 8))
-            if bpc != 8:
+            if bpc not in (1, 8):
                 raise NotImplementedError(
                     f"{bpc}-bit PDF image components (palette depths) are "
-                    "outside the 8-bit sample scope"
+                    "outside the 1/8-bit sample scope"
                 )
             cs = self.resolve(info.get("/ColorSpace"))
             lookup = None
@@ -1422,6 +1478,41 @@ class _Document:
                         "outside the device-space scope"
                     )
             samples = self.stream_bytes((ref[1], ref[2]))
+            if bpc == 1:
+                # bilevel raster (CCITTFax or raw): rows byte-padded,
+                # MSB first; expand to 8-bit gray per /Decode default
+                # [0 1] — bit 0 is DeviceGray 0.0 (black), bit 1 white
+                if lookup is not None or ncomp != 1:
+                    raise NotImplementedError(
+                        "1-bit PDF images outside plain /DeviceGray "
+                        "(palette/multi-component) are out of scope"
+                    )
+                stride = (width + 7) >> 3
+                if len(samples) != stride * height:
+                    raise ValueError(
+                        f"PDF bilevel image {name}: {len(samples)} packed "
+                        f"bytes for {width}x{height} geometry"
+                    )
+                dec = self.resolve(info.get("/Decode"))
+                if dec is None:
+                    lo, hi = 0, 255
+                elif (
+                    isinstance(dec, list)
+                    and len(dec) == 2
+                    and all(self.resolve(d) in (0, 1) for d in dec)
+                ):
+                    lo = 255 * self.resolve(dec[0])
+                    hi = 255 * self.resolve(dec[1])
+                else:
+                    raise ValueError(f"bad 1-bit /Decode array {dec!r}")
+                gray = bytearray([lo]) * (width * height)
+                for y in range(height):
+                    base = y * stride
+                    orow = y * width
+                    for x in range(width):
+                        if samples[base + (x >> 3)] & (0x80 >> (x & 7)):
+                            gray[orow + x] = hi
+                samples = bytes(gray)
             if lookup is not None:
                 table, hival, base_n = lookup
                 if len(samples) != width * height:
@@ -2287,15 +2378,46 @@ def write_pdf(
                     fl = ""
                 else:
                     raise ValueError(f"bad image filter {filt!r}")
+            elif spec["kind"] == "fax":
+                # bilevel image under /Filter /CCITTFaxDecode (§7.4.6):
+                # "rows" are 0/1 samples with 1 = black (or "encoded"
+                # carries externally-produced fax bytes verbatim). The
+                # coded stream always codes black runs as black; what
+                # /BlackIs1 changes is the DECODED bit convention, so a
+                # writer electing BlackIs1 pairs it with /Decode [1 0]
+                # to keep the painted image identical — both halves of
+                # that pairing are then on the reader's path.
+                from .fax import encode_ccitt_pdf
+
+                kk = spec.get("k", -1)
+                balign = bool(spec.get("byte_align", False))
+                body = spec.get("encoded")
+                if body is None:
+                    body = encode_ccitt_pdf(
+                        spec["rows"], spec["width"], kk, byte_align=balign
+                    )
+                black1 = bool(spec.get("black_is_1", False))
+                parms = (
+                    f"/K {kk} /Columns {spec['width']} "
+                    f"/Rows {spec['height']}"
+                    + (" /BlackIs1 true" if black1 else "")
+                    + (" /EncodedByteAlign true" if balign else "")
+                    + (" /EndOfLine true" if kk > 0 else "")
+                )
+                fl = (
+                    f" /Filter /CCITTFaxDecode /DecodeParms << {parms} >>"
+                    + (" /Decode [1 0]" if black1 else "")
+                )
             else:
                 raise ValueError(f"bad image kind {spec.get('kind')!r}")
             if enc is not None:
                 body = _enc_stream(body, num)
+            bpc = 1 if spec["kind"] == "fax" else 8
             head = (
                 f"<< /Type /XObject /Subtype /Image /Width {spec['width']} "
                 f"/Height {spec['height']} "
                 f"/ColorSpace {cs_entry or cspace[ncomp]} "
-                f"/BitsPerComponent 8 /Length {len(body)}{fl} >>"
+                f"/BitsPerComponent {bpc} /Length {len(body)}{fl} >>"
             ).encode()
             got = add(head + b"\nstream\n" + body + b"\nendstream")
             if got != num:

@@ -109,3 +109,101 @@ def test_manifest_covers_every_claimed_codec():
     fax = {n for n in names if n.startswith("fax_")}
     assert {"fax_rle_a", "fax_g3_a", "fax_g4_a"} <= fax
     assert len(fax) >= 9  # noise + long-run + edge patterns
+
+
+# ----------------------------------- PDF CCITTFaxDecode, externally pinned
+def _tiff_fax_info(raw: bytes) -> dict:
+    """Minimal classic-TIFF IFD walk pulling the fax-relevant tags, so
+    the JDK-encoded strip BYTES can be lifted out verbatim and rewrapped
+    as PDF CCITTFaxDecode streams (independent of tiff.py)."""
+    import struct
+
+    bo = "<" if raw[:2] == b"II" else ">"
+    (off,) = struct.unpack(bo + "I", raw[4:8])
+    (n,) = struct.unpack(bo + "H", raw[off : off + 2])
+    tags: dict[int, list[int]] = {}
+    sizes = {1: 1, 3: 2, 4: 4}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", raw[e : e + 8])
+        if typ not in sizes:
+            continue
+        total = sizes[typ] * cnt
+        if total <= 4:
+            buf = raw[e + 8 : e + 8 + total]
+        else:
+            (voff,) = struct.unpack(bo + "I", raw[e + 8 : e + 12])
+            buf = raw[voff : voff + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + str(cnt) + fmt, buf))
+    return {
+        "width": tags[256][0],
+        "height": tags[257][0],
+        "compression": tags[259][0],
+        "photometric": tags[262][0],
+        "strip_offsets": tags[273],
+        "rows_per_strip": tags.get(278, [tags[257][0]])[0],
+        "strip_counts": tags[279],
+        "t4_options": tags.get(292, [0])[0],
+    }
+
+
+FAX_FIXTURES = [m for m in MANIFEST if m["name"].startswith("fax_")]
+
+
+@pytest.mark.parametrize(
+    "m", FAX_FIXTURES, ids=[m["name"] for m in FAX_FIXTURES]
+)
+@pytest.mark.parametrize("black_is_1", [False, True], ids=["b0", "b1"])
+def test_pdf_ccittfax_decodes_jdk_strips(m: dict, black_is_1: bool):
+    """The PDF /CCITTFaxDecode filter against INDEPENDENT bytes: each
+    strip the JDK's TIFFFaxCompressor wrote is re-wrapped verbatim as
+    a PDF image XObject (/K mapped from the TIFF compression+T4Options)
+    and must decode through pdf.py to the JDK reader's own pixels.
+    A misread /K dialect, EOL/tag-bit handling, BlackIs1 inversion, or
+    /Decode application fails this against third-party evidence."""
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        extract_pdf_images,
+        write_pdf,
+    )
+
+    raw, ref = _load(m)
+    if ref.shape[2] == 3:  # bilevel-through-IndexColorModel RGB dump
+        ref = ref[:, :, :1]
+    info = _tiff_fax_info(raw)
+    assert info["photometric"] == 0  # WhiteIsZero: fax black = gray 0
+    comp, t4 = info["compression"], info["t4_options"]
+    if comp == 4:
+        k, balign = -1, False
+    elif comp == 3:
+        k, balign = (1 if t4 & 1 else 0), bool(t4 & 4)
+        if not t4 & 1:
+            pytest.skip("1D G3 with EOLs covered via K=0 EOL tolerance")
+    else:  # compression 2: MH, byte-aligned lines == /EncodedByteAlign
+        k, balign = 0, True
+    w = info["width"]
+    y0 = 0
+    for soff, scnt in zip(info["strip_offsets"], info["strip_counts"]):
+        rows_here = min(info["rows_per_strip"], info["height"] - y0)
+        spec = {
+            "kind": "fax",
+            "encoded": raw[soff : soff + scnt],
+            "width": w,
+            "height": rows_here,
+            "k": k,
+            "byte_align": balign,
+            "black_is_1": black_is_1,
+        }
+        pdf = write_pdf([["strip"]], images=[[spec]])
+        im = extract_pdf_images(pdf)[0][0]
+        got = np.frombuffer(im["samples"], dtype=np.uint8).reshape(
+            rows_here, w
+        )
+        exp = ref[y0 : y0 + rows_here, :, 0]
+        assert (got == exp).all(), (
+            m["name"],
+            y0,
+            int((got != exp).sum()),
+        )
+        y0 += rows_here
+    assert y0 == info["height"]

@@ -174,3 +174,66 @@ def test_pinned_jdk_crosschecked_stream():
     data = encode_g4(rows, 8)
     assert decode_fax(data, 8, 2, 4) == [bytearray(r) for r in rows]
     assert data.hex() == encode_g4(rows, 8).hex()  # deterministic
+
+
+# ------------------------------------------ PDF CCITTFaxDecode layer
+from pipelinejobs_indexer_spark.llm.fax import (  # noqa: E402
+    decode_fax_pdf,
+    encode_ccitt_pdf,
+)
+
+
+def _pat(w: int, h: int, seed: int) -> list[list[int]]:
+    return [
+        [1 if ((x * 3 + y * 5 + seed) % 7) < 3 else 0 for x in range(w)]
+        for y in range(h)
+    ]
+
+
+@pytest.mark.parametrize("k", [-1, 0, 1])
+@pytest.mark.parametrize("balign", [False, True])
+def test_pdf_layer_round_trip(k: int, balign: bool):
+    rows = _pat(29, 13, k + 7)
+    enc = encode_ccitt_pdf(rows, 29, k, byte_align=balign)
+    dec = decode_fax_pdf(enc, 29, 13, k, byte_align=balign)
+    assert dec == [bytearray(r) for r in rows]
+
+
+@pytest.mark.parametrize("k", [-1, 0, 1])
+def test_pdf_layer_rows_none_stops_cleanly(k: int):
+    """/Rows 0 (unspecified): decode until EOFB / data end / zero
+    fill — must recover exactly the encoded line count."""
+    rows = _pat(24, 9, k + 3)
+    enc = encode_ccitt_pdf(rows, 24, k)
+    dec = decode_fax_pdf(enc, 24, None, k)
+    assert dec == [bytearray(r) for r in rows]
+
+
+def test_pdf_layer_rows_none_long_zero_tail():
+    rows = _pat(16, 4, 1)
+    enc = encode_ccitt_pdf(rows, 16, 0) + b"\x00" * 7
+    assert decode_fax_pdf(enc, 16, None, 0) == [bytearray(r) for r in rows]
+
+
+def test_pdf_layer_k0_tolerates_writer_eols():
+    """/EndOfLine streams: K=0 data with EOL codes before each line
+    (what some fax-originated writers emit) decodes identically."""
+    from pipelinejobs_indexer_spark.llm.fax import encode_g3
+
+    rows = _pat(18, 5, 2)
+    enc = encode_g3(rows, 18, two_d=False)  # EOL-prefixed 1D lines
+    assert decode_fax_pdf(enc, 18, 5, 0) == [bytearray(r) for r in rows]
+
+
+def test_pdf_layer_truncation_raises():
+    rows = _pat(33, 11, 4)
+    enc = encode_ccitt_pdf(rows, 33, -1)
+    with pytest.raises(ValueError):
+        decode_fax_pdf(enc[: len(enc) // 2], 33, 11, -1)
+
+
+def test_pdf_layer_bad_geometry():
+    with pytest.raises(ValueError):
+        decode_fax_pdf(b"", 0, 1, -1)
+    with pytest.raises(ValueError):
+        decode_fax_pdf(b"", 10, 0, -1)
