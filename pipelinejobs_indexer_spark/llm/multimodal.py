@@ -2484,6 +2484,103 @@ def llm_multimodal_pdf_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_pdf_fax_features, schema=PDF_FAX_SCHEMA)
 
 
+# --------------------------------------------- L5x tiled-TIFF layout path
+TIFF_TILED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tiff_w", LongType()),
+        StructField("tiff_h", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_wsum", LongType()),
+    ]
+)
+
+
+def _tiff_tiled_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .tiff import decode_tiff, write_tiff
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "tiff_w", "tiff_h", "px_sum", "px_wsum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = 40 + d % 27
+            h = 20 + d % 13
+            px = [
+                [(x * 5 + y * 11 + d) % 256 for x in range(w)]
+                for y in range(h)
+            ]
+            # knob cycle: tile grid shapes (edge tiles pad-and-crop on
+            # the never-aligned geometry), every byte codec, predictor,
+            # both byte orders, BigTIFF every 6th doc
+            tif = write_tiff(
+                px,
+                compression=[1, 5, 8, 32773][d % 4],
+                predictor=2 if d % 2 and d % 4 != 3 else 1,
+                tile_size=[(16, 16), (32, 16), (16, 32)][d % 3],
+                big_endian=(d // 2) % 2 == 0,
+                big=d % 6 == 0,
+            )
+            dh, dw, _nc, got = decode_tiff(tif)
+            if (dh, dw) != (h, w):
+                raise ValueError(f"tiled geometry {dh}x{dw} != {h}x{w}")
+            s = ws = 0
+            for y, row in enumerate(got):
+                for x, v in enumerate(row):
+                    s += v
+                    ws += (x + w * y) * v
+            out["doc_id"].append(d)
+            out["tiff_w"].append(w)
+            out["tiff_h"].append(h)
+            out["px_sum"].append(s)
+            out["px_wsum"].append(ws)
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_tiff_tiled",
+    sql="""SELECT d.doc_id,
+                  CAST(40 + d.doc_id % 27 AS BIGINT) AS tiff_w,
+                  CAST(20 + d.doc_id % 13 AS BIGINT) AS tiff_h,
+                  CAST(SUM((x.x * 5 + y.y * 11 + d.doc_id) % 256)
+                       AS BIGINT) AS px_sum,
+                  CAST(SUM((x.x + (40 + d.doc_id % 27) * y.y)
+                           * ((x.x * 5 + y.y * 11 + d.doc_id) % 256))
+                       AS BIGINT) AS px_wsum
+           FROM (SELECT doc_id FROM documents) d,
+                generate_series(0, 66) AS x(x),
+                generate_series(0, 32) AS y(y)
+           WHERE x.x < 40 + d.doc_id % 27
+             AND y.y < 20 + d.doc_id % 13
+           GROUP BY d.doc_id""",
+)
+def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5x: tiled-TIFF layout decode (round 10, TIFF 6.0 §15) — the
+    organization pyramidal and GeoTIFF-style scans use. Per doc the
+    knob cycle covers three tile grids against a never-tile-aligned
+    geometry (edge tiles pad-then-crop), all four byte codecs, the
+    horizontal-differencing predictor (which must RESET at each tile
+    boundary — a strip-shaped pass would smear across seams), both
+    byte orders, and BigTIFF containers. Pinned EXTERNALLY by six
+    JDK-written tiled fixtures (gray/rgb/palette/fax × LZW/PackBits/
+    Deflate/none, tests/fixtures/conformance/*_tiled*). Oracle: pixel
+    sum AND a position-weighted sum in closed form from doc_id
+    arithmetic, so a transposed tile, swapped grid order, or
+    seam-smeared predictor cannot cancel. Scale shape: zero-exchange
+    mapInPandas, O(rows) fixed-width output.
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs scans as opaque blobs; tiled decode is
+    multimodal-ingest surface this engine adds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_tiff_tiled_features, schema=TIFF_TILED_SCHEMA)
+
+
 # ----------------------------------------------- L5g real JPEG decode path
 JPEG_Q = 16  # flat quant table: every pixel of a DC-only block = 2*DC + 128
 

@@ -25,9 +25,14 @@ Compression 2/3/4 (CCITT RLE / Group 3 T.4 / Group 4 T.6 bilevel fax,
 fax.py — REAL since round 10: the transcribed run-length tables are
 pinned EXTERNALLY by JDK-encoded conformance fixtures under
 tests/fixtures/conformance/, decoded bit-exactly in both directions);
-Compression 32946 (the pre-Adobe Deflate code, aliased to 8).
+Compression 32946 (the pre-Adobe Deflate code, aliased to 8);
+and the TILED layout (round 10, TIFF 6.0 §15 — TileWidth/TileLength/
+TileOffsets/TileByteCounts, the organization pyramidal and
+GeoTIFF-style scans use): every codec above applies per tile, edge
+tiles are padded-then-cropped, and predictors/bit-packing reset at
+tile boundaries (per-tile width, not image width).
 Out of honest scope (documented raises): separation/YCbCr
-photometrics, planar/tiled layouts, sub-8-bit non-palette non-fax
+photometrics, planar configuration 2, sub-8-bit non-palette non-fax
 depths, T.4/T.6 uncompressed mode.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
@@ -63,6 +68,10 @@ TAG_T4_OPTIONS = 292
 TAG_T6_OPTIONS = 293
 TAG_PREDICTOR = 317
 TAG_COLORMAP = 320
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}  # + LONG8 (BigTIFF)
 
@@ -291,13 +300,99 @@ def decode_tiff(data: bytes):
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if one(284, 1) != 1:  # PlanarConfiguration: only chunky decodes
+        raise NotImplementedError(
+            "TIFF planar configuration 2 (separate planes) is out of "
+            "scope — silently interleaving planes would corrupt pixels"
+        )
+    bilevel_packed = bits == [1] and not fax and palette is None
+    bps = bits[0] if (palette is not None or bilevel_packed) else 8
+
+    def _decode_block(
+        chunk: bytes, expected: int, n_rows: int, bw: int, desc: str
+    ) -> bytes:
+        """One compressed strip or tile -> raw bytes (fax blocks come
+        back as 0/255 gray samples, bw bytes per row)."""
+        if fax:
+            # CCITT runs decode to 0 (white) / 1 (black) samples; store
+            # them as 0/255 gray so the shared photometric-inversion
+            # path below lands black ink at 0 in the BlackIsZero output
+            # convention (photometric 0 files — the fax default)
+            from .fax import decode_fax
+
+            rows01 = decode_fax(
+                chunk, bw, n_rows, compression,
+                one(TAG_T4_OPTIONS, 0), one(TAG_T6_OPTIONS, 0),
+            )
+            out = bytearray()
+            for r01 in rows01:
+                out += bytes(255 if v else 0 for v in r01)
+            return bytes(out)
+        if compression == 1:
+            if len(chunk) != expected:
+                raise ValueError(
+                    f"uncompressed TIFF {desc}: {len(chunk)} bytes, "
+                    f"expected {expected}"
+                )
+            return chunk
+        if compression == 5:
+            out = _lzw_decode(chunk)
+            if len(out) != expected:
+                raise ValueError(
+                    f"LZW TIFF {desc} decodes to {len(out)} bytes, "
+                    f"expected {expected}"
+                )
+            return out
+        if compression == 8:
+            # Adobe Deflate: the block is a zlib stream; max_length
+            # bounds a hostile bomb to expected+1 before the size check
+            import zlib
+
+            try:
+                dec = zlib.decompressobj()
+                out = dec.decompress(chunk, expected + 1)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"bad Deflate TIFF {desc}: {exc}"
+                ) from None
+            if len(out) != expected:
+                raise ValueError(
+                    f"Deflate TIFF {desc} decodes to {len(out)} bytes, "
+                    f"expected {expected}"
+                )
+            return out
+        if compression == 7:
+            # new-style JPEG-in-TIFF (TTN2): each block is a complete
+            # JPEG interchange stream — baseline or progressive, both
+            # real via jpeg.py
+            from .jpeg import decode_jpeg
+
+            jh, jw, jnc, jpx = decode_jpeg(chunk)
+            if (jw, jnc) != (bw, spp) or jh != n_rows:
+                raise ValueError(
+                    f"JPEG {desc} geometry {jh}x{jw}x{jnc} does not "
+                    f"match {n_rows}x{bw}x{spp}"
+                )
+            flatrows = bytearray()
+            for jrow in jpx:
+                if jnc == 1:
+                    flatrows += bytes(jrow)
+                else:
+                    for p in jrow:
+                        flatrows += bytes(p)
+            return bytes(flatrows)
+        return packbits_decode(chunk, expected)
+
+    if TAG_TILE_OFFSETS in tags:
+        return _decode_tiled(
+            data, tags, one, width, height, spp, photometric, predictor,
+            palette, bilevel_packed, bps, fax, _decode_block,
+        )
     offsets = tags.get(TAG_STRIP_OFFSETS)
     counts = tags.get(TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
     rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
-    bilevel_packed = bits == [1] and not fax and palette is None
-    bps = bits[0] if (palette is not None or bilevel_packed) else 8
     row_bytes = (width * spp * bps + 7) // 8
     if fax:
         row_bytes = width  # fax strips decode straight to byte samples
@@ -309,75 +404,9 @@ def decode_tiff(data: bytes):
         n_rows = min(rows_per_strip, height - si * rows_per_strip)
         if n_rows <= 0:
             raise ValueError("TIFF has more strips than rows")
-        expected = n_rows * row_bytes
-        if fax:
-            # CCITT runs decode to 0 (white) / 1 (black) samples; store
-            # them as 0/255 gray so the shared photometric-inversion
-            # path below lands black ink at 0 in the BlackIsZero output
-            # convention (photometric 0 files — the fax default)
-            from .fax import decode_fax
-
-            rows01 = decode_fax(
-                strip, width, n_rows, compression,
-                one(TAG_T4_OPTIONS, 0), one(TAG_T6_OPTIONS, 0),
-            )
-            for r01 in rows01:
-                raw += bytes(255 if v else 0 for v in r01)
-            continue
-        if compression == 1:
-            if len(strip) != expected:
-                raise ValueError(
-                    f"uncompressed TIFF strip {si}: {len(strip)} bytes, "
-                    f"expected {expected}"
-                )
-            out = strip
-        elif compression == 5:
-            out = _lzw_decode(strip)
-            if len(out) != expected:
-                raise ValueError(
-                    f"LZW TIFF strip {si} decodes to {len(out)} bytes, "
-                    f"expected {expected}"
-                )
-        elif compression == 8:
-            # Adobe Deflate: the strip is a zlib stream; max_length
-            # bounds a hostile bomb to expected+1 before the size check
-            import zlib
-
-            try:
-                dec = zlib.decompressobj()
-                out = dec.decompress(strip, expected + 1)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"bad Deflate TIFF strip {si}: {exc}"
-                ) from None
-            if len(out) != expected:
-                raise ValueError(
-                    f"Deflate TIFF strip {si} decodes to {len(out)} bytes, "
-                    f"expected {expected}"
-                )
-        elif compression == 7:
-            # new-style JPEG-in-TIFF (TTN2): each strip is a complete
-            # JPEG interchange stream — baseline or progressive, both
-            # real via jpeg.py
-            from .jpeg import decode_jpeg
-
-            jh, jw, jnc, jpx = decode_jpeg(strip)
-            if (jw, jnc) != (width, spp) or jh != n_rows:
-                raise ValueError(
-                    f"JPEG strip {si} geometry {jh}x{jw}x{jnc} does not "
-                    f"match {n_rows}x{width}x{spp}"
-                )
-            flatrows = bytearray()
-            for jrow in jpx:
-                if jnc == 1:
-                    flatrows += bytes(jrow)
-                else:
-                    for p in jrow:
-                        flatrows += bytes(p)
-            out = bytes(flatrows)
-        else:
-            out = packbits_decode(strip, expected)
-        raw += out
+        raw += _decode_block(
+            strip, n_rows * row_bytes, n_rows, width, f"strip {si}"
+        )
     pixels = []
     prev_invert = photometric == 0  # WhiteIsZero: invert to BlackIsZero
     for y in range(height):
@@ -418,6 +447,103 @@ def decode_tiff(data: bytes):
                            (1 if spp == 1 else 3)), pixels
 
 
+def _decode_tiled(
+    data: bytes,
+    tags: dict,
+    one,
+    width: int,
+    height: int,
+    spp: int,
+    photometric: int,
+    predictor: int,
+    palette,
+    bilevel_packed: bool,
+    bps: int,
+    fax: bool,
+    decode_block,
+):
+    """Tiled-layout assembly (TIFF 6.0 §15 — the layout pyramidal and
+    GeoTIFF-style scans use): the image is a grid of tw x tl tiles,
+    each compressed INDEPENDENTLY with the same codec as strips would
+    be; edge tiles are padded to full tile size and cropped here.
+    Horizontal-differencing predictors and bit-packing reset per tile
+    row (width tw, not the image width) — the part a strip-shaped
+    decoder gets silently wrong, which is why the JDK-written tiled
+    conformance fixtures pin this path externally."""
+    tw = one(TAG_TILE_WIDTH)
+    tl = one(TAG_TILE_LENGTH)
+    # §15: tile dimensions must be multiples of 16
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError(f"bad TIFF tile geometry {tw}x{tl}")
+    if tw * tl * spp > MAX_TEXT_BYTES:
+        raise ValueError("TIFF tile volume beyond the decode bound")
+    offsets = tags.get(TAG_TILE_OFFSETS)
+    counts = tags.get(TAG_TILE_COUNTS)
+    across = (width + tw - 1) // tw
+    down = (height + tl - 1) // tl
+    if not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF tile offsets/byte-counts unequal")
+    if len(offsets) != across * down:
+        raise ValueError(
+            f"TIFF has {len(offsets)} tiles for a {across}x{down} grid"
+        )
+    if tags.get(TAG_STRIP_OFFSETS):
+        raise ValueError("TIFF with both strip and tile layouts")
+    trow_bytes = tw if fax else (tw * spp * bps + 7) // 8
+    # full-image grid of 8-bit samples (palette: indices) per row
+    grid = [bytearray(width * spp) for _ in range(height)]
+    for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
+        chunk = data[toff : toff + tcnt]
+        if len(chunk) < tcnt:
+            raise ValueError(f"TIFF tile {ti} beyond the file")
+        out = decode_block(
+            chunk, tl * trow_bytes, tl, tw, f"tile {ti}"
+        )
+        tx = ti % across
+        ty = ti // across
+        x0 = tx * tw
+        vis = min(tw, width - x0)
+        for r in range(tl):
+            gy = ty * tl + r
+            if gy >= height:
+                break
+            rowb = bytearray(out[r * trow_bytes : (r + 1) * trow_bytes])
+            if palette is not None and bps == 4:
+                srow = bytearray()
+                for b in rowb:
+                    srow.append(b >> 4)
+                    srow.append(b & 0x0F)
+                srow = srow[:tw]
+            elif bilevel_packed:
+                srow = bytearray(
+                    255 if (b >> k) & 1 else 0
+                    for b in rowb
+                    for k in range(7, -1, -1)
+                )[:tw]
+            else:
+                srow = rowb  # 8-bit samples / palette indices / fax gray
+                if predictor == 2 and not fax:
+                    _undiff(srow, spp)
+            grid[gy][x0 * spp : (x0 + vis) * spp] = srow[: vis * spp]
+    pixels = []
+    prev_invert = photometric == 0
+    for y in range(height):
+        row = grid[y]
+        if palette is not None:
+            pixels.append([palette[i] for i in row[:width]])
+            continue
+        if prev_invert:
+            row = bytearray(255 - v for v in row)
+        if spp == 1:
+            pixels.append(list(row))
+        else:
+            pixels.append(
+                [tuple(row[x * 3 : x * 3 + 3]) for x in range(width)]
+            )
+    return height, width, (3 if palette is not None else
+                           (1 if spp == 1 else 3)), pixels
+
+
 def write_tiff(
     pixels: list,
     *,
@@ -431,13 +557,18 @@ def write_tiff(
     bits: int = 8,
     big: bool = False,
     t4_two_d: bool = False,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """Assemble a baseline TIFF around row-list pixels (ints for gray,
     (r,g,b) tuples for RGB). Compression 1/5/32773, predictor 1/2,
     either byte order, optional multi-strip splitting. Compression
     2/3/4 (CCITT fax, fax.py) takes rows of 0/1 CCITT samples
     (0 = white, 1 = black) and writes a photometric-0 bilevel file;
-    t4_two_d sets T4Options bit 0 (2D-coded Group 3)."""
+    t4_two_d sets T4Options bit 0 (2D-coded Group 3). ``tile_size``
+    switches to the tiled layout (TIFF 6.0 §15): (tw, tl) must be
+    multiples of 16; each tile compresses independently with edge
+    tiles padded to full size, and Tile* tags replace the strip
+    tags."""
     height = len(pixels)
     width = len(pixels[0]) if height else 0
     if palette is not None:
@@ -469,7 +600,73 @@ def write_tiff(
     bo = ">" if big_endian else "<"
     fax_mode = compression in (2, 3, 4)
     strips: list[bytes] = []
-    if fax_mode:
+    tiled = tile_size is not None
+    if tiled:
+        tw, tl = tile_size
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(
+                "TIFF tile dimensions must be positive multiples of 16"
+            )
+        if fax_mode:
+            from .fax import encode_g3, encode_g4, encode_mh
+
+            photometric = 0  # MinIsWhite: the fax-file convention
+        pbits = 4 if (palette is not None and row_bytes != width) else 8
+        t_row_bytes = (tw * spp * (pbits if palette is not None else 8)
+                       + 7) // 8
+        across = (width + tw - 1) // tw
+        down = (height + tl - 1) // tl
+        for ty in range(down):
+            for tx in range(across):
+                trows = []
+                for r in range(tl):
+                    gy = ty * tl + r
+                    seg = (list(pixels[gy][tx * tw : tx * tw + tw])
+                           if gy < height else [])
+                    pad = ((0, 0, 0) if spp == 3 and palette is None
+                           else 0)
+                    seg += [pad] * (tw - len(seg))
+                    trows.append(seg)
+                if fax_mode:
+                    if compression == 2:
+                        strips.append(encode_mh(trows, tw))
+                    elif compression == 3:
+                        strips.append(encode_g3(trows, tw, two_d=t4_two_d))
+                    else:
+                        strips.append(encode_g4(trows, tw))
+                    continue
+                if palette is not None and pbits == 4:
+                    body = bytearray()
+                    for trow in trows:
+                        for i in range(0, tw, 2):
+                            body.append((trow[i] << 4) | trow[i + 1])
+                elif spp == 1:
+                    body = bytearray(v for trow in trows for v in trow)
+                else:
+                    body = bytearray(
+                        c for trow in trows for px in trow for c in px
+                    )
+                if photometric == 0:
+                    body = bytearray(255 - v for v in body)
+                if predictor == 2:
+                    for r0 in range(0, len(body), t_row_bytes):
+                        for i in range(t_row_bytes - 1, spp - 1, -1):
+                            body[r0 + i] = (
+                                body[r0 + i] - body[r0 + i - spp]
+                            ) & 0xFF
+                body = bytes(body)
+                if compression == 5:
+                    body = _lzw_encode(body)
+                elif compression == 8:
+                    import zlib
+
+                    body = zlib.compress(body)
+                elif compression == 32773:
+                    body = packbits_encode(body)
+                elif compression != 1:
+                    raise ValueError(f"bad compression {compression}")
+                strips.append(body)
+    elif fax_mode:
         from .fax import encode_g3, encode_g4, encode_mh
 
         photometric = 0  # MinIsWhite: the fax-file convention
@@ -481,7 +678,8 @@ def write_tiff(
                 strips.append(encode_g3(rows, width, two_d=t4_two_d))
             else:
                 strips.append(encode_g4(rows, width))
-    for y0 in range(0, height, rows_per_strip) if not fax_mode else ():
+    for y0 in (range(0, height, rows_per_strip)
+               if not fax_mode and not tiled else ()):
         rows = bytearray(flat[y0 * row_bytes : (y0 + rows_per_strip) * row_bytes])
         if photometric == 0:
             rows = bytearray(255 - v for v in rows)
@@ -522,10 +720,16 @@ def write_tiff(
     short(TAG_PHOTOMETRIC, photometric)
     if compression == 3 and t4_two_d:
         long_(TAG_T4_OPTIONS, 1)
-    long_(TAG_STRIP_OFFSETS, *([0] * len(strips)))  # patched below
+    off_tag = TAG_TILE_OFFSETS if tiled else TAG_STRIP_OFFSETS
+    long_(off_tag, *([0] * len(strips)))  # patched below
     short(TAG_SPP, spp)
-    short(TAG_ROWS_PER_STRIP, rows_per_strip)
-    long_(TAG_STRIP_COUNTS, *(len(s) for s in strips))
+    if tiled:
+        short(TAG_TILE_WIDTH, tile_size[0])
+        short(TAG_TILE_LENGTH, tile_size[1])
+        long_(TAG_TILE_COUNTS, *(len(s) for s in strips))
+    else:
+        short(TAG_ROWS_PER_STRIP, rows_per_strip)
+        long_(TAG_STRIP_COUNTS, *(len(s) for s in strips))
     if predictor != 1:
         short(TAG_PREDICTOR, predictor)
     if palette is not None:
@@ -550,7 +754,7 @@ def write_tiff(
         if size <= inline:
             val = bytes(payload) + bytes(inline - size)
         else:
-            if tag == TAG_STRIP_OFFSETS:
+            if tag == off_tag:
                 strip_off_at = ext_off + len(ext)
             val = struct.pack(bo + ("Q" if big else "I"), ext_off + len(ext))
             ext += payload
@@ -565,7 +769,7 @@ def write_tiff(
     # patch strip offsets (either inline — single strip — or in ext)
     if strip_off_at is None:
         for k, (tag, typ, count, _payload) in enumerate(entries):
-            if tag == TAG_STRIP_OFFSETS:
+            if tag == off_tag:
                 # LONG values sit LEFT-JUSTIFIED in the inline field
                 # regardless of the container's offset width (packing
                 # as Q would zero a big-endian read) — and BigTIFF's

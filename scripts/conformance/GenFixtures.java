@@ -91,6 +91,22 @@ public class GenFixtures {
         writeTiff(bilevelNoise(64, 2400), "CCITT T.6", "fax_g4_tall.tif");
         writeTiff(bilevelRuns(1728, 200), "CCITT T.4", "fax_g3_tall.tif");
 
+        // round-10 tiled layout (TIFF 6.0 par. 15): every codec family
+        // through the tile grid, with edge tiles forcing pad-and-crop
+        // and per-tile predictor/bit-packing resets. IMPORTANT: these
+        // stay AFTER all earlier pattern calls so the LCG stream that
+        // generated the committed fixtures above is unchanged.
+        writeTiffTiled(grayImage(70, 45), "LZW", 32, 32, "gray_tiled_lzw.tif");
+        writeTiffTiled(rgbImage(70, 45), "PackBits", 32, 16,
+                "rgb_tiled_packbits.tif");
+        writeTiffTiled(grayImage(50, 20), null, 16, 16, "gray_tiled_none.tif");
+        writeTiffTiled(grayImage(40, 30), "Deflate", 32, 16,
+                "gray_tiled_deflate.tif");
+        writeTiffTiled(bilevelNoise(70, 45), "CCITT T.6", 32, 16,
+                "fax_g4_tiled.tif");
+        writeTiffTiled(pal4Image(30, 20), "PackBits", 32, 16,
+                "pal4_tiled.tif");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")
@@ -253,6 +269,26 @@ public class GenFixtures {
         }
         w.dispose();
         dump(f, name, "jpeg", true);
+    }
+
+    static void writeTiffTiled(BufferedImage img, String compression,
+            int tw, int tl, String name) throws Exception {
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("tiff");
+        ImageWriter w = it.next();
+        ImageWriteParam p = w.getDefaultWriteParam();
+        p.setTilingMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setTiling(tw, tl, 0, 0);
+        if (compression != null) {
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionType(compression);
+        }
+        File f = new File(outDir, name);
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            w.setOutput(os);
+            w.write(null, new IIOImage(img, null, null), p);
+        }
+        w.dispose();
+        dump(f, name, "tiff", false);
     }
 
     static void writeTiff(BufferedImage img, String compression, String name)

@@ -109,6 +109,10 @@ def test_manifest_covers_every_claimed_codec():
     fax = {n for n in names if n.startswith("fax_")}
     assert {"fax_rle_a", "fax_g3_a", "fax_g4_a"} <= fax
     assert len(fax) >= 9  # noise + long-run + edge patterns
+    # round-10 tiled layout: one fixture per codec family through tiles
+    tiled = {n for n in names if "tiled" in n}
+    assert {"gray_tiled_lzw", "rgb_tiled_packbits", "gray_tiled_none",
+            "gray_tiled_deflate", "fax_g4_tiled", "pal4_tiled"} <= tiled
 
 
 # ----------------------------------- PDF CCITTFaxDecode, externally pinned
@@ -136,14 +140,18 @@ def _tiff_fax_info(raw: bytes) -> dict:
             buf = raw[voff : voff + total]
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack(bo + str(cnt) + fmt, buf))
+    tiled = 324 in tags
     return {
         "width": tags[256][0],
         "height": tags[257][0],
         "compression": tags[259][0],
         "photometric": tags[262][0],
-        "strip_offsets": tags[273],
+        "tiled": tiled,
+        "strip_offsets": tags[324 if tiled else 273],
         "rows_per_strip": tags.get(278, [tags[257][0]])[0],
-        "strip_counts": tags[279],
+        "strip_counts": tags[325 if tiled else 279],
+        "tile_width": tags.get(322, [0])[0],
+        "tile_length": tags.get(323, [0])[0],
         "t4_options": tags.get(292, [0])[0],
     }
 
@@ -182,6 +190,36 @@ def test_pdf_ccittfax_decodes_jdk_strips(m: dict, black_is_1: bool):
     else:  # compression 2: MH, byte-aligned lines == /EncodedByteAlign
         k, balign = 0, True
     w = info["width"]
+    if info["tiled"]:
+        # each TILE is itself an independent full-width fax stream of
+        # tile_width columns — rewrap each one, cropping the padded
+        # right/bottom edges against the JDK reference
+        tw, tl = info["tile_width"], info["tile_length"]
+        across = (w + tw - 1) // tw
+        for ti, (soff, scnt) in enumerate(
+            zip(info["strip_offsets"], info["strip_counts"])
+        ):
+            spec = {
+                "kind": "fax",
+                "encoded": raw[soff : soff + scnt],
+                "width": tw,
+                "height": tl,
+                "k": k,
+                "byte_align": balign,
+                "black_is_1": black_is_1,
+            }
+            pdf = write_pdf([["tile"]], images=[[spec]])
+            im = extract_pdf_images(pdf)[0][0]
+            got = np.frombuffer(im["samples"], dtype=np.uint8).reshape(
+                tl, tw
+            )
+            x0 = (ti % across) * tw
+            ty0 = (ti // across) * tl
+            vw = min(tw, w - x0)
+            vh = min(tl, info["height"] - ty0)
+            exp = ref[ty0 : ty0 + vh, x0 : x0 + vw, 0]
+            assert (got[:vh, :vw] == exp).all(), (m["name"], ti)
+        return
     y0 = 0
     for soff, scnt in zip(info["strip_offsets"], info["strip_counts"]):
         rows_here = min(info["rows_per_strip"], info["height"] - y0)

@@ -1086,3 +1086,41 @@ def test_mutual_objstm_reference_rejected():
     bad = _rewrite_xref_rows(data, cross_wire)
     got = _extract_or_valueerror(bad)
     assert got in (None, "x")
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 12))
+def test_mutation_robustness_ccittfax(seed, n_flips):
+    """Bit-flip fuzz over the round-10 CCITTFaxDecode surface: every
+    /K dialect, byte alignment, BlackIs1 + /Decode pairing, and the
+    container layouts — decode correctly or raise ValueError /
+    NotImplementedError, never crash, never balloon."""
+    import random
+
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    rng = random.Random(seed)
+    rows = [
+        [1 if (seed + 3 * x + 5 * y) % 7 < 3 else 0 for x in range(27)]
+        for y in range(11)
+    ]
+    k = [-1, 0, 1][seed % 3]
+    data = bytearray(write_pdf(
+        [["fax fuzz"]],
+        images=[[{
+            "kind": "fax", "rows": rows, "width": 27, "height": 11,
+            "k": k, "byte_align": k <= 0 and seed % 2 == 0,
+            "black_is_1": seed % 5 == 0,
+        }]],
+        xref_stream=(seed % 4 == 1),
+        objstm=(seed % 4 == 3),
+    ))
+    for _ in range(n_flips):
+        data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+    try:
+        pages = extract_pdf_images(bytes(data))
+        assert sum(
+            len(i["samples"]) for p in pages for i in p
+        ) <= MAX_TEXT_BYTES
+    except (ValueError, NotImplementedError):
+        pass

@@ -269,3 +269,115 @@ def test_bigtiff_roundtrip():
     hdr = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
     with pytest.raises(ValueError, match="entry count"):
         decode_tiff(hdr + struct.pack("<Q", 1 << 40))
+
+
+# ----------------------------------------------------- tiled layout (§15)
+def _tile_gray(w: int, h: int, seed: int) -> list[list[int]]:
+    return [[(x * 5 + y * 11 + seed) % 256 for x in range(w)]
+            for y in range(h)]
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("tile", [(16, 16), (32, 16), (48, 32)])
+def test_tiled_gray_round_trip(comp: int, tile: tuple[int, int]):
+    """Tiled layout: every byte codec through a tile grid whose edge
+    tiles are padded-then-cropped (70x45 is never tile-aligned)."""
+    px = _tile_gray(70, 45, comp)
+    t = write_tiff(px, compression=comp, tile_size=tile)
+    h, w, nc, out = decode_tiff(t)
+    assert (h, w, nc) == (45, 70, 1)
+    assert out == px
+
+
+def test_tiled_predictor_resets_per_tile():
+    """Horizontal differencing resets at tile boundaries (per-tile
+    width): a strip-shaped predictor pass over tiled data would smear
+    across the seam."""
+    px = _tile_gray(70, 45, 3)
+    t = write_tiff(px, compression=5, predictor=2, tile_size=(32, 16))
+    assert decode_tiff(t)[3] == px
+
+
+def test_tiled_rgb_and_palette():
+    rgb = [[((x * 7) % 256, (y * 13) % 256, (x * 3 + y * 5) % 256)
+            for x in range(40)] for y in range(30)]
+    t = write_tiff(rgb, spp=3, compression=32773, tile_size=(16, 16))
+    h, w, nc, out = decode_tiff(t)
+    assert (h, w, nc) == (30, 40, 3)
+    assert [[tuple(p) for p in row] for row in out] == rgb
+    pal = [(i * 13 % 256, (200 - i * 9) % 256, i * 23 % 256)
+           for i in range(16)]
+    idx = [[(x + y * 3) % 16 for x in range(30)] for y in range(20)]
+    t = write_tiff(idx, compression=5, palette=pal, bits=4,
+                   tile_size=(16, 16))
+    h, w, nc, out = decode_tiff(t)
+    assert (h, w, nc) == (20, 30, 3)
+    assert [[tuple(p) for p in row] for row in out] == [
+        [pal[v] for v in row] for row in idx
+    ]
+
+
+@pytest.mark.parametrize("comp,two_d", [(2, False), (3, False),
+                                        (3, True), (4, False)])
+def test_tiled_fax_round_trip(comp: int, two_d: bool):
+    """CCITT codecs inside tiles: the reference line resets per tile."""
+    px = [[1 if (x * 3 + y * 5 + comp) % 7 < 3 else 0 for x in range(70)]
+          for y in range(45)]
+    t = write_tiff(px, compression=comp, t4_two_d=two_d,
+                   tile_size=(32, 16))
+    h, w, nc, out = decode_tiff(t)
+    assert (h, w, nc) == (45, 70, 1)
+    assert out == [[0 if v else 255 for v in row] for row in px]
+
+
+def test_tiled_errors():
+    px = _tile_gray(32, 32, 1)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        write_tiff(px, tile_size=(20, 16))
+    t = bytearray(write_tiff(px, compression=1, tile_size=(16, 16)))
+    # corrupt the tile grid: drop TileByteCounts by rewriting tag 325
+    # count to 3 (grid needs 4) — decode must reject, not mis-composite
+    import struct
+
+    (off,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[off:off + 2])
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ = struct.unpack("<HH", t[e:e + 4])
+        if tag == 324:
+            t[e + 4:e + 8] = struct.pack("<I", 3)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
+
+
+def test_planar_configuration_2_refused():
+    px = _tile_gray(16, 8, 2)
+    t = bytearray(write_tiff(px))
+    import struct
+
+    # append is hard; instead rewrite an existing tag number we do not
+    # read (296 ResolutionUnit is absent, so overwrite TAG 277 SPP is
+    # read) — simplest honest check: splice tag 284=2 by rewriting the
+    # T6Options-free slot is fragile, so just assert the decoder reads
+    # tag 284 when present via a hand-built minimal TIFF
+    hdr = struct.pack("<2sHI", b"II", 42, 8)
+    entries = []
+    def ent(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI", tag, typ, cnt)
+                       + struct.pack("<I", val))
+    ent(256, 3, 1, 4); ent(257, 3, 1, 2); ent(258, 3, 1, 8)
+    ent(259, 3, 1, 1); ent(262, 3, 1, 1)
+    ent(273, 4, 1, 0); ent(277, 3, 1, 1); ent(278, 3, 1, 2)
+    ent(279, 4, 1, 8); ent(284, 3, 1, 2)
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\0" * 4
+    body = bytes(range(8))
+    data = bytearray(hdr + ifd + body)
+    data_off = len(hdr) + len(ifd)
+    # patch strip offset (tag 273 value) to the real body position
+    for i in range(len(entries)):
+        e = 8 + 2 + 12 * i
+        tag, = struct.unpack_from("<H", data, e)
+        if tag == 273:
+            struct.pack_into("<I", data, e + 8, data_off)
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(bytes(data))
