@@ -2509,8 +2509,13 @@ def _tiff_tiled_features(
             d = int(doc_id)
             w = 40 + d % 27
             h = 20 + d % 13
+            # depth cycle: every 5th doc is 4-bit gray, every 7th
+            # (non-5th) 2-bit — the bit-packed rows must repack per
+            # tile; decoded samples scale by 255/(2^g - 1)
+            g = 4 if d % 5 == 0 else (2 if d % 7 == 0 else 8)
+            mx = (1 << g) - 1
             px = [
-                [(x * 5 + y * 11 + d) % 256 for x in range(w)]
+                [(x * 5 + y * 11 + d) % (mx + 1) for x in range(w)]
                 for y in range(h)
             ]
             # knob cycle: tile grid shapes (edge tiles pad-and-crop on
@@ -2519,7 +2524,8 @@ def _tiff_tiled_features(
             tif = write_tiff(
                 px,
                 compression=[1, 5, 8, 32773][d % 4],
-                predictor=2 if d % 2 and d % 4 != 3 else 1,
+                predictor=2 if d % 2 and d % 4 != 3 and g == 8 else 1,
+                bits=g,
                 tile_size=[(16, 16), (32, 16), (16, 32)][d % 3],
                 big_endian=(d // 2) % 2 == 0,
                 big=d % 6 == 0,
@@ -2544,20 +2550,29 @@ def _tiff_tiled_features(
 
 @register(
     "llm_multimodal_tiff_tiled",
-    sql="""SELECT d.doc_id,
-                  CAST(40 + d.doc_id % 27 AS BIGINT) AS tiff_w,
-                  CAST(20 + d.doc_id % 13 AS BIGINT) AS tiff_h,
-                  CAST(SUM((x.x * 5 + y.y * 11 + d.doc_id) % 256)
-                       AS BIGINT) AS px_sum,
-                  CAST(SUM((x.x + (40 + d.doc_id % 27) * y.y)
-                           * ((x.x * 5 + y.y * 11 + d.doc_id) % 256))
-                       AS BIGINT) AS px_wsum
-           FROM (SELECT doc_id FROM documents) d,
+    sql="""WITH g AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN 16
+                         WHEN doc_id % 7 = 0 THEN 4
+                         ELSE 256 END AS md,
+                    CASE WHEN doc_id % 5 = 0 THEN 17
+                         WHEN doc_id % 7 = 0 THEN 85
+                         ELSE 1 END AS sc
+             FROM documents)
+           SELECT g.doc_id,
+                  CAST(40 + g.doc_id % 27 AS BIGINT) AS tiff_w,
+                  CAST(20 + g.doc_id % 13 AS BIGINT) AS tiff_h,
+                  CAST(SUM(((x.x * 5 + y.y * 11 + g.doc_id) % g.md)
+                           * g.sc) AS BIGINT) AS px_sum,
+                  CAST(SUM((x.x + (40 + g.doc_id % 27) * y.y)
+                           * ((x.x * 5 + y.y * 11 + g.doc_id) % g.md)
+                           * g.sc) AS BIGINT) AS px_wsum
+           FROM g,
                 generate_series(0, 66) AS x(x),
                 generate_series(0, 32) AS y(y)
-           WHERE x.x < 40 + d.doc_id % 27
-             AND y.y < 20 + d.doc_id % 13
-           GROUP BY d.doc_id""",
+           WHERE x.x < 40 + g.doc_id % 27
+             AND y.y < 20 + g.doc_id % 13
+           GROUP BY g.doc_id""",
 )
 def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5x: tiled-TIFF layout decode (round 10, TIFF 6.0 §15) — the
@@ -2566,13 +2581,16 @@ def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry (edge tiles pad-then-crop), all four byte codecs, the
     horizontal-differencing predictor (which must RESET at each tile
     boundary — a strip-shaped pass would smear across seams), both
-    byte orders, and BigTIFF containers. Pinned EXTERNALLY by six
-    JDK-written tiled fixtures (gray/rgb/palette/fax × LZW/PackBits/
-    Deflate/none, tests/fixtures/conformance/*_tiled*). Oracle: pixel
-    sum AND a position-weighted sum in closed form from doc_id
-    arithmetic, so a transposed tile, swapped grid order, or
-    seam-smeared predictor cannot cancel. Scale shape: zero-exchange
-    mapInPandas, O(rows) fixed-width output.
+    byte orders, and BigTIFF containers; every 5th/7th doc is 4-/2-bit
+    bit-packed grayscale (round-10 sub-8 depth support — packing
+    resets per tile row, samples scale by the exact-integer linear
+    mapping x17/x85). Pinned EXTERNALLY by six JDK-written tiled
+    fixtures (gray/rgb/palette/fax × LZW/PackBits/Deflate/none,
+    tests/fixtures/conformance/*_tiled*). Oracle: pixel sum AND a
+    position-weighted sum in closed form from doc_id arithmetic, so a
+    transposed tile, swapped grid order, or seam-smeared predictor
+    cannot cancel. Scale shape: zero-exchange mapInPandas, O(rows)
+    fixed-width output.
 
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs scans as opaque blobs; tiled decode is

@@ -31,9 +31,16 @@ TileOffsets/TileByteCounts, the organization pyramidal and
 GeoTIFF-style scans use): every codec above applies per tile, edge
 tiles are padded-then-cropped, and predictors/bit-packing reset at
 tile boundaries (per-tile width, not image width).
+Also in scope (round 10): sub-8-bit GRAYSCALE (2/4-bit bit-packed
+rows — the nibble unpack is the same machinery the externally-pinned
+4-bit palette fixtures exercise; samples scale by the exact-integer
+linear mapping 255/(2^bits - 1)) and FillOrder 2 (bits reversed
+within bytes — what fax hardware emits; byte-wise bit reversal is
+computed, applied to coded fax data and uncompressed bit-packed rows,
+refused under byte-oriented codecs where it would corrupt samples).
 Out of honest scope (documented raises): separation/YCbCr
-photometrics, planar configuration 2, sub-8-bit non-palette non-fax
-depths, T.4/T.6 uncompressed mode.
+photometrics, planar configuration 2, 2-bit palette indices,
+T.4/T.6 uncompressed mode.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
 independently-written paths, the png.py/gif.py discipline; strip
@@ -74,6 +81,9 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8}  # + LONG8 (BigTIFF)
+
+#: byte-wise bit reversal for FillOrder 2 (computed, not transcribed)
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
 
 
 def packbits_decode(data: bytes, expected: int) -> bytes:
@@ -138,6 +148,36 @@ def _undiff(row: bytearray, spp: int) -> None:
     """Reverse horizontal differencing (predictor 2) in place."""
     for i in range(spp, len(row)):
         row[i] = (row[i] + row[i - spp]) & 0xFF
+
+
+def _pack_gray(row, width: int, gbits: int) -> bytearray:
+    """Pack one row of raw sub-8-bit gray samples (0..2^gbits-1) into
+    MSB-first groups, byte-padded — the writer-side mate of
+    _unpack_gray."""
+    out = bytearray()
+    acc = n = 0
+    for x in range(width):
+        acc = (acc << gbits) | (row[x] & ((1 << gbits) - 1))
+        n += gbits
+        if n == 8:
+            out.append(acc)
+            acc = n = 0
+    if n:
+        out.append(acc << (8 - n))
+    return out
+
+
+def _unpack_gray(row: bytes, width: int, gbits: int) -> bytearray:
+    """Expand one bit-packed grayscale row (MSB-first groups of gbits,
+    byte-padded) to 8-bit samples scaled by the linear full-range
+    mapping 255/(2^gbits - 1)."""
+    scale = 255 // ((1 << gbits) - 1)
+    mask = (1 << gbits) - 1
+    expanded = bytearray()
+    for b in row:
+        for k in range(8 - gbits, -1, -gbits):
+            expanded.append(((b >> k) & mask) * scale)
+    return expanded[:width]
 
 
 def decode_tiff(data: bytes):
@@ -223,6 +263,10 @@ def decode_tiff(data: bytes):
     # bit-packed files, which is how the round-10 conformance fixtures
     # caught the old [8] assumption.
     bits = tags.get(TAG_BITS, [1])
+    if not bits:
+        # tag present but with a non-integer field type (fuzz-found):
+        # a BitsPerSample that decodes to no values is corruption
+        raise ValueError("TIFF BitsPerSample holds no integer values")
     if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
         raise ValueError("bad TIFF geometry")
     if width * height * spp > MAX_TEXT_BYTES:
@@ -268,17 +312,21 @@ def decode_tiff(data: bytes):
             (cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8)
             for i in range(n)
         ]
-    elif bits == [1] and photometric in (0, 1):
-        # bilevel with a byte-codec (or none): rows are bit-packed
-        # MSB-first, padded to a byte boundary (TIFF 6.0 §3) — REAL
-        # since round 10, JDK fixture-pinned alongside the fax paths
+    elif bits in ([1], [2], [4]) and photometric in (0, 1):
+        # sub-8-bit grayscale with a byte-codec (or none): rows are
+        # bit-packed MSB-first, padded to a byte boundary (TIFF 6.0
+        # §3). Bilevel is JDK fixture-pinned (round 10); 2/4-bit share
+        # the identical nibble/bit unpack the externally-pinned 4-bit
+        # palette fixtures exercise, with samples scaled to full range
+        # by the linear mapping (x 255/(2^bits - 1): 4-bit x 17, 2-bit
+        # x 85 — exact integers, the TIFF-6.0 grayscale convention)
         if spp != 1:
-            raise ValueError("bilevel TIFF with SamplesPerPixel != 1")
+            raise ValueError("sub-8-bit TIFF with SamplesPerPixel != 1")
         if predictor != 1:
-            raise NotImplementedError("predictor on bilevel samples")
+            raise NotImplementedError("predictor on sub-8-bit samples")
     elif any(b != 8 for b in bits) and not fax:
         raise NotImplementedError(
-            f"{bits}-bit TIFF samples (only 1/4/8-bit decode honestly)"
+            f"{bits}-bit TIFF samples (only 1/2/4/8-bit decode honestly)"
         )
     elif photometric in (0, 1):
         if spp != 1:
@@ -305,14 +353,29 @@ def decode_tiff(data: bytes):
             "TIFF planar configuration 2 (separate planes) is out of "
             "scope — silently interleaving planes would corrupt pixels"
         )
-    bilevel_packed = bits == [1] and not fax and palette is None
+    bilevel_packed = bits[0] < 8 and not fax and palette is None
     bps = bits[0] if (palette is not None or bilevel_packed) else 8
+    fill_order = one(266, 1)  # FillOrder: 2 = bits reversed within bytes
+    if fill_order not in (1, 2):
+        raise ValueError(f"bad TIFF FillOrder {fill_order}")
+    if fill_order == 2 and not (fax or (compression == 1 and bps < 8)):
+        # fax hardware emits FillOrder 2 on coded fax data (and, rarely,
+        # on uncompressed bit-packed rows); reversing bits under a
+        # byte-oriented codec's output would corrupt 8-bit samples
+        raise NotImplementedError(
+            "TIFF FillOrder 2 outside fax/uncompressed-bitpacked data"
+        )
 
     def _decode_block(
         chunk: bytes, expected: int, n_rows: int, bw: int, desc: str
     ) -> bytes:
         """One compressed strip or tile -> raw bytes (fax blocks come
         back as 0/255 gray samples, bw bytes per row)."""
+        if fill_order == 2:
+            # lsb-first bit stuffing: reverse every byte before the bit
+            # stream is read (TIFF 6.0 FillOrder; pure computation, no
+            # transcribed table)
+            chunk = chunk.translate(_BITREV)
         if fax:
             # CCITT runs decode to 0 (white) / 1 (black) samples; store
             # them as 0/255 gray so the shared photometric-inversion
@@ -425,14 +488,11 @@ def decode_tiff(data: bytes):
             pixels.append([palette[i] for i in idxs])
             continue
         if bilevel_packed:
-            # MSB-first bit rows, byte-padded (TIFF 6.0 §3); scale
-            # samples to 0/255 so the photometric mapping below is the
-            # same one the 8-bit and fax paths use
-            expanded = bytearray()
-            for b in row:
-                for k in range(7, -1, -1):
-                    expanded.append(255 if (b >> k) & 1 else 0)
-            row = expanded[:width]
+            # MSB-first bit-group rows, byte-padded (TIFF 6.0 §3);
+            # scale samples to full range (1-bit x 255, 2-bit x 85,
+            # 4-bit x 17 — exact integers) so the photometric mapping
+            # below is the same one the 8-bit and fax paths use
+            row = _unpack_gray(row, width, bps)
         if predictor == 2:
             _undiff(row, spp)
         if prev_invert:
@@ -515,11 +575,7 @@ def _decode_tiled(
                     srow.append(b & 0x0F)
                 srow = srow[:tw]
             elif bilevel_packed:
-                srow = bytearray(
-                    255 if (b >> k) & 1 else 0
-                    for b in rowb
-                    for k in range(7, -1, -1)
-                )[:tw]
+                srow = _unpack_gray(rowb, tw, bps)
             else:
                 srow = rowb  # 8-bit samples / palette indices / fax gray
                 if predictor == 2 and not fax:
@@ -586,6 +642,15 @@ def write_tiff(
         else:
             flat = bytes(v for row in pixels for v in row)
             row_bytes = width
+    elif spp == 1 and bits in (2, 4):
+        # sub-8-bit grayscale: MSB-first groups, rows byte-padded;
+        # pixel values are the RAW small samples (0..2^bits-1)
+        if compression in (2, 3, 4):
+            raise ValueError("fax compression is bilevel only")
+        flat = b"".join(
+            bytes(_pack_gray(row, width, bits)) for row in pixels
+        )
+        row_bytes = (width * bits + 7) // 8
     elif spp == 1:
         flat = bytes(v for row in pixels for v in row)
         row_bytes = width
@@ -594,9 +659,13 @@ def write_tiff(
         row_bytes = width * spp
     if photometric is None:
         photometric = 1 if spp == 1 else 2
+    gray_bits = bits if (spp == 1 and palette is None
+                         and bits in (2, 4)) else 8
+    if gray_bits != 8 and photometric == 0:
+        raise ValueError("sub-8-bit gray writes BlackIsZero only")
     if rows_per_strip is None:
         rows_per_strip = height
-    del bits  # palette depth is carried via the packing above
+    del bits  # sample depth is carried via gray_bits/the packing above
     bo = ">" if big_endian else "<"
     fax_mode = compression in (2, 3, 4)
     strips: list[bytes] = []
@@ -612,8 +681,8 @@ def write_tiff(
 
             photometric = 0  # MinIsWhite: the fax-file convention
         pbits = 4 if (palette is not None and row_bytes != width) else 8
-        t_row_bytes = (tw * spp * (pbits if palette is not None else 8)
-                       + 7) // 8
+        t_row_bytes = (tw * spp * (pbits if palette is not None
+                                   else gray_bits) + 7) // 8
         across = (width + tw - 1) // tw
         down = (height + tl - 1) // tl
         for ty in range(down):
@@ -640,6 +709,10 @@ def write_tiff(
                     for trow in trows:
                         for i in range(0, tw, 2):
                             body.append((trow[i] << 4) | trow[i + 1])
+                elif spp == 1 and gray_bits != 8:
+                    body = bytearray()
+                    for trow in trows:
+                        body += _pack_gray(trow, tw, gray_bits)
                 elif spp == 1:
                     body = bytearray(v for trow in trows for v in trow)
                 else:
@@ -715,7 +788,8 @@ def write_tiff(
     short(TAG_WIDTH, width)
     short(TAG_HEIGHT, height)
     short(TAG_BITS, *([1 if fax_mode else
-                       pal_bits if palette is not None else 8] * spp))
+                       pal_bits if palette is not None
+                       else gray_bits] * spp))
     short(TAG_COMPRESSION, compression)
     short(TAG_PHOTOMETRIC, photometric)
     if compression == 3 and t4_two_d:
