@@ -2378,12 +2378,14 @@ def _pdf_fax_features(
                 images=[[
                     {
                         # image A: /K < 0 T.6 MMR — what office scanners
-                        # actually emit — cycling /EncodedByteAlign and
-                        # the /BlackIs1 + /Decode [1 0] writer pairing
+                        # actually emit — cycling /EncodedByteAlign, the
+                        # /BlackIs1 + /Decode [1 0] writer pairing, and
+                        # the /ImageMask stencil form (no color space)
                         "kind": "fax", "rows": rows_a,
                         "width": wa, "height": ha, "k": -1,
                         "byte_align": d % 2 == 1,
                         "black_is_1": d % 5 == 0,
+                        "mask": d % 3 == 2,
                     },
                     {
                         "kind": "fax", "rows": rows_b,
@@ -2463,9 +2465,10 @@ def llm_multimodal_pdf_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
     are fax strips wrapped per page, so this closes the last common
     raster-filter refusal in pdf.py. Per doc, two bilevel image
     XObjects: A is /K < 0 T.6 MMR (the dominant real-world dialect)
-    cycling /EncodedByteAlign and the /BlackIs1-with-/Decode-[1 0]
-    writer pairing; B cycles /K 0 (contiguous or byte-aligned MH) and
-    /K 1 (EOL + 1D/2D flag-bit T.4). The full L5l container cycle
+    cycling /EncodedByteAlign, the /BlackIs1-with-/Decode-[1 0] writer
+    pairing, and the /ImageMask stencil form (§8.9.6.2 — no color
+    space, every 3rd doc); B cycles /K 0 (contiguous or byte-aligned
+    MH) and /K 1 (EOL + 1D/2D flag-bit T.4). The full L5l container cycle
     (RC4/AES-128/AES-256, xref-stream, ObjStm) applies on top, so an
     AES-encrypted CCITT strip inside an ObjStm container is a
     driver-hashed path. The filter's T.4/T.6 tables and the PDF

@@ -72,7 +72,9 @@ the packed bilevel raster expanded through the image's /Decode array
 strip per page). Device color spaces (Gray/RGB/CMYK) and
 [/Indexed base hival lookup] palettes (the lookup is FILE data — a
 string or stream — mapped into the base space, §8.6.6.3) at 8 bits
-per component are in scope, plus 1-bit /DeviceGray bilevel rasters.
+per component are in scope, plus 1-bit /DeviceGray bilevel rasters
+and /ImageMask stencil masks (§8.9.6.2: 1-bit, no color space,
+extracted through the same /Decode path).
 
 Out of honest scope (documented raises): custom (non-Standard)
 security handlers, unknown crypt filters, codec-class raster filters
@@ -1430,6 +1432,24 @@ class _Document:
                 )
             cs = self.resolve(info.get("/ColorSpace"))
             lookup = None
+            if self.resolve(info.get("/ImageMask")) is True:
+                # stencil mask (§8.9.6.2): 1-bit, NO color space — the
+                # scanner-PDF shape (a CCITTFax strip painted through
+                # the fill color). Extracted as bilevel gray through
+                # the same 1-bit /Decode path; sample 0 paints, so the
+                # default [0 1] lands ink at gray 0 like photometric-0
+                # fax files do
+                if self.resolve(info.get("/BitsPerComponent")) is None:
+                    bpc = 1  # implied by ImageMask (§8.9.6.2)
+                if bpc != 1:
+                    raise ValueError(
+                        f"PDF ImageMask {name} with BitsPerComponent {bpc}"
+                    )
+                if cs is not None:
+                    raise ValueError(
+                        f"PDF ImageMask {name} declares a color space"
+                    )
+                cs = "/DeviceGray"
             if (
                 isinstance(cs, list)
                 and len(cs) == 4
@@ -2407,16 +2427,24 @@ def write_pdf(
                 fl = (
                     f" /Filter /CCITTFaxDecode /DecodeParms << {parms} >>"
                     + (" /Decode [1 0]" if black1 else "")
+                    # stencil-mask form (§8.9.6.2): no color space, the
+                    # raster paints through the fill color
+                    + (" /ImageMask true" if spec.get("mask") else "")
                 )
             else:
                 raise ValueError(f"bad image kind {spec.get('kind')!r}")
             if enc is not None:
                 body = _enc_stream(body, num)
             bpc = 1 if spec["kind"] == "fax" else 8
+            cs_part = (
+                ""
+                if spec.get("kind") == "fax" and spec.get("mask")
+                else f"/ColorSpace {cs_entry or cspace[ncomp]} "
+            )
             head = (
                 f"<< /Type /XObject /Subtype /Image /Width {spec['width']} "
                 f"/Height {spec['height']} "
-                f"/ColorSpace {cs_entry or cspace[ncomp]} "
+                f"{cs_part}"
                 f"/BitsPerComponent {bpc} /Length {len(body)}{fl} >>"
             ).encode()
             got = add(head + b"\nstream\n" + body + b"\nendstream")

@@ -1124,3 +1124,33 @@ def test_mutation_robustness_ccittfax(seed, n_flips):
         ) <= MAX_TEXT_BYTES
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_imagemask_stencil():
+    """/ImageMask true (§8.9.6.2): 1-bit stencil with NO color space —
+    the scanner-PDF pairing with CCITTFaxDecode. Extracted through the
+    1-bit /Decode path (sample 0 paints -> gray 0); a mask that also
+    declares a color space is corruption."""
+    from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
+
+    rows = [[1 if (3 * x + 5 * y) % 7 < 3 else 0 for x in range(27)]
+            for y in range(11)]
+    for black1 in (False, True):
+        pdf = write_pdf([["mask"]], images=[[{
+            "kind": "fax", "rows": rows, "width": 27, "height": 11,
+            "k": -1, "black_is_1": black1, "mask": True}]])
+        assert b"/ImageMask true" in pdf
+        assert b"/ColorSpace" not in pdf
+        im = extract_pdf_images(pdf)[0][0]
+        assert im["n_components"] == 1
+        exp = bytes(0 if rows[y][x] else 255
+                    for y in range(11) for x in range(27))
+        assert im["samples"] == exp
+    # corruption: a mask declaring a color space must be rejected
+    good = write_pdf([["mask"]], images=[[{
+        "kind": "fax", "rows": rows, "width": 27, "height": 11,
+        "k": -1, "mask": True}]])
+    bad = good.replace(b"/ImageMask true",
+                       b"/ImageMask true /ColorSpace /DeviceGray")
+    with pytest.raises(ValueError, match="declares a color space"):
+        extract_pdf_images(bad)
