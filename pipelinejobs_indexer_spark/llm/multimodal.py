@@ -2502,7 +2502,7 @@ TIFF_TILED_SCHEMA = StructType(
 def _tiff_tiled_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from .tiff import decode_tiff, write_tiff
+    from .tiff import decode_tiff_pages, write_tiff_multi
 
     for pdf in batches:
         out = {k: [] for k in (
@@ -2517,15 +2517,21 @@ def _tiff_tiled_features(
             # tile; decoded samples scale by 255/(2^g - 1)
             g = 4 if d % 5 == 0 else (2 if d % 7 == 0 else 8)
             mx = (1 << g) - 1
-            px = [
-                [(x * 5 + y * 11 + d) % (mx + 1) for x in range(w)]
-                for y in range(h)
+            # multi-page chain: every d%4==2 doc carries TWO IFDs
+            # (page 1's pattern reseeds by +1009)
+            n_pages = 2 if d % 4 == 2 else 1
+            pages = [
+                [
+                    [(x * 5 + y * 11 + d + p * 1009) % (mx + 1)
+                     for x in range(w)]
+                    for y in range(h)
+                ]
+                for p in range(n_pages)
             ]
             # knob cycle: tile grid shapes (edge tiles pad-and-crop on
             # the never-aligned geometry), every byte codec, predictor,
             # both byte orders, BigTIFF every 6th doc
-            tif = write_tiff(
-                px,
+            opts = dict(
                 compression=[1, 5, 8, 32773][d % 4],
                 predictor=2 if d % 2 and d % 4 != 3 and g == 8 else 1,
                 bits=g,
@@ -2533,14 +2539,22 @@ def _tiff_tiled_features(
                 big_endian=(d // 2) % 2 == 0,
                 big=d % 6 == 0,
             )
-            dh, dw, _nc, got = decode_tiff(tif)
-            if (dh, dw) != (h, w):
-                raise ValueError(f"tiled geometry {dh}x{dw} != {h}x{w}")
+            tif = write_tiff_multi(pages, **opts)
+            decoded = decode_tiff_pages(tif)
+            if len(decoded) != n_pages:
+                raise ValueError(
+                    f"IFD chain has {len(decoded)} pages, wrote {n_pages}"
+                )
             s = ws = 0
-            for y, row in enumerate(got):
-                for x, v in enumerate(row):
-                    s += v
-                    ws += (x + w * y) * v
+            for dh, dw, _nc, got in decoded:
+                if (dh, dw) != (h, w):
+                    raise ValueError(
+                        f"tiled geometry {dh}x{dw} != {h}x{w}"
+                    )
+                for y, row in enumerate(got):
+                    for x, v in enumerate(row):
+                        s += v
+                        ws += (x + w * y) * v
             out["doc_id"].append(d)
             out["tiff_w"].append(w)
             out["tiff_h"].append(h)
@@ -2560,21 +2574,26 @@ def _tiff_tiled_features(
                          ELSE 256 END AS md,
                     CASE WHEN doc_id % 5 = 0 THEN 17
                          WHEN doc_id % 7 = 0 THEN 85
-                         ELSE 1 END AS sc
+                         ELSE 1 END AS sc,
+                    CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS np
              FROM documents)
            SELECT g.doc_id,
                   CAST(40 + g.doc_id % 27 AS BIGINT) AS tiff_w,
                   CAST(20 + g.doc_id % 13 AS BIGINT) AS tiff_h,
-                  CAST(SUM(((x.x * 5 + y.y * 11 + g.doc_id) % g.md)
+                  CAST(SUM(((x.x * 5 + y.y * 11 + g.doc_id
+                             + p.p * 1009) % g.md)
                            * g.sc) AS BIGINT) AS px_sum,
                   CAST(SUM((x.x + (40 + g.doc_id % 27) * y.y)
-                           * ((x.x * 5 + y.y * 11 + g.doc_id) % g.md)
+                           * ((x.x * 5 + y.y * 11 + g.doc_id
+                               + p.p * 1009) % g.md)
                            * g.sc) AS BIGINT) AS px_wsum
            FROM g,
                 generate_series(0, 66) AS x(x),
-                generate_series(0, 32) AS y(y)
+                generate_series(0, 32) AS y(y),
+                generate_series(0, 1) AS p(p)
            WHERE x.x < 40 + g.doc_id % 27
              AND y.y < 20 + g.doc_id % 13
+             AND p.p < g.np
            GROUP BY g.doc_id""",
 )
 def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2587,9 +2606,11 @@ def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte orders, and BigTIFF containers; every 5th/7th doc is 4-/2-bit
     bit-packed grayscale (round-10 sub-8 depth support — packing
     resets per tile row, samples scale by the exact-integer linear
-    mapping x17/x85). Pinned EXTERNALLY by six JDK-written tiled
-    fixtures (gray/rgb/palette/fax × LZW/PackBits/Deflate/none,
-    tests/fixtures/conformance/*_tiled*). Oracle: pixel sum AND a
+    mapping x17/x85); every d%4==2 doc is a MULTI-PAGE file (two IFDs
+    chained by the next-IFD pointer, decode_tiff_pages walking the
+    chain with a cycle guard). Pinned EXTERNALLY by six JDK-written
+    tiled fixtures plus the three-page writeToSequence fixture
+    (tests/fixtures/conformance/*_tiled*, multipage.tif). Oracle: pixel sum AND a
     position-weighted sum in closed form from doc_id arithmetic, so a
     transposed tile, swapped grid order, or seam-smeared predictor
     cannot cancel. Scale shape: zero-exchange mapInPandas, O(rows)

@@ -11,7 +11,10 @@ differencing predictor (tag 317 = 2) is a per-row prefix sum.
 
 Scope: classic TIFF AND BigTIFF (magic 43: 8-byte offsets, 20-byte
 IFD entries, LONG8 fields — the container modern large scans ship
-in), II and MM byte orders, the first IFD;
+in), II and MM byte orders, the first IFD (decode_tiff) or the WHOLE
+multi-page IFD chain (decode_tiff_pages, round 10 — one IFD per page
+chained by the next-IFD pointer, cycle-guarded, the shape of
+multi-page scans and fax documents; writer mate write_tiff_multi);
 8-bit samples, PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
 inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
 5 (LZW), 7 (new-style JPEG-in-TIFF — each strip a complete JPEG
@@ -180,11 +183,8 @@ def _unpack_gray(row: bytes, width: int, gbits: int) -> bytearray:
     return expanded[:width]
 
 
-def decode_tiff(data: bytes):
-    """Decode a baseline TIFF. Returns (height, width, n_components,
-    pixels) in decode_jpeg's row-list shape: rows of ints (grayscale,
-    BlackIsZero convention) or (r, g, b) tuples. Corruption raises
-    ValueError; out-of-scope features raise NotImplementedError."""
+def _parse_header(data: bytes) -> tuple[str, bool, int]:
+    """TIFF header -> (byte-order fmt, BigTIFF flag, first IFD offset)."""
     if len(data) < 8 or data[:2] not in (II, MM):
         raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
     bo = "<" if data[:2] == II else ">"
@@ -198,12 +198,48 @@ def decode_tiff(data: bytes):
                 f"bad BigTIFF offset size {offsize}/pad {pad}"
             )
         (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
-        big = True
-    elif magic == 42:
+        return bo, True, ifd_off
+    if magic == 42:
         (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-        big = False
-    else:
-        raise ValueError(f"bad TIFF magic {magic}")
+        return bo, False, ifd_off
+    raise ValueError(f"bad TIFF magic {magic}")
+
+
+def decode_tiff(data: bytes):
+    """Decode a baseline TIFF (first IFD). Returns (height, width,
+    n_components, pixels) in decode_jpeg's row-list shape: rows of
+    ints (grayscale, BlackIsZero convention) or (r, g, b) tuples.
+    Corruption raises ValueError; out-of-scope features raise
+    NotImplementedError."""
+    bo, big, ifd_off = _parse_header(data)
+    return _decode_ifd(data, bo, big, ifd_off)[0]
+
+
+def decode_tiff_pages(data: bytes, max_pages: int = 256) -> list:
+    """Decode EVERY page of a multi-page TIFF by walking the IFD chain
+    (next-IFD pointer after each entry array) — multi-page scans and
+    fax documents are one file per document, one IFD per page. Returns
+    a list of (height, width, n_components, pixels) tuples. Cycles in
+    the chain and implausible page counts are corruption."""
+    bo, big, ifd_off = _parse_header(data)
+    pages = []
+    seen: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain forms a cycle")
+        seen.add(ifd_off)
+        if len(pages) >= max_pages:
+            raise ValueError(
+                f"TIFF IFD chain exceeds {max_pages} pages"
+            )
+        result, ifd_off = _decode_ifd(data, bo, big, ifd_off)
+        pages.append(result)
+    return pages
+
+
+def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
+    """Decode one IFD -> ((height, width, n_components, pixels),
+    next_ifd_offset)."""
     cnt_size, entry_size, inline = (8, 20, 8) if big else (2, 12, 4)
     if ifd_off + cnt_size > len(data):
         raise ValueError("TIFF IFD offset beyond the file")
@@ -243,6 +279,14 @@ def decode_tiff(data: bytes):
         else:
             vals = []
         tags[tag] = vals
+    next_pos = ifd_off + cnt_size + entry_size * n_entries
+    fmt = "Q" if big else "I"
+    if next_pos + struct.calcsize(fmt) <= len(data):
+        (next_ifd,) = struct.unpack_from(bo + fmt, data, next_pos)
+    else:
+        next_ifd = 0
+    if next_ifd >= len(data):
+        next_ifd = 0  # dangling pointer: treat the chain as ended
 
     def one(tag: int, default: int | None = None) -> int:
         vals = tags.get(tag)
@@ -450,7 +494,7 @@ def decode_tiff(data: bytes):
         return _decode_tiled(
             data, tags, one, width, height, spp, photometric, predictor,
             palette, bilevel_packed, bps, fax, _decode_block,
-        )
+        ), next_ifd
     offsets = tags.get(TAG_STRIP_OFFSETS)
     counts = tags.get(TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -503,8 +547,8 @@ def decode_tiff(data: bytes):
             pixels.append(
                 [tuple(row[x * 3 : x * 3 + 3]) for x in range(width)]
             )
-    return height, width, (3 if palette is not None else
-                           (1 if spp == 1 else 3)), pixels
+    return (height, width, (3 if palette is not None else
+                            (1 if spp == 1 else 3)), pixels), next_ifd
 
 
 def _decode_tiled(
@@ -598,6 +642,81 @@ def _decode_tiled(
             )
     return height, width, (3 if palette is not None else
                            (1 if spp == 1 else 3)), pixels
+
+
+def write_tiff_multi(pages: list, **kw) -> bytes:
+    """Assemble a MULTI-PAGE TIFF (one IFD per page, chained by the
+    next-IFD pointer) — the on-disk shape of multi-page scans and fax
+    documents. Each page is built by write_tiff with the shared
+    options (``kw`` may also be a per-page list under ``page_opts``),
+    then spliced with every absolute offset rebased: external tag
+    values, strip/tile offset arrays, and the chain pointer. The
+    decode side (decode_tiff_pages) walks the same chain back."""
+    if not pages:
+        raise ValueError("multi-page TIFF needs at least one page")
+    page_opts = kw.pop("page_opts", None)
+    if page_opts is None:
+        page_opts = [kw] * len(pages)
+    elif len(page_opts) != len(pages):
+        raise ValueError("page_opts length must match pages")
+    blobs = [write_tiff(pg, **op) for pg, op in zip(pages, page_opts)]
+    big = bool((page_opts[0] or {}).get("big"))
+    if any(bool((op or {}).get("big")) != big for op in page_opts):
+        raise ValueError("pages must agree on the BigTIFF container")
+    bo = ">" if (page_opts[0] or {}).get("big_endian") else "<"
+    if any(
+        bool((op or {}).get("big_endian")) != (bo == ">")
+        for op in page_opts
+    ):
+        raise ValueError("pages must agree on the byte order")
+    hdr = 16 if big else 8
+    cnt_size, entry_size, inline = (8, 20, 8) if big else (2, 12, 4)
+    off_fmt = "Q" if big else "I"
+    merged = bytearray(blobs[0])
+    bases = [hdr]
+    for blob in blobs[1:]:
+        bases.append(len(merged))
+        merged += blob[hdr:]
+    for i, blob in enumerate(blobs):
+        base = bases[i]
+        delta = base - hdr
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", merged, base)
+        else:
+            (n,) = struct.unpack_from(bo + "H", merged, base)
+        for k in range(n):
+            e = base + cnt_size + entry_size * k
+            tag, typ = struct.unpack_from(bo + "HH", merged, e)
+            (count,) = struct.unpack_from(
+                bo + ("Q" if big else "I"), merged, e + 4
+            )
+            size = _TYPE_SIZES[typ] * count
+            vpos = e + entry_size - inline
+            external = size > inline
+            if external and delta:
+                (voff,) = struct.unpack_from(bo + off_fmt, merged, vpos)
+                struct.pack_into(bo + off_fmt, merged, vpos, voff + delta)
+            if tag in (TAG_STRIP_OFFSETS, TAG_TILE_OFFSETS) and delta:
+                if external:
+                    (voff,) = struct.unpack_from(
+                        bo + off_fmt, merged, vpos
+                    )
+                    apos = voff  # already rebased to the merged file
+                else:
+                    apos = vpos
+                for j in range(count):
+                    (v,) = struct.unpack_from(
+                        bo + "I", merged, apos + 4 * j
+                    )
+                    struct.pack_into(
+                        bo + "I", merged, apos + 4 * j, v + delta
+                    )
+        next_pos = base + cnt_size + entry_size * n
+        struct.pack_into(
+            bo + off_fmt, merged, next_pos,
+            bases[i + 1] if i + 1 < len(bases) else 0,
+        )
+    return bytes(merged)
 
 
 def write_tiff(

@@ -107,6 +107,16 @@ public class GenFixtures {
         writeTiffTiled(pal4Image(30, 20), "PackBits", 32, 16,
                 "pal4_tiled.tif");
 
+        // round-10 multi-page TIFF: one IFD per page chained by the
+        // next-IFD pointer (writeToSequence) — gray LZW, bilevel G4,
+        // gray PackBits pages in ONE file. Also appended after all
+        // earlier pattern calls to keep the LCG stream stable.
+        writeTiffMulti(
+                new BufferedImage[] {grayImage(33, 21),
+                        bilevelNoise(64, 24), grayImage(29, 17)},
+                new String[] {"LZW", "CCITT T.6", "PackBits"},
+                "multipage.tif");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")
@@ -291,6 +301,38 @@ public class GenFixtures {
         dump(f, name, "tiff", false);
     }
 
+    static void writeTiffMulti(BufferedImage[] imgs, String[] comps,
+            String name) throws Exception {
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("tiff");
+        ImageWriter w = it.next();
+        File f = new File(outDir, name);
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            w.setOutput(os);
+            w.prepareWriteSequence(null);
+            for (int i = 0; i < imgs.length; i++) {
+                ImageWriteParam p = w.getDefaultWriteParam();
+                if (comps[i] != null) {
+                    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+                    p.setCompressionType(comps[i]);
+                }
+                w.writeToSequence(new IIOImage(imgs[i], null, null), p);
+            }
+            w.endWriteSequence();
+        }
+        w.dispose();
+        // read every page back with the JDK reader and dump each one
+        try (javax.imageio.stream.ImageInputStream is =
+                ImageIO.createImageInputStream(f)) {
+            javax.imageio.ImageReader r =
+                    ImageIO.getImageReaders(is).next();
+            r.setInput(is);
+            int n = r.getNumImages(true);
+            for (int i = 0; i < n; i++)
+                dumpImage(r.read(i), name, "tiff", false, i);
+            r.dispose();
+        }
+    }
+
     static void writeTiff(BufferedImage img, String compression, String name)
             throws Exception {
         Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("tiff");
@@ -316,7 +358,11 @@ public class GenFixtures {
     // tests compare against (exact for lossless, tolerance for JPEG).
     static void dump(File f, String name, String fmt, boolean lossy)
             throws Exception {
-        BufferedImage img = ImageIO.read(f);
+        dumpImage(ImageIO.read(f), name, fmt, lossy, -1);
+    }
+
+    static void dumpImage(BufferedImage img, String name, String fmt,
+            boolean lossy, int page) throws Exception {
         int w = img.getWidth(), h = img.getHeight();
         boolean grayOut = img.getColorModel().getNumComponents() == 1;
         byte[] pix;
@@ -346,15 +392,18 @@ public class GenFixtures {
                     pix[o + 2] = (byte) (v & 0xFF);
                 }
         }
-        String pixName = name.replaceAll("\\.[a-z]+$", "") + ".pix";
+        String base = name.replaceAll("\\.[a-z]+$", "")
+                + (page < 0 ? "" : "_p" + page);
+        String pixName = base + ".pix";
         try (FileOutputStream fo = new FileOutputStream(new File(outDir, pixName))) {
             fo.write(pix);
         }
         manifest.add(String.format(
                 "{\"name\": \"%s\", \"file\": \"%s\", \"pix\": \"%s\", "
                         + "\"format\": \"%s\", \"width\": %d, \"height\": %d, "
-                        + "\"channels\": %d, \"lossy\": %s}",
-                name.replaceAll("\\.[a-z]+$", ""), name, pixName, fmt, w, h,
-                grayOut ? 1 : 3, lossy));
+                        + "\"channels\": %d, \"lossy\": %s%s}",
+                base, name, pixName, fmt, w, h,
+                grayOut ? 1 : 3, lossy,
+                page < 0 ? "" : ", \"page\": " + page));
     }
 }

@@ -53,8 +53,16 @@ def _decode(m: dict, raw: bytes) -> np.ndarray:
     elif fmt == "gif":
         got = decode_gif(raw)
     else:
-        fn = decode_jpeg if fmt == "jpeg" else decode_tiff
-        _h, _w, nc, px = fn(raw)
+        if m.get("page") is not None:
+            # multi-page TIFF: one manifest entry per chained IFD
+            from pipelinejobs_indexer_spark.llm.tiff import (
+                decode_tiff_pages,
+            )
+
+            _h, _w, nc, px = decode_tiff_pages(raw)[m["page"]]
+        else:
+            fn = decode_jpeg if fmt == "jpeg" else decode_tiff
+            _h, _w, nc, px = fn(raw)
         if nc == 1:
             got = np.array(px, dtype=np.uint8)[:, :, None]
         else:
@@ -113,6 +121,8 @@ def test_manifest_covers_every_claimed_codec():
     tiled = {n for n in names if "tiled" in n}
     assert {"gray_tiled_lzw", "rgb_tiled_packbits", "gray_tiled_none",
             "gray_tiled_deflate", "fax_g4_tiled", "pal4_tiled"} <= tiled
+    # round-10 multi-page chain: one entry per page of one file
+    assert {"multipage_p0", "multipage_p1", "multipage_p2"} <= names
 
 
 # ----------------------------------- PDF CCITTFaxDecode, externally pinned

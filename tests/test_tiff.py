@@ -488,3 +488,68 @@ def test_fillorder2_refused_on_byte_codecs():
             struct.pack_into("<H", t, e + 8, 2)
     with pytest.raises(NotImplementedError, match="FillOrder 2"):
         decode_tiff(bytes(t))
+
+
+# ------------------------------------------------- multi-page IFD chain
+def test_multipage_round_trip():
+    """One IFD per page chained by the next-IFD pointer; pages carry
+    independent codecs, layouts, and geometry."""
+    from pipelinejobs_indexer_spark.llm.tiff import (
+        decode_tiff_pages,
+        write_tiff_multi,
+    )
+
+    g1 = [[(x * 5 + y * 11) % 256 for x in range(30)] for y in range(14)]
+    g2 = [[(x + y * 3) % 256 for x in range(22)] for y in range(9)]
+    fx = [[1 if (x + y) % 3 == 0 else 0 for x in range(40)]
+          for y in range(20)]
+    t = write_tiff_multi(
+        [g1, g2, fx],
+        page_opts=[
+            {"compression": 5, "rows_per_strip": 4},
+            {"compression": 32773, "tile_size": (16, 16)},
+            {"compression": 4},
+        ],
+    )
+    pages = decode_tiff_pages(t)
+    assert len(pages) == 3
+    assert pages[0][3] == g1
+    assert pages[1][3] == g2
+    assert pages[2][3] == [[0 if v else 255 for v in row] for row in fx]
+    # decode_tiff still reads the FIRST page (back-compat surface)
+    assert decode_tiff(t)[3] == g1
+
+
+def test_multipage_cycle_guard():
+    """A next-IFD pointer looping back to a seen IFD is corruption,
+    not an infinite walk."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.tiff import (
+        decode_tiff_pages,
+        write_tiff_multi,
+    )
+
+    g = [[(x + y) % 256 for x in range(16)] for y in range(8)]
+    t = bytearray(write_tiff_multi([g, g]))
+    # point page 2's next-IFD pointer back at page 1's IFD (offset 8)
+    (off,) = struct.unpack_from("<I", t, 4)
+    (n,) = struct.unpack_from("<H", t, off)
+    (second,) = struct.unpack_from("<I", t, off + 2 + 12 * n)
+    (n2,) = struct.unpack_from("<H", t, second)
+    struct.pack_into("<I", t, second + 2 + 12 * n2, off)
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff_pages(bytes(t))
+
+
+def test_multipage_jdk_fixture_all_pages():
+    """The JDK writeToSequence fixture: every chained page decodes
+    bit-exactly (covered per page by the manifest sweep; this pins the
+    page COUNT so a broken chain walk cannot silently drop pages)."""
+    import pathlib
+
+    from pipelinejobs_indexer_spark.llm.tiff import decode_tiff_pages
+
+    raw = (pathlib.Path(__file__).parent / "fixtures" / "conformance"
+           / "multipage.tif").read_bytes()
+    assert len(decode_tiff_pages(raw)) == 3
