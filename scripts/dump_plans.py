@@ -40,6 +40,8 @@ SHOWCASE = {
     "llm_multimodal_jpeg_dsp": "pure mapInPandas — JPEG synthesis + float-IDCT decode worker-side, five fixed-width columns out",
     "llm_multimodal_pdf_images": "zero-exchange mapInPandas — PDF object graph, raster filters (DCT/LZW/RLE/Flate), and decryption all worker-side; only pixel-sum rows leave",
     "llm_multimodal_audio_codecs": "zero-exchange mapInPandas — G.711 expansion + IMA step-table walk worker-side, exact-integer feature rows out",
+    "llm_multimodal_pdf_fax": "zero-exchange mapInPandas — CCITTFaxDecode (T.4/T.6) + ImageMask/Decode handling worker-side inside the cipher/container cycle, six-int rows out",
+    "llm_multimodal_tiff_tiled": "zero-exchange mapInPandas — tile-grid assembly, per-tile codec/predictor resets, sub-8 depths, multi-page IFD chains all worker-side, five-int rows out",
     "llm_dsir_select": "two-pass DSIR: doc×bucket combine → broadcast 512-row model join → TakeOrderedAndProject; the model itself is collected driver state",
     "scan_webdataset": "one sequential read per shard tar; sample assembly is a shard-local groupBy with map-side partial aggregation",
     "sink_webdataset": "one applyInPandas task per shard writing a real tar sequentially; only 4-column stats rows leave workers",
