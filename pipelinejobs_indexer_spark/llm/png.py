@@ -7,10 +7,18 @@ the Paeth predictor). The reference ships a PNG fixture
 (tests/store/uploads/emerald/201808/protein.png) through its magic-byte
 sniffing path; here the decode itself is real.
 
-Scope: 8-bit depth, sequential AND Adam7-interlaced layouts (seven
-independently filtered passes scattered on the §8.2 grid); color
-types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA). The encoder writes grayscale only
+Scope: every legal bit depth (round 10) — 8-bit everywhere, 16-bit
+(big-endian sample pairs recombined AFTER the byte-oriented §9
+defiltering, returned as uint16), and 1/2/4-bit gray or palette
+(bit-group unpack per scanline; gray scales by the exact-integer
+linear mapping 255/(2^d - 1), palette indices stay raw for the PLTE
+lookup) — sequential AND Adam7-interlaced layouts (seven
+independently filtered passes scattered on the §8.2 grid, each pass
+bit-packed at its own width); color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA); illegal depth/color
+combinations (sub-8 RGB, 16-bit palette) are refusals. Pinned
+EXTERNALLY by JDK-written gray16/gray4/gray2/gray1/pal_png fixtures
+(tests/fixtures/conformance/). The encoder writes grayscale only
 (all the fixtures need) and can cycle every filter type per row, which
 makes an encode→decode round trip exercise each of the five defilter
 branches. Defiltering of Sub is a per-channel cumsum; Average/Paeth are
@@ -170,18 +178,52 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+        or (depth < 8 and color_type not in (0, 3))
+        or (depth == 16 and color_type == 3)
+    ):
         raise NotImplementedError(
-            f"unsupported PNG variant (depth={depth} interlace={interlace}); "
-            "this decoder covers 8-bit images (sequential or Adam7)"
+            f"unsupported PNG variant (depth={depth} color={color_type} "
+            f"interlace={interlace})"
         )
     channels = _CHANNELS[color_type]
-    stride = w * channels
+    # PNG filtering is BYTE-oriented (spec §9): bpp is the byte
+    # distance to the pixel left, floored at 1 for sub-8 depths
+    bpp = max(1, channels * depth // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+
+    def row_samples(rec: np.ndarray, wp: int) -> np.ndarray:
+        """One defiltered byte row -> (wp, channels) samples: combine
+        big-endian pairs at depth 16, unpack bit groups below 8 (gray
+        scales by the exact-integer linear mapping 255/(2^d - 1);
+        palette indices stay raw for the PLTE lookup)."""
+        if depth == 8:
+            return rec.astype(np.uint8).reshape(wp, channels)
+        if depth == 16:
+            b = rec.astype(np.uint16)
+            return ((b[0::2] << 8) | b[1::2]).reshape(wp, channels)
+        per_byte = 8 // depth
+        b = rec.astype(np.uint8)
+        shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+        groups = (b[:, None] >> shifts[None, :]) & ((1 << depth) - 1)
+        samples = groups.reshape(-1)[:wp]
+        if color_type == 0:
+            samples = samples * (255 // ((1 << depth) - 1))
+        return samples.astype(np.uint8).reshape(wp, 1)
+
+    def row_bytes(wp: int) -> int:
+        return (wp * channels * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
+        stride = row_bytes(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("IDAT length does not match dimensions")
-        out = np.zeros((h, stride), dtype=np.int32)
+        img = np.zeros((h, w, channels), dtype=dtype)
         prev = np.zeros(stride, dtype=np.int32)
         for y in range(h):
             off = y * (stride + 1)
@@ -189,20 +231,19 @@ def decode_png(data: bytes) -> np.ndarray:
             line = np.frombuffer(
                 raw, dtype=np.uint8, count=stride, offset=off + 1
             )
-            prev = _unfilter(line.astype(np.int32), prev, ft, channels)
-            out[y] = prev
-        img = out.astype(np.uint8).reshape(h, w, channels)
+            prev = _unfilter(line.astype(np.int32), prev, ft, bpp)
+            img[y] = row_samples(prev, w)
     else:
         # Adam7 (PNG spec §8.2): seven passes, each an independently
         # filtered sub-image scattered onto the (y0::dy, x0::dx) grid
-        img = np.zeros((h, w, channels), dtype=np.uint8)
+        img = np.zeros((h, w, channels), dtype=dtype)
         off = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            pstride = wp * channels
+            pstride = row_bytes(wp)
             need = hp * (pstride + 1)
             if off + need > len(raw):
                 raise ValueError("IDAT too short for the Adam7 passes")
@@ -212,10 +253,8 @@ def decode_png(data: bytes) -> np.ndarray:
                 line = np.frombuffer(
                     raw, dtype=np.uint8, count=pstride, offset=off + 1
                 )
-                prev = _unfilter(line.astype(np.int32), prev, ft, channels)
-                img[y0 + py * dy, x0::dx] = (
-                    prev.astype(np.uint8).reshape(wp, channels)
-                )
+                prev = _unfilter(line.astype(np.int32), prev, ft, bpp)
+                img[y0 + py * dy, x0::dx] = row_samples(prev, wp)
                 off += pstride + 1
         if off != len(raw):
             raise ValueError("IDAT length does not match the Adam7 passes")
@@ -223,6 +262,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette image without PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(img[:, :, 0].max(initial=0)) * 3 + 2 >= len(plte):
+            raise ValueError("palette index beyond the PLTE table")
         img = pal[img[:, :, 0]]
     return img
 

@@ -117,6 +117,16 @@ public class GenFixtures {
                 new String[] {"LZW", "CCITT T.6", "PackBits"},
                 "multipage.tif");
 
+        // round-10 PNG depth fixtures: 16-bit gray (big-endian sample
+        // pairs on the wire), 4-/2-/1-bit bit-packed gray, and a
+        // palette PNG — also appended after all earlier pattern calls
+        // to keep the LCG stream stable.
+        writePlain(gray16Image(21, 13), "png", "gray16.png");
+        writePlain(subGrayImage(19, 7, 4), "png", "gray4.png");
+        writePlain(subGrayImage(23, 9, 2), "png", "gray2.png");
+        writePlain(subGrayImage(61, 18, 1), "png", "gray1.png");
+        writePlain(palImage(32, 20), "png", "pal_png.png");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")
@@ -179,6 +189,31 @@ public class GenFixtures {
         for (int y = 0; y < h; y++)
             for (int x = 0; x < w; x++)
                 img.getRaster().setSample(x, y, 0, (x * 2 + y + rnd(3)) % 16);
+        return img;
+    }
+
+    static BufferedImage gray16Image(int w, int h) {
+        javax.imageio.ImageTypeSpecifier spec =
+                javax.imageio.ImageTypeSpecifier.createGrayscale(
+                        16, java.awt.image.DataBuffer.TYPE_USHORT, false);
+        BufferedImage img = spec.createBufferedImage(w, h);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                img.getRaster().setSample(x, y, 0,
+                        (x * 2531 + y * 977 + rnd(4096)) % 65536);
+        return img;
+    }
+
+    static BufferedImage subGrayImage(int w, int h, int bits) {
+        javax.imageio.ImageTypeSpecifier spec =
+                javax.imageio.ImageTypeSpecifier.createGrayscale(
+                        bits, java.awt.image.DataBuffer.TYPE_BYTE, false);
+        BufferedImage img = spec.createBufferedImage(w, h);
+        int max = (1 << bits) - 1;
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                img.getRaster().setSample(x, y, 0,
+                        (x + y * 3 + rnd(max + 1)) % (max + 1));
         return img;
     }
 
@@ -365,22 +400,37 @@ public class GenFixtures {
             boolean lossy, int page) throws Exception {
         int w = img.getWidth(), h = img.getHeight();
         boolean grayOut = img.getColorModel().getNumComponents() == 1;
+        int depth = grayOut ? img.getColorModel().getPixelSize() : 8;
         byte[] pix;
-        if (grayOut) {
+        if (grayOut && depth == 16) {
+            // 16-bit gray: dump big-endian 2-byte raw samples; the
+            // manifest carries "depth": 16 so the comparison side
+            // reshapes uint16
+            pix = new byte[w * h * 2];
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++) {
+                    int v = img.getRaster().getSample(x, y, 0);
+                    pix[(y * w + x) * 2] = (byte) (v >>> 8);
+                    pix[(y * w + x) * 2 + 1] = (byte) v;
+                }
+        } else if (grayOut) {
             // raw raster samples, NOT getRGB: getRGB on TYPE_BYTE_GRAY
             // runs a linear-gray -> sRGB colorspace conversion that
             // would corrupt the reference dump. Bilevel images use an
             // IndexColorModel (getRGB is an exact palette lookup, and
             // honors the photometric the reader reconstructed), so
             // getRGB is right there and raster samples are right for
-            // 8-bit gray.
+            // 8-bit gray. Sub-8 gray (2/4-bit, PNG) dumps the linear
+            // full-range scaling (v * 255 / (2^d - 1)) — the same
+            // exact-integer convention the decoders use.
             boolean bilevel = img.getColorModel().getPixelSize() == 1;
+            int scale = depth < 8 ? 255 / ((1 << depth) - 1) : 1;
             pix = new byte[w * h];
             for (int y = 0; y < h; y++)
                 for (int x = 0; x < w; x++)
                     pix[y * w + x] = (byte) (bilevel
                             ? img.getRGB(x, y) & 0xFF
-                            : img.getRaster().getSample(x, y, 0));
+                            : img.getRaster().getSample(x, y, 0) * scale);
         } else {
             pix = new byte[w * h * 3];
             for (int y = 0; y < h; y++)
@@ -401,9 +451,10 @@ public class GenFixtures {
         manifest.add(String.format(
                 "{\"name\": \"%s\", \"file\": \"%s\", \"pix\": \"%s\", "
                         + "\"format\": \"%s\", \"width\": %d, \"height\": %d, "
-                        + "\"channels\": %d, \"lossy\": %s%s}",
+                        + "\"channels\": %d, \"lossy\": %s%s%s}",
                 base, name, pixName, fmt, w, h,
                 grayOut ? 1 : 3, lossy,
-                page < 0 ? "" : ", \"page\": " + page));
+                page < 0 ? "" : ", \"page\": " + page,
+                (grayOut && depth == 16) ? ", \"depth\": 16" : ""));
     }
 }

@@ -42,7 +42,15 @@ MANIFEST = json.loads((FIXDIR / "manifest.json").read_text())
 
 def _load(m: dict) -> tuple[bytes, np.ndarray]:
     raw = (FIXDIR / m["file"]).read_bytes()
-    ref = np.frombuffer((FIXDIR / m["pix"]).read_bytes(), dtype=np.uint8)
+    if m.get("depth") == 16:
+        # 16-bit dumps are big-endian 2-byte raw samples
+        ref = np.frombuffer(
+            (FIXDIR / m["pix"]).read_bytes(), dtype=">u2"
+        ).astype(np.uint16)
+    else:
+        ref = np.frombuffer(
+            (FIXDIR / m["pix"]).read_bytes(), dtype=np.uint8
+        )
     return raw, ref.reshape(m["height"], m["width"], m["channels"])
 
 
@@ -123,6 +131,9 @@ def test_manifest_covers_every_claimed_codec():
             "gray_tiled_deflate", "fax_g4_tiled", "pal4_tiled"} <= tiled
     # round-10 multi-page chain: one entry per page of one file
     assert {"multipage_p0", "multipage_p1", "multipage_p2"} <= names
+    # round-10 PNG depths: 16-bit, every sub-8 depth, and palette
+    assert {"gray16", "gray4", "gray2", "gray1", "pal_png"} <= names
+    assert any(m.get("depth") == 16 for m in MANIFEST)
 
 
 # ----------------------------------- PDF CCITTFaxDecode, externally pinned

@@ -2820,3 +2820,57 @@ def test_png_adam7_interlace():
     )
     with _pytest.raises(ValueError, match="Adam7|IDAT"):
         decode_png(bad)
+
+
+def test_png_depth_variants():
+    """Round-10 PNG depths: 16-bit returns uint16 (big-endian pairs
+    recombined after BYTE-oriented defiltering), sub-8 gray unpacks
+    bit groups with the exact-integer linear scaling, and unsupported
+    combinations stay refusals. External pins live in
+    test_conformance.py (JDK-written gray16/gray4/gray2/gray1/pal_png)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.png import SIGNATURE, _chunk, decode_png
+
+    def build(w, h, depth, color_type, rows_bytes, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        idat = zlib.compress(
+            b"".join(b"\x00" + r for r in rows_bytes)
+        )
+        chunks = [_chunk(b"IHDR", ihdr)]
+        if plte is not None:
+            chunks.append(_chunk(b"PLTE", plte))
+        chunks += [_chunk(b"IDAT", idat), _chunk(b"IEND", b"")]
+        return SIGNATURE + b"".join(chunks)
+
+    # 4-bit gray, 5 px wide: nibbles 1,2,3,4,5 -> x17 scaling
+    png = build(5, 1, 4, 0, [bytes([0x12, 0x34, 0x50])])
+    img = decode_png(png)
+    assert img[:, :, 0].tolist() == [[17, 34, 51, 68, 85]]
+    # 16-bit gray: big-endian pairs, uint16 out
+    png = build(2, 1, 16, 0, [bytes([0x12, 0x34, 0xAB, 0xCD])])
+    img = decode_png(png)
+    assert img.dtype == np.uint16
+    assert img[:, :, 0].tolist() == [[0x1234, 0xABCD]]
+    # 2-bit palette: raw indices into PLTE
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    png = build(4, 1, 2, 3, [bytes([0b00011011])], plte=plte)
+    img = decode_png(png)
+    assert img[0].tolist() == [[10, 20, 30], [40, 50, 60],
+                               [70, 80, 90], [100, 110, 120]]
+    # out-of-range palette index is corruption
+    png = build(4, 1, 2, 3, [bytes([0b00011011])], plte=plte[:6])
+    with pytest.raises(ValueError, match="beyond the PLTE"):
+        decode_png(png)
+    # 16-bit palette is not a legal PNG combination
+    png = build(2, 1, 16, 3, [bytes([0, 0, 0, 1])], plte=plte)
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+    # sub-8 RGB is not a legal PNG combination
+    png = build(2, 1, 4, 2, [bytes([0x12, 0x34, 0x56])])
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
