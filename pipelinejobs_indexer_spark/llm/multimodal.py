@@ -3047,3 +3047,228 @@ def llm_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _video_frame_features, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+# ------------------------------ L5y committed-fixture conformance query
+def _conformance_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "tests", "fixtures", "conformance",
+    )
+
+
+def _conformance_manifest() -> list[dict]:
+    import json
+    import os
+
+    path = os.path.join(_conformance_dir(), "manifest.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _conformance_ref(m: dict):
+    """The JDK reference dump for one manifest entry, as a numpy array
+    shaped (h, w, channels) — uint16 for depth-16 dumps."""
+    import os
+
+    import numpy as np
+
+    raw = open(os.path.join(_conformance_dir(), m["pix"]), "rb").read()
+    if m.get("depth") == 16:
+        ref = np.frombuffer(raw, dtype=">u2").astype("uint32")
+    else:
+        ref = np.frombuffer(raw, dtype="uint8").astype("uint32")
+    return ref.reshape(m["height"], m["width"], m["channels"])
+
+
+def _conformance_decode(m: dict):
+    """Decode one committed fixture through the in-repo codec it
+    claims, returning an (h, w, channels) uint32 array."""
+    import os
+
+    import numpy as np
+
+    raw = open(os.path.join(_conformance_dir(), m["file"]), "rb").read()
+    fmt = m["format"]
+    if fmt == "png":
+        from .png import decode_png
+
+        got = decode_png(raw)
+        if got.ndim == 2:
+            got = got[:, :, None]
+        return got.astype("uint32")
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        got = decode_gif(raw)
+        if got.ndim == 2:
+            got = got[:, :, None]
+        return got.astype("uint32")
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        _h, _w, nc, px = decode_jpeg(raw)
+    elif m.get("page") is not None:
+        from .tiff import decode_tiff_pages
+
+        _h, _w, nc, px = decode_tiff_pages(raw)[m["page"]]
+    else:
+        from .tiff import decode_tiff
+
+        _h, _w, nc, px = decode_tiff(raw)
+    if nc == 1:
+        return np.array(px, dtype="uint32")[:, :, None]
+    return np.array(
+        [[list(p) for p in row] for row in px], dtype="uint32"
+    )
+
+
+def _conformance_expected(m: dict) -> tuple[int, int]:
+    """(px_sum, px_wsum) a correct decoder must reproduce for one
+    lossless fixture, computed from the committed JDK dump. Bilevel
+    TIFF dumps are equal-valued RGB (IndexColorModel read-back); gray
+    decoder output compares against one channel, so the sums here use
+    the gray-collapsed reference."""
+    ref = _conformance_ref(m)
+    if ref.shape[2] == 3 and (
+        (ref[:, :, 0] == ref[:, :, 1]).all()
+        and (ref[:, :, 0] == ref[:, :, 2]).all()
+    ):
+        # bilevel/sub-8 fixtures read back through an IndexColorModel,
+        # so the JDK dump is equal-valued RGB; gray decoder output
+        # compares against one channel
+        ref = ref[:, :, :1]
+    flat = ref.reshape(-1).astype("int64")
+    import numpy as np
+
+    w = np.arange(1, flat.size + 1, dtype="int64")
+    return int(flat.sum()), int((flat * w).sum())
+
+
+CONFORMANCE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("decode_ok", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_wsum", LongType()),
+    ]
+)
+
+
+def _conformance_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    by_name = {m["name"]: m for m in _conformance_manifest()}
+    for pdf in batches:
+        out = {k: [] for k in (
+            "name", "width", "height", "channels",
+            "decode_ok", "px_sum", "px_wsum",
+        )}
+        for name in pdf["name"]:
+            m = by_name[str(name)]
+            got = _conformance_decode(m)
+            ref = _conformance_ref(m)
+            if got.shape[2] == 1 and ref.shape[2] == 3:
+                ok_gray = (
+                    (ref[:, :, 0] == ref[:, :, 1]).all()
+                    and (ref[:, :, 0] == ref[:, :, 2]).all()
+                )
+                ref = ref[:, :, :1]
+            else:
+                ok_gray = True
+            if m["lossy"]:
+                diff = np.abs(got.astype("int64") - ref.astype("int64"))
+                ok = bool(
+                    ok_gray and got.shape == ref.shape
+                    and diff.max() <= 2 and diff.mean() <= 0.1
+                )
+                s = ws = -1
+            else:
+                ok = bool(
+                    ok_gray and got.shape == ref.shape
+                    and (got == ref).all()
+                )
+                flat = got.reshape(-1).astype("int64")
+                w = np.arange(1, flat.size + 1, dtype="int64")
+                s, ws = int(flat.sum()), int((flat * w).sum())
+            out["name"].append(m["name"])
+            out["width"].append(got.shape[1])
+            out["height"].append(got.shape[0])
+            out["channels"].append(got.shape[2])
+            out["decode_ok"].append(1 if ok else 0)
+            out["px_sum"].append(s)
+            out["px_wsum"].append(ws)
+        yield pd.DataFrame({
+            "name": pd.Series(out["name"], dtype="object"),
+            **{k: pd.Series(out[k], dtype="int64") for k in (
+                "width", "height", "channels",
+                "decode_ok", "px_sum", "px_wsum",
+            )},
+        })
+
+
+def _conformance_oracle_sql() -> str:
+    """VALUES literals derived from the COMMITTED JDK dumps at
+    registration time: the oracle side never runs a codec, it states
+    what the independent reference decoded — so the driver hash pins
+    this repo's decoders against third-party bytes every sweep."""
+    rows = []
+    for m in _conformance_manifest():
+        if m["lossy"]:
+            s = ws = -1
+            ch = m["channels"]
+        else:
+            s, ws = _conformance_expected(m)
+            ref = _conformance_ref(m)
+            ch = 1 if (
+                ref.shape[2] == 3
+                and (ref[:, :, 0] == ref[:, :, 1]).all()
+                and (ref[:, :, 0] == ref[:, :, 2]).all()
+            ) else m["channels"]
+        rows.append(
+            f"('{m['name']}', {m['width']}, {m['height']}, {ch}, "
+            f"1, {s}, {ws})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(name, width, height, channels, decode_ok, "
+        "px_sum, px_wsum) ORDER BY name"
+    )
+
+
+@register("llm_multimodal_conformance", sql=_conformance_oracle_sql())
+def llm_multimodal_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L5y: third-party codec conformance UNDER THE DRIVER HASH (the
+    round-9 VERDICT item-1 stretch goal): every committed JDK-encoded
+    fixture (PNG at all five legal depths, baseline+progressive JPEG,
+    GIF, TIFF across LZW/PackBits/Deflate/fax/tiled/multi-page/
+    palette/bilevel) is decoded by the in-repo codecs and compared to
+    the JDK reader's own committed pixel dump. The oracle is a VALUES
+    table derived from those dumps at registration — DuckDB never runs
+    a codec, so the hash gate certifies this repo's decoders against
+    INDEPENDENT bytes on every driver sweep, not just in pytest.
+    Lossless fixtures pin exact pixel sums and 1-based position-
+    weighted sums; lossy (JPEG) fixtures pin the IDCT tolerance band
+    via decode_ok. Scale shape: fixture-count rows, one mapInPandas
+    pass, zero exchanges; fixtures are repo files (ship via --files on
+    a real cluster — this is a certification query, not a data path).
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) never decodes pixels; this certifies the decode
+    surface this engine adds."""
+    names = sorted(m["name"] for m in _conformance_manifest())
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    return df.repartition(8).mapInPandas(
+        _conformance_features, schema=CONFORMANCE_SCHEMA
+    )
