@@ -2512,10 +2512,12 @@ def _tiff_tiled_features(
             d = int(doc_id)
             w = 40 + d % 27
             h = 20 + d % 13
-            # depth cycle: every 5th doc is 4-bit gray, every 7th
-            # (non-5th) 2-bit — the bit-packed rows must repack per
-            # tile; decoded samples scale by 255/(2^g - 1)
-            g = 4 if d % 5 == 0 else (2 if d % 7 == 0 else 8)
+            # depth cycle: every 11th doc is 16-BIT gray (2-byte
+            # samples in the file byte order), every 5th 4-bit, every
+            # 7th 2-bit — bit-packed rows repack per tile; sub-8
+            # samples scale by 255/(2^g - 1), 16-bit come back raw
+            g = (16 if d % 11 == 0 else
+                 4 if d % 5 == 0 else (2 if d % 7 == 0 else 8))
             mx = (1 << g) - 1
             # multi-page chain: every d%4==2 doc carries TWO IFDs
             # (page 1's pattern reseeds by +1009)
@@ -2569,10 +2571,12 @@ def _tiff_tiled_features(
     "llm_multimodal_tiff_tiled",
     sql="""WITH g AS (
              SELECT doc_id,
-                    CASE WHEN doc_id % 5 = 0 THEN 16
+                    CASE WHEN doc_id % 11 = 0 THEN 65536
+                         WHEN doc_id % 5 = 0 THEN 16
                          WHEN doc_id % 7 = 0 THEN 4
                          ELSE 256 END AS md,
-                    CASE WHEN doc_id % 5 = 0 THEN 17
+                    CASE WHEN doc_id % 11 = 0 THEN 1
+                         WHEN doc_id % 5 = 0 THEN 17
                          WHEN doc_id % 7 = 0 THEN 85
                          ELSE 1 END AS sc,
                     CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS np

@@ -34,7 +34,10 @@ TileOffsets/TileByteCounts, the organization pyramidal and
 GeoTIFF-style scans use): every codec above applies per tile, edge
 tiles are padded-then-cropped, and predictors/bit-packing reset at
 tile boundaries (per-tile width, not image width).
-Also in scope (round 10): sub-8-bit GRAYSCALE (2/4-bit bit-packed
+Also in scope (round 10): 16-BIT GRAYSCALE (2-byte samples in the
+file byte order, returned as 0..65535 ints — scientific/medical
+scans; strips or tiles, every byte codec, pinned by the JDK
+gray16_lzw/gray16_tiled fixtures); sub-8-bit GRAYSCALE (2/4-bit bit-packed
 rows — the nibble unpack is the same machinery the externally-pinned
 4-bit palette fixtures exercise; samples scale by the exact-integer
 linear mapping 255/(2^bits - 1)) and FillOrder 2 (bits reversed
@@ -368,9 +371,18 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
             raise ValueError("sub-8-bit TIFF with SamplesPerPixel != 1")
         if predictor != 1:
             raise NotImplementedError("predictor on sub-8-bit samples")
+    elif bits == [16] and photometric in (0, 1):
+        # 16-bit grayscale (scientific/medical scans): samples follow
+        # the FILE byte order, returned as 0..65535 ints
+        if spp != 1:
+            raise ValueError("16-bit TIFF with SamplesPerPixel != 1")
+        if predictor != 1:
+            raise NotImplementedError("predictor on 16-bit samples")
+        if compression == 7:
+            raise NotImplementedError("JPEG strips cannot carry 16-bit")
     elif any(b != 8 for b in bits) and not fax:
         raise NotImplementedError(
-            f"{bits}-bit TIFF samples (only 1/2/4/8-bit decode honestly)"
+            f"{bits}-bit TIFF samples (only 1/2/4/8/16-bit decode honestly)"
         )
     elif photometric in (0, 1):
         if spp != 1:
@@ -398,7 +410,10 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
             "scope — silently interleaving planes would corrupt pixels"
         )
     bilevel_packed = bits[0] < 8 and not fax and palette is None
-    bps = bits[0] if (palette is not None or bilevel_packed) else 8
+    wide_gray = bits == [16] and palette is None and not fax
+    bps = bits[0] if (
+        palette is not None or bilevel_packed or wide_gray
+    ) else 8
     fill_order = one(266, 1)  # FillOrder: 2 = bits reversed within bytes
     if fill_order not in (1, 2):
         raise ValueError(f"bad TIFF FillOrder {fill_order}")
@@ -494,6 +509,7 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
         return _decode_tiled(
             data, tags, one, width, height, spp, photometric, predictor,
             palette, bilevel_packed, bps, fax, _decode_block,
+            wide_gray, bo,
         ), next_ifd
     offsets = tags.get(TAG_STRIP_OFFSETS)
     counts = tags.get(TAG_STRIP_COUNTS)
@@ -531,6 +547,12 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
                 idxs = list(row[:width])
             pixels.append([palette[i] for i in idxs])
             continue
+        if wide_gray:
+            vals = list(struct.unpack_from(f"{bo}{width}H", row, 0))
+            if prev_invert:
+                vals = [65535 - v for v in vals]
+            pixels.append(vals)
+            continue
         if bilevel_packed:
             # MSB-first bit-group rows, byte-padded (TIFF 6.0 §3);
             # scale samples to full range (1-bit x 255, 2-bit x 85,
@@ -565,6 +587,8 @@ def _decode_tiled(
     bps: int,
     fax: bool,
     decode_block,
+    wide_gray: bool = False,
+    bo: str = "<",
 ):
     """Tiled-layout assembly (TIFF 6.0 §15 — the layout pyramidal and
     GeoTIFF-style scans use): the image is a grid of tw x tl tiles,
@@ -594,8 +618,10 @@ def _decode_tiled(
     if tags.get(TAG_STRIP_OFFSETS):
         raise ValueError("TIFF with both strip and tile layouts")
     trow_bytes = tw if fax else (tw * spp * bps + 7) // 8
-    # full-image grid of 8-bit samples (palette: indices) per row
-    grid = [bytearray(width * spp) for _ in range(height)]
+    # full-image grid of 8-bit samples per row (palette: indices;
+    # 16-bit gray: raw sample BYTES in file order, combined at the end)
+    unit = 2 if wide_gray else 1
+    grid = [bytearray(width * spp * unit) for _ in range(height)]
     for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
         chunk = data[toff : toff + tcnt]
         if len(chunk) < tcnt:
@@ -621,16 +647,24 @@ def _decode_tiled(
             elif bilevel_packed:
                 srow = _unpack_gray(rowb, tw, bps)
             else:
-                srow = rowb  # 8-bit samples / palette indices / fax gray
-                if predictor == 2 and not fax:
+                srow = rowb  # 8/16-bit samples / palette idx / fax gray
+                if predictor == 2 and not fax and not wide_gray:
                     _undiff(srow, spp)
-            grid[gy][x0 * spp : (x0 + vis) * spp] = srow[: vis * spp]
+            grid[gy][x0 * spp * unit : (x0 + vis) * spp * unit] = (
+                srow[: vis * spp * unit]
+            )
     pixels = []
     prev_invert = photometric == 0
     for y in range(height):
         row = grid[y]
         if palette is not None:
             pixels.append([palette[i] for i in row[:width]])
+            continue
+        if wide_gray:
+            vals = list(struct.unpack_from(f"{bo}{width}H", row, 0))
+            if prev_invert:
+                vals = [65535 - v for v in vals]
+            pixels.append(vals)
             continue
         if prev_invert:
             row = bytearray(255 - v for v in row)
@@ -746,6 +780,7 @@ def write_tiff(
     tags."""
     height = len(pixels)
     width = len(pixels[0]) if height else 0
+    bo = ">" if big_endian else "<"
     if palette is not None:
         photometric = 3
         spp = 1
@@ -761,6 +796,16 @@ def write_tiff(
         else:
             flat = bytes(v for row in pixels for v in row)
             row_bytes = width
+    elif spp == 1 and bits == 16:
+        # 16-bit grayscale: 2-byte samples in the file byte order
+        if compression in (2, 3, 4, 7):
+            raise ValueError("fax/JPEG compression cannot carry 16-bit")
+        if predictor != 1:
+            raise ValueError("predictor unsupported at 16-bit write")
+        flat = b"".join(
+            struct.pack(f"{bo}{width}H", *row) for row in pixels
+        )
+        row_bytes = width * 2
     elif spp == 1 and bits in (2, 4):
         # sub-8-bit grayscale: MSB-first groups, rows byte-padded;
         # pixel values are the RAW small samples (0..2^bits-1)
@@ -779,13 +824,12 @@ def write_tiff(
     if photometric is None:
         photometric = 1 if spp == 1 else 2
     gray_bits = bits if (spp == 1 and palette is None
-                         and bits in (2, 4)) else 8
+                         and bits in (2, 4, 16)) else 8
     if gray_bits != 8 and photometric == 0:
-        raise ValueError("sub-8-bit gray writes BlackIsZero only")
+        raise ValueError("non-8-bit gray writes BlackIsZero only")
     if rows_per_strip is None:
         rows_per_strip = height
     del bits  # sample depth is carried via gray_bits/the packing above
-    bo = ">" if big_endian else "<"
     fax_mode = compression in (2, 3, 4)
     strips: list[bytes] = []
     tiled = tile_size is not None
@@ -828,6 +872,10 @@ def write_tiff(
                     for trow in trows:
                         for i in range(0, tw, 2):
                             body.append((trow[i] << 4) | trow[i + 1])
+                elif spp == 1 and gray_bits == 16:
+                    body = bytearray()
+                    for trow in trows:
+                        body += struct.pack(f"{bo}{tw}H", *trow)
                 elif spp == 1 and gray_bits != 8:
                     body = bytearray()
                     for trow in trows:

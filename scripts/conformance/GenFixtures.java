@@ -127,6 +127,11 @@ public class GenFixtures {
         writePlain(subGrayImage(61, 18, 1), "png", "gray1.png");
         writePlain(palImage(32, 20), "png", "pal_png.png");
 
+        // round-10 16-bit TIFF (TYPE_USHORT_GRAY): strip + tiled
+        writeTiff(gray16Image(25, 11), "LZW", "gray16_lzw.tif");
+        writeTiffTiled(gray16Image(40, 30), "PackBits", 16, 16,
+                "gray16_tiled.tif");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")

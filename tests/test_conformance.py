@@ -71,11 +71,12 @@ def _decode(m: dict, raw: bytes) -> np.ndarray:
         else:
             fn = decode_jpeg if fmt == "jpeg" else decode_tiff
             _h, _w, nc, px = fn(raw)
+        dt = np.uint16 if m.get("depth") == 16 else np.uint8
         if nc == 1:
-            got = np.array(px, dtype=np.uint8)[:, :, None]
+            got = np.array(px, dtype=dt)[:, :, None]
         else:
             got = np.array(
-                [[list(p) for p in row] for row in px], dtype=np.uint8
+                [[list(p) for p in row] for row in px], dtype=dt
             )
     if got.ndim == 2:
         got = got[:, :, None]

@@ -79,11 +79,15 @@ def test_honest_refusal_scope():
     # BigTIFF magic has a malformed offset-size header
     with pytest.raises(ValueError, match="BigTIFF|offset size|IFD"):
         decode_tiff(b"II\x2b\x00" + data[4:])
-    # 16-bit samples stay a refusal (1-bit bilevel is REAL since
-    # round 10, so the old sub-8-bit probe now decodes-or-ValueErrors)
+    # 16-bit is REAL since round 10 — but stamping depth 16 onto an
+    # 8-bit body halves the strip, a loud size error; 32-bit floats
+    # stay a genuine refusal
     bad = bytearray(data)
     at = data.index((258).to_bytes(2, "little"))
     bad[at + 8] = 16
+    with pytest.raises(ValueError, match="bytes|strip"):
+        decode_tiff(bytes(bad))
+    bad[at + 8] = 32
     with pytest.raises(NotImplementedError, match="bit"):
         decode_tiff(bytes(bad))
     # palette photometric is REAL now — but claiming it without a
@@ -553,3 +557,19 @@ def test_multipage_jdk_fixture_all_pages():
     raw = (pathlib.Path(__file__).parent / "fixtures" / "conformance"
            / "multipage.tif").read_bytes()
     assert len(decode_tiff_pages(raw)) == 3
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("tile", [None, (16, 16)])
+def test_gray16_round_trip(comp: int, tile):
+    """16-bit grayscale: 2-byte samples in the file byte order, strips
+    or tiles, returned as 0..65535 ints. External pins: the JDK
+    gray16_lzw/gray16_tiled fixtures in test_conformance.py."""
+    px = [[(x * 2531 + y * 977 + comp) % 65536 for x in range(25)]
+          for y in range(11)]
+    for be in (False, True):
+        t = write_tiff(px, bits=16, compression=comp, tile_size=tile,
+                       big_endian=be)
+        h, w, nc, out = decode_tiff(t)
+        assert (h, w, nc) == (11, 25, 1)
+        assert out == px
