@@ -187,6 +187,16 @@ def decode_audio(content: bytes, mime: str) -> dict:
             samples = struct.unpack(f"<{len(raw) // 2}h", raw)
         elif width == 1:
             samples = tuple(b - 128 for b in raw)  # WAV 8-bit is unsigned
+        elif width == 3:
+            # 24-bit PCM (studio/archival audio): 3-byte little-endian
+            # two's complement — sign-extension cross-checked against
+            # audioop.lin2lin in tests
+            samples = tuple(
+                int.from_bytes(raw[i : i + 3], "little", signed=True)
+                for i in range(0, len(raw) - 2, 3)
+            )
+        elif width == 4:
+            samples = struct.unpack(f"<{len(raw) // 4}i", raw)
         else:
             raise NotImplementedError(f"{8 * width}-bit PCM not supported")
         return {
@@ -889,26 +899,44 @@ def _audio_amp(doc_id: int) -> int:
 
 
 def synth_wav(doc_id: int) -> bytes:
-    """Deterministic 16-bit mono PCM square-wave WAV, RIFF container
+    """Deterministic mono PCM square-wave WAV, RIFF container
     hand-assembled with struct (NOT the wave writer — so the stdlib
     parser in decode_audio is an independent check of every header
-    field)."""
+    field). Sample width cycles per doc — 16-bit, 24-bit (3-byte
+    two's complement, round 10), 32-bit — with the amplitude scaled
+    to the width so RMS/peak stay closed-form."""
     import struct
 
     n = _audio_frames(doc_id)
-    amp = _audio_amp(doc_id)
+    width = [2, 3, 4][doc_id % 3]
+    amp = _audio_amp(doc_id) * (1 << (8 * (width - 2)))
     half = AUDIO_PERIOD // 2
-    pcm = b"".join(
-        struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
-        for i in range(n)
-    )
-    byte_rate = AUDIO_RATE * 2
+    if width == 2:
+        pcm = b"".join(
+            struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+            for i in range(n)
+        )
+    elif width == 3:
+        pcm = b"".join(
+            (amp if (i // half) % 2 == 0 else -amp).to_bytes(
+                3, "little", signed=True
+            )
+            for i in range(n)
+        )
+    else:
+        pcm = b"".join(
+            struct.pack("<i", amp if (i // half) % 2 == 0 else -amp)
+            for i in range(n)
+        )
+    byte_rate = AUDIO_RATE * width
     hdr = (
         b"RIFF"
         + struct.pack("<I", 36 + len(pcm))
         + b"WAVE"
         + b"fmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_RATE, byte_rate, 2, 16)
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, AUDIO_RATE, byte_rate, width, 8 * width
+        )
         + b"data"
         + struct.pack("<I", len(pcm))
     )
@@ -943,15 +971,24 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                   CAST(1 AS BIGINT) AS n_channels,
                   400 + (doc_id % 50) * 16 AS n_frames,
                   (400 + (doc_id % 50) * 16) * 1000 // {AUDIO_RATE} AS duration_ms,
-                  1000 + (doc_id % 97) * 64 AS rms,
-                  1000 + (doc_id % 97) * 64 AS peak
+                  (1000 + (doc_id % 97) * 64)
+                    * CASE doc_id % 3 WHEN 0 THEN 1
+                                      WHEN 1 THEN 256
+                                      ELSE 65536 END AS rms,
+                  (1000 + (doc_id % 97) * 64)
+                    * CASE doc_id % 3 WHEN 0 THEN 1
+                                      WHEN 1 THEN 256
+                                      ELSE 65536 END AS peak
            FROM documents""",
 )
 def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5e: REAL audio decode path — per-doc synthesized RIFF/PCM WAV
     bytes are parsed by the stdlib ``wave`` module (decode_audio) and the
     decoded sample stream reduced to signal features (rate, channels,
-    frames, duration, RMS, peak) in an Arrow mapInPandas stage.
+    frames, duration, RMS, peak) in an Arrow mapInPandas stage. Since
+    round 10 the sample width cycles 16/24/32-bit per doc — 24-bit is
+    the studio/archival width, its 3-byte sign extension cross-checked
+    against audioop — with amplitude scaled so the closed form holds.
 
     Evidence shape (the png.py closed-form pattern): the WAV container is
     hand-assembled byte-by-byte while CPython's independent wave parser

@@ -1728,7 +1728,9 @@ def test_synth_wav_is_valid_riff_for_stdlib_parser():
         assert audio["rate"] == AUDIO_RATE and audio["channels"] == 1
         assert audio["frames"] == _audio_frames(doc_id)
         s = audio["samples"]
-        amp = _audio_amp(doc_id)
+        # round 10: the sample width cycles 16/24/32-bit per doc with
+        # the amplitude scaled to the width
+        amp = _audio_amp(doc_id) * (1 << (8 * ([2, 3, 4][doc_id % 3] - 2)))
         assert max(abs(v) for v in s) == amp
         assert round(math.sqrt(sum(v * v for v in s) / len(s))) == amp
 
@@ -2874,3 +2876,56 @@ def test_png_depth_variants():
     png = build(2, 1, 4, 2, [bytes([0x12, 0x34, 0x56])])
     with pytest.raises(NotImplementedError):
         decode_png(png)
+
+
+def test_wav_24_32_bit_pcm():
+    """24/32-bit PCM WAV (round 10): 3-byte two's-complement sign
+    extension is cross-checked against audioop.lin2lin (independent C
+    implementation), 32-bit against struct; odd widths stay refusals."""
+    import struct
+
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        decode_audio,
+        synth_wav,
+    )
+
+    # synth cycle: doc_id % 3 == 1 -> 24-bit, == 2 -> 32-bit
+    a24 = decode_audio(synth_wav(1), "audio/wav")
+    assert max(a24["samples"]) == (1000 + 1 * 64) * 256
+    assert min(a24["samples"]) == -(1000 + 1 * 64) * 256
+    a32 = decode_audio(synth_wav(2), "audio/wav")
+    assert max(a32["samples"]) == (1000 + 2 * 64) * 65536
+    # audioop cross-check of the 24-bit sign extension
+    try:
+        import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        vals = [-8388608, -1, 0, 1, 300000, 8388607]
+        raw = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                    48000, 3, 24)
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        got = decode_audio(wav, "audio/wav")["samples"]
+        via_audioop = struct.unpack(
+            f"<{len(vals)}i", audioop.lin2lin(raw, 3, 4)
+        )
+        assert list(got) == [v >> 8 for v in via_audioop] or list(
+            got
+        ) == [v // 256 for v in via_audioop]
+        assert list(got) == vals
+    # unsupported width stays a refusal
+    raw = bytes(10)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                80000, 5, 40)
+        + b"data" + struct.pack("<I", len(raw))
+    )
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_audio(wav, "audio/wav")
