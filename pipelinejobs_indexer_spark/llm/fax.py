@@ -575,6 +575,12 @@ def decode_fax_pdf(
     # each decoded line consumes >= 1 bit, but bound rows anyway
     max_rows = rows if rows is not None else 8 * len(data) + 1
     while len(out) < max_rows:
+        if k <= 0 and byte_align and out:
+            # align BEFORE the end checks: a trailing EOFB (or zero
+            # pad) sits on the byte boundary in aligned streams, and
+            # peeking it from mid-byte would mistake it for line data
+            # (soak-found)
+            bits.byte_align()
         if rows is None:
             rem = 8 * len(data) - bits.pos
             if rem <= 0:
@@ -585,12 +591,8 @@ def decode_fax_pdf(
             if _rest_is_zero_fill(bits):
                 break  # zero pad tail, not a line
         if k < 0:
-            if byte_align and out:
-                bits.byte_align()
             changes = _decode_2d_line(bits, ref, columns)
         elif k == 0:
-            if byte_align and out:
-                bits.byte_align()
             # consume a writer-emitted EOL (optionally fill-prefixed)
             head, got = bits.peek(12)
             if got == 12 and (head == 1 or head == 0):

@@ -237,3 +237,14 @@ def test_pdf_layer_bad_geometry():
         decode_fax_pdf(b"", 0, 1, -1)
     with pytest.raises(ValueError):
         decode_fax_pdf(b"", 10, 0, -1)
+
+
+def test_pdf_layer_rows_none_byte_aligned_eofb():
+    """Soak-found: in /EncodedByteAlign streams the trailing EOFB sits
+    on a byte boundary — a mid-byte peek must not mistake it for line
+    data when /Rows is unspecified."""
+    for k in (-1, 0):
+        rows = _pat(21, 7, k + 5)
+        enc = encode_ccitt_pdf(rows, 21, k, byte_align=True)
+        dec = decode_fax_pdf(enc, 21, None, k, byte_align=True)
+        assert dec == [bytearray(r) for r in rows]
