@@ -54,6 +54,7 @@ IMA_STEPS = [
 IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 WAVE_FMT_PCM = 0x0001
+WAVE_FMT_FLOAT = 0x0003
 WAVE_FMT_ALAW = 0x0006
 WAVE_FMT_MULAW = 0x0007
 WAVE_FMT_IMA_ADPCM = 0x0011
@@ -225,6 +226,18 @@ def parse_companded_wav(content: bytes) -> dict:
         samples = tuple(
             chans[c][f] for f in range(frames) for c in range(nch)
         )
+    elif tag == WAVE_FMT_FLOAT:
+        # IEEE-float WAV (production/DAW exports): float32 or float64
+        # frames, nominal range [-1, 1]. Samples come back as Python
+        # floats — the ONE decode path whose samples are not ints;
+        # callers needing the integer discipline quantize explicitly.
+        if bits == 32:
+            samples = struct.unpack(f"<{len(data) // 4}f", data)
+        elif bits == 64:
+            samples = struct.unpack(f"<{len(data) // 8}d", data)
+        else:
+            raise ValueError(f"float WAV must be 32/64-bit, got {bits}")
+        frames = len(samples) // nch
     elif tag == WAVE_FMT_PCM:
         raise ValueError("PCM WAV belongs to the stdlib wave path")
     else:

@@ -281,3 +281,32 @@ def test_ima_adpcm_core_matches_audioop():
     theirs = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
     assert mine[0] == 0  # the header predictor
     assert mine[1:] == theirs
+
+
+def test_ieee_float_wav_decodes():
+    """WAVE_FMT_FLOAT (tag 3, round 10): float32/float64 frames in
+    [-1, 1] — the DAW-export format. Exactly-representable values
+    round-trip bit-identically; sub-32-bit float widths are corrupt."""
+    import struct
+
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.g711 import parse_companded_wav
+
+    def wav(bits, payload, nch=1, rate=48000):
+        width = bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, nch, rate,
+                                    rate * width * nch, width * nch, bits)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    vals = (0.0, 0.5, -0.25, 1.0, -1.0, 0.125)
+    out = parse_companded_wav(wav(32, struct.pack("<6f", *vals)))
+    assert out["samples"] == vals and out["frames"] == 6
+    assert out["rate"] == 48000 and out["channels"] == 1
+    out = parse_companded_wav(wav(64, struct.pack("<6d", *vals), nch=2))
+    assert out["samples"] == vals and out["frames"] == 3
+    with pytest.raises(ValueError, match="float WAV"):
+        parse_companded_wav(wav(16, b"\x00" * 8))

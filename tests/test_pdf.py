@@ -1154,3 +1154,41 @@ def test_imagemask_stencil():
                        b"/ImageMask true /ColorSpace /DeviceGray")
     with pytest.raises(ValueError, match="declares a color space"):
         extract_pdf_images(bad)
+
+
+def test_incremental_update_newest_object_wins():
+    """Incremental updates (ISO 32000 §7.5.6): an edited PDF appends
+    replacement objects plus a new xref/trailer with /Prev, leaving
+    the original bytes untouched. The body scan must resolve the
+    NEWEST definition of a replaced object (append order == update
+    order), so the extracted text is the edited text."""
+    import re
+    import zlib
+
+    base = write_pdf([["original text"]], compress=True)
+    assert extract_pdf_text(base).strip() == "original text"
+    # find the compressed content stream object number
+    m = re.search(rb"(\d+) 0 obj\s*<< /Length \d+ /Filter /FlateDecode",
+                  base)
+    assert m, "fixture shape changed"
+    num = int(m.group(1))
+    new_body = zlib.compress(
+        b"BT /F0 12 Tf 72 720 Td (edited text) Tj ET"
+    )
+    update = (
+        b"\n%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (num, len(new_body))
+        + new_body
+        + b"\nendstream\nendobj\n"
+    )
+    startxref = base.rfind(b"startxref")
+    upd_at = len(base) + 1
+    trailer = (
+        b"xref\n%d 1\n%010d 00000 n \ntrailer\n<< /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (num, upd_at, int(base[startxref:].split()[1]), len(base) + len(update))
+    )
+    updated = base + update + trailer
+    assert extract_pdf_text(updated).strip() == "edited text"
+    # the original, un-appended file still reads the original text
+    assert extract_pdf_text(base).strip() == "original text"
