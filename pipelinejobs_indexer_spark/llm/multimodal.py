@@ -3142,6 +3142,12 @@ def _conformance_decode(m: dict):
             got = got[:, :, None]
         return got.astype("uint32")
     if fmt == "gif":
+        if m.get("page") is not None:
+            from .gif import decode_gif_frames
+
+            return decode_gif_frames(raw)[m["page"]]["pixels"].astype(
+                "uint32"
+            )
         from .gif import decode_gif
 
         got = decode_gif(raw)

@@ -132,6 +132,11 @@ public class GenFixtures {
         writeTiffTiled(gray16Image(40, 30), "PackBits", 16, 16,
                 "gray16_tiled.tif");
 
+        // round-10 animated GIF: three frames via writeToSequence
+        writeGifAnim(new BufferedImage[] {
+                palImage(28, 18), palImage(28, 18), palImage(28, 18)},
+                "anim.gif");
+
         try (FileOutputStream fo =
                 new FileOutputStream(new File(outDir, "manifest.json"))) {
             fo.write(("[\n  " + String.join(",\n  ", manifest) + "\n]\n")
@@ -339,6 +344,31 @@ public class GenFixtures {
         }
         w.dispose();
         dump(f, name, "tiff", false);
+    }
+
+    static void writeGifAnim(BufferedImage[] imgs, String name)
+            throws Exception {
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("gif");
+        ImageWriter w = it.next();
+        File f = new File(outDir, name);
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            w.setOutput(os);
+            w.prepareWriteSequence(null);
+            for (BufferedImage img : imgs)
+                w.writeToSequence(new IIOImage(img, null, null), null);
+            w.endWriteSequence();
+        }
+        w.dispose();
+        try (javax.imageio.stream.ImageInputStream is =
+                ImageIO.createImageInputStream(f)) {
+            javax.imageio.ImageReader r =
+                    ImageIO.getImageReaders(is).next();
+            r.setInput(is);
+            int n = r.getNumImages(true);
+            for (int i = 0; i < n; i++)
+                dumpImage(r.read(i), name, "gif", false, i);
+            r.dispose();
+        }
     }
 
     static void writeTiffMulti(BufferedImage[] imgs, String[] comps,

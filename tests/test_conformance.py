@@ -59,7 +59,15 @@ def _decode(m: dict, raw: bytes) -> np.ndarray:
     if fmt == "png":
         got = decode_png(raw)
     elif fmt == "gif":
-        got = decode_gif(raw)
+        if m.get("page") is not None:
+            # animated GIF: one manifest entry per frame
+            from pipelinejobs_indexer_spark.llm.gif import (
+                decode_gif_frames,
+            )
+
+            got = decode_gif_frames(raw)[m["page"]]["pixels"]
+        else:
+            got = decode_gif(raw)
     else:
         if m.get("page") is not None:
             # multi-page TIFF: one manifest entry per chained IFD
@@ -135,6 +143,9 @@ def test_manifest_covers_every_claimed_codec():
     # round-10 PNG depths: 16-bit, every sub-8 depth, and palette
     assert {"gray16", "gray4", "gray2", "gray1", "pal_png"} <= names
     assert any(m.get("depth") == 16 for m in MANIFEST)
+    # round-10 16-bit TIFF and the animated-GIF frame walk
+    assert {"gray16_lzw", "gray16_tiled"} <= names
+    assert {"anim_p0", "anim_p1", "anim_p2"} <= names
 
 
 # ----------------------------------- PDF CCITTFaxDecode, externally pinned

@@ -2929,3 +2929,47 @@ def test_wav_24_32_bit_pcm():
     )
     with pytest.raises((NotImplementedError, ValueError)):
         decode_audio(wav, "audio/wav")
+
+
+def test_gif_animation_frames():
+    """Round-10 animated GIF: per-frame rects, GCE delay/disposal/
+    transparency metadata, local palettes, per-frame interlace; a GCE
+    governs exactly one frame. External pin: the JDK writeToSequence
+    fixture (anim.gif) in test_conformance.py."""
+    import numpy as np
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.array([[i * 17 % 256, (200 - i * 9) % 256, i * 23 % 256]
+                    for i in range(16)], dtype=np.uint8)
+    frames = [
+        {"indices": np.arange(48, dtype=np.uint8).reshape(6, 8) % 16,
+         "delay_cs": 10, "disposal": 1},
+        {"indices": (np.arange(20, dtype=np.uint8).reshape(4, 5) * 3) % 16,
+         "x": 2, "y": 1, "delay_cs": 5, "disposal": 2, "interlace": True},
+        {"indices": np.ones((6, 8), dtype=np.uint8) * 7},
+    ]
+    g = encode_gif_frames(frames, pal)
+    assert b"NETSCAPE2.0" in g
+    out = decode_gif_frames(g)
+    assert len(out) == 3
+    for f, o in zip(frames, out):
+        assert (o["pixels"] == pal[f["indices"]]).all()
+        assert o["delay_cs"] == f.get("delay_cs", 0)
+        assert o["disposal"] == f.get("disposal", 0)
+        assert (o["x"], o["y"]) == (f.get("x", 0), f.get("y", 0))
+    # frame 3 had no GCE: metadata defaults, not frame 2's values
+    assert out[2]["delay_cs"] == 0 and out[2]["transparent"] is None
+    # the single-frame surface still reads frame 0
+    assert (decode_gif(g) == pal[frames[0]["indices"]]).all()
+    # frame-count bound is a loud error
+    with pytest.raises(ValueError, match="frames"):
+        decode_gif_frames(g, max_frames=2)
+    # truncation mid-animation stays loud
+    with pytest.raises(ValueError):
+        decode_gif_frames(g[: len(g) - 10] )
