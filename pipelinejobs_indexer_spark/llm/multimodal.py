@@ -735,6 +735,121 @@ def llm_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_gif_thumbs, schema=THUMB_GIF_SCHEMA)
 
 
+# ------------------------------------------ L5z animated-GIF frame walk
+GIF_ANIM_SIDE = 12
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("delay_total", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_wsum", LongType()),
+    ]
+)
+
+
+def _gif_anim_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .gif import decode_gif_frames, encode_gif_frames
+
+    w = GIF_ANIM_SIDE
+    pal = np.array(
+        [[i * 17 % 256, (200 - i * 9) % 256, i * 23 % 256]
+         for i in range(16)],
+        dtype=np.uint8,
+    )
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_frames", "delay_total", "px_sum", "px_wsum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 2 + d % 3
+            yy, xx = np.mgrid[0:w, 0:w]
+            frames = [
+                {
+                    "indices": ((d + 3 * xx + 5 * yy + 7 * f) % 16).astype(
+                        np.uint8
+                    ),
+                    "delay_cs": 4 + (d + f) % 9,
+                    "disposal": f % 4,
+                    "interlace": f == 1,
+                }
+                for f in range(n)
+            ]
+            dec = decode_gif_frames(encode_gif_frames(frames, pal))
+            if len(dec) != n:
+                raise ValueError(f"animation decoded {len(dec)} != {n}")
+            s = ws = dtot = 0
+            for f, fr in enumerate(dec):
+                if fr["delay_cs"] != 4 + (d + f) % 9:
+                    raise ValueError("GCE delay did not round-trip")
+                if fr["disposal"] != f % 4:
+                    raise ValueError("GCE disposal did not round-trip")
+                fsum = int(fr["pixels"].astype(np.int64).sum())
+                s += fsum
+                ws += (f + 1) * fsum
+                dtot += fr["delay_cs"]
+            out["doc_id"].append(d)
+            out["n_frames"].append(n)
+            out["delay_total"].append(dtot)
+            out["px_sum"].append(s)
+            out["px_wsum"].append(ws)
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "llm_multimodal_gif_anim",
+    sql=f"""WITH px AS (
+             SELECT d.doc_id, f.f,
+                    ((d.doc_id + 3 * x.x + 5 * y.y + 7 * f.f) % 16)
+                      AS idx
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, {GIF_ANIM_SIDE - 1}) AS x(x),
+                  generate_series(0, {GIF_ANIM_SIDE - 1}) AS y(y),
+                  generate_series(0, 3) AS f(f)
+             WHERE f.f < 2 + d.doc_id % 3),
+           fs AS (
+             SELECT doc_id, f,
+                    CAST(SUM((idx * 17) % 256 + (200 - idx * 9) % 256
+                             + (idx * 23) % 256) AS BIGINT) AS fsum
+             FROM px GROUP BY doc_id, f)
+           SELECT d.doc_id,
+                  CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+                  CAST((SELECT SUM(4 + (d.doc_id + g.f) % 9)
+                        FROM generate_series(0, 3) AS g(f)
+                        WHERE g.f < 2 + d.doc_id % 3) AS BIGINT)
+                    AS delay_total,
+                  (SELECT CAST(SUM(fsum) AS BIGINT) FROM fs
+                   WHERE fs.doc_id = d.doc_id) AS px_sum,
+                  (SELECT CAST(SUM((f + 1) * fsum) AS BIGINT) FROM fs
+                   WHERE fs.doc_id = d.doc_id) AS px_wsum
+           FROM (SELECT doc_id FROM documents) d""",
+)
+def llm_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5z: animated-GIF frame walk (round 10) — per doc a real
+    animation of 2-4 frames (GCE delay/disposal per frame, NETSCAPE
+    loop extension, frame 1 interlaced) is encoded, then every frame
+    decoded back through decode_gif_frames with its control metadata
+    verified in-stage. The oracle recomputes per-frame palette-RGB
+    sums and a frame-weighted sum in closed form — a dropped frame,
+    swapped frame order, mis-parsed GCE, or per-frame interlace bug
+    shifts a value. Externally pinned by the JDK writeToSequence
+    fixture (anim.gif, test_conformance.py + the conformance query).
+    Scale shape: zero-exchange mapInPandas, O(rows) output.
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) stores uploads opaquely; animation sampling is
+    multimodal-ingest surface this engine adds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_gif_anim_features, schema=GIF_ANIM_SCHEMA)
+
+
 # -------------------------------------------- L5j real WebP decode path
 WEBP_SIDE = 16   # synthesized fixture WebPs are WEBP_SIDE x WEBP_SIDE
 WEBP_GRID = 2    # quadrant grid, the PNG/GIF-thumbnail pattern
