@@ -409,6 +409,16 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
             "TIFF planar configuration 2 (separate planes) is out of "
             "scope — silently interleaving planes would corrupt pixels"
         )
+    if one(339, 1) != 1:  # SampleFormat: unsigned integer only
+        raise NotImplementedError(
+            "TIFF SampleFormat != 1 (signed/float samples) is out of "
+            "scope — reading them as unsigned would corrupt values"
+        )
+    if one(274, 1) != 1:  # Orientation: raster order only
+        raise NotImplementedError(
+            "TIFF Orientation != 1 (flipped/rotated raster) is out of "
+            "scope — ignoring it would emit transposed pixels"
+        )
     bilevel_packed = bits[0] < 8 and not fax and palette is None
     wide_gray = bits == [16] and palette is None and not fax
     bps = bits[0] if (

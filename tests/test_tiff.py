@@ -573,3 +573,28 @@ def test_gray16_round_trip(comp: int, tile):
         h, w, nc, out = decode_tiff(t)
         assert (h, w, nc) == (11, 25, 1)
         assert out == px
+
+
+def test_sampleformat_and_orientation_guards():
+    """SampleFormat != 1 (signed/float) and Orientation != 1
+    (flipped/rotated) must refuse loudly — reading either as plain
+    unsigned raster order would silently corrupt pixels."""
+    import struct
+
+    base = write_tiff(GRAY)
+    for tag, val in ((339, 2), (339, 3), (274, 6)):
+        data = bytearray(base)
+        # sacrifice the SPP tag slot (277, value 1 == its default)
+        at = base.index((277).to_bytes(2, "little"))
+        struct.pack_into("<HHI", data, at, tag, 3, 1)
+        struct.pack_into("<H", data, at + 8, val)
+        with pytest.raises(NotImplementedError,
+                           match="SampleFormat|Orientation"):
+            decode_tiff(bytes(data))
+    # the JDK 16-bit fixture declares SampleFormat 1 explicitly and
+    # must keep decoding
+    import pathlib
+
+    raw = (pathlib.Path(__file__).parent / "fixtures" / "conformance"
+           / "gray16_lzw.tif").read_bytes()
+    assert decode_tiff(raw)[0] == 11
