@@ -2350,3 +2350,184 @@ def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_duplicate_chunks(
         docs, window=CDC_TWIN_WINDOW, hash_kind=CDC_TWIN_HASH
     )
+
+
+# ------------------------------- L2k perceptual image dedup (round 10)
+#: dHash grid: 16x16 gray images, 2x2 block means -> 8x8 grid, 7
+#: gradient bits per grid row = 56-bit hash, banded 7 x 8 bits
+PHASH_SIDE = 16
+PHASH_GRID = 8
+PHASH_BANDS = 7
+PHASH_MAX_DIST = 6
+
+
+def _phash_bump(d: int) -> tuple[int, int, int]:
+    """Per-doc perturbation of the shared base image: docs in a group
+    of three (same d // 3) differ only by a bounded brightness bump on
+    one (or two adjacent) 2x2 blocks — a few gradient bits flip, so
+    in-group pairs stay within the Hamming radius while cross-base
+    pairs drift far. Returns (bx, by, amount); amount 0 = untouched."""
+    if d % 3 == 0:
+        return 0, 0, 0
+    return d % PHASH_GRID, (d // PHASH_GRID) % PHASH_GRID, 40 * (d % 3)
+
+
+def _phash_features(batches):
+    """doc_id -> 56-bit dHash computed from GENUINELY DECODED pixels:
+    the 16x16 gray image (constant 2x2 blocks, so block means are
+    exact integers) round-trips through the real PNG codec before
+    hashing — a decode bug shifts gradient bits and the driver hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .png import decode_png, encode_png_gray
+
+    g = PHASH_GRID
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            b = d // 3
+            bx, by, amt = _phash_bump(d)
+            # multiplicative mix mod 128 -> diverse gradients across
+            # bases; bumps of 40/80 never overflow a byte
+            grid = [
+                [(b * (x + 2) * (y + 3) + x * 13 + y * 29) % 128
+                 for x in range(g)]
+                for y in range(g)
+            ]
+            if amt:
+                grid[by][bx] += amt
+            img = np.repeat(
+                np.repeat(np.array(grid, dtype=np.uint8), 2, axis=0),
+                2, axis=1,
+            )
+            dec = decode_png(
+                encode_png_gray(img, row_filters=(0, 1, 2, 3, 4),
+                                interlace=d % 2 == 1)
+            )[:, :, 0].astype(np.int64)
+            means = dec.reshape(g, 2, g, 2).mean(axis=(1, 3)).astype(
+                np.int64
+            )
+            h = 0
+            for y in range(g):
+                for x in range(g - 1):
+                    if means[y][x] > means[y][x + 1]:
+                        h |= 1 << (y * (g - 1) + x)
+            out["doc_id"].append(d)
+            out["phash"].append(h)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "phash": pd.Series(out["phash"], dtype="int64"),
+        })
+
+
+_PHASH_GRID_SQL = (
+    "((d.doc_id // 3) * (x.x + 2) * (y.y + 3)"
+    " + x.x * 13 + y.y * 29) % 128"
+    " + CASE WHEN d.doc_id % 3 != 0"
+    f"       AND x.x = d.doc_id % {PHASH_GRID}"
+    f"       AND y.y = (d.doc_id // {PHASH_GRID}) % {PHASH_GRID}"
+    "  THEN 40 * (d.doc_id % 3) ELSE 0 END"
+)
+
+
+@register(
+    "llm_dedup_phash",
+    sql=f"""WITH cells AS (
+             SELECT d.doc_id, x.x, y.y,
+                    CAST({_PHASH_GRID_SQL} AS BIGINT) AS v
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, {PHASH_GRID - 1}) AS x(x),
+                  generate_series(0, {PHASH_GRID - 1}) AS y(y)),
+           hashes AS (
+             SELECT a.doc_id,
+                    CAST(SUM(CASE WHEN a.v > b.v THEN
+                          (1::BIGINT << (a.y * {PHASH_GRID - 1} + a.x))
+                          ELSE 0 END) AS BIGINT) AS phash
+             FROM cells a JOIN cells b
+               ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             WHERE a.x < {PHASH_GRID - 1}
+             GROUP BY a.doc_id),
+           bands AS (
+             SELECT doc_id, phash, g.b AS band,
+                    (phash >> (8 * g.b)) & 255 AS bval
+             FROM hashes, generate_series(0, {PHASH_BANDS - 1}) AS g(b)),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.phash AS ha, b.phash AS hb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bval = b.bval
+              AND a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b,
+                  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_DIST}
+           ORDER BY doc_a, doc_b""",
+)
+def llm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2k: PERCEPTUAL image near-dup (round 10) — dHash over decoded
+    pixels, the image-side mate of the text near-dup family and the
+    query that composes the codec layer with the dedup engine. Per
+    doc a 16x16 gray image (groups of three docs share a base; the
+    non-base docs carry a one-block brightness bump) round-trips
+    through the REAL PNG codec (filter cycle + Adam7 on odd docs)
+    inside mapInPandas; the 56-bit row-gradient dHash then goes
+    through the standard banded-LSH shape ENTIRELY in Catalyst:
+    7 x 8-bit band explode -> band equi-join -> bit_count(XOR) Hamming
+    verify on candidates only. By pigeonhole, <= 6 differing bits
+    cannot touch all 7 bands, so the banded plan is EXACT — same
+    pairs as brute force at any scale, with only equi-join shuffles
+    (the simhash guarantee, restated for images). Scale shape: zero
+    corpus-pair joins; shuffle is O(docs x 7) band rows; the decode
+    leg is embarrassingly parallel. At 100 TB the 8-bit band values
+    (256 buckets) would over-populate — production widens the hash
+    (pHash-DCT at 256 bits) and the bands with it, same plan shape;
+    the pigeonhole exactness argument carries over unchanged.
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs image uploads opaquely; perceptual
+    dedup is the multimodal curation surface a training pipeline adds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(
+        _phash_features, schema="doc_id bigint, phash bigint"
+    )
+    bands = hashes.select(
+        "doc_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("phash", 8 * b).bitwiseAND(255)
+                    .alias("bval"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bval")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .where(F.col("hamming") <= PHASH_MAX_DIST)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
