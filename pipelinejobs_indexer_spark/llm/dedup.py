@@ -2369,7 +2369,7 @@ def _phash_bump(d: int) -> tuple[int, int, int]:
     pairs drift far. Returns (bx, by, amount); amount 0 = untouched."""
     if d % 3 == 0:
         return 0, 0, 0
-    return d % PHASH_GRID, (d // PHASH_GRID) % PHASH_GRID, 40 * (d % 3)
+    return d % PHASH_GRID, (d // PHASH_GRID) % PHASH_GRID, 2 * (d % 3)
 
 
 def _phash_features(batches):
@@ -2389,10 +2389,15 @@ def _phash_features(batches):
             d = int(doc_id)
             b = d // 3
             bx, by, amt = _phash_bump(d)
-            # multiplicative mix mod 128 -> diverse gradients across
-            # bases; bumps of 40/80 never overflow a byte
+            # quadratic mix over TWO prime moduli (251, 241): adjacent
+            # cell differences vary per cell (row gradients carry real
+            # entropy — affine grids give constant-step wrap patterns)
+            # AND the base period is lcm(251,241)=60491, past any probe
+            # corpus, so no base-equivalence classes form (both were
+            # probe-found failure modes). Bumps of 2/4 never overflow.
             grid = [
-                [(b * (x + 2) * (y + 3) + x * 13 + y * 29) % 128
+                [((b % 251 + x * 17 + y * 29)
+                  * (b % 241 + x * 3 + y * 7 + 1)) % 251
                  for x in range(g)]
                 for y in range(g)
             ]
@@ -2423,12 +2428,12 @@ def _phash_features(batches):
 
 
 _PHASH_GRID_SQL = (
-    "((d.doc_id // 3) * (x.x + 2) * (y.y + 3)"
-    " + x.x * 13 + y.y * 29) % 128"
+    "(((d.doc_id // 3) % 251 + x.x * 17 + y.y * 29)"
+    " * ((d.doc_id // 3) % 241 + x.x * 3 + y.y * 7 + 1)) % 251"
     " + CASE WHEN d.doc_id % 3 != 0"
     f"       AND x.x = d.doc_id % {PHASH_GRID}"
     f"       AND y.y = (d.doc_id // {PHASH_GRID}) % {PHASH_GRID}"
-    "  THEN 40 * (d.doc_id % 3) ELSE 0 END"
+    "  THEN 2 * (d.doc_id % 3) ELSE 0 END"
 )
 
 
