@@ -287,7 +287,9 @@ def test_fsm_final_state_invariant_under_batch_splits(spark, tmp_path):
         rows.sort(key=lambda r: (r[1], r[0]))
         if draw(st.booleans()):  # exact redelivery of an earlier row
             rows.append(rows[draw(st.integers(0, len(rows) - 1))])
-        k = draw(st.integers(1, 2))
+        # at most len(rows)-1 distinct split points exist; k must not
+        # exceed that or the unique=True list strategy is unsatisfiable
+        k = draw(st.integers(1, min(2, max(1, len(rows) - 1))))
         splits = sorted(
             draw(
                 st.lists(
