@@ -227,6 +227,28 @@ class EngineConfig:
     centroid-expression cap per subspace as ``kmeans_k``, same
     one-scan-per-iteration cost (ALL subspaces' updates ride a single
     exchange of m×k×subdim rows per task).
+    ``jpeg_decoder`` — JPEG codec behind the L5g mapInPandas seam:
+    ``pure`` (default — jpeg.py's from-scratch T.81 decoder, the
+    oracle-pinned reference implementation) or ``imageio`` (a
+    persistent JVM sidecar per Python worker running javax.imageio's
+    reader — the native swap the multimodal seam note prices at
+    18-175x; llm/native_jpeg.py). Same return contract and plan shape
+    either way; DC-only streams (the registered corpus) decode
+    BIT-IDENTICALLY so the driver hash is decoder-invariant, while
+    AC-bearing JPEGs agree within the conformance fixtures' IDCT
+    rounding tolerance (|diff| <= 2) — the parity test pins both.
+    ``phash_mode`` — perceptual image-dedup hash for L2k
+    (``llm_dedup_phash``): ``dct256`` (default — a 256-bit fixed-point
+    DCT-II hash over the decoded 16×16 pixels, banded 16 × 16-bit; the
+    production width) or ``dhash56`` (the original 56-bit row-gradient
+    dHash, banded 7 × 8-bit — fixture-scale: the r10 sf1 probe measured
+    superlinear pair growth from 8-bit band over-population and ≤6-bit
+    discrimination, which is why the wide hash became the default,
+    VERDICT r10 item 2). Both run the identical banded-LSH plan shape
+    and both are pigeonhole-EXACT at their Hamming radius (radius <
+    band count); the twin query ``llm_dedup_phash_dhash`` keeps the
+    non-default mode under the driver's hash gate every sweep (the CDC
+    twin pattern).
     ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
     quality-classifier trainer (L3f, ``llm_classifier_logreg``). Each
     sweep is one corpus scan + one map-side-combined gradient aggregate
@@ -270,8 +292,20 @@ class EngineConfig:
     pq_k: int = 16
     pq_iters: int = 2
     logreg_iters: int = 3
+    phash_mode: str = "dct256"
+    jpeg_decoder: str = "pure"
 
     def __post_init__(self) -> None:
+        if self.jpeg_decoder not in ("pure", "imageio"):
+            raise ValueError(
+                f"jpeg_decoder must be 'pure' or 'imageio', "
+                f"got {self.jpeg_decoder!r}"
+            )
+        if self.phash_mode not in ("dct256", "dhash56"):
+            raise ValueError(
+                f"phash_mode must be 'dct256' or 'dhash56', "
+                f"got {self.phash_mode!r}"
+            )
         if not 64 <= self.bloom_bits <= 1 << 26:
             raise ValueError(
                 f"bloom_bits must be in [64, 2^26] (the relational bit-set is "
@@ -383,6 +417,12 @@ def from_env() -> EngineConfig:
         pq_k=_env_int("SPARK_GRAFT_PQ_K", d.pq_k),
         pq_iters=_env_int("SPARK_GRAFT_PQ_ITERS", d.pq_iters),
         logreg_iters=_env_int("SPARK_GRAFT_LOGREG_ITERS", d.logreg_iters),
+        phash_mode=_env_choice(
+            "SPARK_GRAFT_PHASH_MODE", d.phash_mode, ("dct256", "dhash56")
+        ),
+        jpeg_decoder=_env_choice(
+            "SPARK_GRAFT_JPEG_DECODER", d.jpeg_decoder, ("pure", "imageio")
+        ),
     )
 
 

@@ -2353,12 +2353,65 @@ def llm_dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------- L2k perceptual image dedup (round 10)
-#: dHash grid: 16x16 gray images, 2x2 block means -> 8x8 grid, 7
-#: gradient bits per grid row = 56-bit hash, banded 7 x 8 bits
+#: Shared image fixture: 16x16 gray images built from an 8x8 grid of
+#: constant 2x2 blocks. Two hash modes (CONFIG.phash_mode):
+#:   dhash56 — 2x2 block means -> 8x8 grid, 7 gradient bits per grid
+#:             row = 56-bit hash, banded 7 x 8 bits, radius 6 (< 7
+#:             bands -> pigeonhole-exact). Fixture-scale: the r10 sf1
+#:             probe measured superlinear pair growth (8-bit bands
+#:             over-populate; 56 bits under-discriminate).
+#: dct256 (default) — fixed-point DCT-II over a FULL-DETAIL 16x16
+#:             decoded image (per-pixel variation, not the dHash's 2x2
+#:             blocks: a 256-bit hash needs 256 independent pixel
+#:             degrees of freedom — a 2x-upsampled input makes the
+#:             u=8 DCT basis row cancel exactly (C[8][2k] =
+#:             -C[8][2k+1]) and mirrors u <-> 16-u, leaving ~31
+#:             near-constant bits whose band collects into a
+#:             low-cardinality bucket and a QUADRATIC candidate join —
+#:             measured: band 8 constant over 3000 docs; full-detail
+#:             input: every band >= 1006 distinct / 3000 docs).
+#:             Integer cosine table C[u][x] =
+#:             round(cos(pi*(2x+1)*u/32) * 2^14), coefficients
+#:             D = C @ P^T @ C^T (|D| <= 255*16^2*2^28 ~ 1.75e13,
+#:             exact in int64), bit(u,v) = D[u][v] > median(D) (the
+#:             median of 256 int64s interpolates two mid values whose
+#:             sum < 2^53, so float64 and DuckDB DOUBLE agree exactly),
+#:             banded 16 x 16-bit with band u = bit row u, radius 12
+#:             (< 16 bands -> pigeonhole-exact). The cosine table is
+#:             embedded LITERALLY in the oracle SQL, so Spark (numpy
+#:             int64) and DuckDB compute bit-identical hashes — no
+#:             float-threshold ambiguity anywhere in the pipeline.
 PHASH_SIDE = 16
 PHASH_GRID = 8
 PHASH_BANDS = 7
 PHASH_MAX_DIST = 6
+PHASH_DCT_SCALE = 1 << 14
+PHASH_DCT_BANDS = 16
+#: Radius 12: the fixture's in-group perturbations flip <= 4 DCT bits
+#: (p99 = 2) while cross-base pairs sit >= 70 bits apart (measured over
+#: 3000 docs at build time); 12 captures the in-group mass with a wide
+#: margin below the cross-base floor and stays under the 16-band
+#: pigeonhole bound, so the banded plan is EXACT at any corpus size.
+PHASH_DCT_MAX_DIST = 12
+
+
+def _phash_dct_cos() -> list[list[int]]:
+    """Fixed-point DCT-II cosine table, C[u][x] for u, x in 0..15.
+    Rounded from float64 ONCE here and inlined verbatim into the oracle
+    SQL — both engines consume identical integers by construction."""
+    import math
+
+    n = PHASH_SIDE
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * PHASH_DCT_SCALE)
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+_PHASH_DCT_COS = _phash_dct_cos()
 
 
 def _phash_bump(d: int) -> tuple[int, int, int]:
@@ -2372,47 +2425,85 @@ def _phash_bump(d: int) -> tuple[int, int, int]:
     return d % PHASH_GRID, (d // PHASH_GRID) % PHASH_GRID, 2 * (d % 3)
 
 
-def _phash_features(batches):
-    """doc_id -> 56-bit dHash computed from GENUINELY DECODED pixels:
-    the 16x16 gray image (constant 2x2 blocks, so block means are
-    exact integers) round-trips through the real PNG codec before
-    hashing — a decode bug shifts gradient bits and the driver hash."""
+def _phash_decoded_image(d: int):
+    """Per-doc 16x16 gray image as GENUINELY DECODED pixels: build the
+    8x8 grid, upsample to constant 2x2 blocks, round-trip through the
+    real PNG codec (filter cycle + Adam7 on odd docs), return the
+    decoded int64 16x16 plane — a decode bug shifts hash bits and the
+    driver hash, composing the codec layer with the dedup engine."""
     import numpy as np
-    import pandas as pd
 
     from .png import decode_png, encode_png_gray
+
+    g = PHASH_GRID
+    b = d // 3
+    bx, by, amt = _phash_bump(d)
+    # quadratic mix over TWO prime moduli (251, 241): adjacent
+    # cell differences vary per cell (row gradients carry real
+    # entropy — affine grids give constant-step wrap patterns)
+    # AND the base period is lcm(251,241)=60491, past any probe
+    # corpus, so no base-equivalence classes form (both were
+    # probe-found failure modes). Bumps of 2/4 never overflow.
+    grid = [
+        [((b % 251 + x * 17 + y * 29)
+          * (b % 241 + x * 3 + y * 7 + 1)) % 251
+         for x in range(g)]
+        for y in range(g)
+    ]
+    if amt:
+        grid[by][bx] += amt
+    img = np.repeat(
+        np.repeat(np.array(grid, dtype=np.uint8), 2, axis=0),
+        2, axis=1,
+    )
+    return decode_png(
+        encode_png_gray(img, row_filters=(0, 1, 2, 3, 4),
+                        interlace=d % 2 == 1)
+    )[:, :, 0].astype(np.int64)
+
+
+def _phash_decoded_image_full(d: int):
+    """Full-detail 16x16 mate of :func:`_phash_decoded_image` for the
+    256-bit DCT hash: the same two-prime quadratic mix evaluated PER
+    PIXEL (x, y in 0..15) so all 256 degrees of freedom carry entropy
+    (see the mode comment above — 2x2-block input degenerates the u=8
+    DCT band into a quadratic candidate join), same one-pixel bump for
+    non-base docs, same real PNG round trip."""
+    import numpy as np
+
+    from .png import decode_png, encode_png_gray
+
+    n = PHASH_SIDE
+    b = d // 3
+    grid = [
+        [((b % 251 + x * 17 + y * 29)
+          * (b % 241 + x * 3 + y * 7 + 1)) % 251
+         for x in range(n)]
+        for y in range(n)
+    ]
+    if d % 3 != 0:
+        grid[(d // n) % n][d % n] += 2 * (d % 3)
+    img = np.array(grid, dtype=np.uint8)
+    return decode_png(
+        encode_png_gray(img, row_filters=(0, 1, 2, 3, 4),
+                        interlace=d % 2 == 1)
+    )[:, :, 0].astype(np.int64)
+
+
+def _phash_features(batches):
+    """doc_id -> 56-bit dHash over the decoded pixels: 2x2 block means
+    (exact integers — blocks are constant) -> 8x8 grid, 7 row-gradient
+    bits per row."""
+    import pandas as pd
 
     g = PHASH_GRID
     for pdf in batches:
         out = {"doc_id": [], "phash": []}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            b = d // 3
-            bx, by, amt = _phash_bump(d)
-            # quadratic mix over TWO prime moduli (251, 241): adjacent
-            # cell differences vary per cell (row gradients carry real
-            # entropy — affine grids give constant-step wrap patterns)
-            # AND the base period is lcm(251,241)=60491, past any probe
-            # corpus, so no base-equivalence classes form (both were
-            # probe-found failure modes). Bumps of 2/4 never overflow.
-            grid = [
-                [((b % 251 + x * 17 + y * 29)
-                  * (b % 241 + x * 3 + y * 7 + 1)) % 251
-                 for x in range(g)]
-                for y in range(g)
-            ]
-            if amt:
-                grid[by][bx] += amt
-            img = np.repeat(
-                np.repeat(np.array(grid, dtype=np.uint8), 2, axis=0),
-                2, axis=1,
-            )
-            dec = decode_png(
-                encode_png_gray(img, row_filters=(0, 1, 2, 3, 4),
-                                interlace=d % 2 == 1)
-            )[:, :, 0].astype(np.int64)
+            dec = _phash_decoded_image(d)
             means = dec.reshape(g, 2, g, 2).mean(axis=(1, 3)).astype(
-                np.int64
+                "int64"
             )
             h = 0
             for y in range(g):
@@ -2427,21 +2518,54 @@ def _phash_features(batches):
         })
 
 
-_PHASH_GRID_SQL = (
-    "(((d.doc_id // 3) % 251 + x.x * 17 + y.y * 29)"
-    " * ((d.doc_id // 3) % 241 + x.x * 3 + y.y * 7 + 1)) % 251"
-    " + CASE WHEN d.doc_id % 3 != 0"
-    f"       AND x.x = d.doc_id % {PHASH_GRID}"
-    f"       AND y.y = (d.doc_id // {PHASH_GRID}) % {PHASH_GRID}"
-    "  THEN 2 * (d.doc_id % 3) ELSE 0 END"
-)
+def _phash_dct_features(batches):
+    """doc_id -> 256-bit fixed-point DCT hash over the decoded pixels,
+    emitted as its 16 x 16-bit band values (band u = bit row u, bit v =
+    coefficient D[u][v] > median): all-integer except the median, whose
+    float64 interpolation is exact (mid-value sums < 2^53) and matched
+    bit-for-bit by the oracle's DuckDB DOUBLE median."""
+    import numpy as np
+    import pandas as pd
+
+    n = PHASH_SIDE
+    cos = np.array(_PHASH_DCT_COS, dtype=np.int64)
+    shifts = np.int64(1) << np.arange(n, dtype=np.int64)
+    for pdf in batches:
+        ids, bands = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            dec = _phash_decoded_image_full(d)
+            coeff = cos @ dec.T @ cos.T  # D[u][v], exact int64
+            bits = coeff > np.median(coeff)
+            ids.append(d)
+            bands.append([int(v) for v in (bits * shifts).sum(axis=1)])
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "bands": pd.Series(bands),
+        })
 
 
-@register(
-    "llm_dedup_phash",
-    sql=f"""WITH cells AS (
+def _phash_grid_sql(xe: str, ye: str) -> str:
+    """The 8x8 grid-cell value as a SQL expression over grid coords
+    ``xe``/``ye`` (both referencing a doc row aliased ``d``). The dHash
+    oracle passes grid coords directly; the DCT oracle passes pixel
+    coords floor-divided by 2 (constant 2x2 blocks, PNG is lossless, so
+    decoded pixel (px, py) == grid cell (px//2, py//2) exactly)."""
+    return (
+        f"(((d.doc_id // 3) % 251 + {xe} * 17 + {ye} * 29)"
+        f" * ((d.doc_id // 3) % 241 + {xe} * 3 + {ye} * 7 + 1)) % 251"
+        " + CASE WHEN d.doc_id % 3 != 0"
+        f"       AND {xe} = d.doc_id % {PHASH_GRID}"
+        f"       AND {ye} = (d.doc_id // {PHASH_GRID}) % {PHASH_GRID}"
+        "  THEN 2 * (d.doc_id % 3) ELSE 0 END"
+    )
+
+
+def _phash_dhash_sql() -> str:
+    grid = _phash_grid_sql("x.x", "y.y")
+    return f"""WITH cells AS (
              SELECT d.doc_id, x.x, y.y,
-                    CAST({_PHASH_GRID_SQL} AS BIGINT) AS v
+                    CAST({grid} AS BIGINT) AS v
              FROM (SELECT doc_id FROM documents) d,
                   generate_series(0, {PHASH_GRID - 1}) AS x(x),
                   generate_series(0, {PHASH_GRID - 1}) AS y(y)),
@@ -2468,31 +2592,93 @@ _PHASH_GRID_SQL = (
                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
            FROM cand
            WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_DIST}
-           ORDER BY doc_a, doc_b""",
-)
-def llm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2k: PERCEPTUAL image near-dup (round 10) — dHash over decoded
-    pixels, the image-side mate of the text near-dup family and the
-    query that composes the codec layer with the dedup engine. Per
-    doc a 16x16 gray image (groups of three docs share a base; the
-    non-base docs carry a one-block brightness bump) round-trips
-    through the REAL PNG codec (filter cycle + Adam7 on odd docs)
-    inside mapInPandas; the 56-bit row-gradient dHash then goes
-    through the standard banded-LSH shape ENTIRELY in Catalyst:
-    7 x 8-bit band explode -> band equi-join -> bit_count(XOR) Hamming
-    verify on candidates only. By pigeonhole, <= 6 differing bits
-    cannot touch all 7 bands, so the banded plan is EXACT — same
-    pairs as brute force at any scale, with only equi-join shuffles
-    (the simhash guarantee, restated for images). Scale shape: zero
-    corpus-pair joins; shuffle is O(docs x 7) band rows; the decode
-    leg is embarrassingly parallel. At 100 TB the 8-bit band values
-    (256 buckets) would over-populate — production widens the hash
-    (pHash-DCT at 256 bits) and the bands with it, same plan shape;
-    the pigeonhole exactness argument carries over unchanged.
+           ORDER BY doc_a, doc_b"""
 
-    Reference parity: the reference (SD2E/pipelinejobs-indexer,
-    reactor.py:16-213) catalogs image uploads opaquely; perceptual
-    dedup is the multimodal curation surface a training pipeline adds."""
+
+def _phash_grid16_sql() -> str:
+    """The full-detail 16x16 pixel value as SQL (the DCT input): the
+    two-prime mix per pixel plus the one-pixel bump for non-base docs."""
+    n = PHASH_SIDE
+    return (
+        "(((d.doc_id // 3) % 251 + x.x * 17 + y.y * 29)"
+        " * ((d.doc_id // 3) % 241 + x.x * 3 + y.y * 7 + 1)) % 251"
+        " + CASE WHEN d.doc_id % 3 != 0"
+        f"       AND x.x = d.doc_id % {n}"
+        f"       AND y.y = (d.doc_id // {n}) % {n}"
+        "  THEN 2 * (d.doc_id % 3) ELSE 0 END"
+    )
+
+
+def _phash_dct_sql() -> str:
+    """Closed-form DuckDB replay of the 256-bit DCT hash: the SAME
+    integer cosine table the Spark side uses is inlined as a VALUES
+    CTE, the pixel plane is the full-detail per-pixel formula (PNG is
+    lossless, so decoded pixels == the formula exactly), and the two
+    separable DCT passes are two join+group aggregations (16 x 16 x 16
+    terms each — all-integer, so the only float is the
+    exactly-matching median interpolation)."""
+    n = PHASH_SIDE
+    grid = _phash_grid16_sql()
+    costab = ", ".join(
+        f"({u}, {i}, {_PHASH_DCT_COS[u][i]})"
+        for u in range(n)
+        for i in range(n)
+    )
+    return f"""WITH pix AS (
+             SELECT d.doc_id, x.x AS px, y.y AS py,
+                    CAST({grid} AS BIGINT) AS p
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, {n - 1}) AS x(x),
+                  generate_series(0, {n - 1}) AS y(y)),
+           costab(u, i, c) AS (VALUES {costab}),
+           rowp AS (
+             SELECT pix.doc_id, cu.u AS u, pix.py AS py,
+                    SUM(pix.p * cu.c) AS r
+             FROM pix JOIN costab cu ON cu.i = pix.px
+             GROUP BY pix.doc_id, cu.u, pix.py),
+           colp AS (
+             SELECT rowp.doc_id, rowp.u AS u, cv.u AS v,
+                    SUM(rowp.r * cv.c) AS coeff
+             FROM rowp JOIN costab cv ON cv.i = rowp.py
+             GROUP BY rowp.doc_id, rowp.u, cv.u),
+           med AS (
+             SELECT doc_id, median(coeff) AS m
+             FROM colp GROUP BY doc_id),
+           bands AS (
+             SELECT colp.doc_id, colp.u AS band,
+                    CAST(SUM(CASE WHEN colp.coeff > med.m
+                             THEN (1::BIGINT << colp.v)
+                             ELSE 0 END) AS BIGINT) AS bval
+             FROM colp JOIN med ON colp.doc_id = med.doc_id
+             GROUP BY colp.doc_id, colp.u),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bval = b.bval
+              AND a.doc_id < b.doc_id),
+           ham AS (
+             SELECT c.doc_a, c.doc_b,
+                    SUM(bit_count(xor(xa.bval, xb.bval))) AS hamming
+             FROM cand c
+             JOIN bands xa ON xa.doc_id = c.doc_a
+             JOIN bands xb ON xb.doc_id = c.doc_b
+                          AND xb.band = xa.band
+             GROUP BY c.doc_a, c.doc_b)
+           SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+           FROM ham
+           WHERE hamming <= {PHASH_DCT_MAX_DIST}
+           ORDER BY doc_a, doc_b"""
+
+
+def _phash_sql(mode: str) -> str:
+    return _phash_dct_sql() if mode == "dct256" else _phash_dhash_sql()
+
+
+def _phash_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 56-bit dHash plan: 7 x 8-bit band explode -> band equi-join
+    -> bit_count(XOR) Hamming verify on candidates only, entirely in
+    Catalyst after the mapInPandas decode. <= 6 differing bits cannot
+    touch all 7 bands, so the banded plan is pigeonhole-EXACT."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = docs.mapInPandas(
         _phash_features, schema="doc_id bigint, phash bigint"
@@ -2536,3 +2722,98 @@ def llm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _phash_pairs_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-bit DCT plan — identical shape, wider hash: the decode
+    leg emits 16 x 16-bit band values (an array column), posexplode ->
+    band equi-join -> per-band bit_count(XOR) folded with zip_with/
+    aggregate on candidates only. <= 12 differing bits cannot touch
+    all 16 bands, so the banded plan is pigeonhole-EXACT."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(
+        _phash_dct_features, schema="doc_id bigint, bands array<bigint>"
+    )
+    bexp = hashes.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band", "bval")
+    )
+    a = bexp.alias("a")
+    b = bexp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bands").alias("ha"),
+            F.col("b.bands").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "ha", "hb",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= PHASH_DCT_MAX_DIST)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+PHASH_MODE = CONFIG.phash_mode
+PHASH_TWIN_MODE = "dhash56" if PHASH_MODE == "dct256" else "dct256"
+
+
+@register("llm_dedup_phash", sql=lambda: _phash_sql(PHASH_MODE))
+def llm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2k: PERCEPTUAL image near-dup — the image-side mate of the text
+    near-dup family and the query that composes the codec layer with
+    the dedup engine. Per doc a 16x16 gray image (groups of three docs
+    share a base; the non-base docs carry a one-block brightness bump)
+    round-trips through the REAL PNG codec (filter cycle + Adam7 on
+    odd docs) inside mapInPandas; the perceptual hash then goes
+    through the standard banded-LSH shape ENTIRELY in Catalyst: band
+    explode -> band equi-join -> bit_count(XOR) Hamming verify on
+    candidates only — zero corpus-pair joins, shuffle O(docs x bands),
+    embarrassingly-parallel decode leg.
+
+    Hash width is CONFIG.phash_mode: the default 256-bit fixed-point
+    DCT (16 x 16-bit bands, radius 12) is the production shape — the
+    r10 sf1 probe measured the original 56-bit dHash (7 x 8-bit
+    bands, radius 6) over-clustering superlinearly (793,525 pairs /
+    50k docs), which is exactly the 8-bit-band over-population the
+    old docstring priced in; VERDICT r10 item 2 landed the widening.
+    Both modes are pigeonhole-EXACT (radius < band count): same pairs
+    as brute force at any scale, with only equi-join shuffles (the
+    simhash guarantee, restated for images).
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs image uploads opaquely; perceptual
+    dedup is the multimodal curation surface a training pipeline adds."""
+    if PHASH_MODE == "dct256":
+        return _phash_pairs_dct(spark, sf_dir)
+    return _phash_pairs_dhash(spark, sf_dir)
+
+
+@register("llm_dedup_phash_dhash", sql=lambda: _phash_sql(PHASH_TWIN_MODE))
+def llm_dedup_phash_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2k twin: runs whichever phash mode the active config does NOT,
+    so the non-default hash sits under the driver's value-hash gate
+    against its regenerated oracle every sweep rather than only in
+    local parity tests (the CDC-twin / X1b pattern). Under the dct256
+    DEFAULT this runs the 56-bit dHash (the name's historical mode);
+    under SPARK_GRAFT_PHASH_MODE=dhash56 it runs the 256-bit DCT —
+    PHASH_TWIN_MODE says what it runs."""
+    if PHASH_TWIN_MODE == "dct256":
+        return _phash_pairs_dct(spark, sf_dir)
+    return _phash_pairs_dhash(spark, sf_dir)

@@ -362,15 +362,20 @@ def decode_fax(
             # word in any table has more than 7 leading zeros.
             head, got = bits.peek(12)
             has_eol = got >= 12 and (head >> 1) == 0
-            if y == 0 and not has_eol:
-                pass  # first line starts directly with code data
-            elif not _find_eol(bits):
-                raise ValueError(
-                    f"fax strip ends after {y} of {height} rows"
-                )
             line_is_1d = True
-            if two_d:
-                line_is_1d = bool(bits.read(1))
+            if y == 0 and not has_eol:
+                # first line starts directly with code data — and the
+                # 1D/2D flag is a SUFFIX of the EOL (T.4 §4.2.1.2), so
+                # with no EOL there is no flag bit: assume a 1D first
+                # line rather than eating the first data bit
+                pass
+            else:
+                if not _find_eol(bits):
+                    raise ValueError(
+                        f"fax strip ends after {y} of {height} rows"
+                    )
+                if two_d:
+                    line_is_1d = bool(bits.read(1))
             if line_is_1d:
                 changes = _decode_mh_line(bits, width)
             else:
@@ -601,21 +606,25 @@ def decode_fax_pdf(
             changes = _decode_mh_line(bits, columns)
         else:
             # K > 0: EOL-prefixed lines with the 1D/2D flag bit;
-            # tolerate a missing leading EOL like decode_fax does
+            # tolerate a missing leading EOL like decode_fax does —
+            # and since the flag is a SUFFIX of the EOL (T.4
+            # §4.2.1.2), a first line with no EOL has no flag bit
+            # either: assume 1D instead of eating the first data bit
             head, got = bits.peek(12)
             has_eol = got >= 12 and (head >> 1) == 0
             if out == [] and not has_eol:
-                pass
-            elif not _find_eol(bits):
-                if rows is None:
-                    break
-                raise ValueError(
-                    f"fax stream ends after {len(out)} of {rows} rows"
-                )
-            if bits.read(1):
                 changes = _decode_mh_line(bits, columns)
             else:
-                changes = _decode_2d_line(bits, ref, columns)
+                if not _find_eol(bits):
+                    if rows is None:
+                        break
+                    raise ValueError(
+                        f"fax stream ends after {len(out)} of {rows} rows"
+                    )
+                if bits.read(1):
+                    changes = _decode_mh_line(bits, columns)
+                else:
+                    changes = _decode_2d_line(bits, ref, columns)
         out.append(_changes_to_bits(changes, columns))
         ref = changes if changes else [columns, columns]
     if rows is not None and len(out) < rows:

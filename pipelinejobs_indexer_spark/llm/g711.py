@@ -232,11 +232,21 @@ def parse_companded_wav(content: bytes) -> dict:
         # floats — the ONE decode path whose samples are not ints;
         # callers needing the integer discipline quantize explicitly.
         if bits == 32:
-            samples = struct.unpack(f"<{len(data) // 4}f", data)
+            width = 4
         elif bits == 64:
-            samples = struct.unpack(f"<{len(data) // 8}d", data)
+            width = 8
         else:
             raise ValueError(f"float WAV must be 32/64-bit, got {bits}")
+        if len(data) % (width * nch) != 0:
+            # misaligned data would otherwise surface as struct.error
+            # (or a silently dropped trailing partial frame) — raise
+            # the module's documented ValueError up front (ADVICE r10)
+            raise ValueError(
+                f"float WAV data chunk of {len(data)} bytes is not a "
+                f"multiple of the {width * nch}-byte frame "
+                f"({bits}-bit x {nch} ch)"
+            )
+        samples = struct.unpack(f"<{len(data) // width}{'f' if width == 4 else 'd'}", data)
         frames = len(samples) // nch
     elif tag == WAVE_FMT_PCM:
         raise ValueError("PCM WAV belongs to the stdlib wave path")

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..config import CONFIG
 from ..registry import register
 from ..tables import load_table, spread
 
@@ -2809,7 +2810,15 @@ def _jpeg_dcs(doc_id: int) -> list[int]:
 
 
 def _jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from .jpeg import decode_jpeg, synth_dc_jpeg
+    from .jpeg import synth_dc_jpeg
+
+    # the priced swap seam (VERDICT r10 item 7): the codec behind the
+    # stage is a config knob; the plan, batching, and output schema are
+    # identical, and on this DC-only corpus so are the decoded bytes
+    if CONFIG.jpeg_decoder == "imageio":
+        from .native_jpeg import decode_jpeg_native as decode_jpeg
+    else:
+        from .jpeg import decode_jpeg
 
     for pdf in batches:
         out = {k: [] for k in (

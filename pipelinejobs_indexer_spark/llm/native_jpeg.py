@@ -1,0 +1,179 @@
+"""Native (JVM ImageIO) JPEG decode behind the pure-decoder seam.
+
+The multimodal docstrings price the pure-Python codec tax (18-175x vs a
+native decoder, BENCH_sf1.md r10 seam note) and name the swap seam as
+the single ``decode_*`` call inside the mapInPandas stage. This module
+IS that swap for JPEG (VERDICT r10 item 7): a persistent JVM sidecar
+per Python worker running ``javax.imageio``'s JPEG reader (the same
+decoder that generated the conformance fixtures), speaking a
+length-prefixed pipe protocol. The stage contract is untouched — same
+``(height, width, n_components, rows)`` return as
+:func:`..jpeg.decode_jpeg`, same mapInPandas batching — so flipping
+``SPARK_GRAFT_JPEG_DECODER=imageio`` changes the codec, never the plan.
+
+Determinism note: ImageIO and jpeg.py agree BIT-EXACTLY on DC-only
+blocks (the IDCT of a constant is exact in every conforming
+implementation), which is the entire registered-query corpus — so the
+driver hash is identical under either decoder. General AC-bearing
+JPEGs differ within IDCT rounding (|diff| <= 2, the same tolerance the
+JDK conformance fixtures are pinned at); the parity test asserts both
+properties.
+
+Reference parity: the reference (SD2E/pipelinejobs-indexer,
+reactor.py:16-213) catalogs uploads opaquely; codec choice is an
+engine-side concern with no reference analog.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import struct
+import subprocess
+import tempfile
+
+_JAVA_SRC = r"""
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.BufferedInputStream;
+import java.io.BufferedOutputStream;
+import java.io.ByteArrayInputStream;
+import java.io.DataInputStream;
+import java.io.DataOutputStream;
+import java.io.EOFException;
+import java.io.IOException;
+import javax.imageio.ImageIO;
+
+public class JpegPipe {
+    public static void main(String[] args) throws Exception {
+        ImageIO.setUseCache(false);
+        DataInputStream in =
+            new DataInputStream(new BufferedInputStream(System.in));
+        DataOutputStream out =
+            new DataOutputStream(new BufferedOutputStream(System.out));
+        while (true) {
+            int n;
+            try { n = in.readInt(); } catch (EOFException e) { break; }
+            if (n <= 0) break;
+            byte[] buf = new byte[n];
+            in.readFully(buf);
+            try {
+                BufferedImage img =
+                    ImageIO.read(new ByteArrayInputStream(buf));
+                if (img == null) throw new IOException("unreadable image");
+                int w = img.getWidth(), h = img.getHeight();
+                Raster r = img.getRaster();
+                int nc = r.getNumBands();
+                out.writeInt(h); out.writeInt(w); out.writeInt(nc);
+                // raster band order follows the color model's component
+                // order (band 0 = R even in 3BYTE_BGR storage), and raw
+                // samples skip any colorspace conversion for grayscale
+                int[] px = new int[w * nc];
+                byte[] row = new byte[w * nc];
+                for (int y = 0; y < h; y++) {
+                    r.getPixels(0, y, w, 1, px);
+                    for (int i = 0; i < w * nc; i++) row[i] = (byte) px[i];
+                    out.write(row);
+                }
+            } catch (IOException | RuntimeException e) {
+                byte[] msg = String.valueOf(e).getBytes("UTF-8");
+                out.writeInt(-1); out.writeInt(msg.length); out.write(msg);
+            }
+            out.flush();
+        }
+    }
+}
+"""
+
+
+def _class_dir() -> str:
+    """Compile the sidecar once per (source, host): the class file is
+    cached under a source-hash temp dir shared by every Python worker
+    process on the machine (compilation races resolve by idempotent
+    output — javac writes the same bytes)."""
+    tag = hashlib.md5(_JAVA_SRC.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_jpegpipe_{tag}")
+    cls = os.path.join(d, "JpegPipe.class")
+    if os.path.exists(cls):
+        return d
+    if shutil.which("javac") is None:
+        raise RuntimeError(
+            "SPARK_GRAFT_JPEG_DECODER=imageio needs a JDK (javac) on every "
+            "worker host; none found on PATH"
+        )
+    os.makedirs(d, exist_ok=True)
+    src = os.path.join(d, "JpegPipe.java")
+    with open(src, "w") as fh:
+        fh.write(_JAVA_SRC)
+    subprocess.run(
+        ["javac", "-d", d, src], check=True, capture_output=True, timeout=120
+    )
+    return d
+
+
+_PROC: subprocess.Popen | None = None
+
+
+def _pipe() -> subprocess.Popen:
+    global _PROC
+    if _PROC is None or _PROC.poll() is not None:
+        _PROC = subprocess.Popen(
+            ["java", "-cp", _class_dir(), "JpegPipe"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+    return _PROC
+
+
+def _read_exact(fh, n: int) -> bytes:
+    chunks = []
+    while n:
+        b = fh.read(n)
+        if not b:
+            raise RuntimeError("JpegPipe sidecar closed mid-response")
+        chunks.append(b)
+        n -= len(b)
+    return b"".join(chunks)
+
+
+def decode_jpeg_native(data: bytes):
+    """ImageIO-decoded twin of :func:`..jpeg.decode_jpeg` — identical
+    return contract: (height, width, n_components, rows), rows of ints
+    (grayscale) or (r, g, b) tuples; decode failures raise ValueError."""
+    p = _pipe()
+    p.stdin.write(struct.pack(">i", len(data)))
+    p.stdin.write(data)
+    p.stdin.flush()
+    (h,) = struct.unpack(">i", _read_exact(p.stdout, 4))
+    if h < 0:
+        (mlen,) = struct.unpack(">i", _read_exact(p.stdout, 4))
+        msg = _read_exact(p.stdout, mlen).decode("utf-8", "replace")
+        raise ValueError(f"ImageIO decode failed: {msg}")
+    w, nc = struct.unpack(">ii", _read_exact(p.stdout, 8))
+    raw = _read_exact(p.stdout, h * w * nc)
+    if nc == 1:
+        rows = [list(raw[y * w : (y + 1) * w]) for y in range(h)]
+    else:
+        rows = [
+            [
+                tuple(raw[(y * w + x) * nc : (y * w + x) * nc + nc])
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+    return h, w, nc, rows
+
+
+def shutdown() -> None:
+    """Terminate the sidecar (tests; workers just let it die with the
+    process — stdin EOF ends the Java loop)."""
+    global _PROC
+    if _PROC is not None:
+        try:
+            _PROC.stdin.close()
+            _PROC.wait(timeout=10)
+        except Exception:
+            _PROC.kill()
+        _PROC = None

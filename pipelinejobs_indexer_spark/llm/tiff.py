@@ -289,7 +289,14 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
     else:
         next_ifd = 0
     if next_ifd >= len(data):
-        next_ifd = 0  # dangling pointer: treat the chain as ended
+        # a dangling next-IFD pointer is CORRUPTION (a truncated
+        # multi-page file), not end-of-chain — ending silently would
+        # return fewer pages than the file claims, against the
+        # module's loud-corruption convention (ADVICE r10)
+        raise ValueError(
+            f"TIFF next-IFD pointer {next_ifd} beyond the file "
+            f"({len(data)} bytes) — truncated page chain"
+        )
 
     def one(tag: int, default: int | None = None) -> int:
         vals = tags.get(tag)
@@ -347,6 +354,14 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
         if bits[0] not in (4, 8):
             raise NotImplementedError(
                 f"{bits[0]}-bit palette indices (4/8 decode honestly)"
+            )
+        if bits[0] == 4 and predictor != 1:
+            # the nibble-unpack path neither applies nor reverses
+            # horizontal differencing — decoding would be silently
+            # wrong, so refuse loudly like the sub-8 grayscale branch
+            # (ADVICE r10; pal-8 DOES apply predictor 2)
+            raise NotImplementedError(
+                "predictor on 4-bit palette indices"
             )
         cmap = tags.get(TAG_COLORMAP)
         if not cmap or len(cmap) != 3 * (1 << bits[0]):

@@ -101,6 +101,62 @@ def _latest_green_round(root: str | None = None) -> dict[str, int]:
     return latest
 
 
+def _git_commit_time(root: str, relpath: str) -> int | None:
+    """Unix time of the last commit touching *relpath*, or None when git
+    (or the history) is unavailable — rotation must degrade to age-only
+    ordering on a gitless deployment, never fail."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "-1", "--format=%ct", "--", relpath],
+            capture_output=True, text=True, timeout=10,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    val = out.stdout.strip()
+    return int(val) if out.returncode == 0 and val.isdigit() else None
+
+
+def _stale_evidence_queries(latest: dict[str, int], root: str | None = None) -> set[str]:
+    """Queries whose SOURCE MODULE was committed after the evidence file
+    of their latest green round — their standing green row no longer
+    proves the code that would run today (VERDICT r10 item 4: dedup.py
+    changed in r10 while llm_dedup_minhash's newest hash evidence was
+    r8, and age-only rotation would make it wait ~4 rounds for
+    re-proof). These must front-load into the driver's ~50-query sweep
+    window alongside never-proven queries."""
+    import inspect
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evidence_time: dict[int, int | None] = {}
+    module_time: dict[str, int | None] = {}
+    stale: set[str] = set()
+    for name, fn in QUERIES.items():
+        rnd = latest.get(name)
+        if rnd is None:
+            continue  # never green — already front-loaded by tier 0
+        if rnd not in evidence_time:
+            evidence_time[rnd] = _git_commit_time(
+                root, f"CORRECTNESS_r{rnd:02d}.json"
+            ) or _git_commit_time(root, f"CORRECTNESS_r{rnd}.json")
+        ev = evidence_time[rnd]
+        if ev is None:
+            continue
+        try:
+            src = os.path.relpath(inspect.getsourcefile(fn), root)
+        except (TypeError, ValueError):
+            continue
+        if src not in module_time:
+            module_time[src] = _git_commit_time(root, src)
+        mt = module_time[src]
+        if mt is not None and mt > ev:
+            stale.add(name)
+    return stale
+
+
 def register(
     name: str, sql: str | Callable[[], str] | None = None
 ) -> Callable[[QueryFn], QueryFn]:
@@ -128,14 +184,29 @@ def load_all() -> None:
         importlib.import_module(mod)
     # Front-load queries whose standing evidence is stalest. Oracled
     # queries with no green driver row ever enumerate first (round 0),
-    # then oracled queries by ascending latest-green round, so a 50-query
-    # sweep always refreshes the least-recently-proven slice. Rows-only
-    # queries (no DuckDB oracle — a driver row carries little information)
-    # trail everything with hash evidence to gain.
+    # alongside queries whose source module was committed AFTER their
+    # latest evidence file (source-change-aware rotation, VERDICT r10
+    # item 4 — a green row from round N proves nothing about code
+    # committed in round N+1); then oracled queries by ascending
+    # latest-green round, so a 50-query sweep always refreshes the
+    # least-recently-proven slice. Rows-only queries (no DuckDB oracle —
+    # a driver row carries little information) trail everything with
+    # hash evidence to gain.
     latest = _latest_green_round()
+    stale = _stale_evidence_queries(latest)
 
     def tier(n: str) -> tuple[int, int]:
-        return (1 if n not in ORACLE else 0, latest.get(n, 0))
+        if n not in ORACLE:
+            return (1, latest.get(n, 0))
+        if n not in latest:
+            return (0, -2000)  # no evidence at all — first in line
+        if n in stale:
+            # source-dirty: ahead of every fresh query, ordered among
+            # themselves by evidence age (a whole-module edit can mark
+            # more queries stale than one 50-query sweep holds — the
+            # oldest proofs must re-run first)
+            return (0, latest[n] - 1000)
+        return (0, latest[n])
 
     ordered = sorted(QUERIES, key=tier)
     for mapping in (QUERIES, ORACLE):

@@ -98,6 +98,16 @@ PQ_FAMILY = [
 # claim under test: the reduce side is O(distinct terms), not O(tokens),
 # so 10x the docs must cost ~linear time with an UNCHANGED exchange
 # census (the explode itself is zero-shuffle codegen).
+# perceptual-dedup mode (`scale_probe.py phash10`, round 11): the
+# widened 256-bit DCT phash (VERDICT r10 item 2) at sf0.1's 5k docs vs
+# the sf1 probe's 50k. Claims under test: unchanged exchange census
+# (band equi-join + distinct + sort, no pair join) AND — the r10
+# failure — near-linear PAIR OUTPUT growth: the 56-bit dHash emitted
+# 11,823 -> 793,525 pairs over the same decade (67x for 10x docs)
+# because 8-bit bands over-populate and 56 bits under-discriminate.
+PHASH = [
+    "llm_dedup_phash",
+]
 TEXT_HEAVY = [
     "llm_text_bm25",
     "llm_text_tfidf_keywords",
@@ -224,6 +234,9 @@ def main() -> None:
     elif mode == "pq10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = PQ_FAMILY
+    elif mode == "phash10":
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = PHASH
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES

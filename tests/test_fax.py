@@ -248,3 +248,32 @@ def test_pdf_layer_rows_none_byte_aligned_eofb():
         enc = encode_ccitt_pdf(rows, 21, k, byte_align=True)
         dec = decode_fax_pdf(enc, 21, None, k, byte_align=True)
         assert dec == [bytearray(r) for r in rows]
+
+
+def _strip_leading_bits(data: bytes, n: int) -> bytes:
+    bits = "".join(f"{b:08b}" for b in data)[n:]
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_t4_2d_missing_leading_eol_keeps_first_data_bit():
+    """ADVICE r10: the 1D/2D flag bit is a SUFFIX of the EOL (T.4
+    §4.2.1.2), so an external mixed-2D stream that omits the leading
+    EOL has NO flag bit before the first line's data — the tolerant
+    path must assume a 1D first line, not consume the first data bit
+    as a flag. Covers both the TIFF strip decoder (two_d G3) and the
+    PDF /K>0 layer."""
+    from pipelinejobs_indexer_spark.llm.fax import decode_fax_pdf
+
+    rows = [[0, 1, 1, 0, 0, 0, 1, 1], [1, 1, 0, 0, 1, 0, 0, 0],
+            [0, 0, 0, 1, 1, 1, 1, 0]]
+    with_eol = encode_g3(rows, 8, two_d=True)
+    bits = "".join(f"{b:08b}" for b in with_eol)
+    assert bits.startswith("000000000001" + "1")  # EOL + 1D flag
+    no_eol = _strip_leading_bits(with_eol, 13)  # drop EOL AND its flag
+
+    want = [bytearray(r) for r in rows]
+    assert decode_fax(with_eol, 8, 3, 3, t4_options=0b1) == want
+    assert decode_fax(no_eol, 8, 3, 3, t4_options=0b1) == want
+    assert decode_fax_pdf(with_eol, 8, rows=3, k=1) == want
+    assert decode_fax_pdf(no_eol, 8, rows=3, k=1) == want

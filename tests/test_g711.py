@@ -310,3 +310,32 @@ def test_ieee_float_wav_decodes():
     assert out["samples"] == vals and out["frames"] == 3
     with pytest.raises(ValueError, match="float WAV"):
         parse_companded_wav(wav(16, b"\x00" * 8))
+
+
+def test_ieee_float_wav_misaligned_data_is_loud():
+    """ADVICE r10: a data chunk that is not a whole number of frames
+    must raise the module's documented ValueError up front — not a
+    struct.error on unpack (float32 mono, 10 bytes) and not a silently
+    dropped trailing partial frame (float32 stereo, 12 bytes = 1.5
+    frames)."""
+    import struct
+
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.g711 import parse_companded_wav
+
+    def wav(bits, payload, nch=1):
+        width = bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, nch, 48000,
+                                    48000 * width * nch, width * nch, bits)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    with pytest.raises(ValueError, match="multiple"):
+        parse_companded_wav(wav(32, b"\x00" * 10))  # not a sample multiple
+    with pytest.raises(ValueError, match="multiple"):
+        parse_companded_wav(wav(32, b"\x00" * 12, nch=2))  # 1.5 frames
+    with pytest.raises(ValueError, match="multiple"):
+        parse_companded_wav(wav(64, b"\x00" * 20))  # 2.5 doubles

@@ -74,6 +74,39 @@ def test_survey_section2_matches_registry():
     )
 
 
+def test_survey_count_sentence_matches_tables():
+    """The §2 count sentence ('N registered queries (A in the tables
+    §2.1–2.11 + B registered extras in §2.12)') must be DERIVED from the
+    tables it summarizes — VERDICT r10 item 6 pinned a hand-maintained
+    '188 + 5' drift against 183 + 10 actual; this recounts every round."""
+    import os
+    import re
+
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    s2 = survey.split("## 2. Operator inventory")[1].split("\n## 3.")[0]
+    pre, post = s2.split("### 2.12")
+    pat = r"^\|\s*[^|]*\|\s*`([a-z0-9_]+)`\s*\|"
+    n_main = len(re.findall(pat, pre, re.M))
+    n_extras = len(re.findall(pat, post, re.M))
+    m = re.search(
+        r"\*\*Count: (\d+) registered queries \((\d+) in the tables "
+        r"§2\.1–2\.11 \+ (\d+) registered extras in §2\.12\), "
+        r"ALL (\d+) hash-oracled\*\*",
+        s2,
+    )
+    assert m, "§2 count sentence missing or reformatted"
+    total, main, extras, oracled = map(int, m.groups())
+    assert (main, extras) == (n_main, n_extras), (
+        f"count sentence says {main}+{extras}, tables hold {n_main}+{n_extras}"
+    )
+    assert total == main + extras == len(registry.QUERIES)
+    assert oracled == len(registry.ORACLE)
+
+
 def test_registry_front_loads_unproven_queries():
     """The external driver caps its correctness sweep at ~50 queries per
     round, so the registry MUST enumerate queries with no green driver row
@@ -111,6 +144,37 @@ def test_registry_front_loads_unproven_queries():
         f"proven '{min(proven, key=positions.get)}' — rotate registry tiers "
         "from the CORRECTNESS files (see registry.load_all)"
     )
+
+
+def test_registry_front_loads_source_dirty_queries():
+    """Source-change-aware rotation (VERDICT r10 item 4): a green row
+    from round N proves nothing about code committed after round N's
+    evidence file, so every oracled query whose source module is newer
+    than its latest green evidence must enumerate BEFORE every query
+    whose evidence still covers its source — and, since one module edit
+    can dirty more queries than the driver's ~50-query sweep window,
+    stale queries must order among themselves by evidence age (oldest
+    proof re-runs first)."""
+    from pipelinejobs_indexer_spark import registry
+
+    registry.load_all()
+    latest = registry._latest_green_round()
+    stale = registry._stale_evidence_queries(latest)
+    names = [n for n in registry.QUERIES if n in registry.ORACLE]
+    positions = {n: i for i, n in enumerate(names)}
+    stale_named = [n for n in names if n in stale and n in latest]
+    fresh = [n for n in names if n not in stale and n in latest]
+    if stale_named and fresh:
+        assert max(positions[n] for n in stale_named) < min(
+            positions[n] for n in fresh
+        ), "a source-dirty query enumerates after a fresh one"
+        by_pos = sorted(stale_named, key=positions.get)
+        assert [latest[n] for n in by_pos] == sorted(
+            latest[n] for n in stale_named
+        ), "stale queries must order by ascending evidence round"
+    # gitless degradation: with no repo the helper returns an empty set
+    # (age-only rotation), never raises
+    assert registry._stale_evidence_queries(latest, root="/tmp") == set()
 
 
 def test_rotation_warns_on_malformed_evidence(tmp_path, capsys):

@@ -598,3 +598,39 @@ def test_sampleformat_and_orientation_guards():
     raw = (pathlib.Path(__file__).parent / "fixtures" / "conformance"
            / "gray16_lzw.tif").read_bytes()
     assert decode_tiff(raw)[0] == 11
+
+
+def test_pal4_predictor_refused():
+    """ADVICE r10: LZW + predictor 2 on 4-bit palette indices was
+    neither applied nor refused — the nibble path skipped _undiff in
+    both layouts, silently decoding wrong pixels. Must refuse loudly
+    like the sub-8 grayscale branch (pal-8 applies the predictor)."""
+    pal4 = [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+            for i in range(16)]
+    idx4 = [[(x + y) % 16 for x in range(7)] for y in range(4)]
+    data = write_tiff(idx4, palette=pal4, bits=4, compression=5,
+                      predictor=2)
+    with pytest.raises(NotImplementedError, match="4-bit palette"):
+        decode_tiff(data)
+
+
+def test_dangling_next_ifd_pointer_is_loud():
+    """ADVICE r10: a nonzero next-IFD pointer landing beyond the file
+    is a truncated page chain — decode_tiff_pages must raise, not
+    silently return fewer pages."""
+    import struct
+
+    import pytest
+
+    from pipelinejobs_indexer_spark.llm.tiff import decode_tiff_pages
+
+    data = write_tiff(GRAY)
+    # the last 4 bytes of the first (only) IFD hold the next-IFD
+    # pointer (0); aim it past EOF
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    next_pos = ifd_off + 2 + 12 * n_entries
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, next_pos, len(data) + 100)
+    with pytest.raises(ValueError, match="next-IFD"):
+        decode_tiff_pages(bytes(bad))

@@ -204,3 +204,36 @@ def test_scan_archive_member_content_extracts_and_digests(spark, sf_dir):
     assert run_log.n_bytes == 440  # inflated size, not compressed
     assert ("emerald/bundle.zip", "results/") not in rows  # dirs excluded
     assert ("potato.zip", "readme.txt") in rows
+
+
+def test_storage_uri_map_reference_shaped_uris(spark, sf_dir):
+    """F13 over the reference's own shape: config.yml:11-13 maps
+    data-sd2e-community -> /work/projects/SD2E-Community/prod/data;
+    every resolvable row must rewrite 'agave://<system><path>' to
+    '<posix_root><path>' exactly, and unknown systems must surface as
+    resolvable=FALSE with a NULL posix_path (never a silent wrong
+    path)."""
+    from pipelinejobs_indexer_spark.functions.scalars import (
+        STORAGE_SYSTEMS,
+        fn_storage_uri_map,
+    )
+
+    assert (
+        STORAGE_SYSTEMS["data-sd2e-community"]
+        == "/work/projects/SD2E-Community/prod/data"
+    )  # reference parity: /root/reference/config.yml:11-13
+
+    rows = fn_storage_uri_map(spark, sf_dir).collect()
+    assert rows
+    seen_known, seen_unknown = False, False
+    for r in rows:
+        assert r.uri.startswith("agave://")
+        system, _, path = r.uri[len("agave://"):].partition("/")
+        if r.resolvable:
+            seen_known = True
+            assert r.posix_path == STORAGE_SYSTEMS[system] + "/" + path
+        else:
+            seen_unknown = True
+            assert system == "data-unknown-system"
+            assert r.posix_path is None
+    assert seen_known and seen_unknown
