@@ -227,7 +227,7 @@ class EngineConfig:
     centroid-expression cap per subspace as ``kmeans_k``, same
     one-scan-per-iteration cost (ALL subspaces' updates ride a single
     exchange of m×k×subdim rows per task).
-    ``jpeg_decoder`` — JPEG codec behind the L5g mapInPandas seam:
+    ``jpeg_decoder`` — JPEG codec behind the L5g/L5t mapInPandas seam:
     ``pure`` (default — jpeg.py's from-scratch T.81 decoder, the
     oracle-pinned reference implementation) or ``imageio`` (a
     persistent JVM sidecar per Python worker running javax.imageio's

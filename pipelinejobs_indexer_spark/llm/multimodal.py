@@ -2879,7 +2879,15 @@ def llm_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jpeg_prog_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from .jpeg import decode_jpeg, synth_progressive_jpeg
+    from .jpeg import synth_progressive_jpeg
+
+    # same swap seam as _jpeg_features: ImageIO decodes our SOF2
+    # DC-scan scripts bit-identically (DC-only blocks), parity-pinned
+    # in tests/test_native_jpeg.py
+    if CONFIG.jpeg_decoder == "imageio":
+        from .native_jpeg import decode_jpeg_native as decode_jpeg
+    else:
+        from .jpeg import decode_jpeg
 
     for pdf in batches:
         out = {k: [] for k in (

@@ -35,11 +35,18 @@ def _sidecar():
 
 
 def test_dc_only_corpus_bit_exact():
+    from pipelinejobs_indexer_spark.llm.jpeg import synth_progressive_jpeg
     from pipelinejobs_indexer_spark.llm.multimodal import JPEG_Q, _jpeg_dcs
 
     for d in range(64):
         jpg = synth_dc_jpeg([_jpeg_dcs(d)], 16, 16, q=JPEG_Q)
         assert decode_jpeg(jpg) == decode_jpeg_native(jpg), d
+        # the progressive (SOF2) corpus rides the same seam
+        blocks = [(dc, 1, 0) for dc in _jpeg_dcs(d)]
+        prog = synth_progressive_jpeg(
+            blocks, 16, 16, q=JPEG_Q, refine_dc=(d % 2 == 1)
+        )
+        assert decode_jpeg(prog) == decode_jpeg_native(prog), d
 
 
 def test_conformance_corpus_within_idct_rounding():
