@@ -2518,27 +2518,33 @@ def _phash_features(batches):
         })
 
 
-def _phash_dct_features(batches):
-    """doc_id -> 256-bit fixed-point DCT hash over the decoded pixels,
-    emitted as its 16 x 16-bit band values (band u = bit row u, bit v =
-    coefficient D[u][v] > median): all-integer except the median, whose
-    float64 interpolation is exact (mid-value sums < 2^53) and matched
-    bit-for-bit by the oracle's DuckDB DOUBLE median."""
+def _dct256_bands(mat) -> list[int]:
+    """16x16 int matrix -> the 256-bit fixed-point DCT hash as its 16
+    x 16-bit band values (band u = bit row u, bit v = coefficient
+    D[u][v] > median): all-integer except the median, whose float64
+    interpolation is exact (mid-value sums < 2^53) and matched
+    bit-for-bit by the oracle's DuckDB DOUBLE median. Shared by the
+    image phash (L2k) and the audio fingerprint (L2m) — same hash,
+    different decoded input."""
     import numpy as np
+
+    cos = np.array(_PHASH_DCT_COS, dtype=np.int64)
+    shifts = np.int64(1) << np.arange(PHASH_SIDE, dtype=np.int64)
+    coeff = cos @ np.asarray(mat, dtype=np.int64).T @ cos.T
+    bits = coeff > np.median(coeff)
+    return [int(v) for v in (bits * shifts).sum(axis=1)]
+
+
+def _phash_dct_features(batches):
+    """doc_id -> DCT-hash bands over the PNG-round-tripped pixels."""
     import pandas as pd
 
-    n = PHASH_SIDE
-    cos = np.array(_PHASH_DCT_COS, dtype=np.int64)
-    shifts = np.int64(1) << np.arange(n, dtype=np.int64)
     for pdf in batches:
         ids, bands = [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            dec = _phash_decoded_image_full(d)
-            coeff = cos @ dec.T @ cos.T  # D[u][v], exact int64
-            bits = coeff > np.median(coeff)
             ids.append(d)
-            bands.append([int(v) for v in (bits * shifts).sum(axis=1)])
+            bands.append(_dct256_bands(_phash_decoded_image_full(d)))
         yield pd.DataFrame({
             "doc_id": pd.Series(ids, dtype="int64"),
             "bands": pd.Series(bands),
@@ -2609,16 +2615,16 @@ def _phash_grid16_sql() -> str:
     )
 
 
-def _phash_dct_sql() -> str:
-    """Closed-form DuckDB replay of the 256-bit DCT hash: the SAME
+def _dct_banded_sql(grid: str, max_dist: int) -> str:
+    """Closed-form DuckDB replay of a 256-bit DCT banded-LSH query
+    over ``grid`` (the per-(doc, x, y) input value as SQL): the SAME
     integer cosine table the Spark side uses is inlined as a VALUES
-    CTE, the pixel plane is the full-detail per-pixel formula (PNG is
-    lossless, so decoded pixels == the formula exactly), and the two
-    separable DCT passes are two join+group aggregations (16 x 16 x 16
-    terms each — all-integer, so the only float is the
-    exactly-matching median interpolation)."""
+    CTE, and the two separable DCT passes are two join+group
+    aggregations (16 x 16 x 16 terms each — all-integer, so the only
+    float is the exactly-matching median interpolation). Shared by the
+    image phash (lossless PNG: decoded pixels == formula) and the
+    audio fingerprint (lossless FLAC: decoded samples == formula)."""
     n = PHASH_SIDE
-    grid = _phash_grid16_sql()
     costab = ", ".join(
         f"({u}, {i}, {_PHASH_DCT_COS[u][i]})"
         for u in range(n)
@@ -2666,12 +2672,14 @@ def _phash_dct_sql() -> str:
              GROUP BY c.doc_a, c.doc_b)
            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
            FROM ham
-           WHERE hamming <= {PHASH_DCT_MAX_DIST}
+           WHERE hamming <= {max_dist}
            ORDER BY doc_a, doc_b"""
 
 
 def _phash_sql(mode: str) -> str:
-    return _phash_dct_sql() if mode == "dct256" else _phash_dhash_sql()
+    if mode == "dct256":
+        return _dct_banded_sql(_phash_grid16_sql(), PHASH_DCT_MAX_DIST)
+    return _phash_dhash_sql()
 
 
 def _phash_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2724,15 +2732,17 @@ def _phash_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_pairs_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 256-bit DCT plan — identical shape, wider hash: the decode
-    leg emits 16 x 16-bit band values (an array column), posexplode ->
-    band equi-join -> per-band bit_count(XOR) folded with zip_with/
-    aggregate on candidates only. <= 12 differing bits cannot touch
-    all 16 bands, so the banded plan is pigeonhole-EXACT."""
+def _dct_banded_pairs(
+    spark: SparkSession, sf_dir: str, feature_fn, max_dist: int
+) -> DataFrame:
+    """The 256-bit DCT banded plan, shared by L2k (image) and L2m
+    (audio): the decode leg emits 16 x 16-bit band values (an array
+    column), posexplode -> band equi-join -> per-band bit_count(XOR)
+    folded with zip_with/aggregate on candidates only. max_dist < 16
+    bands, so the banded plan is pigeonhole-EXACT."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = docs.mapInPandas(
-        _phash_dct_features, schema="doc_id bigint, bands array<bigint>"
+        feature_fn, schema="doc_id bigint, bands array<bigint>"
     )
     bexp = hashes.select(
         "doc_id", "bands", F.posexplode("bands").alias("band", "bval")
@@ -2764,9 +2774,15 @@ def _phash_pairs_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= PHASH_DCT_MAX_DIST)
+        .where(F.col("hamming") <= max_dist)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _phash_pairs_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dct_banded_pairs(
+        spark, sf_dir, _phash_dct_features, PHASH_DCT_MAX_DIST
     )
 
 
@@ -2817,3 +2833,103 @@ def llm_dedup_phash_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if PHASH_TWIN_MODE == "dct256":
         return _phash_pairs_dct(spark, sf_dir)
     return _phash_pairs_dhash(spark, sf_dir)
+
+
+# -------------------------- L2m acoustic fingerprint dedup (round 11)
+#: The audio-side mate of L2k: per doc a 256-sample int16 clip (groups
+#: of three share a base waveform; non-base docs bump one sample)
+#: round-trips through the REAL FLAC codec (rice/fixed predictors —
+#: the encode knob varies per doc to keep several decoder branches
+#: hot), the decoded samples reshape to 16x16 time-frame rows, and the
+#: SAME 256-bit fixed-point DCT hash + 16-band plan as the image phash
+#: applies (a crude but honest time-frequency fingerprint — frame-DCT
+#: bits are the shape acoustic fingerprints like Chromaprint quantize).
+#: FLAC is LOSSLESS, so the oracle states the sample formula directly
+#: and any codec bug shifts hash bits under the driver gate (the PNG/
+#: phash discipline, restated for audio). Fixture measured like the
+#: image one: every band >= 987 distinct / 3000 docs, in-group
+#: Hamming <= 4, cross-base floor 52 (> 2x the radius).
+AUDIOHASH_MAX_DIST = 12
+
+
+def _audiohash_grid_sql() -> str:
+    """The 256-sample clip as a per-(doc, x, y) SQL value (t = y*16+x):
+    same two-prime quadratic mix discipline as the image fixtures,
+    different linear coefficients so the corpora stay distinct."""
+    n = PHASH_SIDE
+    return (
+        "(((d.doc_id // 3) % 251 + x.x * 23 + y.y * 19)"
+        " * ((d.doc_id // 3) % 241 + x.x * 5 + y.y * 11 + 1)) % 251"
+        " + CASE WHEN d.doc_id % 3 != 0"
+        f"       AND x.x = d.doc_id % {n}"
+        f"       AND y.y = (d.doc_id // {n}) % {n}"
+        "  THEN 2 * (d.doc_id % 3) ELSE 0 END"
+    )
+
+
+def _audiohash_samples(d: int):
+    """Per-doc 256-sample clip as a 16x16 int64 matrix of GENUINELY
+    DECODED samples: the closed-form waveform round-trips through the
+    real FLAC codec (encoder knob varies per doc: auto predictor /
+    fixed order 1 / fixed order 2) before hashing."""
+    import numpy as np
+
+    from .flac import decode_flac, encode_flac
+
+    n = PHASH_SIDE
+    b = d // 3
+    clip = [
+        ((b % 251 + (t % n) * 23 + (t // n) * 19)
+         * (b % 241 + (t % n) * 5 + (t // n) * 11 + 1)) % 251
+        for t in range(n * n)
+    ]
+    if d % 3 != 0:
+        t = ((d // n) % n) * n + d % n
+        clip[t] += 2 * (d % 3)
+    enc = encode_flac(clip, rate=8000, bits=16,
+                      order=(None, 1, 2)[d % 3])
+    out = decode_flac(enc)
+    assert out["channels"] == 1 and out["frames"] == n * n
+    return np.array(out["samples"], dtype=np.int64).reshape(n, n)
+
+
+def _audiohash_features(batches):
+    """doc_id -> DCT-hash bands over the FLAC-round-tripped samples."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids, bands = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            ids.append(d)
+            bands.append(_dct256_bands(_audiohash_samples(d)))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "bands": pd.Series(bands),
+        })
+
+
+@register(
+    "llm_dedup_audiohash",
+    sql=lambda: _dct_banded_sql(_audiohash_grid_sql(), AUDIOHASH_MAX_DIST),
+)
+def llm_dedup_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2m: ACOUSTIC fingerprint near-dup — the audio-side mate of the
+    image phash (L2k), closing the multimodal near-dup triad (text
+    minhash/simhash, image DCT-phash, audio frame-DCT). Per doc a
+    256-sample clip round-trips through the REAL FLAC codec inside
+    mapInPandas (lossless — decoded samples equal the closed form, so
+    a rice/predictor/CRC bug shifts hash bits and the driver hash);
+    the 16x16 frame matrix then takes the identical 256-bit
+    fixed-point DCT hash and banded-LSH plan as L2k (band equi-join ->
+    bit_count(XOR) verify on candidates only, radius 12 < 16 bands ->
+    pigeonhole-EXACT at any corpus size; zero corpus-pair joins,
+    shuffle O(docs x 16), embarrassingly-parallel decode leg).
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs audio uploads opaquely; acoustic
+    near-dup is the curation surface a multimodal training pipeline
+    adds on top."""
+    return _dct_banded_pairs(
+        spark, sf_dir, _audiohash_features, AUDIOHASH_MAX_DIST
+    )

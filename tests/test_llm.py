@@ -3034,3 +3034,72 @@ def test_phash_dct_banded_exactness_and_separation():
             f"band {b} has only {len(vals)} distinct values over "
             f"{len(ids)} docs — candidate join degenerates"
         )
+
+
+def test_audiohash_banded_exactness_and_separation():
+    """L2m (round 11): same invariants as the image DCT phash, over
+    FLAC-round-tripped samples — banded plan result-identical to brute
+    force at radius 12, within-radius pairs all in-group, cross-base
+    pairs far outside, and no low-entropy band (the degenerate-band
+    failure mode)."""
+    import pandas as pd
+
+    from pipelinejobs_indexer_spark.llm import dedup as D
+
+    assert D.AUDIOHASH_MAX_DIST < D.PHASH_DCT_BANDS
+
+    out = pd.concat(list(D._audiohash_features([pd.DataFrame({"doc_id": range(120)})])))
+    h = dict(zip(out.doc_id, out.bands))
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    ids = sorted(h)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(h[a], h[b]) <= D.AUDIOHASH_MAX_DIST
+    }
+    cand = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(x == y for x, y in zip(h[a], h[b]))
+    }
+    assert brute <= cand
+    assert {p for p in cand
+            if ham(h[p[0]], h[p[1]]) <= D.AUDIOHASH_MAX_DIST} == brute
+    assert brute and all(a // 3 == b // 3 for a, b in brute)
+    for b in range(D.PHASH_DCT_BANDS):
+        assert len({h[i][b] for i in ids}) > len(ids) // 4, f"band {b}"
+
+
+def test_audiohash_flac_round_trip_is_load_bearing():
+    """The hash must come from DECODED samples: the three per-doc
+    encoder knobs (auto predictor / fixed order 1 / fixed order 2)
+    produce distinct streams that decode back to the closed form —
+    verify the subframe types actually differ so a decoder branch
+    regression cannot hide behind a single code path."""
+    from pipelinejobs_indexer_spark.llm import dedup as D
+    from pipelinejobs_indexer_spark.llm.flac import decode_flac, encode_flac
+
+    n = D.PHASH_SIDE
+    streams = set()
+    for d in (0, 1, 2):
+        b = d // 3
+        clip = [
+            ((b % 251 + (t % n) * 23 + (t // n) * 19)
+             * (b % 241 + (t % n) * 5 + (t // n) * 11 + 1)) % 251
+            for t in range(n * n)
+        ]
+        if d % 3 != 0:
+            t = ((d // n) % n) * n + d % n
+            clip[t] += 2 * (d % 3)
+        enc = encode_flac(clip, rate=8000, bits=16, order=(None, 1, 2)[d % 3])
+        streams.add(enc)
+        dec = decode_flac(enc)
+        assert list(dec["samples"]) == clip  # lossless round trip
+        mat = D._audiohash_samples(d)
+        assert [int(v) for row in mat for v in row] == clip
+    assert len(streams) == 3  # knobs really vary the encoded form
