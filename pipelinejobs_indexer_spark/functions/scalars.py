@@ -14,6 +14,7 @@ F9  fn_map_ops         — parameter map enumeration (secrets_to_docker_envs.py)
 F10 fn_string_format   — log-line formatting (reactor.py:46-47,182)
 F11 fn_math_elapsed    — elapsed-time arithmetic (rx.elapsed, reactor.py:183)
 F12 fn_filetype_sniff  — magic-byte MIME sniffing (filetype dep) [udfs.py]
+F13 fn_storage_uri_map — agave:// storage URI → POSIX root (config.yml:11-13)
 """
 
 from __future__ import annotations

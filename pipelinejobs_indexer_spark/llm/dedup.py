@@ -2933,3 +2933,169 @@ def llm_dedup_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dct_banded_pairs(
         spark, sf_dir, _audiohash_features, AUDIOHASH_MAX_DIST
     )
+
+
+# ---------------------- L2n video frame-hash fingerprint (round 11)
+#: The video-side member of the multimodal near-dup family: per doc a
+#: group-structured MJPEG-in-AVI clip (groups of three share base
+#: frames AND length; non-base docs bump one DC block of one frame)
+#: is WALKED by the real RIFF parser and every frame DECODED by the
+#: real T.81 decoder; the per-frame hash (the four block-corner
+#: pixels packed into one int — each 16x16 frame is four 8x8 DC
+#: blocks, so the corners capture the full frame content) then goes
+#: through a banded equi-join on (frame_idx, frame_hash) with a
+#: match-count verify: near-dups share >= n_frames - VIDEOHASH_SLACK
+#: same-position frames at equal length. EXACT by construction —
+#: every qualifying pair shares >= 1 frame, hence collides in >= 1
+#: band; no pigeonhole argument even needed. This is shot-hash
+#: matching, the shape real video dedup (frame-fingerprint indexes)
+#: uses, with the same zero-corpus-pair-join scale story as L2k/L2m.
+VIDEOHASH_SLACK = 2
+
+
+def _videohash_n_frames(d: int) -> int:
+    return 2 + (d // 3) % 5
+
+
+def _videohash_dcs(d: int, f: int) -> list[int]:
+    """Quantized DC per 8x8 block (TL, TR, BL, BR) of frame f — the
+    L5h sign-mixing formulas over the GROUP id (d // 3), plus the
+    one-block bump on frame d % n_frames for non-base docs."""
+    b = d // 3
+    dcs = [
+        (b + 11 * f) % 41 - 20,
+        (b // 5 + 13 * f) % 53 - 26,
+        -((b + 7 * f) % 31),
+        (b + 3 * f) % 23,
+    ]
+    if d % 3 != 0 and f == d % _videohash_n_frames(d):
+        dcs[d % 4] += d % 3
+    return dcs
+
+
+def _videohash_features(batches):
+    """doc_id -> one row per frame (doc_id, n_frames, frame_idx,
+    fhash) from GENUINELY WALKED + DECODED bytes: synth JPEG frames ->
+    assemble_avi_mjpeg -> avi_mjpeg_frames RIFF walk -> decode_jpeg
+    per frame -> corner-pixel pack. A container-walk or JPEG bug
+    shifts frame hashes and the driver hash."""
+    import pandas as pd
+
+    from .jpeg import decode_jpeg, synth_dc_jpeg
+    from .multimodal import AVI_SIDE, JPEG_Q, assemble_avi_mjpeg, avi_mjpeg_frames
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "frame_idx": [], "fhash": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nf = _videohash_n_frames(d)
+            avi = assemble_avi_mjpeg([
+                synth_dc_jpeg([_videohash_dcs(d, f)], AVI_SIDE, AVI_SIDE,
+                              q=JPEG_Q)
+                for f in range(nf)
+            ])
+            meta = avi_mjpeg_frames(avi)
+            s = AVI_SIDE - 1
+            for idx, frame in enumerate(meta["frames"]):
+                px = decode_jpeg(frame)[3]
+                fh = ((px[0][0] * 256 + px[0][s]) * 256
+                      + px[s][0]) * 256 + px[s][s]
+                out["doc_id"].append(d)
+                out["n_frames"].append(nf)
+                out["frame_idx"].append(idx)
+                out["fhash"].append(fh)
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+def _videohash_sql() -> str:
+    def bump(block: int) -> str:
+        return (
+            f" + CASE WHEN doc_id % 3 != 0 AND frame_idx = doc_id % nf"
+            f" AND doc_id % 4 = {block} THEN 2 * (doc_id % 3)"
+            f" ELSE 0 END"
+        )
+
+    return f"""WITH fr AS (
+             SELECT d.doc_id, d.doc_id // 3 AS b,
+                    2 + (d.doc_id // 3) % 5 AS nf, f.f AS frame_idx
+             FROM documents d, generate_series(0, 6) AS f(f)
+             WHERE f.f < 2 + (d.doc_id // 3) % 5),
+           px AS (
+             SELECT doc_id, nf, frame_idx,
+                    128 + 2 * ((b + 11 * frame_idx) % 41 - 20){bump(0)} AS tl,
+                    128 + 2 * ((b // 5 + 13 * frame_idx) % 53 - 26){bump(1)} AS tr,
+                    128 - 2 * ((b + 7 * frame_idx) % 31){bump(2)} AS bl,
+                    128 + 2 * ((b + 3 * frame_idx) % 23){bump(3)} AS br
+             FROM fr),
+           fh AS (
+             SELECT doc_id, nf, frame_idx,
+                    ((tl * 256 + tr) * 256 + bl) * 256 + br AS fhash
+             FROM px),
+           m AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.nf AS n_frames, COUNT(*) AS matched
+             FROM fh a JOIN fh b
+               ON a.frame_idx = b.frame_idx AND a.fhash = b.fhash
+              AND a.nf = b.nf AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id, a.nf)
+           SELECT doc_a, doc_b, CAST(n_frames AS BIGINT) AS n_frames,
+                  CAST(matched AS BIGINT) AS matched
+           FROM m
+           WHERE matched >= GREATEST(n_frames - {VIDEOHASH_SLACK}, 1)
+           ORDER BY doc_a, doc_b"""
+
+
+@register("llm_dedup_videohash", sql=lambda: _videohash_sql())
+def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2n: VIDEO frame-hash near-dup — completes the multimodal
+    near-dup family (text minhash/simhash, image DCT-phash L2k, audio
+    frame-DCT L2m, video shot-hash L2n). Per doc a group-structured
+    MJPEG-in-AVI clip round-trips through the REAL container walk +
+    T.81 frame decode inside mapInPandas; the per-frame corner-pixel
+    hash then joins on (frame_idx, fhash) — the banded-LSH shape with
+    the frame index as the band — and a match-count verify keeps
+    pairs sharing >= n_frames - VIDEOHASH_SLACK same-position frames at equal
+    length. Zero corpus-pair joins: shuffle is O(docs x frames) hash
+    rows; candidates only where frames genuinely collide; exact by
+    construction (a qualifying pair shares >= 1 frame = >= 1 band).
+    At 100 TB, frames per doc grow but the plan is unchanged — real
+    deployments swap the corner hash for the L2k DCT phash per frame
+    (same row shape, wider hash) and add temporal shingling for
+    clip-in-clip containment (the L2g/L12 shapes, restated on frame
+    sequences).
+
+    Reference parity: the reference (SD2E/pipelinejobs-indexer,
+    reactor.py:16-213) catalogs video uploads opaquely; frame-level
+    near-dup is the curation surface a multimodal pipeline adds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.mapInPandas(
+        _videohash_features,
+        schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
+    )
+    a = frames.alias("a")
+    b = frames.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.n_frames") == F.col("b.n_frames"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_frames").alias("n_frames"),
+        )
+        .agg(F.count("*").alias("matched"))
+    )
+    return (
+        matched.where(
+            F.col("matched")
+            >= F.greatest(F.col("n_frames") - VIDEOHASH_SLACK, F.lit(1))
+        )
+        .select("doc_a", "doc_b", "n_frames", "matched")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -3096,15 +3096,25 @@ def _avi_frame_dcs(doc_id: int, f: int) -> list[int]:
 
 
 def synth_avi_mjpeg(doc_id: int) -> bytes:
-    """Deterministic MJPEG-in-AVI fixture, RIFF container hand-assembled
-    with struct (NOT via the walker above — writer and reader share only
-    the public spec, the wave/mp4 independence pattern): LIST hdrl
-    (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) +
-    LIST movi with one '00dc' chunk per frame, each a standalone
-    baseline JPEG from jpeg.py's closed-form DC synthesizer."""
-    import struct
-
+    """Deterministic MJPEG-in-AVI fixture: one standalone closed-form
+    baseline JPEG per frame, assembled by :func:`assemble_avi_mjpeg`."""
     from .jpeg import synth_dc_jpeg
+
+    jpegs = [
+        synth_dc_jpeg([_avi_frame_dcs(doc_id, f)], AVI_SIDE, AVI_SIDE, q=JPEG_Q)
+        for f in range(_avi_n_frames(doc_id))
+    ]
+    return assemble_avi_mjpeg(jpegs)
+
+
+def assemble_avi_mjpeg(jpegs: list[bytes]) -> bytes:
+    """RIFF/AVI container hand-assembled with struct (NOT via the
+    walker above — writer and reader share only the public spec, the
+    wave/mp4 independence pattern): LIST hdrl (avih + LIST strl(strh
+    'vids'/'MJPG' + strf BITMAPINFOHEADER)) + LIST movi with one
+    '00dc' chunk per frame. Shared by the L5h fixture and the L2n
+    video-fingerprint corpus (llm/dedup.py)."""
+    import struct
 
     def chunk(fcc: bytes, payload: bytes) -> bytes:
         data = fcc + struct.pack("<I", len(payload)) + payload
@@ -3113,11 +3123,7 @@ def synth_avi_mjpeg(doc_id: int) -> bytes:
     def rlist(ltype: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", ltype + payload)
 
-    n = _avi_n_frames(doc_id)
-    jpegs = [
-        synth_dc_jpeg([_avi_frame_dcs(doc_id, f)], AVI_SIDE, AVI_SIDE, q=JPEG_Q)
-        for f in range(n)
-    ]
+    n = len(jpegs)
     avih = chunk(
         b"avih",
         struct.pack(

@@ -107,6 +107,9 @@ PQ_FAMILY = [
 # because 8-bit bands over-populate and 56 bits under-discriminate.
 PHASH = [
     "llm_dedup_phash",
+    # round 11: the FLAC-round-tripped acoustic twin shares the plan;
+    # probed for its own decode-leg cost and pair-output linearity
+    "llm_dedup_audiohash",
 ]
 TEXT_HEAVY = [
     "llm_text_bm25",

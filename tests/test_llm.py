@@ -3103,3 +3103,51 @@ def test_audiohash_flac_round_trip_is_load_bearing():
         mat = D._audiohash_samples(d)
         assert [int(v) for row in mat for v in row] == clip
     assert len(streams) == 3  # knobs really vary the encoded form
+
+
+def test_videohash_match_semantics_and_decode_is_load_bearing():
+    """L2n (round 11): the frame-hash rule — pairs at equal length
+    sharing >= n_frames - 2 same-position frames — must hold exactly
+    on the group fixture (in-group pairs qualify: the bump touches one
+    frame of one doc; cross-group pairs never do), and the hashes must
+    come from genuinely walked + decoded bytes (closed-form check)."""
+    import pandas as pd
+
+    from pipelinejobs_indexer_spark.llm import dedup as D
+
+    out = pd.concat(list(
+        D._videohash_features([pd.DataFrame({"doc_id": range(90)})])
+    ))
+    # decoded frame hashes equal the closed form (2*dc + 128 corners)
+    for _, r in out.iterrows():
+        d, f = int(r.doc_id), int(r.frame_idx)
+        tl, tr, bl, br = [128 + 2 * dc for dc in D._videohash_dcs(d, f)]
+        assert int(r.fhash) == ((tl * 256 + tr) * 256 + bl) * 256 + br
+
+    by_doc = {
+        d: g.sort_values("frame_idx").fhash.tolist()
+        for d, g in out.groupby("doc_id")
+    }
+    pairs = set()
+    ids = sorted(by_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ha, hb = by_doc[a], by_doc[b]
+            if len(ha) != len(hb):
+                continue
+            matched = sum(x == y for x, y in zip(ha, hb))
+            if matched >= max(len(ha) - D.VIDEOHASH_SLACK, 1):
+                pairs.add((a, b))
+    assert pairs
+    assert all(a // 3 == b // 3 for a, b in pairs)  # no cross-group
+    # base-vs-bumped pairs always qualify (exactly one differing frame
+    # -> matched = n_frames - 1 >= the rule's floor); bumped-vs-bumped
+    # pairs differ in up to two frames, so they qualify iff the clip is
+    # long enough (n_frames >= 3) or both bumps hit the same frame
+    for k in range(30):
+        assert (3 * k, 3 * k + 1) in pairs
+        assert (3 * k, 3 * k + 2) in pairs
+        nf = len(by_doc[3 * k])
+        d1, d2 = 3 * k + 1, 3 * k + 2
+        expect = nf >= 3 or (d1 % nf) == (d2 % nf)
+        assert ((d1, d2) in pairs) == expect, (k, nf)
