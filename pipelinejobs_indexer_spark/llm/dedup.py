@@ -3099,3 +3099,156 @@ def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_frames", "matched")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------- L2n2 video clip-in-clip containment (round 11)
+#: The containment mate of L2n (the L2g/L12 substring shape restated
+#: on frame sequences): clip A is contained in clip B when A's FULL
+#: frame-hash sequence appears contiguously in B's at some offset.
+#: Fixture: base docs (d % 3 == 0) carry 3-6 frames; d % 3 == 1 is the
+#: base clip minus its first frame (contained at offset 1), d % 3 == 2
+#: the base minus its last (offset 0) — real sub-clip structure, not
+#: merely perturbed twins.
+
+
+def _vcontain_n_base(d: int) -> int:
+    return 3 + (d // 3) % 4
+
+
+def _vcontain_frames(d: int) -> list[int]:
+    """The doc's frame list as (base frame index) ints: sub-clips are
+    index SHIFTS of the shared base clip."""
+    nb = _vcontain_n_base(d)
+    if d % 3 == 0:
+        return list(range(nb))
+    if d % 3 == 1:
+        return list(range(1, nb))
+    return list(range(nb - 1))
+
+
+def _vcontain_features(batches):
+    """doc_id -> one row per frame from WALKED + DECODED bytes (the
+    L2n machinery over the containment fixture): synth each base-frame
+    JPEG, assemble the AVI, walk, decode, hash corners."""
+    import pandas as pd
+
+    from .jpeg import decode_jpeg, synth_dc_jpeg
+    from .multimodal import AVI_SIDE, JPEG_Q, assemble_avi_mjpeg, avi_mjpeg_frames
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "frame_idx": [], "fhash": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            b = d // 3
+            base_idx = _vcontain_frames(d)
+            avi = assemble_avi_mjpeg([
+                synth_dc_jpeg(
+                    [[
+                        (b + 11 * bf) % 41 - 20,
+                        (b // 5 + 13 * bf) % 53 - 26,
+                        -((b + 7 * bf) % 31),
+                        (b + 3 * bf) % 23,
+                    ]],
+                    AVI_SIDE, AVI_SIDE, q=JPEG_Q,
+                )
+                for bf in base_idx
+            ])
+            meta = avi_mjpeg_frames(avi)
+            s = AVI_SIDE - 1
+            for idx, frame in enumerate(meta["frames"]):
+                px = decode_jpeg(frame)[3]
+                fh = ((px[0][0] * 256 + px[0][s]) * 256
+                      + px[s][0]) * 256 + px[s][s]
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(base_idx))
+                out["frame_idx"].append(idx)
+                out["fhash"].append(fh)
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+def _vcontain_sql() -> str:
+    return """WITH fr AS (
+             SELECT d.doc_id, d.doc_id // 3 AS b,
+                    3 + (d.doc_id // 3) % 4 AS nb,
+                    f.f AS frame_idx
+             FROM documents d, generate_series(0, 5) AS f(f)
+             WHERE f.f < 3 + (d.doc_id // 3) % 4
+                       - CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END),
+           fh AS (
+             SELECT doc_id, frame_idx,
+                    nb - CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                      AS n_frames,
+                    (((128 + 2 * ((b + 11 * bf) % 41 - 20)) * 256
+                      + 128 + 2 * ((b // 5 + 13 * bf) % 53 - 26)) * 256
+                      + 128 - 2 * ((b + 7 * bf) % 31)) * 256
+                      + 128 + 2 * ((b + 3 * bf) % 23) AS fhash
+             FROM (SELECT *,
+                          frame_idx
+                          + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+                            AS bf
+                   FROM fr) t),
+           m AS (
+             SELECT a.doc_id AS doc_contained, c.doc_id AS doc_container,
+                    c.frame_idx - a.frame_idx AS at_offset,
+                    a.n_frames AS n_frames, COUNT(*) AS matched
+             FROM fh a JOIN fh c
+               ON a.fhash = c.fhash AND a.doc_id != c.doc_id
+              AND a.n_frames <= c.n_frames
+             GROUP BY a.doc_id, c.doc_id, c.frame_idx - a.frame_idx,
+                      a.n_frames)
+           SELECT doc_contained, doc_container,
+                  CAST(at_offset AS BIGINT) AS at_offset,
+                  CAST(n_frames AS BIGINT) AS n_frames
+           FROM m
+           WHERE matched = n_frames AND at_offset >= 0
+           ORDER BY doc_contained, doc_container, at_offset"""
+
+
+@register("llm_video_containment", sql=lambda: _vcontain_sql())
+def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2n2: VIDEO clip-in-clip CONTAINMENT — near-dup (L2n) finds
+    same-length twins; this finds clips EMBEDDED in longer ones (the
+    blind spot L2g containment covers for text, restated on frame
+    sequences — re-encoded excerpts, intros clipped off, trailing
+    frames dropped). Frames decode through the real RIFF walk + T.81
+    path; the join is on frame hash alone, the per-pair OFFSET
+    histogram (container_idx - contained_idx) does the alignment, and
+    a pair qualifies when ONE offset accounts for every contained
+    frame (matched == n_frames, offset in [0, n_container -
+    n_contained]). Exact for the stated rule by construction; scale
+    shape is the equi-join on fhash — O(docs x frames) rows, hot
+    (repeated) frames are the skew source exactly like hot shingles
+    in L2a, and the same df-cap/salt answers apply at 100 TB.
+
+    Reference parity: reactor.py:16-213 catalogs uploads opaquely;
+    containment audit is pipeline-added curation surface."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.mapInPandas(
+        _vcontain_features,
+        schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
+    )
+    a = frames.alias("a")
+    c = frames.alias("c")
+    m = (
+        a.join(
+            c,
+            (F.col("a.fhash") == F.col("c.fhash"))
+            & (F.col("a.doc_id") != F.col("c.doc_id"))
+            & (F.col("a.n_frames") <= F.col("c.n_frames")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("c.doc_id").alias("doc_container"),
+            (F.col("c.frame_idx") - F.col("a.frame_idx")).alias("at_offset"),
+            F.col("a.n_frames").alias("n_frames"),
+        )
+        .agg(F.count("*").alias("matched"))
+    )
+    return (
+        m.where((F.col("matched") == F.col("n_frames"))
+                & (F.col("at_offset") >= 0))
+        .select("doc_contained", "doc_container", "at_offset", "n_frames")
+        .orderBy("doc_contained", "doc_container", "at_offset")
+    )

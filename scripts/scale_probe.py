@@ -111,6 +111,10 @@ PHASH = [
     # probed for its own decode-leg cost and pair-output linearity
     "llm_dedup_audiohash",
 ]
+# video fingerprint mode (`scale_probe.py video10`, round 11)
+VIDEO = [
+    "llm_dedup_videohash",
+]
 TEXT_HEAVY = [
     "llm_text_bm25",
     "llm_text_tfidf_keywords",
@@ -240,6 +244,9 @@ def main() -> None:
     elif mode == "phash10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = PHASH
+    elif mode == "video10":
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = VIDEO
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES

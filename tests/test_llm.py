@@ -3151,3 +3151,40 @@ def test_videohash_match_semantics_and_decode_is_load_bearing():
         d1, d2 = 3 * k + 1, 3 * k + 2
         expect = nf >= 3 or (d1 % nf) == (d2 % nf)
         assert ((d1, d2) in pairs) == expect, (k, nf)
+
+
+def test_video_containment_offset_semantics():
+    """L2n2 (round 11): the fixture's sub-clip structure must resolve
+    exactly — each non-base doc's full frame sequence embeds in its
+    base clip at the documented offset (1 for the head-trimmed
+    sub-clip, 0 for the tail-trimmed), equal-length sibling sub-clips
+    do NOT contain each other, and hashes come from decoded bytes."""
+    import pandas as pd
+
+    from pipelinejobs_indexer_spark.llm import dedup as D
+
+    out = pd.concat(list(
+        D._vcontain_features([pd.DataFrame({"doc_id": range(90)})])
+    ))
+    by_doc = {
+        d: g.sort_values("frame_idx").fhash.tolist()
+        for d, g in out.groupby("doc_id")
+    }
+
+    def contained(a, c):
+        ha, hc = by_doc[a], by_doc[c]
+        return [
+            off for off in range(len(hc) - len(ha) + 1)
+            if all(x == hc[off + i] for i, x in enumerate(ha))
+        ]
+
+    for k in range(30):
+        base, head, tail = 3 * k, 3 * k + 1, 3 * k + 2
+        assert contained(head, base) == [1]
+        assert contained(tail, base) == [0]
+        assert contained(head, tail) == [] and contained(tail, head) == []
+        # sub-clips really are shifted base content, decoded
+        nb = D._vcontain_n_base(base)
+        assert len(by_doc[base]) == nb
+        assert by_doc[head] == by_doc[base][1:]
+        assert by_doc[tail] == by_doc[base][:-1]
