@@ -2687,7 +2687,7 @@ def _phash_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> bit_count(XOR) Hamming verify on candidates only, entirely in
     Catalyst after the mapInPandas decode. <= 6 differing bits cannot
     touch all 7 bands, so the banded plan is pigeonhole-EXACT."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashes = docs.mapInPandas(
         _phash_features, schema="doc_id bigint, phash bigint"
     )
@@ -2739,8 +2739,11 @@ def _dct_banded_pairs(
     (audio): the decode leg emits 16 x 16-bit band values (an array
     column), posexplode -> band equi-join -> per-band bit_count(XOR)
     folded with zip_with/aggregate on candidates only. max_dist < 16
-    bands, so the banded plan is pigeonhole-EXACT."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands, so the banded plan is pigeonhole-EXACT. spread() feeds the
+    CPU-bound decode leg all cores — the r11 video probe measured the
+    un-spread leg serializing on the fixture's single parquet split
+    (wall ratio 10.2x for 10x docs: one core doing 10x the work)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashes = docs.mapInPandas(
         feature_fn, schema="doc_id bigint, bands array<bigint>"
     )
@@ -3069,7 +3072,7 @@ def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs video uploads opaquely; frame-level
     near-dup is the curation surface a multimodal pipeline adds."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     frames = docs.mapInPandas(
         _videohash_features,
         schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
@@ -3224,7 +3227,7 @@ def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: reactor.py:16-213 catalogs uploads opaquely;
     containment audit is pipeline-added curation surface."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     frames = docs.mapInPandas(
         _vcontain_features,
         schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
