@@ -407,8 +407,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata struct. (In production this is the `binaryFile` source
     over an archive tree — path/length/modificationTime/content — which
     yields the identical shape; the documents table stands in because the
-    container has the parquet fixtures only.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    container has the parquet fixtures only.) spread() so the CPU-bound
+    per-row decode downstream is not serialized behind the fixture's
+    single parquet split (tables.py:76; no-op at real scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("content"),
@@ -643,7 +645,7 @@ def llm_multimodal_thumbnail_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the inflate+defilter pipeline end-to-end. Non-PNG media keep
     the block-mean byte path (llm_multimodal_thumbnail) and the documented
     codec-absent stubs."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_png_thumbs, schema=THUMB_PNG_SCHEMA)
 
 
@@ -732,7 +734,7 @@ def llm_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_multimodal_thumbnail_png pattern). Scale shape: identical to
     L5d — embarrassingly parallel mapInPandas, O(rows) output, no
     shuffle of media bytes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_gif_thumbs, schema=THUMB_GIF_SCHEMA)
 
 
@@ -847,7 +849,7 @@ def llm_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) stores uploads opaquely; animation sampling is
     multimodal-ingest surface this engine adds."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_gif_anim_features, schema=GIF_ANIM_SCHEMA)
 
 
@@ -937,7 +939,7 @@ def llm_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_multimodal_thumbnail_png / llm_multimodal_gif pattern). Scale
     shape: identical to L5d/L5i — embarrassingly parallel mapInPandas,
     O(rows) output, no shuffle of media bytes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_webp_thumbs, schema=THUMB_GIF_SCHEMA)
 
 
@@ -1275,7 +1277,7 @@ def llm_multimodal_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. Scale shape: embarrassingly parallel mapInPandas, O(rows)
     output; the step-table join is a 64x89 broadcast-sized dimension,
     never a data shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_audio_codec_features, schema=AUDIO_CODEC_SCHEMA)
 
 
@@ -1360,7 +1362,7 @@ def llm_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug breaks the value hash (the PNG/GIF/WebP pattern). Scale shape:
     identical to L5e — embarrassingly parallel mapInPandas, O(rows)
     output, no shuffle of audio bytes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_flac_features, schema=FLAC_SCHEMA)
 
 
@@ -1497,7 +1499,7 @@ def llm_multimodal_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     document bytes shuffle; decompressed stream volume is capped
     (pdf.py MAX_TEXT_BYTES) so hostile inputs cannot balloon executor
     memory."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_pdf_features, schema=PDF_SCHEMA)
 
 
@@ -1649,7 +1651,7 @@ def llm_multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     order shifts a sum. Scale shape: embarrassingly parallel
     mapInPandas, O(rows) fixed-width output, decoded sample volume
     capped by pdf.py MAX_TEXT_BYTES per document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_pdf_image_features, schema=PDF_IMG_SCHEMA)
 
 
@@ -2384,7 +2386,7 @@ def llm_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: pixel sums in closed form from doc_id arithmetic. Scale
     shape: zero-exchange mapInPandas, fixed-width rows out, pixel
     volume capped per doc (MAX_TEXT_BYTES)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_tiff_features, schema=TIFF_SCHEMA)
 
 
@@ -2489,7 +2491,7 @@ def llm_multimodal_tiff_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs scanned uploads as opaque blobs; fax
     decode is multimodal-ingest surface this engine adds on top."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_fax_features, schema=FAX_SCHEMA)
 
 
@@ -2636,7 +2638,7 @@ def llm_multimodal_pdf_fax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs uploaded PDFs as opaque blobs; the
     image-decode surface is what a training-data pipeline adds."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_pdf_fax_features, schema=PDF_FAX_SCHEMA)
 
 
@@ -2776,7 +2778,7 @@ def llm_multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs scans as opaque blobs; tiled decode is
     multimodal-ingest surface this engine adds."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return docs.mapInPandas(_tiff_tiled_features, schema=TIFF_TILED_SCHEMA)
 
 
