@@ -3255,3 +3255,132 @@ def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_contained", "doc_container", "at_offset", "n_frames")
         .orderBy("doc_contained", "doc_container", "at_offset")
     )
+
+
+# ------------------------------ L2p winnowing fingerprints (round 11)
+#: Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinting
+#: scheme): hash every positional k-gram, slide a w-position window,
+#: keep each window's MINIMUM hash. Guarantee (the reason to prefer it
+#: over uniform sampling): any substring match of length >= w + k - 1
+#: words shares at least one selected fingerprint VALUE — detection is
+#: certain, not probabilistic (contrast minhash's S-curve). Density is
+#: ~2/(w+1) of all k-grams, so the inverted index is a tunable
+#: fraction of the corpus. Pairs then form by fingerprint equi-join
+#: with a shared-count threshold; fingerprints seen in more than
+#: WINNOW_DF_CAP docs are boilerplate and are dropped from BOTH sides
+#: (the contamination df-cap answer — an fp in f docs costs C(f,2)
+#: join rows, the hot-shingle quadratic at 100 TB). Fixture-measured
+#: at sf0.01: random-vocabulary collisions share 1-2 fingerprints,
+#: planted near-dups >= 3 (mostly >= 8) — MIN_SHARED 3 splits them.
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+WINNOW_DF_CAP = 64
+
+
+def _winnow_sql() -> str:
+    return f"""WITH pos AS (
+             SELECT doc_id, i,
+                    ('0x' || substr(md5(array_to_string(
+                        w[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT AS h
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  LATERAL unnest(generate_series(1, len(w) - {WINNOW_K - 1}))
+                    AS g(i)),
+           fp AS (
+             SELECT DISTINCT doc_id, fp FROM (
+               SELECT doc_id, i,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                   AND CURRENT ROW) AS fp
+               FROM pos) t
+             WHERE i >= {WINNOW_W}),
+           kept AS (
+             SELECT doc_id, fp FROM (
+               SELECT doc_id, fp,
+                      count(*) OVER (PARTITION BY fp) AS df
+               FROM fp) t
+             WHERE df <= {WINNOW_DF_CAP}),
+           pairs AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(*) AS shared_fps
+             FROM kept a JOIN kept b
+               ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+           SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+           FROM pairs
+           WHERE shared_fps >= {WINNOW_MIN_SHARED}
+           ORDER BY doc_a, doc_b"""
+
+
+@register("llm_dedup_winnow", sql=lambda: _winnow_sql())
+def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2p: WINNOWING document fingerprints — the MOSS selection rule,
+    the guarantee-based member of the text near-dup family: minhash
+    (L2a) detects near-dups probabilistically (S-curve), winnowing
+    detects any shared run of >= w + k - 1 words with CERTAINTY while
+    indexing only ~2/(w+1) of the k-grams. Entirely in Catalyst:
+    positional k-gram hashes (one md5, conv-to-bigint — the exact
+    DuckDB-parity conversion the minhash family uses), a w-row sliding
+    window-min per doc (spillable sort window, the cc_min 'window'
+    strategy shape), distinct fingerprint values, a count-over-fp
+    df-cap dropping boilerplate fingerprints from both sides (an fp in
+    f docs costs C(f,2) join rows — the contamination cap, restated),
+    then the inverted-index equi-join with a shared-count threshold.
+    Shuffles: one by doc (window), one by fp (df + join) — both
+    equi-key, no corpus-pair join anywhere.
+
+    Reference parity: reactor.py:16-213 catalogs text opaquely;
+    fingerprint-certain overlap detection (code/doc plagiarism shape)
+    is pipeline-added curation surface."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= WINNOW_K + WINNOW_W - 1
+    )
+    parts = ", ' ', ".join(f"w[i{j - 1:+d}]" for j in range(WINNOW_K))
+    pos = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w)-{WINNOW_K - 1}),"
+                f" i -> named_struct('i', i, 'h',"
+                f" cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10)"
+                f" as bigint)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
+    win = (
+        Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    fp = (
+        pos.withColumn("fp", F.min("h").over(win))
+        .where(F.col("i") >= WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    kept = (
+        fp.withColumn(
+            "df", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .select("doc_id", "fp")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -3188,3 +3188,40 @@ def test_video_containment_offset_semantics():
         assert len(by_doc[base]) == nb
         assert by_doc[head] == by_doc[base][1:]
         assert by_doc[tail] == by_doc[base][:-1]
+
+
+def test_winnow_guarantee_and_density():
+    """L2p (round 11): the winnowing GUARANTEE — any two texts sharing
+    a run of >= w + k - 1 words share at least one selected
+    fingerprint value — checked over randomized word sequences with a
+    pure-Python reimplementation (same md5-to-bigint hash the Spark
+    and DuckDB sides use), plus the ~2/(w+1) density bound."""
+    import hashlib
+    import random
+
+    from pipelinejobs_indexer_spark.llm import dedup as D
+
+    K, W = D.WINNOW_K, D.WINNOW_W
+
+    def fps(words):
+        hs = [
+            int(hashlib.md5(" ".join(words[i:i + K]).encode())
+                .hexdigest()[:15], 16)
+            for i in range(len(words) - K + 1)
+        ]
+        return {min(hs[p - W + 1:p + 1]) for p in range(W - 1, len(hs))}
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(200):
+        run = [rnd.choice(vocab) for _ in range(W + K - 1 + rnd.randint(0, 4))]
+        def pad(n):
+            return [rnd.choice(vocab) for _ in range(n)]
+        a = pad(rnd.randint(0, 15)) + run + pad(rnd.randint(0, 15))
+        b = pad(rnd.randint(0, 15)) + run + pad(rnd.randint(0, 15))
+        assert fps(a) & fps(b), trial  # the guarantee
+    # density: selected fingerprints ~2/(w+1) of k-gram positions
+    words = [rnd.choice(vocab) for _ in range(4000)]
+    n_pos = len(words) - K + 1
+    density = len(fps(words)) / n_pos
+    assert 0.5 / (W + 1) < density < 4 / (W + 1), density
