@@ -3317,18 +3317,38 @@ def _winnow_sql() -> str:
 def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2p: WINNOWING document fingerprints — the MOSS selection rule,
     the guarantee-based member of the text near-dup family: minhash
-    (L2a) detects near-dups probabilistically (S-curve), winnowing
-    detects any shared run of >= w + k - 1 words with CERTAINTY while
-    indexing only ~2/(w+1) of the k-grams. Entirely in Catalyst:
+    (L2a) detects near-dups probabilistically (S-curve), winnowing's
+    SELECTION rule guarantees any shared run of >= w + k - 1 words
+    shares at least ONE selected fingerprint value while indexing only
+    ~2/(w+1) of the k-grams (the registered query then thresholds and
+    df-caps on top of that guarantee — see the caveat below). Entirely in Catalyst:
     positional k-gram hashes (one md5, conv-to-bigint — the exact
     DuckDB-parity conversion the minhash family uses), a w-row sliding
     window-min per doc (spillable sort window, the cc_min 'window'
-    strategy shape), distinct fingerprint values, a count-over-fp
-    df-cap dropping boilerplate fingerprints from both sides (an fp in
-    f docs costs C(f,2) join rows — the contamination cap, restated),
-    then the inverted-index equi-join with a shared-count threshold.
-    Shuffles: one by doc (window), one by fp (df + join) — both
-    equi-key, no corpus-pair join anywhere.
+    strategy shape), distinct fingerprint values, then a df-cap
+    dropping boilerplate fingerprints from both sides (an fp in f docs
+    costs C(f,2) join rows — the contamination cap, restated), then
+    the inverted-index equi-join with a shared-count threshold.
+
+    The df stage is the L7 combiner shape, NOT a count-over-fp window
+    (VERDICT r11 item 2): a window has no map-side partial
+    aggregation, so every (doc, fp) occurrence of a hot boilerplate
+    fingerprint would shuffle into ONE task before the cap could drop
+    it — a straggler factory at 100 TB. Instead df is a groupBy (map-
+    side partial_count collapses hot fps per task; the fp exchange
+    carries O(distinct fps) rows), the tiny over-cap list BROADCASTS,
+    and a left-anti join prunes occurrences without ever shuffling
+    them. Adversarially the over-cap list is bounded by
+    fp_rows / cap; if a corpus ever made that unbroadcastable, the
+    same prune is a shuffle equi-join against the full df frame —
+    joins get AQE skew-splitting, windows don't, which is the whole
+    point of the shape. Shuffles: one by doc (window-min), one
+    distinct-fp-sized (df groupBy), one by fp (pair join) — all
+    equi-key, no corpus-pair join anywhere. The guarantee caveat: the
+    selection scheme promises >= 1 shared fingerprint for any match of
+    >= w + k - 1 words; WINNOW_MIN_SHARED = 3 and the df cap
+    deliberately trade that certainty for precision against
+    single-collision noise and boilerplate (MOSS does the same).
 
     Reference parity: reactor.py:16-213 catalogs text opaquely;
     fingerprint-certain overlap detection (code/doc plagiarism shape)
@@ -3355,19 +3375,25 @@ def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy("i")
         .rowsBetween(-(WINNOW_W - 1), 0)
     )
+    # cached: the fingerprint table feeds the df combiner AND both
+    # anti-join sides — one materialization of the window-min pass
     fp = (
         pos.withColumn("fp", F.min("h").over(win))
         .where(F.col("i") >= WINNOW_W)
         .select("doc_id", "fp")
         .distinct()
+        .cache()
     )
-    kept = (
-        fp.withColumn(
-            "df", F.count("*").over(Window.partitionBy("fp"))
-        )
-        .where(F.col("df") <= WINNOW_DF_CAP)
-        .select("doc_id", "fp")
+    # combiner df + broadcast over-cap anti-prune (the L7 shape): hot
+    # fps collapse map-side in the groupBy, so no task ever receives a
+    # hot fingerprint's full occurrence list (a window df would)
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > WINNOW_DF_CAP)
+        .select("fp")
     )
+    kept = fp.join(F.broadcast(hot), "fp", "left_anti").select("doc_id", "fp")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

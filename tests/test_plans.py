@@ -555,3 +555,24 @@ def test_retention_offsets_are_exact_weeks(spark):
     assert out[(8, 0)] == (1, 1, 1.0)
     assert out[(8, 2)] == (1, 1, 1.0)
     assert (1, 2) not in out
+
+
+def test_winnow_df_is_combiner_groupby_not_window(spark, sf_dir):
+    """L2p's df stage must be the L7 combiner shape (VERDICT r11 item 2):
+    a count-over-fp WINDOW has no map-side partial aggregation, so every
+    occurrence of a hot boilerplate fingerprint would shuffle into one
+    task before the cap dropped it. Pins that (a) no Window in the plan
+    partitions by fp — the only window spec is the per-doc sliding min;
+    (b) a partial (map-side) count keyed on fp sits in the plan — hot
+    fps collapse per task before the fp exchange; (c) the over-cap
+    prune enters as a BROADCAST left-anti join, so the fingerprint
+    occurrence table itself is never shuffled for the prune."""
+    plan = _formatted_plan(registry.QUERIES["llm_dedup_winnow"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and set(specs) == {"doc_id"}, specs
+    assert "partial_count" in plan, plan
+    anti = re.findall(
+        r"\(\d+\) BroadcastHashJoin\n[^\n]*\n[^\n]*\n[^\n]*Join type: LeftAnti",
+        plan,
+    )
+    assert anti or ("LeftAnti" in plan and "BroadcastHashJoin" in plan), plan
