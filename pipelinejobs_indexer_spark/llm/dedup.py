@@ -2954,6 +2954,16 @@ def llm_dedup_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: matching, the shape real video dedup (frame-fingerprint indexes)
 #: uses, with the same zero-corpus-pair-join scale story as L2k/L2m.
 VIDEOHASH_SLACK = 2
+#: Per-join-key occurrence cap (VERDICT r11 items 1-2): real video
+#: corpora are full of hot frames (black frames, station logos, title
+#: cards) and a key occurring in f rows costs C(f,2) join rows — the
+#: hot-shingle quadratic L2g/L7 cap for text, restated on frames. A
+#: frame hash shared by more than this many clips is boilerplate and
+#: evidences nothing; it is dropped from BOTH join sides before the
+#: candidate join, and the match thresholds are restated over each
+#: doc's KEPT (discriminative) frames so boilerplate-heavy docs fail
+#: honestly instead of via silent under-count.
+VIDEOHASH_DF_CAP = 64
 
 
 def _videohash_n_frames(d: int) -> int:
@@ -3036,17 +3046,29 @@ def _videohash_sql() -> str:
              SELECT doc_id, nf, frame_idx,
                     ((tl * 256 + tr) * 256 + bl) * 256 + br AS fhash
              FROM px),
+           dfs AS (
+             SELECT frame_idx, fhash, nf, count(*) AS df
+             FROM fh GROUP BY 1, 2, 3),
+           disc AS (
+             SELECT fh.* FROM fh
+             JOIN dfs USING (frame_idx, fhash, nf)
+             WHERE dfs.df <= {VIDEOHASH_DF_CAP}),
+           sizes AS (
+             SELECT doc_id, count(*) AS nk FROM disc GROUP BY 1),
            m AS (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.nf AS n_frames, COUNT(*) AS matched
-             FROM fh a JOIN fh b
+             FROM disc a JOIN disc b
                ON a.frame_idx = b.frame_idx AND a.fhash = b.fhash
               AND a.nf = b.nf AND a.doc_id < b.doc_id
              GROUP BY a.doc_id, b.doc_id, a.nf)
            SELECT doc_a, doc_b, CAST(n_frames AS BIGINT) AS n_frames,
                   CAST(matched AS BIGINT) AS matched
            FROM m
-           WHERE matched >= GREATEST(n_frames - {VIDEOHASH_SLACK}, 1)
+           JOIN sizes na ON na.doc_id = m.doc_a
+           JOIN sizes nb ON nb.doc_id = m.doc_b
+           WHERE matched >= GREATEST(GREATEST(na.nk, nb.nk)
+                                     - {VIDEOHASH_SLACK}, 1)
            ORDER BY doc_a, doc_b"""
 
 
@@ -3059,15 +3081,24 @@ def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.81 frame decode inside mapInPandas; the per-frame corner-pixel
     hash then joins on (frame_idx, fhash) — the banded-LSH shape with
     the frame index as the band — and a match-count verify keeps
-    pairs sharing >= n_frames - VIDEOHASH_SLACK same-position frames at equal
-    length. Zero corpus-pair joins: shuffle is O(docs x frames) hash
-    rows; candidates only where frames genuinely collide; exact by
-    construction (a qualifying pair shares >= 1 frame = >= 1 band).
-    At 100 TB, frames per doc grow but the plan is unchanged — real
-    deployments swap the corner hash for the L2k DCT phash per frame
-    (same row shape, wider hash) and add temporal shingling for
-    clip-in-clip containment (the L2g/L12 shapes, restated on frame
-    sequences).
+    pairs whose matched frame count covers all but VIDEOHASH_SLACK of
+    either side's DISCRIMINATIVE frames at equal length. Zero
+    corpus-pair joins: shuffle is O(docs x frames) hash rows;
+    candidates only where frames genuinely collide.
+
+    Hot-frame bound (VERDICT r11 item 2): (frame_idx, fhash,
+    n_frames) bounds fan-out by position+length, but a same-length
+    corpus sharing an intro frame is still C(f,2) at one key — so a
+    combiner groupBy computes per-key occurrence df, the over-cap
+    list broadcasts, and a left-anti join drops boilerplate keys from
+    BOTH sides before the candidate join (the L2g/L7 shingle cap,
+    restated on frames; match over boilerplate frames is not near-dup
+    evidence, which is the semantics wanted). The thresholds restate
+    over each doc's kept-frame count, so with no hot frames the rule
+    reduces exactly to the original n_frames - slack. At 100 TB,
+    frames per doc grow but the plan is unchanged — real deployments
+    swap the corner hash for the L2k DCT phash per frame (same row
+    shape, wider hash); clip-in-clip containment is L2n2.
 
     Reference parity: the reference (SD2E/pipelinejobs-indexer,
     reactor.py:16-213) catalogs video uploads opaquely; frame-level
@@ -3077,8 +3108,29 @@ def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _videohash_features,
         schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
     )
-    a = frames.alias("a")
-    b = frames.alias("b")
+    return videohash_pairs(frames)
+
+
+def videohash_pairs(
+    frames: DataFrame, df_cap: int = VIDEOHASH_DF_CAP
+) -> DataFrame:
+    """llm_dedup_videohash's core over any (doc_id, n_frames, frame_idx,
+    fhash) frame — separated so adversarial tests can plant hot-frame
+    corpora (tests/test_llm.py pins that the df cap bounds per-key join
+    fan-out BEFORE the candidate join, the L2n scale guarantee)."""
+    key = ["frame_idx", "fhash", "n_frames"]
+    hot = (
+        frames.groupBy(*key)
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select(*key)
+    )
+    # cached: the discriminative-frame table feeds three consumers (both
+    # join sides + the kept-size agg); the anti-prune never shuffles it
+    disc = frames.join(F.broadcast(hot), key, "left_anti").cache()
+    sizes = disc.groupBy("doc_id").agg(F.count("*").alias("nk"))
+    a = disc.alias("a")
+    b = disc.alias("b")
     matched = (
         a.join(
             b,
@@ -3094,10 +3146,16 @@ def llm_dedup_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("matched"))
     )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nk").alias("nk_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nk").alias("nk_b"))
     return (
-        matched.where(
+        matched.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
             F.col("matched")
-            >= F.greatest(F.col("n_frames") - VIDEOHASH_SLACK, F.lit(1))
+            >= F.greatest(
+                F.greatest("nk_a", "nk_b") - VIDEOHASH_SLACK, F.lit(1)
+            )
         )
         .select("doc_a", "doc_b", "n_frames", "matched")
         .orderBy("doc_a", "doc_b")
@@ -3172,7 +3230,7 @@ def _vcontain_features(batches):
 
 
 def _vcontain_sql() -> str:
-    return """WITH fr AS (
+    return f"""WITH fr AS (
              SELECT d.doc_id, d.doc_id // 3 AS b,
                     3 + (d.doc_id // 3) % 4 AS nb,
                     f.f AS frame_idx
@@ -3192,20 +3250,28 @@ def _vcontain_sql() -> str:
                           + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
                             AS bf
                    FROM fr) t),
+           dfs AS (SELECT fhash, count(*) AS df FROM fh GROUP BY 1),
+           disc AS (
+             SELECT fh.* FROM fh JOIN dfs USING (fhash)
+             WHERE dfs.df <= {VIDEOHASH_DF_CAP}),
+           sizes AS (
+             SELECT doc_id, count(*) AS nk FROM disc GROUP BY 1),
            m AS (
              SELECT a.doc_id AS doc_contained, c.doc_id AS doc_container,
                     c.frame_idx - a.frame_idx AS at_offset,
-                    a.n_frames AS n_frames, COUNT(*) AS matched
-             FROM fh a JOIN fh c
+                    a.n_frames AS n_frames, c.n_frames AS n_container,
+                    COUNT(*) AS matched
+             FROM disc a JOIN disc c
                ON a.fhash = c.fhash AND a.doc_id != c.doc_id
               AND a.n_frames <= c.n_frames
              GROUP BY a.doc_id, c.doc_id, c.frame_idx - a.frame_idx,
-                      a.n_frames)
+                      a.n_frames, c.n_frames)
            SELECT doc_contained, doc_container,
                   CAST(at_offset AS BIGINT) AS at_offset,
                   CAST(n_frames AS BIGINT) AS n_frames
-           FROM m
-           WHERE matched = n_frames AND at_offset >= 0
+           FROM m JOIN sizes s ON s.doc_id = m.doc_contained
+           WHERE matched = s.nk AND at_offset >= 0
+             AND at_offset <= n_container - n_frames
            ORDER BY doc_contained, doc_container, at_offset"""
 
 
@@ -3218,12 +3284,23 @@ def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames dropped). Frames decode through the real RIFF walk + T.81
     path; the join is on frame hash alone, the per-pair OFFSET
     histogram (container_idx - contained_idx) does the alignment, and
-    a pair qualifies when ONE offset accounts for every contained
-    frame (matched == n_frames, offset in [0, n_container -
-    n_contained]). Exact for the stated rule by construction; scale
-    shape is the equi-join on fhash — O(docs x frames) rows, hot
-    (repeated) frames are the skew source exactly like hot shingles
-    in L2a, and the same df-cap/salt answers apply at 100 TB.
+    a pair qualifies when ONE offset accounts for every DISCRIMINATIVE
+    contained frame (matched == kept-frame count, offset in
+    [0, n_container - n_contained]).
+
+    Hot-frame bound (VERDICT r11 item 1): the join key is the frame
+    hash alone, so a frame shared by f clips (black frames, station
+    logos, freeze frames) would cost C(f,2) join rows — the
+    hot-shingle quadratic L2g/L7 cap for text, restated. A combiner
+    groupBy computes per-fhash occurrence df, the over-cap list
+    broadcasts, and a left-anti join drops boilerplate frames from
+    BOTH sides before the candidate join; a frame in >cap clips
+    cannot evidence containment any more than a boilerplate shingle
+    evidences contamination, so the qualification rule restates over
+    the contained doc's KEPT frames (with no hot frames it reduces
+    exactly to the original matched == n_frames). Scale shape after
+    the cap: per-key fan-out <= cap by construction, everything else
+    combiner aggregations / equi-joins.
 
     Reference parity: reactor.py:16-213 catalogs uploads opaquely;
     containment audit is pipeline-added curation surface."""
@@ -3232,8 +3309,28 @@ def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vcontain_features,
         schema="doc_id bigint, n_frames bigint, frame_idx bigint, fhash bigint",
     )
-    a = frames.alias("a")
-    c = frames.alias("c")
+    return video_containment_pairs(frames)
+
+
+def video_containment_pairs(
+    frames: DataFrame, df_cap: int = VIDEOHASH_DF_CAP
+) -> DataFrame:
+    """llm_video_containment's core over any (doc_id, n_frames,
+    frame_idx, fhash) frame — separated so adversarial tests can plant
+    hot-frame corpora (tests/test_llm.py pins that the df cap bounds
+    per-fhash join fan-out BEFORE the candidate join)."""
+    hot = (
+        frames.groupBy("fhash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("fhash")
+    )
+    # cached: feeds both join sides + the kept-size agg; the anti-prune
+    # never shuffles the frame table
+    disc = frames.join(F.broadcast(hot), "fhash", "left_anti").cache()
+    sizes = disc.groupBy("doc_id").agg(F.count("*").alias("nk"))
+    a = disc.alias("a")
+    c = disc.alias("c")
     m = (
         a.join(
             c,
@@ -3246,12 +3343,20 @@ def llm_video_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.doc_id").alias("doc_container"),
             (F.col("c.frame_idx") - F.col("a.frame_idx")).alias("at_offset"),
             F.col("a.n_frames").alias("n_frames"),
+            F.col("c.n_frames").alias("n_container"),
         )
         .agg(F.count("*").alias("matched"))
     )
+    nk = sizes.select(
+        F.col("doc_id").alias("doc_contained"), F.col("nk").alias("nk")
+    )
     return (
-        m.where((F.col("matched") == F.col("n_frames"))
-                & (F.col("at_offset") >= 0))
+        m.join(nk, "doc_contained")
+        .where(
+            (F.col("matched") == F.col("nk"))
+            & (F.col("at_offset") >= 0)
+            & (F.col("at_offset") <= F.col("n_container") - F.col("n_frames"))
+        )
         .select("doc_contained", "doc_container", "at_offset", "n_frames")
         .orderBy("doc_contained", "doc_container", "at_offset")
     )

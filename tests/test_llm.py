@@ -3225,3 +3225,93 @@ def test_winnow_guarantee_and_density():
     n_pos = len(words) - K + 1
     density = len(fps(words)) / n_pos
     assert 0.5 / (W + 1) < density < 4 / (W + 1), density
+
+
+def test_videohash_hot_frame_fanout_bounded(spark):
+    """Planted hot frame (one black frame at the same position of 300
+    same-length clips — the station-logo/title-card shape): without the
+    df cap that one (frame_idx, fhash, n_frames) key alone would fan
+    out ~C(300,2) candidate pairs. Pins that (a) the cap excludes it
+    BEFORE the join — max per-key df in the capped universe <=
+    VIDEOHASH_DF_CAP; (b) the adversarial pressure is real (the hot
+    key's raw df is 300); (c) the answer is exactly the planted twin
+    pair, and its match is counted over discriminative frames only."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        VIDEOHASH_DF_CAP,
+        videohash_pairs,
+    )
+
+    n_hot = 300
+    black = 0x80808080
+    rows = []
+    for d in range(n_hot):
+        # frame 0: the shared black frame; frames 1-2 unique per doc
+        rows += [(d, 3, 0, black), (d, 3, 1, 10_000 + 7 * d),
+                 (d, 3, 2, 20_000 + 7 * d)]
+    # the planted twin pair: all three frames equal, none hot
+    for d in (9000, 9001):
+        rows += [(d, 3, 0, 91), (d, 3, 1, 92), (d, 3, 2, 93)]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, n_frames long, frame_idx long, fhash long"
+    )
+    key = ["frame_idx", "fhash", "n_frames"]
+    dfs = frames.groupBy(*key).agg(F.count("*").alias("df"))
+    # (b) adversarial pressure: the black frame really is hot
+    assert dfs.agg(F.max("df")).collect()[0][0] == n_hot
+    # (a) the fan-out bound the join actually sees
+    capped_max = (
+        dfs.filter(F.col("df") <= VIDEOHASH_DF_CAP)
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= VIDEOHASH_DF_CAP
+    # (c) exact answer: only the twin pair; matched over kept frames
+    got = {(r.doc_a, r.doc_b): (r.n_frames, r.matched)
+           for r in videohash_pairs(frames).collect()}
+    assert set(got) == {(9000, 9001)}
+    assert got[(9000, 9001)] == (3, 3)
+
+
+def test_video_containment_hot_frame_fanout_bounded(spark):
+    """Planted hot frame shared by 300 clips: uncapped, the fhash-only
+    containment join would generate ~300*299 rows from that frame
+    before any offset histogram runs. Pins that (a) the capped universe
+    bounds per-fhash fan-out; (b) the pressure is real; (c) the answer
+    is exactly the planted sub-clip pair at its true offset, with the
+    qualification counted over the contained doc's kept frames."""
+    from pyspark.sql import functions as F
+
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        VIDEOHASH_DF_CAP,
+        video_containment_pairs,
+    )
+
+    n_hot = 300
+    black = 0x80808080
+    rows = []
+    for d in range(n_hot):
+        rows += [(d, 3, 0, black), (d, 3, 1, 10_000 + 7 * d),
+                 (d, 3, 2, 20_000 + 7 * d)]
+    # contained clip 9000 = frames (u1, u2); container 9001 carries them
+    # contiguously at offset 1 inside 4 frames
+    rows += [(9000, 2, 0, 51), (9000, 2, 1, 52)]
+    rows += [(9001, 4, 0, 40), (9001, 4, 1, 51), (9001, 4, 2, 52),
+             (9001, 4, 3, 43)]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, n_frames long, frame_idx long, fhash long"
+    )
+    dfs = frames.groupBy("fhash").agg(F.count("*").alias("df"))
+    # (b) adversarial pressure: the black frame really is hot
+    assert dfs.agg(F.max("df")).collect()[0][0] == n_hot
+    # (a) the fan-out bound the join actually sees
+    capped_max = (
+        dfs.filter(F.col("df") <= VIDEOHASH_DF_CAP)
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= VIDEOHASH_DF_CAP
+    # (c) exact answer: the planted sub-clip at offset 1, nothing else
+    got = [tuple(r) for r in video_containment_pairs(frames).collect()]
+    assert got == [(9000, 9001, 1, 2)]
