@@ -96,6 +96,25 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Machine-noise provenance (VERDICT r11 item 5): three rounds
+    # running, the official artifact's movers dissolved on an idle
+    # re-run. Record 1-min load average and process count at start and
+    # end (no methodology change — measurement context only), so a
+    # noisy reading is self-explaining instead of costing an audit
+    # cycle.
+    def _machine_state() -> dict:
+        try:
+            load1 = round(os.getloadavg()[0], 2)
+        except OSError:
+            load1 = None
+        try:
+            nproc = len([p for p in os.listdir("/proc") if p.isdigit()])
+        except OSError:
+            nproc = None
+        return {"load1": load1, "nproc": nproc}
+
+    machine = {"start": _machine_state()}
+
     headline: dict[str, float] = {}
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -124,9 +143,11 @@ def main() -> None:
         mean = sum(warm) / len(warm)
         cv[name] = round(statistics.pstdev(warm) / mean, 4) if mean else 0.0
 
+    machine["end"] = _machine_state()
     full_record = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
+                "machine": machine,
                 "value": round(sum(headline.values()), 4),
                 "unit": "sec",
                 "queries": headline,
@@ -196,6 +217,7 @@ def main() -> None:
         "cv_median": (
             round(statistics.median(cv.values()), 3) if cv else 0.0
         ),
+        "machine": machine,
         "queries": {n: round(t, 3) for n, t in best.items()},
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -90,8 +90,13 @@ public class JpegPipe {
 def _class_dir() -> str:
     """Compile the sidecar once per (source, host): the class file is
     cached under a source-hash temp dir shared by every Python worker
-    process on the machine (compilation races resolve by idempotent
-    output — javac writes the same bytes)."""
+    process on the machine. Compilation races are resolved by ATOMIC
+    PUBLICATION, not by idempotent bytes: javac does not write class
+    files atomically, so a worker could `java -cp` a truncated file
+    mid-write (ADVICE r11). Each process therefore compiles into its
+    own private staging dir and os.rename()s the finished class file
+    into the shared cache — rename is atomic on POSIX, so readers see
+    either no file (and compile themselves) or a complete one."""
     tag = hashlib.md5(_JAVA_SRC.encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_jpegpipe_{tag}")
     cls = os.path.join(d, "JpegPipe.class")
@@ -103,12 +108,20 @@ def _class_dir() -> str:
             "worker host; none found on PATH"
         )
     os.makedirs(d, exist_ok=True)
-    src = os.path.join(d, "JpegPipe.java")
-    with open(src, "w") as fh:
-        fh.write(_JAVA_SRC)
-    subprocess.run(
-        ["javac", "-d", d, src], check=True, capture_output=True, timeout=120
-    )
+    stage = tempfile.mkdtemp(prefix="jpegpipe_build_", dir=d)
+    try:
+        src = os.path.join(stage, "JpegPipe.java")
+        with open(src, "w") as fh:
+            fh.write(_JAVA_SRC)
+        subprocess.run(
+            ["javac", "-d", stage, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        # atomic publish: same filesystem (stage is inside d), so the
+        # rename can never expose a partially-written class file
+        os.replace(os.path.join(stage, "JpegPipe.class"), cls)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return d
 
 

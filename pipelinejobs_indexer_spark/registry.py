@@ -139,9 +139,15 @@ def _stale_evidence_queries(latest: dict[str, int], root: str | None = None) -> 
         if rnd is None:
             continue  # never green — already front-loaded by tier 0
         if rnd not in evidence_time:
-            evidence_time[rnd] = _git_commit_time(
-                root, f"CORRECTNESS_r{rnd:02d}.json"
-            ) or _git_commit_time(root, f"CORRECTNESS_r{rnd}.json")
+            # the unpadded fallback only exists for rounds < 10, where
+            # the two formatted names differ — for rnd >= 10 they are
+            # identical and the `or` would re-run the same git log
+            # subprocess on every cache miss (ADVICE r11)
+            padded, plain = f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"
+            ev = _git_commit_time(root, padded)
+            if ev is None and plain != padded:
+                ev = _git_commit_time(root, plain)
+            evidence_time[rnd] = ev
         ev = evidence_time[rnd]
         if ev is None:
             continue

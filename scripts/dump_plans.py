@@ -109,15 +109,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     out = [
-        "# PLANS — formatted physical plans of the headline queries",
+        "# PLANS — formatted physical plans of every registered query",
         "",
         "Regenerate with `python scripts/dump_plans.py` (sf0.01 inputs; plan",
-        "shapes are scale-invariant, only statistics change). Each plan was",
-        "reviewed against the claims in the operator docstrings — this file is",
-        "the `.explain(\"formatted\")` evidence trail.",
+        "shapes are scale-invariant, only statistics change). Every registry",
+        "name gets a section (tests/test_parity.py pins the coverage, VERDICT",
+        "r11 item 3); the annotated entries are the headline shapes reviewed",
+        "against the claims in the operator docstrings — this file is the",
+        "`.explain(\"formatted\")` evidence trail. Streaming queries execute",
+        "synchronously and return a batch result frame, so their dumped plan",
+        "is the materialized sink read — the streaming shape claims live in",
+        "their docstrings and tests.",
         "",
     ]
-    for name, note in SHOWCASE.items():
+    # SHOWCASE (annotated) entries first, then every remaining registry
+    # name in registration order — full coverage, no silent omissions
+    names = list(SHOWCASE) + [n for n in registry.QUERIES if n not in SHOWCASE]
+    for name in names:
+        note = SHOWCASE.get(
+            name,
+            "plan dumped for coverage — shape claims in the operator docstring",
+        )
         df = registry.QUERIES[name](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

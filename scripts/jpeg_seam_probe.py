@@ -51,9 +51,11 @@ def query_leg() -> dict:
             "    rows = q(spark, %r).collect()\n"
             "    dt = time.perf_counter() - t0\n"
             "    best = dt if best is None else min(best, dt)\n"
+            "import hashlib\n"
+            "digest = hashlib.md5(json.dumps(sorted(tuple(r) for r in rows),\n"
+            "                     default=str).encode()).hexdigest()\n"
             "print('RESULT', json.dumps({'sec': round(best, 3),\n"
-            "      'rows': sorted(tuple(r) for r in rows)[:5],\n"
-            "      'n': len(rows)}))\n"
+            "      'md5': digest, 'n': len(rows)}))\n"
             "spark.stop()\n"
         ) % (ROOT, SF)
         p = subprocess.run(
@@ -65,7 +67,9 @@ def query_leg() -> dict:
             raise SystemExit(f"{mode} leg failed:\n{p.stderr[-2000:]}")
         r = json.loads(line[0][7:])
         out[mode] = r["sec"]
-        rows[mode] = (r["n"], r["rows"])
+        # full-result digest (ADVICE r11): an md5 over EVERY sorted row,
+        # not a 5-row prefix — a divergence anywhere fails the assert
+        rows[mode] = (r["n"], r["md5"])
     assert rows["pure"] == rows["imageio"], "decoder changed query results"
     out["identical_rows"] = True
     return out

@@ -111,9 +111,13 @@ PHASH = [
     # probed for its own decode-leg cost and pair-output linearity
     "llm_dedup_audiohash",
 ]
-# video fingerprint mode (`scale_probe.py video10`, round 11)
+# video fingerprint mode (`scale_probe.py video10`, round 11; round 12
+# re-probe after the hot-frame df cap landed — the cap adds one
+# combiner groupBy + broadcast anti-join per query and must keep the
+# decade linear)
 VIDEO = [
     "llm_dedup_videohash",
+    "llm_video_containment",
 ]
 TEXT_HEAVY = [
     "llm_text_bm25",
