@@ -237,6 +237,18 @@ class EngineConfig:
     BIT-IDENTICALLY so the driver hash is decoder-invariant, while
     AC-bearing JPEGs agree within the conformance fixtures' IDCT
     rounding tolerance (|diff| <= 2) — the parity test pins both.
+    ``image_decoder`` — PNG/GIF/TIFF codec behind the L5d/L5i/L5r
+    mapInPandas seams (VERDICT r11 item 4): ``pure`` (default — the
+    from-scratch png.py/gif.py/tiff.py decoders, oracle-pinned) or
+    ``imageio`` (the SAME persistent JVM sidecar as ``jpeg_decoder``
+    — javax.imageio sniffs the format, palette images expand through
+    the color map JVM-side). All three formats are LOSSLESS, so
+    parity is BIT-EXACT on every stream the JDK reader accepts
+    (pinned per-format in tests/test_native_jpeg.py); streams it
+    rejects (BigTIFF, >8-bit samples) raise loudly and the TIFF leg
+    keeps the pure decoder for exactly those, so the registered
+    query hashes are decoder-invariant. Independent of
+    ``jpeg_decoder`` so each seam can be priced separately.
     ``phash_mode`` — perceptual image-dedup hash for L2k
     (``llm_dedup_phash``): ``dct256`` (default — a 256-bit fixed-point
     DCT-II hash over the decoded 16×16 pixels, banded 16 × 16-bit; the
@@ -294,12 +306,18 @@ class EngineConfig:
     logreg_iters: int = 3
     phash_mode: str = "dct256"
     jpeg_decoder: str = "pure"
+    image_decoder: str = "pure"
 
     def __post_init__(self) -> None:
         if self.jpeg_decoder not in ("pure", "imageio"):
             raise ValueError(
                 f"jpeg_decoder must be 'pure' or 'imageio', "
                 f"got {self.jpeg_decoder!r}"
+            )
+        if self.image_decoder not in ("pure", "imageio"):
+            raise ValueError(
+                f"image_decoder must be 'pure' or 'imageio', "
+                f"got {self.image_decoder!r}"
             )
         if self.phash_mode not in ("dct256", "dhash56"):
             raise ValueError(
@@ -422,6 +440,9 @@ def from_env() -> EngineConfig:
         ),
         jpeg_decoder=_env_choice(
             "SPARK_GRAFT_JPEG_DECODER", d.jpeg_decoder, ("pure", "imageio")
+        ),
+        image_decoder=_env_choice(
+            "SPARK_GRAFT_IMAGE_DECODER", d.image_decoder, ("pure", "imageio")
         ),
     )
 

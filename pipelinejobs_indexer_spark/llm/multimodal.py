@@ -583,7 +583,15 @@ def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     value hash."""
     import numpy as np
 
-    from .png import decode_png, encode_png_gray
+    from .png import encode_png_gray
+
+    # the priced swap seam (VERDICT r11 item 4, same contract as the
+    # L5g jpeg_decoder knob): PNG is lossless so both decoders return
+    # the identical array and the driver hash is decoder-invariant
+    if CONFIG.image_decoder == "imageio":
+        from .native_jpeg import decode_png_native as decode_png
+    else:
+        from .png import decode_png
 
     w = PNG_SIDE
     q = PNG_SIDE // PNG_GRID
@@ -664,7 +672,14 @@ def _gif_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     or palette bug breaks the value hash."""
     import numpy as np
 
-    from .gif import decode_gif, encode_gif
+    from .gif import encode_gif
+
+    # same swap seam as the PNG leg: GIF is palette-coded and lossless;
+    # the sidecar expands the color table JVM-side, bit-exactly
+    if CONFIG.image_decoder == "imageio":
+        from .native_jpeg import decode_gif_native as decode_gif
+    else:
+        from .gif import decode_gif
 
     w = GIF_SIDE
     q = GIF_SIDE // GIF_GRID
@@ -2270,8 +2285,38 @@ def _tiff_rgb(doc_id: int) -> list[list[tuple[int, int, int]]]:
     ]
 
 
+def _tiff_decode_seam():
+    """The L5r swap seam (VERDICT r11 item 4): pure tiff.py or the JVM
+    ImageIO sidecar. TIFF is lossless, so every stream the JDK reader
+    accepts decodes bit-identically (conformance-fixture-pinned); the
+    two stream shapes it structurally lacks — BigTIFF containers and
+    >8-bit samples — keep the pure decoder via an explicit sniff /
+    loud-error check, so the registered query's hash is
+    decoder-invariant with no silent-fallback blur (a native failure
+    on a SUPPORTED stream still propagates)."""
+    from .tiff import decode_tiff
+
+    if CONFIG.image_decoder != "imageio":
+        return decode_tiff
+    from .native_jpeg import decode_tiff_native
+
+    def dec(data: bytes):
+        if data[:4] in (b"II+\x00", b"MM\x00+"):  # BigTIFF magic 43
+            return decode_tiff(data)
+        try:
+            return decode_tiff_native(data)
+        except ValueError as e:
+            if "unsupported by pipe" in str(e):  # >8-bit samples
+                return decode_tiff(data)
+            raise
+
+    return dec
+
+
 def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .tiff import write_tiff
+
+    decode = _tiff_decode_seam()
 
     for pdf in batches:
         out = {k: [] for k in (
@@ -2282,7 +2327,7 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # knob cycle: compression none/LZW/PackBits, predictor 1/2,
             # both byte orders, multi-strip splits, and the WhiteIsZero
             # photometric inversion every 7th doc
-            gray = decode_image(
+            gray = decode(
                 write_tiff(
                     _tiff_gray(d),
                     compression=[1, 5, 32773, 8][d % 4],
@@ -2290,24 +2335,31 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     big_endian=(d // 2) % 2 == 0,
                     rows_per_strip=2 + d % 3,
                     photometric=0 if d % 7 == 0 else None,
-                ),
-                "image/tiff",
+                )
             )
-            rgb = decode_image(
+            # predictor 2 rides only LZW/Deflate: TIFF 6.0 §14 defines
+            # the predictor as part of those codecs, and libtiff/JDK
+            # readers ignore it under PackBits/none — the old cycle's
+            # out-of-spec (PackBits, predictor 2) pairing decoded
+            # differently across the image_decoder seam. Decoded pixels
+            # are predictor-invariant, so the oracle is untouched.
+            rgb_comp = [5, 32773, 1, 8][d % 4]
+            rgb = decode(
                 write_tiff(
                     _tiff_rgb(d),
                     spp=3,
-                    compression=[5, 32773, 1, 8][d % 4],
-                    predictor=1 + (d // 3) % 2,
+                    compression=rgb_comp,
+                    predictor=(
+                        1 + (d // 3) % 2 if rgb_comp in (5, 8) else 1
+                    ),
                     big_endian=d % 2 == 0,
                     # every 6th-ish doc ships the RGB image as BigTIFF
                     big=(d % 6 == 1),
-                ),
-                "image/tiff",
+                )
             )
             # 4-bit palette-color image: indices are doc arithmetic,
             # the ColorMap is the fixed closed-form TIFF_PALETTE
-            pal = decode_image(
+            pal = decode(
                 write_tiff(
                     [[(d + y * 8 + x) % 16 for x in range(8)]
                      for y in range(8)],
@@ -2315,8 +2367,7 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     bits=4,
                     compression=[32773, 1, 5, 8][d % 4],
                     big_endian=(d // 5) % 2 == 0,
-                ),
-                "image/tiff",
+                )
             )
             h, w, _nc, px = gray
             out["doc_id"].append(d)

@@ -35,6 +35,7 @@ import tempfile
 
 _JAVA_SRC = r"""
 import java.awt.image.BufferedImage;
+import java.awt.image.IndexColorModel;
 import java.awt.image.Raster;
 import java.io.BufferedInputStream;
 import java.io.BufferedOutputStream;
@@ -64,17 +65,56 @@ public class JpegPipe {
                 if (img == null) throw new IOException("unreadable image");
                 int w = img.getWidth(), h = img.getHeight();
                 Raster r = img.getRaster();
-                int nc = r.getNumBands();
-                out.writeInt(h); out.writeInt(w); out.writeInt(nc);
-                // raster band order follows the color model's component
-                // order (band 0 = R even in 3BYTE_BGR storage), and raw
-                // samples skip any colorspace conversion for grayscale
-                int[] px = new int[w * nc];
-                byte[] row = new byte[w * nc];
-                for (int y = 0; y < h; y++) {
-                    r.getPixels(0, y, w, 1, px);
-                    for (int i = 0; i < w * nc; i++) row[i] = (byte) px[i];
-                    out.write(row);
+                // Palette-indexed images (GIF, palette PNG/TIFF, bilevel
+                // TIFF) expand through the color map to RGB here — the
+                // raster's raw samples are palette INDICES, which no
+                // pure decoder contract exposes. The indexed flag lets
+                // the Python wrappers restate format conventions
+                // (e.g. collapse a gray palette back to one channel for
+                // the TIFF BlackIsZero contract).
+                if (img.getColorModel() instanceof IndexColorModel) {
+                    IndexColorModel icm =
+                        (IndexColorModel) img.getColorModel();
+                    int msz = icm.getMapSize();
+                    byte[] pr = new byte[msz], pg = new byte[msz],
+                           pb = new byte[msz];
+                    icm.getReds(pr); icm.getGreens(pg); icm.getBlues(pb);
+                    out.writeInt(h); out.writeInt(w);
+                    out.writeInt(3); out.writeInt(1);
+                    int[] idx = new int[w];
+                    byte[] row = new byte[w * 3];
+                    for (int y = 0; y < h; y++) {
+                        r.getPixels(0, y, w, 1, idx);
+                        for (int x = 0; x < w; x++) {
+                            row[3 * x] = pr[idx[x]];
+                            row[3 * x + 1] = pg[idx[x]];
+                            row[3 * x + 2] = pb[idx[x]];
+                        }
+                        out.write(row);
+                    }
+                } else {
+                    int nc = r.getNumBands();
+                    // the pipe carries 8-bit samples; deeper images
+                    // (16-bit gray TIFF) must error loudly, never
+                    // truncate — callers fall back to the pure decoder
+                    for (int b = 0; b < nc; b++)
+                        if (img.getColorModel().getComponentSize(b) > 8)
+                            throw new IOException(
+                                ">8-bit samples unsupported by pipe");
+                    out.writeInt(h); out.writeInt(w);
+                    out.writeInt(nc); out.writeInt(0);
+                    // raster band order follows the color model's
+                    // component order (band 0 = R even in 3BYTE_BGR
+                    // storage), and raw samples skip any colorspace
+                    // conversion for grayscale
+                    int[] px = new int[w * nc];
+                    byte[] row = new byte[w * nc];
+                    for (int y = 0; y < h; y++) {
+                        r.getPixels(0, y, w, 1, px);
+                        for (int i = 0; i < w * nc; i++)
+                            row[i] = (byte) px[i];
+                        out.write(row);
+                    }
                 }
             } catch (IOException | RuntimeException e) {
                 byte[] msg = String.valueOf(e).getBytes("UTF-8");
@@ -151,10 +191,11 @@ def _read_exact(fh, n: int) -> bytes:
     return b"".join(chunks)
 
 
-def decode_jpeg_native(data: bytes):
-    """ImageIO-decoded twin of :func:`..jpeg.decode_jpeg` — identical
-    return contract: (height, width, n_components, rows), rows of ints
-    (grayscale) or (r, g, b) tuples; decode failures raise ValueError."""
+def _decode_raw(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """One pipe round-trip: (height, width, n_components, indexed,
+    raw interleaved samples). ``indexed`` is 1 when the source was a
+    palette image the sidecar expanded to RGB; failures raise
+    ValueError."""
     p = _pipe()
     p.stdin.write(struct.pack(">i", len(data)))
     p.stdin.write(data)
@@ -164,19 +205,85 @@ def decode_jpeg_native(data: bytes):
         (mlen,) = struct.unpack(">i", _read_exact(p.stdout, 4))
         msg = _read_exact(p.stdout, mlen).decode("utf-8", "replace")
         raise ValueError(f"ImageIO decode failed: {msg}")
-    w, nc = struct.unpack(">ii", _read_exact(p.stdout, 8))
+    w, nc, indexed = struct.unpack(">iii", _read_exact(p.stdout, 12))
     raw = _read_exact(p.stdout, h * w * nc)
+    return h, w, nc, indexed, raw
+
+
+def _rows(h: int, w: int, nc: int, raw: bytes):
     if nc == 1:
-        rows = [list(raw[y * w : (y + 1) * w]) for y in range(h)]
-    else:
-        rows = [
-            [
-                tuple(raw[(y * w + x) * nc : (y * w + x) * nc + nc])
-                for x in range(w)
-            ]
-            for y in range(h)
+        return [list(raw[y * w : (y + 1) * w]) for y in range(h)]
+    return [
+        [
+            tuple(raw[(y * w + x) * nc : (y * w + x) * nc + nc])
+            for x in range(w)
         ]
-    return h, w, nc, rows
+        for y in range(h)
+    ]
+
+
+def decode_jpeg_native(data: bytes):
+    """ImageIO-decoded twin of :func:`..jpeg.decode_jpeg` — identical
+    return contract: (height, width, n_components, rows), rows of ints
+    (grayscale) or (r, g, b) tuples; decode failures raise ValueError."""
+    h, w, nc, _indexed, raw = _decode_raw(data)
+    return h, w, nc, _rows(h, w, nc, raw)
+
+
+def decode_png_native(data: bytes):
+    """ImageIO twin of :func:`..png.decode_png`: HxWxC uint8 array.
+    Contract alignment is structural: gray PNG -> 1 band, gray+alpha ->
+    2, RGB -> 3, RGBA -> 4, palette -> sidecar-expanded RGB — exactly
+    the pure decoder's channel table. PNG is lossless, so parity is
+    BIT-EXACT (pinned in tests/test_native_jpeg.py)."""
+    import numpy as np
+
+    h, w, nc, indexed, raw = _decode_raw(data)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nc)
+    # the JDK reads sub-8-bit GRAYSCALE PNGs through a gray
+    # IndexColorModel (expanded to RGB by the sidecar), but the pure
+    # contract keeps those 1-channel; PNG's IHDR color type byte
+    # (offset 25: 0 = gray, 3 = palette) disambiguates exactly
+    if indexed and nc == 3 and len(data) > 25 and data[25] == 0:
+        assert (arr[:, :, 0] == arr[:, :, 1]).all() and (
+            arr[:, :, 0] == arr[:, :, 2]
+        ).all(), "gray PNG expanded to non-gray RGB"
+        arr = arr[:, :, :1]
+    return arr
+
+
+def decode_gif_native(data: bytes):
+    """ImageIO twin of :func:`..gif.decode_gif`: first frame as an
+    HxWx3 uint8 RGB array (GIF is always palette-coded, so the sidecar
+    expands through the color table; lossless -> bit-exact parity)."""
+    import numpy as np
+
+    h, w, nc, _indexed, raw = _decode_raw(data)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nc)
+    if nc == 1:  # defensive: a gray-stored GIF still owes RGB
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def decode_tiff_native(data: bytes):
+    """ImageIO twin of :func:`..tiff.decode_tiff` (first IFD): (height,
+    width, n_components, rows). The JDK reader hands palette/bilevel
+    TIFFs back as IndexColorModel images; the sidecar expands those to
+    RGB, and a palette whose expanded pixels are all gray (bilevel,
+    gray-palette) collapses back to the 1-channel BlackIsZero contract
+    the pure decoder keeps — WhiteIsZero inversion is already encoded
+    in the JDK's palette, so values agree bit-exactly. Not supported by
+    the JDK reader (BigTIFF): ValueError — callers keep the pure
+    decoder for those streams."""
+    h, w, nc, indexed, raw = _decode_raw(data)
+    if indexed and nc == 3:
+        gray = all(
+            raw[i] == raw[i + 1] == raw[i + 2]
+            for i in range(0, len(raw), 3)
+        )
+        if gray:
+            return h, w, 1, _rows(h, w, 1, raw[::3])
+    return h, w, nc, _rows(h, w, nc, raw)
 
 
 def shutdown() -> None:

@@ -1002,10 +1002,16 @@ def write_tiff(
         n = 1 << pal_bits
         if len(palette) != n:
             raise ValueError(f"palette needs {n} entries")
+        # 8->16-bit scaling is x 257 (0xFF -> 0xFFFF, TIFF 6.0 full
+        # range), NOT << 8: v*257 >> 8 == v for the pure decoder AND
+        # v*257 * 255 // 65535 == v for the JDK's IndexColorModel
+        # conversion, so both sides of the image_decoder seam recover
+        # the exact 8-bit entries (v << 8 floored one short under the
+        # JDK formula)
         cmap = (
-            [r << 8 for r, _g, _b in palette]
-            + [g << 8 for _r, g, _b in palette]
-            + [b << 8 for _r, _g, b in palette]
+            [r * 257 for r, _g, _b in palette]
+            + [g * 257 for _r, g, _b in palette]
+            + [b * 257 for _r, _g, b in palette]
         )
         short(TAG_COLORMAP, *cmap)
     entries.sort()

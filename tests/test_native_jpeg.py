@@ -75,3 +75,162 @@ def test_decode_error_is_loud_and_pipe_survives():
 
     jpg = synth_dc_jpeg([_jpeg_dcs(5)], 16, 16, q=JPEG_Q)
     assert decode_jpeg_native(jpg) == decode_jpeg(jpg)
+
+
+# ---- round 12: the generalized image seam (VERDICT r11 item 4) ----
+# PNG / GIF / TIFF are LOSSLESS, so unlike the JPEG legs parity is
+# BIT-EXACT everywhere the JDK reader accepts the stream.
+
+def test_png_conformance_and_corpus_bit_exact():
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.multimodal import PNG_SIDE
+    from pipelinejobs_indexer_spark.llm.native_jpeg import decode_png_native
+    from pipelinejobs_indexer_spark.llm.png import decode_png, encode_png_gray
+
+    pngs = [m for m in MANIFEST if m["format"] == "png"]
+    assert pngs, "manifest must carry PNG fixtures"
+    for m in pngs:
+        raw = (FIXDIR / m["file"]).read_bytes()
+        try:
+            a = decode_png(raw)
+        except NotImplementedError:
+            continue
+        try:
+            b = decode_png_native(raw)
+        except ValueError as e:
+            # >8-bit PNGs reject loudly at the pipe by design
+            assert "unsupported by pipe" in str(e), (m["name"], str(e))
+            continue
+        assert a.shape == b.shape and (a == b).all(), m["name"]
+    # the registered L5d corpus (all five row filters, both interlace
+    # layouts) — the exact streams the seam would decode in production
+    for d in range(16):
+        yy, xx = np.mgrid[0:PNG_SIDE, 0:PNG_SIDE]
+        img = ((d * 7 + yy * PNG_SIDE + xx) % 256).astype(np.uint8)
+        raw = encode_png_gray(
+            img, row_filters=(0, 1, 2, 3, 4), interlace=(d % 2 == 1)
+        )
+        assert (decode_png(raw) == decode_png_native(raw)).all(), d
+
+
+def test_gif_conformance_and_corpus_bit_exact():
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.gif import decode_gif, encode_gif
+    from pipelinejobs_indexer_spark.llm.multimodal import GIF_COLORS, GIF_SIDE
+    from pipelinejobs_indexer_spark.llm.native_jpeg import decode_gif_native
+
+    gifs = [m for m in MANIFEST if m["format"] == "gif"]
+    assert gifs, "manifest must carry GIF fixtures"
+    for m in gifs:
+        raw = (FIXDIR / m["file"]).read_bytes()
+        try:
+            a = decode_gif(raw)
+        except NotImplementedError:
+            continue
+        b = decode_gif_native(raw)
+        assert a.shape == b.shape and (a == b).all(), m["name"]
+    pal = np.stack(
+        [
+            (np.arange(GIF_COLORS) * 3) % 256,
+            (np.arange(GIF_COLORS) * 5) % 256,
+            (np.arange(GIF_COLORS) * 7) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    for d in range(8):
+        yy, xx = np.mgrid[0:GIF_SIDE, 0:GIF_SIDE]
+        idx = ((d * 11 + yy * GIF_SIDE + xx) % GIF_COLORS).astype(np.uint8)
+        raw = encode_gif(idx, pal, interlace=True)
+        assert (decode_gif(raw) == decode_gif_native(raw)).all(), d
+
+
+def test_tiff_conformance_and_corpus_bit_exact():
+    """Every manifest TIFF the pure decoder accepts must decode
+    IDENTICALLY through the sidecar (shape, channel count after the
+    gray-palette collapse, and every sample), except the streams the
+    pipe rejects by design (>8-bit samples) — those must raise the
+    loud 'unsupported by pipe' error the seam's fallback keys on."""
+    from pipelinejobs_indexer_spark.llm.native_jpeg import decode_tiff_native
+    from pipelinejobs_indexer_spark.llm.tiff import decode_tiff
+
+    tiffs = [m for m in MANIFEST if m["format"] == "tiff"]
+    assert tiffs, "manifest must carry TIFF fixtures"
+    checked = rejected = 0
+    for m in tiffs:
+        raw = (FIXDIR / m["file"]).read_bytes()
+        try:
+            a = decode_tiff(raw)
+        except NotImplementedError:
+            continue
+        try:
+            b = decode_tiff_native(raw)
+        except ValueError as e:
+            assert "unsupported by pipe" in str(e) or "ImageIO" in str(e), (
+                m["name"], str(e))
+            rejected += 1
+            continue
+        assert a == b, m["name"]
+        checked += 1
+    assert checked > 0
+
+
+def test_tiff_corpus_seam_decoder_invariant():
+    """The registered L5r/L5u corpora through _tiff_decode_seam must be
+    byte-identical to the pure decoder under the imageio knob — incl.
+    the BigTIFF docs (explicit sniff keeps pure) and every CCITT fax
+    mode. Monkeypatches CONFIG since it is captured at import."""
+    from pipelinejobs_indexer_spark.llm import multimodal as mm
+    from pipelinejobs_indexer_spark.llm.multimodal import (
+        TIFF_PALETTE,
+        _fax_bitmap,
+        _tiff_gray,
+        _tiff_rgb,
+    )
+    from pipelinejobs_indexer_spark.llm.tiff import decode_tiff, write_tiff
+
+    old = mm.CONFIG.image_decoder
+    object.__setattr__(mm.CONFIG, "image_decoder", "imageio")
+    try:
+        dec = mm._tiff_decode_seam()
+        for d in range(24):
+            gray = write_tiff(
+                _tiff_gray(d),
+                compression=[1, 5, 32773, 8][d % 4],
+                predictor=1 + d % 2,
+                big_endian=(d // 2) % 2 == 0,
+                rows_per_strip=2 + d % 3,
+                photometric=0 if d % 7 == 0 else None,
+            )
+            assert decode_tiff(gray) == dec(gray), ("gray", d)
+            comp = [5, 32773, 1, 8][d % 4]
+            rgb = write_tiff(
+                _tiff_rgb(d),
+                spp=3,
+                compression=comp,
+                predictor=(1 + (d // 3) % 2 if comp in (5, 8) else 1),
+                big_endian=d % 2 == 0,
+                big=(d % 6 == 1),
+            )
+            assert decode_tiff(rgb) == dec(rgb), ("rgb", d)
+            pal = write_tiff(
+                [[(d + y * 8 + x) % 16 for x in range(8)] for y in range(8)],
+                palette=TIFF_PALETTE,
+                bits=4,
+                compression=[32773, 1, 5, 8][d % 4],
+                big_endian=(d // 5) % 2 == 0,
+            )
+            assert decode_tiff(pal) == dec(pal), ("pal", d)
+            w, h, rows = _fax_bitmap(d)
+            fcomp = [2, 3, 4][d % 3]
+            fax = write_tiff(
+                rows,
+                compression=fcomp,
+                t4_two_d=(fcomp == 3 and (d // 3) % 2 == 0),
+                rows_per_strip=h if d % 5 < 3 else (h + 1) // 2,
+                big_endian=(d // 7) % 2 == 0,
+            )
+            assert decode_tiff(fax) == dec(fax), ("fax", d)
+    finally:
+        object.__setattr__(mm.CONFIG, "image_decoder", old)
