@@ -163,6 +163,39 @@ def _stale_evidence_queries(latest: dict[str, int], root: str | None = None) -> 
     return stale
 
 
+def _changed_oracle_queries(root: str | None = None) -> set[str]:
+    """Queries whose CURRENT oracle SQL no longer matches the
+    fingerprint recorded at their last driver-verified green row
+    (ORACLE_FP.json, maintained by scripts/update_oracle_fingerprints
+    .py). A changed oracle is a changed CONTRACT: the standing
+    evidence proved a different statement, so these outrank even
+    source-dirty queries in the sweep rotation (VERDICT r11 item 8 —
+    the three r12 df-cap fixes rewrote their oracles, and evidence-age
+    ordering alone would have parked them behind ~70 merely
+    source-dirty dedup/multimodal queries, past the ~50-query sweep
+    window). Oracles must already be resolved (no callables) when
+    this runs. Missing file or missing names degrade silently to
+    'unchanged' — the age tiers still apply."""
+    import hashlib
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "ORACLE_FP.json")) as fh:
+            fps = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    return {
+        n
+        for n, sql in ORACLE.items()
+        if isinstance(sql, str)
+        and n in fps
+        and fps[n] != hashlib.md5(sql.encode()).hexdigest()
+    }
+
+
 def register(
     name: str, sql: str | Callable[[], str] | None = None
 ) -> Callable[[QueryFn], QueryFn]:
@@ -200,12 +233,22 @@ def load_all() -> None:
     # hash evidence to gain.
     latest = _latest_green_round()
     stale = _stale_evidence_queries(latest)
+    for n, v in ORACLE.items():  # resolve lazily-rendered oracle SQL
+        if callable(v):
+            ORACLE[n] = v()
+    changed = _changed_oracle_queries()
 
     def tier(n: str) -> tuple[int, int]:
         if n not in ORACLE:
             return (1, latest.get(n, 0))
         if n not in latest:
             return (0, -2000)  # no evidence at all — first in line
+        if n in changed:
+            # oracle text changed since it was last proven: the
+            # CONTRACT moved, the old evidence is void — first in the
+            # whole rotation (never-proven names follow at -2000; both
+            # groups are small enough to share one sweep window)
+            return (0, latest[n] - 3000)
         if n in stale:
             # source-dirty: ahead of every fresh query, ordered among
             # themselves by evidence age (a whole-module edit can mark
@@ -219,7 +262,4 @@ def load_all() -> None:
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
         mapping.clear()
         mapping.update(snapshot)
-    for n, v in ORACLE.items():  # resolve lazily-rendered oracle SQL
-        if callable(v):
-            ORACLE[n] = v()
     _loaded = True

@@ -160,7 +160,13 @@ def test_registry_front_loads_source_dirty_queries():
     registry.load_all()
     latest = registry._latest_green_round()
     stale = registry._stale_evidence_queries(latest)
-    names = [n for n in registry.QUERIES if n in registry.ORACLE]
+    # changed-oracle names sit in their own, higher tier (contract
+    # void, r12) — excluded from the age-ordering claims below entirely
+    changed = registry._changed_oracle_queries()
+    stale = stale - changed
+    names = [
+        n for n in registry.QUERIES if n in registry.ORACLE and n not in changed
+    ]
     positions = {n: i for i, n in enumerate(names)}
     stale_named = [n for n in names if n in stale and n in latest]
     fresh = [n for n in names if n not in stale and n in latest]
@@ -223,3 +229,32 @@ def test_plans_md_covers_every_registry_query():
     missing = sorted(set(registry.QUERIES) - sections)
     stale = sorted(sections - set(registry.QUERIES))
     assert not missing and not stale, (missing, stale)
+
+
+def test_changed_oracle_fingerprints_front_load(tmp_path):
+    """A query whose oracle SQL changed since its last driver-verified
+    green row has a VOID contract: _changed_oracle_queries must flag
+    exactly the mismatching names (VERDICT r11 item 8 — the r12 df-cap
+    fixes rewrote two oracles and the winnow plan, and evidence-age
+    ordering alone would have parked them past the sweep window), and
+    load_all must order flagged names ahead of everything else."""
+    import hashlib
+    import json
+
+    from pipelinejobs_indexer_spark import registry
+    from pipelinejobs_indexer_spark.registry import _changed_oracle_queries
+
+    registry.load_all()
+    names = [n for n in registry.ORACLE][:3]
+    fps = {
+        names[0]: hashlib.md5(registry.ORACLE[names[0]].encode()).hexdigest(),
+        names[1]: "VOID-pending-reproof",
+        # names[2] absent -> degrades to 'unchanged'
+    }
+    (tmp_path / "ORACLE_FP.json").write_text(json.dumps(fps))
+    got = _changed_oracle_queries(root=str(tmp_path))
+    assert got == {names[1]}
+    # the committed file front-loads the real flagged set, if any
+    flagged = _changed_oracle_queries()
+    head = list(registry.QUERIES)[: max(len(flagged), 1)]
+    assert flagged <= set(head) or not flagged, (sorted(flagged), head)
