@@ -746,15 +746,25 @@ def containment_pairs(docs: DataFrame, df_cap: int = CONTAIN_DF_CAP) -> DataFram
     separated so adversarial tests can plant hot-shingle corpora
     (tests/test_llm.py pins that the df cap bounds per-shingle join
     fan-out BEFORE the candidate join, the L2g scale guarantee)."""
-    from pyspark.sql.window import Window
-
     hsh = hashed_shingles(docs).select("doc_id", "hf")
+    # df via combiner groupBy + broadcast over-cap anti-prune — NOT a
+    # count-over-hf window (r12, the winnow-fix shape applied family-
+    # wide): a window has no map-side partial aggregation, so every
+    # occurrence of a hot boilerplate shingle would shuffle into ONE
+    # task before the cap dropped it; the groupBy collapses hot
+    # shingles per task, only the tiny over-cap list broadcasts, and
+    # the occurrence table is never shuffled for the prune at all.
+    hot = (
+        hsh.groupBy("hf")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("hf")
+    )
     # cached: the discriminative-shingle table feeds three consumers (both
     # join sides + the size agg) — one materialization, not three
-    # recomputes of the shingle scan + df window (minhash's sig pattern)
+    # recomputes of the shingle scan + df prune (minhash's sig pattern)
     disc = (
-        hsh.withColumn("df", F.count("*").over(Window.partitionBy("hf")))
-        .filter(F.col("df") <= df_cap)
+        hsh.join(F.broadcast(hot), "hf", "left_anti")
         .select("doc_id", "hf")
         .cache()
     )
@@ -1909,12 +1919,19 @@ def substring_span_pairs(
         "doc_id", "hf"
     ).distinct()
     if anchor_df_cap is not None:
-        anch = (
-            anch.withColumn(
-                "df", F.count("*").over(Window.partitionBy("hf"))
-            )
-            .filter(F.col("df") <= anchor_df_cap)
-            .select("doc_id", "hf")
+        # combiner df + broadcast over-cap anti-prune (r12, the winnow
+        # shape family-wide): a count-over-hf window would funnel every
+        # occurrence of a hot boilerplate anchor into one task before
+        # the cap dropped it; here hot anchors collapse map-side and
+        # only the tiny over-cap list broadcasts
+        hot_anch = (
+            anch.groupBy("hf")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > anchor_df_cap)
+            .select("hf")
+        )
+        anch = anch.join(F.broadcast(hot_anch), "hf", "left_anti").select(
+            "doc_id", "hf"
         )
     # In the exhaustive (anchor_mod=1) eval mode, anch and cand are
     # corpus-sized, and Catalyst's size misestimate after the
