@@ -2468,7 +2468,12 @@ def _fax_bitmap(d: int) -> tuple[int, int, list[list[int]]]:
 
 
 def _fax_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from .tiff import decode_tiff, write_tiff
+    from .tiff import write_tiff
+
+    # same image_decoder seam as L5r: the JDK TIFF reader decodes all
+    # three CCITT compressions (G3 1D/2D, G4) bit-identically — the
+    # fax parity is pinned per-mode in tests/test_native_jpeg.py
+    decode_tiff = _tiff_decode_seam()
 
     for pdf in batches:
         out = {k: [] for k in (

@@ -28,6 +28,7 @@ QUERIES = [
     "llm_multimodal_thumbnail_png",
     "llm_multimodal_gif",
     "llm_multimodal_tiff",
+    "llm_multimodal_tiff_fax",
 ]
 
 
