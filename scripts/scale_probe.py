@@ -251,6 +251,12 @@ def main() -> None:
     elif mode == "video10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = VIDEO
+    elif mode == "dfcap12":
+        # round 12: the combiner-df shape replaced the count-over-key
+        # window in containment + substring anchors — re-probe the two
+        # for unchanged linearity and no exchange regression
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = ["llm_dedup_containment", "llm_dedup_substring"]
     else:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES
