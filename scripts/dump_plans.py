@@ -101,6 +101,12 @@ SHOWCASE = {
     "stream_bloom_ingest": "stateless stream gate: 1-row set-bit array broadcast into the feed, forall/array_contains codegen decision — no watermark, no state store, no stream-side shuffle",
     "llm_similarity_pq": "ADC scan: per-probe m*k integer distance tables as broadcast literals, m element_at lookups per vector in codegen; only exchange is the per-probe top-k window",
     "llm_similarity_ivfpq": "IVF cell + PQ codes off ONE corpus pass (independent codegen folds); broadcast probe-cell map -> map-side candidate join -> candidate frame broadcast onto codes; zero corpus-scale exchanges in the search",
+    "llm_dedup_winnow": "per-doc sliding window-min (the ONLY Window, doc-partitioned) -> combiner df groupBy + BROADCAST over-cap anti-prune -> fp equi-join; hot fingerprints never concentrate in one task",
+    "llm_dedup_audiohash": "one mapInPandas FLAC round-trip leg (spread) -> 16x16-bit band equi-join -> XOR popcount verify on candidates only; pigeonhole-exact at radius 12",
+    "llm_dedup_videohash": "AVI walk + T.81 frame decode leg (spread) -> combiner per-key df + broadcast anti-prune -> (frame_idx, fhash, n_frames) band join -> kept-count verify; hot-frame fan-out <= cap by construction",
+    "llm_video_containment": "frame decode leg -> per-fhash df broadcast prune -> fhash equi-join -> offset-histogram alignment; no pair scan, per-key fan-out <= cap",
+    "llm_dedup_phash_dhash": "the 56-bit dHash twin of L2k under the driver gate: identical banded plan, 7 x 8-bit bands",
+    "fn_storage_uri_map": "literal CASE projection over the config-sized system table — zero shuffle, never a join",
 }
 
 
