@@ -848,7 +848,21 @@ def llm_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs this shape's 4 and 1); the per-doc top-k rank then rides a second
     window keyed by doc_id, where Spark 4's WindowGroupLimit keeps only
     k rows per partition ahead of the final sort. Nothing
-    occurrence-sized ever reaches the driver."""
+    occurrence-sized ever reaches the driver.
+
+    Hot-term note (r12, after the winnow/L2g df-shape fixes): unlike
+    those, this window's per-term partition is the AGGREGATED
+    (doc, term) frame — one row per document containing the term — and
+    df rides every output row, so hot terms cannot be pruned away. The
+    third shape (cache tf, combiner df groupBy, merge-join back — the
+    L2g pattern, skew-splittable by AQE where windows are not) was
+    A/B-measured in r12: 27% slower at sf0.1 (1.49 vs 1.89 s) AND on
+    the 31-term closed-vocabulary sf1 probe (1.66 vs 2.11 s, every
+    term maximally hot at this scale) — the tf cache materialization
+    plus the extra exchange cost more than the window saves until a
+    single term's doc list outgrows a task (~256 MB, billions of
+    docs). At that corpus size swap the window for the cached
+    join-back; three lines, same output, oracle unchanged."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
