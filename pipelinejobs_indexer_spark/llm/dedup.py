@@ -746,7 +746,10 @@ def containment_pairs(docs: DataFrame, df_cap: int = CONTAIN_DF_CAP) -> DataFram
     separated so adversarial tests can plant hot-shingle corpora
     (tests/test_llm.py pins that the df cap bounds per-shingle join
     fan-out BEFORE the candidate join, the L2g scale guarantee)."""
-    hsh = hashed_shingles(docs).select("doc_id", "hf")
+    # cached FIRST: the shingle explode + md5 scan feeds both the df
+    # combiner and the anti-prune (r12 review finding — caching only
+    # the pruned table re-ran the corpus scan twice); int rows, cheap
+    hsh = hashed_shingles(docs).select("doc_id", "hf").cache()
     # df via combiner groupBy + broadcast over-cap anti-prune — NOT a
     # count-over-hf window (r12, the winnow-fix shape applied family-
     # wide): a window has no map-side partial aggregation, so every
@@ -760,13 +763,10 @@ def containment_pairs(docs: DataFrame, df_cap: int = CONTAIN_DF_CAP) -> DataFram
         .where(F.col("df") > df_cap)
         .select("hf")
     )
-    # cached: the discriminative-shingle table feeds three consumers (both
-    # join sides + the size agg) — one materialization, not three
-    # recomputes of the shingle scan + df prune (minhash's sig pattern)
-    disc = (
-        hsh.join(F.broadcast(hot), "hf", "left_anti")
-        .select("doc_id", "hf")
-        .cache()
+    # disc feeds three consumers (both join sides + the size agg);
+    # rebuilding it is a cheap broadcast join over the cached rows
+    disc = hsh.join(F.broadcast(hot), "hf", "left_anti").select(
+        "doc_id", "hf"
     )
     sizes = disc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = disc.alias("a"), disc.alias("b")
@@ -1915,9 +1915,11 @@ def substring_span_pairs(
     )
     if cache_shingles:
         ps = ps.cache()
+    # cached: the sampled-anchor distinct feeds the df combiner AND both
+    # candidate-join sides (r12 — pre-cap it was recomputed per side)
     anch = ps.filter(F.col("hf") % anchor_mod == 0).select(
         "doc_id", "hf"
-    ).distinct()
+    ).distinct().cache()
     if anchor_df_cap is not None:
         # combiner df + broadcast over-cap anti-prune (r12, the winnow
         # shape family-wide): a count-over-hf window would funnel every
@@ -3136,15 +3138,19 @@ def videohash_pairs(
     corpora (tests/test_llm.py pins that the df cap bounds per-key join
     fan-out BEFORE the candidate join, the L2n scale guarantee)."""
     key = ["frame_idx", "fhash", "n_frames"]
+    # cached FIRST: the mapInPandas decode leg is the dominant cost and
+    # feeds both the df combiner and the anti-prune — one decode, not
+    # two (r12 review finding; the winnow fp-cache pattern)
+    frames = frames.cache()
     hot = (
         frames.groupBy(*key)
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > df_cap)
         .select(*key)
     )
-    # cached: the discriminative-frame table feeds three consumers (both
-    # join sides + the kept-size agg); the anti-prune never shuffles it
-    disc = frames.join(F.broadcast(hot), key, "left_anti").cache()
+    # disc feeds three consumers (both join sides + the kept-size agg);
+    # rebuilding it is a cheap broadcast join over the cached int rows
+    disc = frames.join(F.broadcast(hot), key, "left_anti")
     sizes = disc.groupBy("doc_id").agg(F.count("*").alias("nk"))
     a = disc.alias("a")
     b = disc.alias("b")
@@ -3336,15 +3342,17 @@ def video_containment_pairs(
     frame_idx, fhash) frame — separated so adversarial tests can plant
     hot-frame corpora (tests/test_llm.py pins that the df cap bounds
     per-fhash join fan-out BEFORE the candidate join)."""
+    # cached FIRST: one decode-leg materialization feeds the df
+    # combiner, both join sides, and the kept-size agg (r12 review
+    # finding — caching only the pruned table re-ran the decode)
+    frames = frames.cache()
     hot = (
         frames.groupBy("fhash")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > df_cap)
         .select("fhash")
     )
-    # cached: feeds both join sides + the kept-size agg; the anti-prune
-    # never shuffles the frame table
-    disc = frames.join(F.broadcast(hot), "fhash", "left_anti").cache()
+    disc = frames.join(F.broadcast(hot), "fhash", "left_anti")
     sizes = disc.groupBy("doc_id").agg(F.count("*").alias("nk"))
     a = disc.alias("a")
     c = disc.alias("c")

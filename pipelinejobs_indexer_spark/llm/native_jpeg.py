@@ -65,6 +65,13 @@ public class JpegPipe {
                 if (img == null) throw new IOException("unreadable image");
                 int w = img.getWidth(), h = img.getHeight();
                 Raster r = img.getRaster();
+                // The FULL pixel payload is assembled in memory BEFORE
+                // any header byte is written: an exception mid-assembly
+                // (e.g. an out-of-range palette index in a malformed
+                // stream) must produce a clean error frame, never a
+                // half-written success frame that desyncs the pipe and
+                // deadlocks the Python worker (r12 review finding).
+                int nc; int indexed; byte[] payload;
                 // Palette-indexed images (GIF, palette PNG/TIFF, bilevel
                 // TIFF) expand through the color map to RGB here — the
                 // raster's raw samples are palette INDICES, which no
@@ -79,21 +86,25 @@ public class JpegPipe {
                     byte[] pr = new byte[msz], pg = new byte[msz],
                            pb = new byte[msz];
                     icm.getReds(pr); icm.getGreens(pg); icm.getBlues(pb);
-                    out.writeInt(h); out.writeInt(w);
-                    out.writeInt(3); out.writeInt(1);
+                    nc = 3; indexed = 1;
+                    payload = new byte[h * w * 3];
                     int[] idx = new int[w];
-                    byte[] row = new byte[w * 3];
                     for (int y = 0; y < h; y++) {
                         r.getPixels(0, y, w, 1, idx);
                         for (int x = 0; x < w; x++) {
-                            row[3 * x] = pr[idx[x]];
-                            row[3 * x + 1] = pg[idx[x]];
-                            row[3 * x + 2] = pb[idx[x]];
+                            int i = idx[x];
+                            if (i < 0 || i >= msz)
+                                throw new IOException(
+                                    "palette index " + i + " outside "
+                                    + msz + "-entry color map");
+                            int o = (y * w + x) * 3;
+                            payload[o] = pr[i];
+                            payload[o + 1] = pg[i];
+                            payload[o + 2] = pb[i];
                         }
-                        out.write(row);
                     }
                 } else {
-                    int nc = r.getNumBands();
+                    nc = r.getNumBands(); indexed = 0;
                     // the pipe carries 8-bit samples; deeper images
                     // (16-bit gray TIFF) must error loudly, never
                     // truncate — callers fall back to the pure decoder
@@ -101,21 +112,21 @@ public class JpegPipe {
                         if (img.getColorModel().getComponentSize(b) > 8)
                             throw new IOException(
                                 ">8-bit samples unsupported by pipe");
-                    out.writeInt(h); out.writeInt(w);
-                    out.writeInt(nc); out.writeInt(0);
+                    payload = new byte[h * w * nc];
                     // raster band order follows the color model's
                     // component order (band 0 = R even in 3BYTE_BGR
                     // storage), and raw samples skip any colorspace
                     // conversion for grayscale
                     int[] px = new int[w * nc];
-                    byte[] row = new byte[w * nc];
                     for (int y = 0; y < h; y++) {
                         r.getPixels(0, y, w, 1, px);
                         for (int i = 0; i < w * nc; i++)
-                            row[i] = (byte) px[i];
-                        out.write(row);
+                            payload[y * w * nc + i] = (byte) px[i];
                     }
                 }
+                out.writeInt(h); out.writeInt(w);
+                out.writeInt(nc); out.writeInt(indexed);
+                out.write(payload);
             } catch (IOException | RuntimeException e) {
                 byte[] msg = String.valueOf(e).getBytes("UTF-8");
                 out.writeInt(-1); out.writeInt(msg.length); out.write(msg);
@@ -245,9 +256,14 @@ def decode_png_native(data: bytes):
     # contract keeps those 1-channel; PNG's IHDR color type byte
     # (offset 25: 0 = gray, 3 = palette) disambiguates exactly
     if indexed and nc == 3 and len(data) > 25 and data[25] == 0:
-        assert (arr[:, :, 0] == arr[:, :, 1]).all() and (
-            arr[:, :, 0] == arr[:, :, 2]
-        ).all(), "gray PNG expanded to non-gray RGB"
+        # explicit raise, not assert: workers under python -O strip
+        # asserts, and the seam contract is raise-loudly, never
+        # silently-wrong pixels (r12 review finding)
+        if not (
+            (arr[:, :, 0] == arr[:, :, 1]).all()
+            and (arr[:, :, 0] == arr[:, :, 2]).all()
+        ):
+            raise ValueError("gray PNG expanded to non-gray RGB")
         arr = arr[:, :, :1]
     return arr
 
@@ -265,24 +281,57 @@ def decode_gif_native(data: bytes):
     return arr
 
 
+def _tiff_photometric(data: bytes) -> int | None:
+    """PhotometricInterpretation (tag 262) from the FIRST IFD, read off
+    the raw stream — the channel-collapse decision must key on the
+    file's declared color model, not on decoded pixel content (r12
+    review finding: an all-gray PALETTE image would otherwise collapse
+    to 1 channel while the pure decoder keeps photometric-3 streams
+    3-channel). Classic TIFF only (BigTIFF never reaches the pipe);
+    None when the header or tag is absent."""
+    from .tiff import _parse_header
+
+    try:
+        bo, big, ifd_off = _parse_header(data)
+    except (ValueError, struct.error):
+        return None
+    if big:
+        return None
+    try:
+        (cnt,) = struct.unpack_from(bo + "H", data, ifd_off)
+        for k in range(cnt):
+            off = ifd_off + 2 + 12 * k
+            tag, _typ = struct.unpack_from(bo + "HH", data, off)
+            if tag == 262:
+                return struct.unpack_from(bo + "H", data, off + 8)[0]
+    except struct.error:
+        return None
+    return None
+
+
 def decode_tiff_native(data: bytes):
     """ImageIO twin of :func:`..tiff.decode_tiff` (first IFD): (height,
     width, n_components, rows). The JDK reader hands palette/bilevel
     TIFFs back as IndexColorModel images; the sidecar expands those to
-    RGB, and a palette whose expanded pixels are all gray (bilevel,
-    gray-palette) collapses back to the 1-channel BlackIsZero contract
-    the pure decoder keeps — WhiteIsZero inversion is already encoded
-    in the JDK's palette, so values agree bit-exactly. Not supported by
-    the JDK reader (BigTIFF): ValueError — callers keep the pure
-    decoder for those streams."""
+    RGB. Whether they collapse back to one channel keys on the
+    stream's DECLARED photometric (tag 262): bilevel/gray (0/1)
+    streams owe the pure decoder's 1-channel BlackIsZero contract
+    (WhiteIsZero inversion is already encoded in the JDK's palette, so
+    values agree bit-exactly, and a non-gray expansion raises loudly);
+    palette streams (3) stay 3-channel even when every referenced
+    entry happens to be gray, exactly as the pure decoder keeps them.
+    Not supported by the JDK reader (BigTIFF, >8-bit samples):
+    ValueError — callers keep the pure decoder for those streams."""
     h, w, nc, indexed, raw = _decode_raw(data)
-    if indexed and nc == 3:
-        gray = all(
-            raw[i] == raw[i + 1] == raw[i + 2]
+    if indexed and nc == 3 and _tiff_photometric(data) in (0, 1):
+        if any(
+            raw[i] != raw[i + 1] or raw[i] != raw[i + 2]
             for i in range(0, len(raw), 3)
-        )
-        if gray:
-            return h, w, 1, _rows(h, w, 1, raw[::3])
+        ):
+            raise ValueError(
+                "bilevel/gray TIFF expanded to non-gray RGB"
+            )
+        return h, w, 1, _rows(h, w, 1, raw[::3])
     return h, w, nc, _rows(h, w, nc, raw)
 
 

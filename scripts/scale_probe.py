@@ -251,6 +251,14 @@ def main() -> None:
     elif mode == "video10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = VIDEO
+    elif mode == "video20":
+        # round 12: second decade (sf1 -> sf10) for the df-capped video
+        # fingerprint family — the 100 TB workhorses should carry two
+        # decades of evidence like the text dedup family (dedup10)
+        probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
+        _link_missing_tables(probe_hi)
+        scales = (("sf1", probe_lo), ("sf10", probe_hi))
+        queries = VIDEO
     elif mode == "dfcap12":
         # round 12: the combiner-df shape replaced the count-over-key
         # window in containment + substring anchors — re-probe the two

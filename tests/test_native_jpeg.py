@@ -234,3 +234,65 @@ def test_tiff_corpus_seam_decoder_invariant():
             assert decode_tiff(fax) == dec(fax), ("fax", d)
     finally:
         object.__setattr__(mm.CONFIG, "image_decoder", old)
+
+
+def test_tiff_gray_palette_stays_three_channel():
+    """The channel-collapse decision keys on the DECLARED photometric,
+    not pixel content (r12 review finding): a photometric-3 palette
+    TIFF whose referenced entries are all gray must come back 3-channel
+    from BOTH decoders, while bilevel (photometric 0/1) streams
+    collapse to the 1-channel BlackIsZero contract."""
+    from pipelinejobs_indexer_spark.llm.native_jpeg import (
+        _tiff_photometric,
+        decode_tiff_native,
+    )
+    from pipelinejobs_indexer_spark.llm.tiff import decode_tiff, write_tiff
+
+    gray_pal = [(17 * i, 17 * i, 17 * i) for i in range(16)]
+    rows = [[(y * 8 + x) % 16 for x in range(8)] for y in range(8)]
+    t = write_tiff(rows, palette=gray_pal, bits=4, compression=1)
+    assert _tiff_photometric(t) == 3
+    a, b = decode_tiff(t), decode_tiff_native(t)
+    assert a == b and a[2] == 3, (a[2], b[2])
+    # bilevel: photometric 0/1 collapses, matching pure exactly
+    bil = [[1 if (x + y) % 3 == 0 else 0 for x in range(24)]
+           for y in range(6)]
+    t2 = write_tiff(bil, compression=4)
+    assert _tiff_photometric(t2) in (0, 1)
+    a2, b2 = decode_tiff(t2), decode_tiff_native(t2)
+    assert a2 == b2 and a2[2] == 1
+
+
+def test_pipe_survives_malformed_palette_index():
+    """An exception during payload assembly (out-of-range palette
+    index) must produce a clean error frame, not a half-written success
+    frame that desyncs the pipe (r12 review finding). A GIF whose LZW
+    stream emits indices beyond the declared color table exercises it;
+    the pipe must keep serving afterwards."""
+    import numpy as np
+
+    from pipelinejobs_indexer_spark.llm.gif import decode_gif, encode_gif
+    from pipelinejobs_indexer_spark.llm.native_jpeg import decode_gif_native
+
+    # 4-entry color table, but pixel indices reach 7: encode with an
+    # 8-entry palette, then shrink the declared GCT by patching the
+    # logical-screen-descriptor packed field (2 << n entries)
+    pal8 = np.array([[i * 30, i * 20, i * 10] for i in range(8)],
+                    dtype=np.uint8)
+    idx = (np.arange(64, dtype=np.uint8).reshape(8, 8) % 8)
+    raw = bytearray(encode_gif(idx, pal8))
+    packed = raw[10]
+    assert packed & 0x80 and (packed & 0x07) == 2  # 8-entry GCT
+    raw[10] = (packed & ~0x07) | 0x01  # declare 4 entries
+    # drop the now-extra 12 palette bytes so the stream stays parseable
+    malformed = bytes(raw[:13 + 12] + raw[13 + 24:])
+    try:
+        decode_gif_native(malformed)
+    except ValueError:
+        pass  # loud failure is fine; silence or a hang is not
+    # the pipe must still serve correct decodes after the error
+    pal = np.array([[i * 3 % 256, i * 5 % 256, i * 7 % 256]
+                    for i in range(16)], dtype=np.uint8)
+    good_idx = (np.arange(64, dtype=np.uint8).reshape(8, 8) % 16)
+    good = encode_gif(good_idx, pal)
+    assert (decode_gif(good) == decode_gif_native(good)).all()

@@ -254,8 +254,11 @@ def test_containment_plan_is_bounded_equi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    # df window + pair-count agg + two size joins + spread: generous cap
-    assert n_exchanges <= 8, plan
+    # combiner-df groupBy (r12, replaces the df window) + pair-count agg
+    # + two size joins + the spread under each unmaterialized cache
+    # replica: generous static cap — at runtime AQE dedupes the cached
+    # subtree to one materialization (ReusedExchange)
+    assert n_exchanges <= 10, plan
 
 
 def test_multi_table_lsh_plan_stays_equi_join(spark, sf_dir):
