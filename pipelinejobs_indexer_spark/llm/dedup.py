@@ -2707,9 +2707,10 @@ def _phash_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst after the mapInPandas decode. <= 6 differing bits cannot
     touch all 7 bands, so the banded plan is pigeonhole-EXACT."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    # cached: one PNG round-trip feeds both self-join sides (r12)
     hashes = docs.mapInPandas(
         _phash_features, schema="doc_id bigint, phash bigint"
-    )
+    ).cache()
     bands = hashes.select(
         "doc_id", "phash",
         F.explode(
@@ -2763,9 +2764,13 @@ def _dct_banded_pairs(
     un-spread leg serializing on the fixture's single parquet split
     (wall ratio 10.2x for 10x docs: one core doing 10x the work)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    # cached: the codec round-trip is the dominant cost and the band
+    # table feeds BOTH self-join sides — one decode, not two (r12, the
+    # videohash review finding applied to the whole DCT family);
+    # O(docs x 16) int rows, trivial memory
     hashes = docs.mapInPandas(
         feature_fn, schema="doc_id bigint, bands array<bigint>"
-    )
+    ).cache()
     bexp = hashes.select(
         "doc_id", "bands", F.posexplode("bands").alias("band", "bval")
     )
