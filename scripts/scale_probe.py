@@ -251,6 +251,18 @@ def main() -> None:
     elif mode == "video10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = VIDEO
+    elif mode == "fingerprint20":
+        # round 12: second decade for the DCT fingerprint family (the
+        # video family got video20; phash/audiohash close the set)
+        probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
+        _link_missing_tables(probe_hi)
+        scales = (("sf1", probe_lo), ("sf10", probe_hi))
+        queries = PHASH
+    elif mode == "winnow10":
+        # round 12: first decade for the winnowing fingerprints after
+        # the combiner-df shape fix (the third weak-flagged query)
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = ["llm_dedup_winnow"]
     elif mode == "video20":
         # round 12: second decade (sf1 -> sf10) for the df-capped video
         # fingerprint family — the 100 TB workhorses should carry two
