@@ -227,13 +227,20 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     probe_lo = os.path.join(ROOT, ".scale_probe", "sf1")
     _link_missing_tables(probe_lo)
-    if mode in ("sf10", "dedup10", "text10"):
+    # second-decade modes (sf1 -> sf10): video20/fingerprint20 are the
+    # round-12 df-cap / DCT families joining the dedup10-style evidence
+    SECOND_DECADE = {
+        "sf10": CURATION,
+        "dedup10": DEDUP_HEAVY,
+        "text10": TEXT_HEAVY,
+        "video20": VIDEO,
+        "fingerprint20": PHASH,
+    }
+    if mode in SECOND_DECADE:
         probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
         _link_missing_tables(probe_hi)
         scales = (("sf1", probe_lo), ("sf10", probe_hi))
-        queries = {
-            "sf10": CURATION, "dedup10": DEDUP_HEAVY, "text10": TEXT_HEAVY
-        }[mode]
+        queries = SECOND_DECADE[mode]
     elif mode == "train10":
         probe_hi = os.path.join(ROOT, ".scale_probe", "emb10")
         _link_missing_tables(probe_hi)
@@ -251,26 +258,11 @@ def main() -> None:
     elif mode == "video10":
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = VIDEO
-    elif mode == "fingerprint20":
-        # round 12: second decade for the DCT fingerprint family (the
-        # video family got video20; phash/audiohash close the set)
-        probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
-        _link_missing_tables(probe_hi)
-        scales = (("sf1", probe_lo), ("sf10", probe_hi))
-        queries = PHASH
     elif mode == "winnow10":
         # round 12: first decade for the winnowing fingerprints after
         # the combiner-df shape fix (the third weak-flagged query)
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = ["llm_dedup_winnow"]
-    elif mode == "video20":
-        # round 12: second decade (sf1 -> sf10) for the df-capped video
-        # fingerprint family — the 100 TB workhorses should carry two
-        # decades of evidence like the text dedup family (dedup10)
-        probe_hi = os.path.join(ROOT, ".scale_probe", "sf10")
-        _link_missing_tables(probe_hi)
-        scales = (("sf1", probe_lo), ("sf10", probe_hi))
-        queries = VIDEO
     elif mode == "dfcap12":
         # round 12: the combiner-df shape replaced the count-over-key
         # window in containment + substring anchors — re-probe the two
