@@ -273,6 +273,8 @@ def main() -> None:
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = QUERIES
     lo, hi = scales[0][0], scales[1][0]
+    print(f"PROBE mode={mode or 'default'} scales={lo}->{hi} "
+          f"queries={list(queries)}", flush=True)
     spark = get_spark("scale-probe")
     registry.load_all()
     spark.read.parquet(f"{SF01}/nation.parquet").count()
