@@ -163,6 +163,31 @@ def _stale_evidence_queries(latest: dict[str, int], root: str | None = None) -> 
     return stale
 
 
+# Evidence this many rounds older than the newest round on file escalates
+# ahead of the source-dirty tier. Rationale (VERDICT r12 item 1): one
+# module edit can dirty more queries than the driver's ~50-query sweep
+# window holds, EVERY round — dedup.py alone carries ~30 queries — so a
+# clean-and-stable query ordered behind the dirty tier can stay unproven
+# indefinitely while its substrate (Spark/DuckDB versions, fixtures,
+# shared helpers) drifts. Four rounds is the observed starvation horizon:
+# the r12 audit found 16 queries parked on r7/r8 evidence.
+_AGE_ESCALATION_ROUNDS = 4
+
+
+def _age_escalated_queries(latest: dict[str, int]) -> set[str]:
+    """Queries whose latest green evidence is ``_AGE_ESCALATION_ROUNDS``
+    or more rounds behind the newest round on file. These bound the
+    proof rotation's tail: they outrank merely source-dirty names (whose
+    population can exceed the sweep window every round) so no green row
+    ever ages past the horizon while dirtier-but-younger proofs recycle."""
+    if not latest:
+        return set()
+    newest = max(latest.values())
+    return {
+        n for n, rnd in latest.items() if newest - rnd >= _AGE_ESCALATION_ROUNDS
+    }
+
+
 def _changed_oracle_queries(root: str | None = None) -> set[str]:
     """Queries whose CURRENT oracle SQL no longer matches the
     fingerprint recorded at their last driver-verified green row
@@ -233,6 +258,7 @@ def load_all() -> None:
     # hash evidence to gain.
     latest = _latest_green_round()
     stale = _stale_evidence_queries(latest)
+    aged = _age_escalated_queries(latest)
     for n, v in ORACLE.items():  # resolve lazily-rendered oracle SQL
         if callable(v):
             ORACLE[n] = v()
@@ -249,6 +275,12 @@ def load_all() -> None:
             # whole rotation (never-proven names follow at -2000; both
             # groups are small enough to share one sweep window)
             return (0, latest[n] - 3000)
+        if n in aged:
+            # evidence past the age horizon: ahead of the (possibly
+            # window-sized) source-dirty tier, so the rotation's tail
+            # stays bounded (VERDICT r12 item 1 — 16 queries sat on
+            # r7/r8 evidence behind ~70 dirty names for five rounds)
+            return (0, latest[n] - 1500)
         if n in stale:
             # source-dirty: ahead of every fresh query, ordered among
             # themselves by evidence age (a whole-module edit can mark

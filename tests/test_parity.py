@@ -160,12 +160,16 @@ def test_registry_front_loads_source_dirty_queries():
     registry.load_all()
     latest = registry._latest_green_round()
     stale = registry._stale_evidence_queries(latest)
-    # changed-oracle names sit in their own, higher tier (contract
-    # void, r12) — excluded from the age-ordering claims below entirely
+    # changed-oracle and age-escalated names sit in their own, higher
+    # tiers (contract void r12; bounded-tail age horizon r13) —
+    # excluded from the dirty-vs-fresh ordering claims below entirely
     changed = registry._changed_oracle_queries()
-    stale = stale - changed
+    aged = registry._age_escalated_queries(latest)
+    stale = stale - changed - aged
     names = [
-        n for n in registry.QUERIES if n in registry.ORACLE and n not in changed
+        n
+        for n in registry.QUERIES
+        if n in registry.ORACLE and n not in changed and n not in aged
     ]
     positions = {n: i for i, n in enumerate(names)}
     stale_named = [n for n in names if n in stale and n in latest]
@@ -181,6 +185,47 @@ def test_registry_front_loads_source_dirty_queries():
     # gitless degradation: with no repo the helper returns an empty set
     # (age-only rotation), never raises
     assert registry._stale_evidence_queries(latest, root="/tmp") == set()
+
+
+def test_registry_age_escalates_old_evidence():
+    """Bounded proof tail (VERDICT r12 item 1): evidence four or more
+    rounds behind the newest round on file must outrank the source-dirty
+    tier — one module edit can dirty more queries than the ~50-query
+    sweep window EVERY round, so without this tier a clean-and-stable
+    query can stay unproven indefinitely (16 queries sat on r7/r8
+    evidence through round 12). Aged names must (a) be exactly the
+    past-horizon set, (b) enumerate before every merely source-dirty or
+    fresh name, and (c) land inside the driver's sweep window."""
+    from pipelinejobs_indexer_spark import registry
+
+    # helper semantics on a synthetic evidence map
+    fake = {"old": 3, "edge": 8, "young": 11, "newest": 12}
+    assert registry._age_escalated_queries(fake) == {"old", "edge"}
+    assert registry._age_escalated_queries({}) == set()
+
+    registry.load_all()
+    latest = registry._latest_green_round()
+    aged = registry._age_escalated_queries(latest)
+    changed = registry._changed_oracle_queries()
+    names = [
+        n
+        for n in registry.QUERIES
+        if n in registry.ORACLE and n in latest and n not in changed
+    ]
+    positions = {n: i for i, n in enumerate(names)}
+    aged_named = [n for n in names if n in aged]
+    rest = [n for n in names if n not in aged]
+    if aged_named and rest:
+        assert max(positions[n] for n in aged_named) < min(
+            positions[n] for n in rest
+        ), "an age-escalated query enumerates after a younger one"
+    # the driver sweeps ~50 queries front-to-back: every aged name must
+    # sit inside that window among oracled names (changed-oracle and
+    # never-proven names share it and are few)
+    oracled = [n for n in registry.QUERIES if n in registry.ORACLE]
+    opos = {n: i for i, n in enumerate(oracled)}
+    for n in aged_named:
+        assert opos[n] < 50, f"aged query '{n}' outside the sweep window"
 
 
 def test_rotation_warns_on_malformed_evidence(tmp_path, capsys):
