@@ -261,6 +261,22 @@ class EngineConfig:
     band count); the twin query ``llm_dedup_phash_dhash`` keeps the
     non-default mode under the driver's hash gate every sweep (the CDC
     twin pattern).
+    ``tfidf_df_strategy`` — how llm_text_tfidf_keywords (L4k) attaches
+    document frequency to the aggregated (doc, term) frame. ``window``
+    (default): ``count(*) OVER (PARTITION BY term)`` — one exchange,
+    but a stopword's partition (one row per document containing it)
+    lands in ONE WindowExec task, and windows get no AQE
+    skew-splitting. ``join``: cache the tf frame, combiner groupBy on
+    term (map-side partial counts — skew-proof), planner-chosen
+    join-back — one more exchange plus the cache materialization.
+    MEASURED crossover (r12, BENCH_sf1.md): ``window`` is 27% faster
+    at sf0.1 (1.49 vs 1.89 s) AND on the 31-term maximally-hot sf1
+    closed-vocabulary probe (1.66 vs 2.11 s) — the window sort spills
+    and streams, so stay on ``window`` until a single term's doc list
+    outgrows a task's spill-sort tolerance (~256 MB — billions of
+    docs); ``join`` is the parity-proven escape hatch for that regime,
+    kept under the driver's value-hash gate every sweep by the
+    ``llm_text_tfidf_keywords_join`` twin (the L9b/L13b pattern).
     ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
     quality-classifier trainer (L3f, ``llm_classifier_logreg``). Each
     sweep is one corpus scan + one map-side-combined gradient aggregate
@@ -296,6 +312,7 @@ class EngineConfig:
     contam_df_cap: int = 64
     exact_pairs_max_rows: int = 50_000
     cc_min_strategy: str = "window"
+    tfidf_df_strategy: str = "window"
     state_store: str = "hdfs"
     resilient_checkpoints: bool = False
     kmeans_k: int = 4
@@ -390,6 +407,11 @@ class EngineConfig:
                 f"cc_min_strategy must be 'window' or 'twophase', "
                 f"got {self.cc_min_strategy!r}"
             )
+        if self.tfidf_df_strategy not in ("window", "join"):
+            raise ValueError(
+                f"tfidf_df_strategy must be 'window' or 'join', "
+                f"got {self.tfidf_df_strategy!r}"
+            )
         if self.cdc_hash not in ("md5", "gear"):
             raise ValueError(f"cdc_hash must be 'md5' or 'gear', got {self.cdc_hash!r}")
         if self.cdc_hash == "gear" and self.cdc_window > 24:
@@ -422,6 +444,9 @@ def from_env() -> EngineConfig:
         ),
         cc_min_strategy=_env_choice(
             "SPARK_GRAFT_CC_MIN_STRATEGY", d.cc_min_strategy, ("window", "twophase")
+        ),
+        tfidf_df_strategy=_env_choice(
+            "SPARK_GRAFT_TFIDF_DF", d.tfidf_df_strategy, ("window", "join")
         ),
         state_store=_env_choice(
             "SPARK_GRAFT_STATE_STORE", d.state_store, ("hdfs", "rocksdb")

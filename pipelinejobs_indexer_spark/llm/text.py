@@ -804,9 +804,10 @@ def llm_token_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOP_K = 5
 
 
-@register(
-    "llm_text_tfidf_keywords",
-    sql=f"""WITH words AS (
+def _tfidf_sql() -> str:
+    """The L4k oracle — shared verbatim by llm_text_tfidf_keywords and
+    its join-shape twin (identical answer is the twin's whole point)."""
+    return f"""WITH words AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents
          ),
@@ -827,8 +828,45 @@ TFIDF_TOP_K = 5
            FROM tfdf
          )
          SELECT doc_id, term, tf, df, rank
-         FROM ranked WHERE rank <= {TFIDF_TOP_K}""",
-)
+         FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
+
+
+def _tfidf_keywords(
+    spark: SparkSession, sf_dir: str, strategy: str | None = None
+) -> DataFrame:
+    """Shared body for L4k and its twin; ``strategy`` defaults to
+    config.py ``tfidf_df_strategy`` (SPARK_GRAFT_TFIDF_DF)."""
+    from ..config import CONFIG
+
+    s = CONFIG.tfidf_df_strategy if strategy is None else strategy
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if s == "join":
+        # cache tf so the combiner-df leg and the join probe side share
+        # ONE scan+explode+aggregate materialization (without it,
+        # Catalyst re-derives the corpus aggregation under both join
+        # inputs — the exact double-scan the window shape avoids)
+        tf = tf.cache()
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        tfdf = tf.join(dfreq, "term")
+    else:
+        tfdf = tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tfdf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+@register("llm_text_tfidf_keywords", sql=_tfidf_sql())
 def llm_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4k: per-document distinctive-keyword extraction — the tf-idf
     ranking every corpus indexer/labeler runs, kept on an EXACT integer
@@ -841,42 +879,44 @@ def llm_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE corpus scan — the explode feeds a combiner groupBy on
     (doc_id, term), so shuffle volume past that point is distinct
     doc-term pairs, not token occurrences; document frequency is a count
-    window over that same aggregated frame partitioned by term (NOT a
-    groupBy+self-join back onto tf: Catalyst can't reuse the aggregation
-    subtree across a self-join, so the join formulation scans and
-    explodes the corpus twice — measured, it was 6 exchanges and 2 scans
-    vs this shape's 4 and 1); the per-doc top-k rank then rides a second
-    window keyed by doc_id, where Spark 4's WindowGroupLimit keeps only
-    k rows per partition ahead of the final sort. Nothing
-    occurrence-sized ever reaches the driver.
+    window over that same aggregated frame partitioned by term; the
+    per-doc top-k rank then rides a second window keyed by doc_id,
+    where Spark 4's WindowGroupLimit keeps only k rows per partition
+    ahead of the final sort. Nothing occurrence-sized ever reaches the
+    driver.
 
-    Hot-term note (r12, after the winnow/L2g df-shape fixes): unlike
-    those, this window's per-term partition is the AGGREGATED
-    (doc, term) frame — one row per document containing the term — and
-    df rides every output row, so hot terms cannot be pruned away. The
-    third shape (cache tf, combiner df groupBy, merge-join back — the
-    L2g pattern, skew-splittable by AQE where windows are not) was
-    A/B-measured in r12: 27% slower at sf0.1 (1.49 vs 1.89 s) AND on
-    the 31-term closed-vocabulary sf1 probe (1.66 vs 2.11 s, every
-    term maximally hot at this scale) — the tf cache materialization
-    plus the extra exchange cost more than the window saves until a
-    single term's doc list outgrows a task (~256 MB, billions of
-    docs). At that corpus size swap the window for the cached
-    join-back; three lines, same output, oracle unchanged."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tfdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("term")
-    )
-    return (
-        tfdf.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "tf", "df", "rank")
-    )
+    Hot-term shape knob (r12 A/B, r13 knob — config.py
+    ``tfidf_df_strategy``): unlike the winnow/L2g df caps, this
+    window's per-term partition is the AGGREGATED (doc, term) frame —
+    one row per document containing the term — and df rides every
+    output row, so hot terms cannot be pruned away; the only choice is
+    WHERE the per-term count happens. ``window`` (default) was
+    A/B-measured 27% faster at sf0.1 (1.49 vs 1.89 s) AND on the
+    31-term maximally-hot sf1 closed-vocabulary probe (1.66 vs 2.11 s)
+    — the tf cache materialization plus the extra exchange cost more
+    than the window saves until a single term's doc list outgrows a
+    task's spill-sort tolerance (~256 MB, billions of docs). For that
+    regime SPARK_GRAFT_TFIDF_DF=join swaps in the cached combiner
+    groupBy + planner-chosen join-back (skew-splittable by AQE where
+    windows are not), proven identical every driver sweep by the
+    registered twin below."""
+    return _tfidf_keywords(spark, sf_dir)
+
+
+@register("llm_text_tfidf_keywords_join", sql=_tfidf_sql())
+def llm_text_tfidf_keywords_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L4k2: llm_text_tfidf_keywords' JOIN-shape twin — the
+    hot-vocabulary escape hatch (SPARK_GRAFT_TFIDF_DF=join: cached tf +
+    combiner df groupBy + planner-chosen join-back instead of the
+    term-keyed count window) registered as its own query so the
+    alternate physical strategy sits under the driver's value-hash gate
+    against the SAME oracle — identical answers are the knob's
+    contract, proven per-round, not only in the local parity test (the
+    L9b/L13b twin pattern; measured crossover in the primary's
+    docstring and config.py)."""
+    return _tfidf_keywords(spark, sf_dir, strategy="join")
 
 
 # Split thresholds in per-mille of the hash space: [0, 900) train,

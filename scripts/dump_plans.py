@@ -87,6 +87,8 @@ SHOWCASE = {
     "llm_embedding_kmeans": "final Lloyd assignment: broadcast-literal argmin fold in one codegen projection over the checkpointed quantized scan — no join, no exchange (each training iteration added only a posexplode→combiner groupBy collecting k×dim rows)",
     "llm_classifier_logreg": "final scoring pass: trained weights ride the plan as a literal array inside one codegen sigmoid projection — zero exchanges (each gradient sweep was a posexplode→combiner groupBy of dim+1 exact-integer rows)",
     "llm_text_tfidf_keywords": "ONE corpus scan: explode → combiner groupBy (doc,term), df via count window over the same frame (no self-join re-scan), per-doc top-k lowered to WindowGroupLimit",
+    "llm_text_tfidf_keywords_join": "the SPARK_GRAFT_TFIDF_DF=join twin: cached tf feeds both join inputs (one scan/explode/agg), df via combiner groupBy + planner join-back — the hot-vocabulary escape hatch, skew-splittable where the window is not",
+    "llm_dedup_clusters": "large-star/small-star CC behind checkpoints; n_members via combiner groupBy + join-back (no cluster_id window — a mega-cluster never funnels into one task)",
     "llm_corpus_split": "deterministic 90/5/5 holdout: pure codegen hash-bucket projection, zero shuffle beyond the fixture spread",
     "llm_dedup_canonical": "component labels broadcast into one scored documents pass + a first_value window per cluster — no corpus-scale shuffle beyond L9's own",
     "llm_embedding_dim_stats": "posexplode → one combiner groupBy on the dimension key: partial agg below the single hash exchange, shuffle O(tasks×dims), all moments on the exact integer grid",

@@ -406,6 +406,9 @@ def test_tfidf_single_scan_and_window_df(spark, sf_dir):
     groupBy, term window, doc window), no join nodes at all, and the
     per-doc top-k lowered to WindowGroupLimit so only k rows per
     partition survive to the final sort."""
+    # the join twin caches tf; a lingering cache entry would splice an
+    # InMemoryTableScan into THIS plan via the shared CacheManager
+    spark.catalog.clearCache()
     plan = _formatted_plan(registry.QUERIES["llm_text_tfidf_keywords"](spark, sf_dir))
     scan_ids = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_ids) == 1, plan
@@ -558,6 +561,67 @@ def test_retention_offsets_are_exact_weeks(spark):
     assert out[(8, 0)] == (1, 1, 1.0)
     assert out[(8, 2)] == (1, 1, 1.0)
     assert (1, 2) not in out
+
+
+def test_tfidf_join_twin_df_is_combiner_groupby(spark, sf_dir):
+    """L4k2 (the SPARK_GRAFT_TFIDF_DF=join escape hatch): df must come
+    from a combiner groupBy + join-back, NOT a term-keyed window — (a)
+    the only window spec left is the per-doc rank; (b) a partial
+    (map-side) count sits in the plan, so a stopword's occurrences
+    collapse per task before the term exchange; (c) the tf frame is
+    CACHED so the corpus scan+explode+aggregate runs once even though
+    the join consumes it twice (Catalyst can't reuse the aggregation
+    subtree across a self-join)."""
+    spark.catalog.clearCache()
+    plan = _formatted_plan(
+        registry.QUERIES["llm_text_tfidf_keywords_join"](spark, sf_dir)
+    )
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and set(specs) == {"doc_id"}, specs
+    assert "partial_count" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # both strategies produce identical rows on the live fixture — run
+    # through the driver-surface isolation wrapper, which clears the
+    # twin's tf cache at each query's entry (__spark_entry__._isolated,
+    # ADVICE r12) so the primary's shape stays self-contained
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    a = q["llm_text_tfidf_keywords"](spark, sf_dir).collect()
+    b = q["llm_text_tfidf_keywords_join"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    spark.catalog.clearCache()
+
+
+def test_cluster_sizes_join_back_not_window(spark, sf_dir):
+    """L9/L9b's n_members must be a combiner groupBy + join-back, not
+    count() over a cluster_id window (VERDICT r12 item 2): a planted
+    10k-member mega-cluster — boilerplate dedup's normal output — must
+    not funnel into one WindowExec task after the CC loop was made
+    skew-proof. Pins (a) no window spec anywhere in the helper's plan,
+    (b) a map-side partial count keyed on cluster_id, and (c) exact
+    sizes on the planted frame (mega-cluster + singletons)."""
+    from pipelinejobs_indexer_spark.llm.dedup import _attach_cluster_sizes
+
+    labels = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("cluster_id")
+    ).unionByName(
+        spark.range(10_000, 10_100).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+        )
+    )
+    out = _attach_cluster_sizes(labels)
+    plan = _formatted_plan(out)
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    sizes = {r.doc_id: r.n_members for r in out.collect()}
+    assert len(sizes) == 10_100
+    assert sizes[0] == 10_000 and sizes[42] == 10_000
+    assert sizes[10_050] == 1
+    # and the REGISTERED query's final stage carries no window either
+    # (the CC loop's windows sit behind checkpoints, outside this plan)
+    qplan = _formatted_plan(registry.QUERIES["llm_dedup_clusters"](spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(cluster_id", qplan), qplan
 
 
 def test_winnow_df_is_combiner_groupby_not_window(spark, sf_dir):
