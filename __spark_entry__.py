@@ -42,9 +42,30 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _isolated(fn: Callable[[SparkSession, str], DataFrame]):
+    """Per-query cache isolation for long-lived sweep sessions (ADVICE
+    r12): several dedup/tfidf queries .cache() an expensive decode or
+    aggregate leg that stays lazy in the returned frame, so a 199-query
+    sweep in ONE session would otherwise accumulate executor storage
+    until LRU eviction — and a cached subtree from query A can splice
+    itself into query B's physical plan via the shared CacheManager
+    (canonicalized-plan match), changing B's measured shape. Dropping
+    the cache at query ENTRY keeps each query's footprint and plan
+    self-contained; results are unaffected either way."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {n: _isolated(fn) for n, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
