@@ -574,6 +574,52 @@ PNG_SIDE = 16  # synthesized fixture images are PNG_SIDE x PNG_SIDE gray
 PNG_GRID = 2   # thumbnail grid: PNG_GRID x PNG_GRID quadrants
 
 
+def _png_decode_seam():
+    """PNG leg of the image_decoder swap seam, with the SAME structural
+    fallback as _tiff_decode_seam (ADVICE r12): streams the JVM pipe
+    rejects BY DESIGN (>8-bit samples — a 16-bit gray PNG entering an
+    external corpus) degrade to the pure decoder instead of failing the
+    whole query, while a native failure on a supported stream still
+    propagates loudly. The registered fixtures are 8-bit by
+    construction, so the driver hash is decoder-invariant either way."""
+    from .png import decode_png
+
+    if CONFIG.image_decoder != "imageio":
+        return decode_png
+    from .native_jpeg import decode_png_native
+
+    def dec(data: bytes):
+        try:
+            return decode_png_native(data)
+        except ValueError as e:
+            if "unsupported by pipe" in str(e):  # >8-bit samples
+                return decode_png(data)
+            raise
+
+    return dec
+
+
+def _gif_decode_seam():
+    """GIF leg of the swap seam — same fallback contract as
+    :func:`_png_decode_seam` (GIF is always 8-bit palette-coded, so the
+    fallback is purely defensive symmetry)."""
+    from .gif import decode_gif
+
+    if CONFIG.image_decoder != "imageio":
+        return decode_gif
+    from .native_jpeg import decode_gif_native
+
+    def dec(data: bytes):
+        try:
+            return decode_gif_native(data)
+        except ValueError as e:
+            if "unsupported by pipe" in str(e):
+                return decode_gif(data)
+            raise
+
+    return dec
+
+
 def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Synthesize a deterministic grayscale PNG per doc (pixel(y, x) =
     (doc_id*7 + y*W + x) % 256, scanline filters cycling 0..4), then run
@@ -587,11 +633,9 @@ def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     # the priced swap seam (VERDICT r11 item 4, same contract as the
     # L5g jpeg_decoder knob): PNG is lossless so both decoders return
-    # the identical array and the driver hash is decoder-invariant
-    if CONFIG.image_decoder == "imageio":
-        from .native_jpeg import decode_png_native as decode_png
-    else:
-        from .png import decode_png
+    # the identical array and the driver hash is decoder-invariant;
+    # pipe-rejected depths fall back pure (ADVICE r12)
+    decode_png = _png_decode_seam()
 
     w = PNG_SIDE
     q = PNG_SIDE // PNG_GRID
@@ -676,10 +720,7 @@ def _gif_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     # same swap seam as the PNG leg: GIF is palette-coded and lossless;
     # the sidecar expands the color table JVM-side, bit-exactly
-    if CONFIG.image_decoder == "imageio":
-        from .native_jpeg import decode_gif_native as decode_gif
-    else:
-        from .gif import decode_gif
+    decode_gif = _gif_decode_seam()
 
     w = GIF_SIDE
     q = GIF_SIDE // GIF_GRID
@@ -1527,7 +1568,14 @@ PDF_IMG_SCHEMA = StructType(
         StructField("sum_height", LongType()),
         StructField("px_sum_jpeg", LongType()),
         StructField("px_sum_raw", LongType()),
+        StructField("px_sum_pal", LongType()),
     ]
+)
+
+# 4-entry /Indexed lookup for the L5n palette leg — same closed form as
+# TIFF_PALETTE so the oracle reuses the (i*5, i*7, i*11) % 251 arithmetic
+PDF_PALETTE = bytes(
+    c for i in range(4) for c in ((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
 )
 
 
@@ -1571,6 +1619,23 @@ def _pdf_image_specs(doc_id: int) -> tuple[list[list[str]], list[list[dict]]]:
                     # filter cycle only on those)
                     "inline": doc_id % 5 == 2 and raw_filter in ("flate", None),
                 },
+                {
+                    # /Indexed palette image whose INDEX DEPTH cycles
+                    # 2/4/8 bits per doc (round 13: sub-8 packed
+                    # samples share the TIFF bit-unpack) — the decoded
+                    # RGB is depth-invariant, so one closed-form oracle
+                    # covers all three packings
+                    "kind": "indexed",
+                    "palette": PDF_PALETTE,
+                    "base": "/DeviceRGB",
+                    "indices": bytes(
+                        (doc_id + p * 7 + j) % 4 for j in range(64)
+                    ),
+                    "width": 8,
+                    "height": 8,
+                    "bits": [2, 4, 8][doc_id % 3],
+                    "filter": "flate" if doc_id % 2 else None,
+                },
             ]
         )
     return pages, images
@@ -1584,7 +1649,7 @@ def _pdf_image_features(
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "n_images", "sum_width", "sum_height",
-            "px_sum_jpeg", "px_sum_raw",
+            "px_sum_jpeg", "px_sum_raw", "px_sum_pal",
         )}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
@@ -1611,7 +1676,18 @@ def _pdf_image_features(
                 sum(sum(i["samples"]) for i in imgs if i["width"] == 16)
             )
             out["px_sum_raw"].append(
-                sum(sum(i["samples"]) for i in imgs if i["width"] == 8)
+                sum(
+                    sum(i["samples"])
+                    for i in imgs
+                    if i["width"] == 8 and i["n_components"] == 1
+                )
+            )
+            out["px_sum_pal"].append(
+                sum(
+                    sum(i["samples"])
+                    for i in imgs
+                    if i["width"] == 8 and i["n_components"] == 3
+                )
             )
         yield pd.DataFrame(
             {k: pd.Series(v, dtype="int64") for k, v in out.items()}
@@ -1638,25 +1714,40 @@ def _pdf_image_features(
                   generate_series(0, 1) AS p(p),
                   generate_series(0, 63) AS s(s)
              WHERE p.p < 1 + d.doc_id % 2
+             GROUP BY d.doc_id),
+           pl AS (
+             SELECT d.doc_id,
+                    CAST(SUM(((d.doc_id + p.p * 7 + s.s) % 4 * 5) % 251
+                           + ((d.doc_id + p.p * 7 + s.s) % 4 * 7) % 251
+                           + ((d.doc_id + p.p * 7 + s.s) % 4 * 11) % 251)
+                         AS BIGINT) AS px_sum_pal
+             FROM (SELECT doc_id FROM documents) d,
+                  generate_series(0, 1) AS p(p),
+                  generate_series(0, 63) AS s(s)
+             WHERE p.p < 1 + d.doc_id % 2
              GROUP BY d.doc_id)
            SELECT jp.doc_id,
-                  2 * (1 + jp.doc_id % 2) AS n_images,
-                  24 * (1 + jp.doc_id % 2) AS sum_width,
-                  24 * (1 + jp.doc_id % 2) AS sum_height,
+                  3 * (1 + jp.doc_id % 2) AS n_images,
+                  32 * (1 + jp.doc_id % 2) AS sum_width,
+                  32 * (1 + jp.doc_id % 2) AS sum_height,
                   jp.px_sum_jpeg,
-                  rw.px_sum_raw
-           FROM jp JOIN rw USING (doc_id)""",
+                  rw.px_sum_raw,
+                  pl.px_sum_pal
+           FROM jp JOIN rw USING (doc_id)
+                JOIN pl USING (doc_id)""",
 )
 def llm_multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5n: REAL PDF embedded-image decode (round 9) — the image half
     of corpus PDF ingest, closing the "image filters" refusal the L5l
-    docstring documented. Per doc, a multi-page PDF embeds two image
+    docstring documented. Per doc, a multi-page PDF embeds three image
     XObjects per page: a grayscale DC-only baseline JPEG under /Filter
     /DCTDecode (decoded by the in-repo jpeg.py — exactly how real
-    generators embed photos) and a raw 8-bit gray bitmap whose raster
+    generators embed photos), a raw 8-bit gray bitmap whose raster
     filter cycles Flate / RunLengthDecode (§7.4.5) / LZWDecode
     (§7.4.4.2 TIFF variant, MSB-first 9→12-bit codes, EarlyChange) /
-    none. The L5l knob cycle applies on top (RC4/AES-128/AES-256
+    none, and (round 13) an /Indexed palette image whose index depth
+    cycles 2/4/8 bits — the sub-8 packed-sample path (§8.9.5.2,
+    sharing the TIFF bit-unpack) under the same cipher/layout matrix. The L5l knob cycle applies on top (RC4/AES-128/AES-256
     ciphers, xref-stream and ObjStm layouts), so an AES-encrypted
     DCT-filtered image inside an ObjStm-packed container is a
     driver-hashed path, not a hope. The oracle recomputes pixel sums
@@ -2357,14 +2448,18 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     big=(d % 6 == 1),
                 )
             )
-            # 4-bit palette-color image: indices are doc arithmetic,
-            # the ColorMap is the fixed closed-form TIFF_PALETTE
+            # palette-color image: indices are doc arithmetic, the
+            # ColorMap is the fixed closed-form TIFF_PALETTE. Index
+            # depth cycles 4-bit (even docs) / 2-bit (odd docs) since
+            # round 13 — the sub-8 unpack is one loop for every legal
+            # depth, and both carry driver-hash evidence
+            pbits = 4 if d % 2 == 0 else 2
             pal = decode(
                 write_tiff(
-                    [[(d + y * 8 + x) % 16 for x in range(8)]
+                    [[(d + y * 8 + x) % (1 << pbits) for x in range(8)]
                      for y in range(8)],
-                    palette=TIFF_PALETTE,
-                    bits=4,
+                    palette=TIFF_PALETTE[: 1 << pbits],
+                    bits=pbits,
                     compression=[32773, 1, 5, 8][d % 4],
                     big_endian=(d // 5) % 2 == 0,
                 )
@@ -2409,9 +2504,16 @@ def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              GROUP BY d.doc_id),
            pl AS (
              SELECT d.doc_id,
-                    CAST(SUM(((d.doc_id + s.j) % 16 * 5) % 251
-                             + ((d.doc_id + s.j) % 16 * 7) % 251
-                             + ((d.doc_id + s.j) % 16 * 11) % 251)
+                    CAST(SUM((
+                      (d.doc_id + s.j)
+                        % (CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 4 END)
+                      * 5) % 251
+                      + ((d.doc_id + s.j)
+                        % (CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 4 END)
+                        * 7) % 251
+                      + ((d.doc_id + s.j)
+                        % (CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 4 END)
+                        * 11) % 251)
                          AS BIGINT) AS pal_sum
              FROM (SELECT doc_id FROM documents) d,
                   generate_series(0, 63) AS s(j)
@@ -2429,9 +2531,10 @@ def llm_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     RowsPerStrip splits, Compression 1/5/8/32773 (LZW shared
     byte-for-byte with PDF LZWDecode; PackBits is TIFF 6.0 §9's
     scheme where 128 is a no-op, NOT the PDF RunLengthDecode EOD; 8 is
-    Adobe Deflate), horizontal-differencing predictor, and the WhiteIsZero photometric
-    inversion — all cycled per doc so every path carries driver-hash
-    evidence. Bilevel Group 3/4 fax stays an honest refusal: the
+    Adobe Deflate), horizontal-differencing predictor, the WhiteIsZero photometric
+    inversion, and palette index depth 4-bit/2-bit (round 13: the
+    sub-8 unpack is one loop for 1/2/4-bit alike) — all cycled per doc
+    so every path carries driver-hash evidence. Bilevel Group 3/4 fax stays an honest refusal: the
     T.4/T.6 code tables are arbitrary published constants a
     from-memory implementation could get self-consistently wrong.
     Oracle: pixel sums in closed form from doc_id arithmetic. Scale

@@ -301,9 +301,19 @@ def _tiff_photometric(data: bytes) -> int | None:
         (cnt,) = struct.unpack_from(bo + "H", data, ifd_off)
         for k in range(cnt):
             off = ifd_off + 2 + 12 * k
-            tag, _typ = struct.unpack_from(bo + "HH", data, off)
+            tag, typ = struct.unpack_from(bo + "HH", data, off)
             if tag == 262:
-                return struct.unpack_from(bo + "H", data, off + 8)[0]
+                # honor the declared entry type (ADVICE r12): SHORT
+                # reads 2 bytes at the value slot, LONG reads 4 — a
+                # nonstandard LONG-typed photometric on a big-endian
+                # stream would otherwise read the high half (0) and
+                # misclassify a palette TIFF as bilevel; any other
+                # type is out of spec for tag 262 -> unknown
+                if typ == 3:
+                    return struct.unpack_from(bo + "H", data, off + 8)[0]
+                if typ == 4:
+                    return struct.unpack_from(bo + "I", data, off + 8)[0]
+                return None
     except struct.error:
         return None
     return None

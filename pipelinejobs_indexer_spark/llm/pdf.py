@@ -72,13 +72,15 @@ the packed bilevel raster expanded through the image's /Decode array
 strip per page). Device color spaces (Gray/RGB/CMYK) and
 [/Indexed base hival lookup] palettes (the lookup is FILE data — a
 string or stream — mapped into the base space, §8.6.6.3) at 8 bits
-per component are in scope, plus 1-bit /DeviceGray bilevel rasters
-and /ImageMask stencil masks (§8.9.6.2: 1-bit, no color space,
-extracted through the same /Decode path).
+per component are in scope, plus 1-bit /DeviceGray bilevel rasters,
+/ImageMask stencil masks (§8.9.6.2: 1-bit, no color space,
+extracted through the same /Decode path), and — round 13 — 2/4-bit
+packed samples for Indexed palettes and plain /DeviceGray (MSB-first
+byte-padded rows §8.9.5.2, sharing the TIFF bit-unpack machinery).
 
 Out of honest scope (documented raises): custom (non-Standard)
 security handlers, unknown crypt filters, codec-class raster filters
-(JBIG2Decode/JPXDecode), and sub-8-bit (other than 1-bit gray) or
+(JBIG2Decode/JPXDecode), and 16-bit, sub-8 direct-multi-component, or
 ICC/separation image formats raise NotImplementedError;
 structural corruption (bad header,
 unterminated stream/string, missing pages, cyclic or broken refs,
@@ -1398,9 +1400,11 @@ class _Document:
         height, n_components, and the interleaved row-major samples;
         sample length is validated against the geometry so a wrong
         filter chain cannot pass silently. 8-bit components in the
-        device color spaces and 1-bit /DeviceGray (expanded 0/255
-        through the /Decode array) are in scope; 2/4-bit depths raise
-        the documented NotImplementedError."""
+        device color spaces, 1-bit /DeviceGray (expanded 0/255
+        through the /Decode array), and 2/4-bit packed samples for
+        Indexed palettes / plain gray (round 13, TIFF bit-unpack) are
+        in scope; 16-bit and sub-8 direct multi-component raise the
+        documented NotImplementedError."""
         res = self.resolve(page.get("/Resources"))
         if res is None:
             return []
@@ -1425,11 +1429,12 @@ class _Document:
                        for x in (width, height)):
                 raise ValueError(f"bad PDF image geometry in {name}")
             bpc = self.resolve(info.get("/BitsPerComponent", 8))
-            if bpc not in (1, 8):
+            if bpc == 16:
                 raise NotImplementedError(
-                    f"{bpc}-bit PDF image components (palette depths) are "
-                    "outside the 1/8-bit sample scope"
+                    "16-bit PDF image components are out of honest scope"
                 )
+            if bpc not in (1, 2, 4, 8):
+                raise ValueError(f"illegal PDF BitsPerComponent {bpc!r}")
             cs = self.resolve(info.get("/ColorSpace"))
             lookup = None
             if self.resolve(info.get("/ImageMask")) is True:
@@ -1498,6 +1503,42 @@ class _Document:
                         "outside the device-space scope"
                     )
             samples = self.stream_bytes((ref[1], ref[2]))
+            if bpc in (2, 4):
+                # sub-8-bit packed samples (§8.9.5.2: MSB-first groups,
+                # rows byte-padded) — round 13, sharing the TIFF
+                # bit-unpack. In scope: Indexed palettes (any device
+                # base — the INDEX is the single packed component) and
+                # plain /DeviceGray under the default /Decode; direct
+                # sub-8 multi-component and custom /Decode arrays stay
+                # loud refusals.
+                from .tiff import _unpack_idx
+
+                if lookup is None and ncomp != 1:
+                    raise NotImplementedError(
+                        f"{bpc}-bit PDF images in {ncomp}-component "
+                        "direct color spaces are out of scope"
+                    )
+                if self.resolve(info.get("/Decode")) is not None:
+                    raise NotImplementedError(
+                        f"/Decode arrays on {bpc}-bit PDF images"
+                    )
+                stride = (width * bpc + 7) >> 3
+                if len(samples) != stride * height:
+                    raise ValueError(
+                        f"PDF {bpc}-bit image {name}: {len(samples)} "
+                        f"packed bytes for {width}x{height} geometry"
+                    )
+                vals: list[int] = []
+                for y in range(height):
+                    vals += _unpack_idx(
+                        samples[y * stride : (y + 1) * stride], width, bpc
+                    )
+                if lookup is None:
+                    # plain gray: the exact-integer full-range mapping
+                    # (x85 / x17), same convention as TIFF sub-8 gray
+                    scale = 255 // ((1 << bpc) - 1)
+                    vals = [v * scale for v in vals]
+                samples = bytes(vals)
             if bpc == 1:
                 # bilevel raster (CCITTFax or raw): rows byte-padded,
                 # MSB first; expand to 8-bit gray per /Decode default
@@ -2369,6 +2410,21 @@ def write_pdf(
                     raise ValueError("indexed pixels do not match geometry")
                 if max(body) >= len(pal) // bn:
                     raise ValueError("index exceeds palette size")
+                ibits = spec.get("bits", 8)
+                if ibits not in (2, 4, 8):
+                    raise ValueError(f"bad indexed bits {ibits!r}")
+                if ibits != 8:
+                    # round 13: sub-8 index packing (MSB-first, rows
+                    # byte-padded §8.9.5.2) via the TIFF bit-packer
+                    if max(body) >= (1 << ibits):
+                        raise ValueError("index exceeds declared depth")
+                    from .tiff import _pack_gray
+
+                    w = spec["width"]
+                    body = b"".join(
+                        bytes(_pack_gray(body[y * w : (y + 1) * w], w, ibits))
+                        for y in range(spec["height"])
+                    )
                 cs_entry = (
                     f"[/Indexed {base} {len(pal) // bn - 1} <{pal.hex()}>]"
                 )
@@ -2384,6 +2440,23 @@ def write_pdf(
                 body = spec["pixels"]
                 if len(body) != spec["width"] * spec["height"] * ncomp:
                     raise ValueError("raw image pixels do not match geometry")
+                rbits = spec.get("bits", 8)
+                if rbits not in (2, 4, 8):
+                    raise ValueError(f"bad raw bits {rbits!r}")
+                if rbits != 8:
+                    # round 13: sub-8 gray — pixels are the RAW small
+                    # samples (0..2^bits-1), packed like the indexed leg
+                    if ncomp != 1:
+                        raise ValueError("sub-8-bit raw images are gray only")
+                    if max(body) >= (1 << rbits):
+                        raise ValueError("sample exceeds declared depth")
+                    from .tiff import _pack_gray
+
+                    w = spec["width"]
+                    body = b"".join(
+                        bytes(_pack_gray(body[y * w : (y + 1) * w], w, rbits))
+                        for y in range(spec["height"])
+                    )
                 filt = spec.get("filter")
                 if filt == "flate":
                     body = zlib.compress(body)
@@ -2435,7 +2508,13 @@ def write_pdf(
                 raise ValueError(f"bad image kind {spec.get('kind')!r}")
             if enc is not None:
                 body = _enc_stream(body, num)
-            bpc = 1 if spec["kind"] == "fax" else 8
+            bpc = (
+                1
+                if spec["kind"] == "fax"
+                else spec.get("bits", 8)
+                if spec["kind"] in ("indexed", "raw")
+                else 8
+            )
             cs_part = (
                 ""
                 if spec.get("kind") == "fax" and spec.get("mask")

@@ -21,9 +21,10 @@ inverted to BlackIsZero on output) and 2 (RGB); Compression 1 (none),
 interchange stream through jpeg.py, baseline or progressive),
 8 (Adobe Deflate, zlib strips), 32773 (PackBits); Predictor 1/2;
 single or multiple strips (RowsPerStrip); PhotometricInterpretation 3
-palette-color with 8-bit AND 4-bit indices (the ColorMap is FILE
+palette-color with 8/4/2/1-bit indices (the ColorMap is FILE
 data — 3*2^bits 16-bit entries — so no unrecallable constants are
-involved; 4-bit rows unpack high-nibble-first with byte padding);
+involved; sub-8 rows unpack MSB-first with byte padding, one loop
+for every depth since round 13);
 Compression 2/3/4 (CCITT RLE / Group 3 T.4 / Group 4 T.6 bilevel fax,
 fax.py — REAL since round 10: the transcribed run-length tables are
 pinned EXTERNALLY by JDK-encoded conformance fixtures under
@@ -45,8 +46,7 @@ within bytes — what fax hardware emits; byte-wise bit reversal is
 computed, applied to coded fax data and uncompressed bit-packed rows,
 refused under byte-oriented codecs where it would corrupt samples).
 Out of honest scope (documented raises): separation/YCbCr
-photometrics, planar configuration 2, 2-bit palette indices,
-T.4/T.6 uncompressed mode.
+photometrics, planar configuration 2, T.4/T.6 uncompressed mode.
 
 The spec-subset writer (write_tiff) exists so round trips cross-check
 independently-written paths, the png.py/gif.py discipline; strip
@@ -171,6 +171,20 @@ def _pack_gray(row, width: int, gbits: int) -> bytearray:
     if n:
         out.append(acc << (8 - n))
     return out
+
+
+def _unpack_idx(row: bytes, width: int, ibits: int) -> list[int]:
+    """Expand one bit-packed palette-index row (MSB-first groups of
+    ibits, byte-padded) to RAW indices — the unscaled mate of
+    :func:`_unpack_gray` (indices address the ColorMap; scaling them
+    would be wrong). One loop serves 1/2/4-bit alike (round 13: the
+    4-bit nibble special case generalized)."""
+    mask = (1 << ibits) - 1
+    idxs: list[int] = []
+    for b in row:
+        for k in range(8 - ibits, -1, -ibits):
+            idxs.append((b >> k) & mask)
+    return idxs[:width]
 
 
 def _unpack_gray(row: bytes, width: int, gbits: int) -> bytearray:
@@ -351,17 +365,17 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
         # blues), scaled down to 8-bit here
         if spp != 1:
             raise ValueError("palette TIFF with SamplesPerPixel != 1")
-        if bits[0] not in (4, 8):
-            raise NotImplementedError(
-                f"{bits[0]}-bit palette indices (4/8 decode honestly)"
+        if bits[0] not in (1, 2, 4, 8):
+            raise ValueError(
+                f"{bits[0]}-bit palette indices (1/2/4/8 per TIFF 6.0 §5)"
             )
-        if bits[0] == 4 and predictor != 1:
-            # the nibble-unpack path neither applies nor reverses
+        if bits[0] != 8 and predictor != 1:
+            # the bit-unpack path neither applies nor reverses
             # horizontal differencing — decoding would be silently
             # wrong, so refuse loudly like the sub-8 grayscale branch
             # (ADVICE r10; pal-8 DOES apply predictor 2)
             raise NotImplementedError(
-                "predictor on 4-bit palette indices"
+                f"predictor on {bits[0]}-bit palette indices"
             )
         cmap = tags.get(TAG_COLORMAP)
         if not cmap or len(cmap) != 3 * (1 << bits[0]):
@@ -560,12 +574,10 @@ def _decode_ifd(data: bytes, bo: str, big: bool, ifd_off: int):
     for y in range(height):
         row = bytearray(raw[y * row_bytes : (y + 1) * row_bytes])
         if palette is not None:
-            if bps == 4:
-                idxs = []
-                for b in row:
-                    idxs.append(b >> 4)
-                    idxs.append(b & 0x0F)
-                idxs = idxs[:width]  # odd widths pad the last byte
+            if bps < 8:
+                # MSB-first packed indices, byte-padded rows (round 13:
+                # one unpack for 1/2/4-bit — the nibble case generalized)
+                idxs = _unpack_idx(row, width, bps)
             else:
                 if predictor == 2:
                     _undiff(row, 1)
@@ -663,12 +675,8 @@ def _decode_tiled(
             if gy >= height:
                 break
             rowb = bytearray(out[r * trow_bytes : (r + 1) * trow_bytes])
-            if palette is not None and bps == 4:
-                srow = bytearray()
-                for b in rowb:
-                    srow.append(b >> 4)
-                    srow.append(b & 0x0F)
-                srow = srow[:tw]
+            if palette is not None and bps < 8:
+                srow = bytearray(_unpack_idx(rowb, tw, bps))
             elif bilevel_packed:
                 srow = _unpack_gray(rowb, tw, bps)
             else:
@@ -806,18 +814,20 @@ def write_tiff(
     height = len(pixels)
     width = len(pixels[0]) if height else 0
     bo = ">" if big_endian else "<"
+    pal_bits = 8
     if palette is not None:
         photometric = 3
         spp = 1
-        if bits == 4:
-            flat = bytearray()
-            for row in pixels:
-                for i in range(0, width, 2):
-                    hi = row[i] << 4
-                    lo = row[i + 1] if i + 1 < width else 0
-                    flat.append(hi | lo)
-            flat = bytes(flat)
-            row_bytes = (width + 1) // 2
+        if bits not in (1, 2, 4, 8):
+            raise ValueError("palette indices write at 1/2/4/8 bits")
+        pal_bits = bits
+        if bits != 8:
+            # MSB-first packed indices (round 13: _pack_gray packs the
+            # RAW small values, which is exactly what indices are)
+            flat = b"".join(
+                bytes(_pack_gray(row, width, bits)) for row in pixels
+            )
+            row_bytes = (width * bits + 7) // 8
         else:
             flat = bytes(v for row in pixels for v in row)
             row_bytes = width
@@ -868,8 +878,7 @@ def write_tiff(
             from .fax import encode_g3, encode_g4, encode_mh
 
             photometric = 0  # MinIsWhite: the fax-file convention
-        pbits = 4 if (palette is not None and row_bytes != width) else 8
-        t_row_bytes = (tw * spp * (pbits if palette is not None
+        t_row_bytes = (tw * spp * (pal_bits if palette is not None
                                    else gray_bits) + 7) // 8
         across = (width + tw - 1) // tw
         down = (height + tl - 1) // tl
@@ -892,11 +901,10 @@ def write_tiff(
                     else:
                         strips.append(encode_g4(trows, tw))
                     continue
-                if palette is not None and pbits == 4:
+                if palette is not None and pal_bits != 8:
                     body = bytearray()
                     for trow in trows:
-                        for i in range(0, tw, 2):
-                            body.append((trow[i] << 4) | trow[i + 1])
+                        body += _pack_gray(trow, tw, pal_bits)
                 elif spp == 1 and gray_bits == 16:
                     body = bytearray()
                     for trow in trows:
@@ -974,9 +982,6 @@ def write_tiff(
     def long_(tag: int, *vals: int) -> None:
         entries.append((tag, 4, len(vals), struct.pack(f"{bo}{len(vals)}I", *vals)))
 
-    pal_bits = 8
-    if palette is not None and row_bytes != width:
-        pal_bits = 4
     short(TAG_WIDTH, width)
     short(TAG_HEIGHT, height)
     short(TAG_BITS, *([1 if fax_mode else

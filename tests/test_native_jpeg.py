@@ -214,10 +214,12 @@ def test_tiff_corpus_seam_decoder_invariant():
                 big=(d % 6 == 1),
             )
             assert decode_tiff(rgb) == dec(rgb), ("rgb", d)
+            pbits = [4, 2, 1][d % 3]  # r13: all sub-8 index depths
             pal = write_tiff(
-                [[(d + y * 8 + x) % 16 for x in range(8)] for y in range(8)],
-                palette=TIFF_PALETTE,
-                bits=4,
+                [[(d + y * 8 + x) % (1 << pbits) for x in range(8)]
+                 for y in range(8)],
+                palette=TIFF_PALETTE[: 1 << pbits],
+                bits=pbits,
                 compression=[32773, 1, 5, 8][d % 4],
                 big_endian=(d // 5) % 2 == 0,
             )
@@ -234,6 +236,84 @@ def test_tiff_corpus_seam_decoder_invariant():
             assert decode_tiff(fax) == dec(fax), ("fax", d)
     finally:
         object.__setattr__(mm.CONFIG, "image_decoder", old)
+
+
+def test_png_gif_seams_fall_back_pure_on_pipe_rejected_depth():
+    """The PNG/GIF seam legs mirror _tiff_decode_seam's fallback (ADVICE
+    r12): a stream the pipe rejects BY DESIGN (>8-bit samples — the
+    gray16 conformance fixture) must degrade to the pure decoder under
+    the imageio knob instead of failing the whole query, while the
+    registered 8-bit corpus still decodes through the sidecar
+    bit-exactly (the seam's production path is untouched)."""
+    from pipelinejobs_indexer_spark.llm import multimodal as mm
+    from pipelinejobs_indexer_spark.llm.gif import encode_gif
+    from pipelinejobs_indexer_spark.llm.native_jpeg import decode_png_native
+    from pipelinejobs_indexer_spark.llm.png import decode_png, encode_png_gray
+
+    gray16 = (FIXDIR / "gray16.png").read_bytes()
+    with pytest.raises(ValueError, match="unsupported by pipe"):
+        decode_png_native(gray16)
+    old = mm.CONFIG.image_decoder
+    object.__setattr__(mm.CONFIG, "image_decoder", "imageio")
+    try:
+        png_dec = mm._png_decode_seam()
+        assert (png_dec(gray16) == decode_png(gray16)).all()
+        # 8-bit corpus stream: still the sidecar, still bit-exact
+        yy, xx = np.mgrid[0:mm.PNG_SIDE, 0:mm.PNG_SIDE]
+        img = ((3 * 7 + yy * mm.PNG_SIDE + xx) % 256).astype(np.uint8)
+        raw = encode_png_gray(img, row_filters=(0, 1, 2, 3, 4))
+        assert (png_dec(raw) == decode_png(raw)).all()
+        gif_dec = mm._gif_decode_seam()
+        pal = np.array(
+            [[i * 3 % 256, i * 5 % 256, i * 7 % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        idx = (np.arange(64, dtype=np.uint8).reshape(8, 8) % 16)
+        from pipelinejobs_indexer_spark.llm.gif import decode_gif
+
+        g = encode_gif(idx, pal)
+        assert (gif_dec(g) == decode_gif(g)).all()
+    finally:
+        object.__setattr__(mm.CONFIG, "image_decoder", old)
+
+
+def test_tiff_photometric_honors_declared_entry_type():
+    """Tag 262's value must be read at the width its IFD entry declares
+    (ADVICE r12): a LONG-typed photometric on a big-endian stream reads
+    4 bytes (a SHORT read would see the high half = 0 and misclassify
+    palette as bilevel); types other than SHORT/LONG are out of spec
+    and return None (unknown) rather than garbage."""
+    import struct
+
+    from pipelinejobs_indexer_spark.llm.native_jpeg import _tiff_photometric
+    from pipelinejobs_indexer_spark.llm.tiff import write_tiff
+
+    gray_pal = [(17 * i, 17 * i, 17 * i) for i in range(16)]
+    rows = [[(y * 8 + x) % 16 for x in range(8)] for y in range(8)]
+    t = write_tiff(rows, palette=gray_pal, bits=4, compression=1,
+                   big_endian=True)
+    assert _tiff_photometric(t) == 3
+
+    def retype(data: bytes, typ: int, value_bytes: bytes) -> bytes:
+        bo = ">" if data[:2] == b"MM" else "<"
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        (cnt,) = struct.unpack_from(bo + "H", data, ifd_off)
+        buf = bytearray(data)
+        for k in range(cnt):
+            off = ifd_off + 2 + 12 * k
+            tag = struct.unpack_from(bo + "H", buf, off)[0]
+            if tag == 262:
+                struct.pack_into(bo + "H", buf, off + 2, typ)
+                buf[off + 8:off + 12] = value_bytes
+                return bytes(buf)
+        raise AssertionError("no photometric tag in fixture")
+
+    # LONG-typed on big-endian: value occupies the full 4-byte slot
+    t_long = retype(t, 4, struct.pack(">I", 3))
+    assert _tiff_photometric(t_long) == 3
+    # nonstandard RATIONAL type: unknown, not a misread 0
+    t_rat = retype(t, 5, struct.pack(">I", 8))
+    assert _tiff_photometric(t_rat) is None
 
 
 def test_tiff_gray_palette_stays_three_channel():

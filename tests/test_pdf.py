@@ -594,6 +594,52 @@ def test_image_roundtrip_all_filters_layouts_ciphers():
         assert pg[1][2]["samples"] == gray, kw
 
 
+def test_sub8_images_round_trip():
+    """Round 13 (VERDICT r12 item 6): 2/4-bit packed samples decode for
+    Indexed palettes and plain /DeviceGray — MSB-first byte-padded rows
+    (§8.9.5.2) through the shared TIFF bit-unpack — across filters and
+    the cipher/layout matrix; direct sub-8 RGB stays a refusal."""
+    from pipelinejobs_indexer_spark.llm.pdf import (
+        extract_pdf_images,
+        write_pdf,
+    )
+
+    pal = bytes(
+        c for i in range(4)
+        for c in ((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+    )
+    idx = bytes((x + 2 * y) % 4 for y in range(5) for x in range(9))
+    gray4 = bytes((x + y) % 16 for y in range(3) for x in range(7))
+    images = [[
+        {"kind": "indexed", "palette": pal, "base": "/DeviceRGB",
+         "indices": idx, "width": 9, "height": 5, "bits": 2,
+         "filter": "flate"},
+        {"kind": "raw", "pixels": gray4, "width": 7, "height": 3,
+         "ncomp": 1, "bits": 4, "filter": None},
+    ]]
+    exp_idx = bytes(c for i in idx for c in pal[i * 3 : (i + 1) * 3])
+    exp_gray = bytes(v * 17 for v in gray4)  # exact full-range mapping
+    for kw in ({}, {"encrypt_aes": True}, {"objstm": True},
+               {"encrypt_rc4": True, "xref_stream": True}):
+        data = write_pdf([["p0"]], images=images, **kw)
+        a, b = extract_pdf_images(data)[0]
+        assert (a["samples"], a["n_components"]) == (exp_idx, 3), kw
+        assert (b["samples"], b["n_components"]) == (exp_gray, 1), kw
+    # direct sub-8 multi-component: reader refusal (writer refuses too)
+    data = write_pdf([["p0"]], images=[[
+        {"kind": "raw", "pixels": gray4, "width": 7, "height": 3,
+         "ncomp": 1, "bits": 4, "filter": None}]])
+    with pytest.raises(NotImplementedError, match="direct color"):
+        extract_pdf_images(
+            data.replace(b"/ColorSpace /DeviceGray /BitsPerComponent 4",
+                         b"/ColorSpace /DeviceRGB  /BitsPerComponent 4")
+        )
+    with pytest.raises(ValueError, match="gray only"):
+        write_pdf([["p0"]], images=[[
+            {"kind": "raw", "pixels": bytes(21 * 3), "width": 7,
+             "height": 3, "ncomp": 3, "bits": 4, "filter": None}]])
+
+
 def test_image_error_classes():
     from pipelinejobs_indexer_spark.llm.pdf import extract_pdf_images
 
@@ -604,10 +650,21 @@ def test_image_error_classes():
     # sample-length mismatch: lie about /Width
     with pytest.raises(ValueError, match="sample bytes"):
         extract_pdf_images(data.replace(b"/Width 8", b"/Width 7"))
-    # sub-8-bit components are a documented refusal
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    # sub-8 depths decode since round 13 — declaring 4-bit over 8-bit
+    # sized data is now a loud geometry error, not a refusal
+    with pytest.raises(ValueError, match="packed bytes"):
         extract_pdf_images(
             data.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 4")
+        )
+    # 16-bit stays the documented refusal
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        extract_pdf_images(
+            data.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 16")
+        )
+    # an illegal depth is malformed, loud
+    with pytest.raises(ValueError, match="BitsPerComponent"):
+        extract_pdf_images(
+            data.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 3")
         )
     # indexed / ICC color spaces are a documented refusal
     with pytest.raises(NotImplementedError, match="color space"):
