@@ -44,9 +44,89 @@ import java.io.DataInputStream;
 import java.io.DataOutputStream;
 import java.io.EOFException;
 import java.io.IOException;
+import java.util.Iterator;
 import javax.imageio.ImageIO;
+import javax.imageio.ImageReader;
+import javax.imageio.stream.ImageInputStream;
 
 public class JpegPipe {
+    // One decoded image, fully assembled in memory BEFORE any response
+    // byte is written: an exception mid-assembly (e.g. an out-of-range
+    // palette index in a malformed stream) must produce a clean error
+    // frame, never a half-written success frame that desyncs the pipe
+    // and deadlocks the Python worker (r12 review finding).
+    static final class Frame {
+        final int h, w, nc, indexed;
+        final byte[] payload;
+        Frame(int h, int w, int nc, int indexed, byte[] payload) {
+            this.h = h; this.w = w; this.nc = nc;
+            this.indexed = indexed; this.payload = payload;
+        }
+    }
+
+    static Frame assemble(BufferedImage img) throws IOException {
+        int w = img.getWidth(), h = img.getHeight();
+        Raster r = img.getRaster();
+        // Palette-indexed images (GIF, palette PNG/TIFF, bilevel
+        // TIFF) expand through the color map to RGB here — the
+        // raster's raw samples are palette INDICES, which no
+        // pure decoder contract exposes. The indexed flag lets
+        // the Python wrappers restate format conventions
+        // (e.g. collapse a gray palette back to one channel for
+        // the TIFF BlackIsZero contract).
+        if (img.getColorModel() instanceof IndexColorModel) {
+            IndexColorModel icm = (IndexColorModel) img.getColorModel();
+            int msz = icm.getMapSize();
+            byte[] pr = new byte[msz], pg = new byte[msz],
+                   pb = new byte[msz];
+            icm.getReds(pr); icm.getGreens(pg); icm.getBlues(pb);
+            byte[] payload = new byte[h * w * 3];
+            int[] idx = new int[w];
+            for (int y = 0; y < h; y++) {
+                r.getPixels(0, y, w, 1, idx);
+                for (int x = 0; x < w; x++) {
+                    int i = idx[x];
+                    if (i < 0 || i >= msz)
+                        throw new IOException(
+                            "palette index " + i + " outside "
+                            + msz + "-entry color map");
+                    int o = (y * w + x) * 3;
+                    payload[o] = pr[i];
+                    payload[o + 1] = pg[i];
+                    payload[o + 2] = pb[i];
+                }
+            }
+            return new Frame(h, w, 3, 1, payload);
+        }
+        int nc = r.getNumBands();
+        // the pipe carries 8-bit samples; deeper images
+        // (16-bit gray TIFF) must error loudly, never
+        // truncate — callers fall back to the pure decoder
+        for (int b = 0; b < nc; b++)
+            if (img.getColorModel().getComponentSize(b) > 8)
+                throw new IOException(
+                    ">8-bit samples unsupported by pipe");
+        byte[] payload = new byte[h * w * nc];
+        // raster band order follows the color model's
+        // component order (band 0 = R even in 3BYTE_BGR
+        // storage), and raw samples skip any colorspace
+        // conversion for grayscale
+        int[] px = new int[w * nc];
+        for (int y = 0; y < h; y++) {
+            r.getPixels(0, y, w, 1, px);
+            for (int i = 0; i < w * nc; i++)
+                payload[y * w * nc + i] = (byte) px[i];
+        }
+        return new Frame(h, w, nc, 0, payload);
+    }
+
+    static void writeFrame(DataOutputStream out, Frame f)
+            throws IOException {
+        out.writeInt(f.h); out.writeInt(f.w);
+        out.writeInt(f.nc); out.writeInt(f.indexed);
+        out.write(f.payload);
+    }
+
     public static void main(String[] args) throws Exception {
         ImageIO.setUseCache(false);
         DataInputStream in =
@@ -56,77 +136,43 @@ public class JpegPipe {
         while (true) {
             int n;
             try { n = in.readInt(); } catch (EOFException e) { break; }
-            if (n <= 0) break;
+            if (n == 0 || n == Integer.MIN_VALUE) break;
+            // negative length = multi-page request (round 13): decode
+            // EVERY image in the stream via ImageReader.read(i) and
+            // respond with a page count followed by one frame per page
+            // — same wire format per frame, so single-image callers
+            // are untouched.
+            boolean multi = n < 0;
+            if (multi) n = -n;
             byte[] buf = new byte[n];
             in.readFully(buf);
             try {
-                BufferedImage img =
-                    ImageIO.read(new ByteArrayInputStream(buf));
-                if (img == null) throw new IOException("unreadable image");
-                int w = img.getWidth(), h = img.getHeight();
-                Raster r = img.getRaster();
-                // The FULL pixel payload is assembled in memory BEFORE
-                // any header byte is written: an exception mid-assembly
-                // (e.g. an out-of-range palette index in a malformed
-                // stream) must produce a clean error frame, never a
-                // half-written success frame that desyncs the pipe and
-                // deadlocks the Python worker (r12 review finding).
-                int nc; int indexed; byte[] payload;
-                // Palette-indexed images (GIF, palette PNG/TIFF, bilevel
-                // TIFF) expand through the color map to RGB here — the
-                // raster's raw samples are palette INDICES, which no
-                // pure decoder contract exposes. The indexed flag lets
-                // the Python wrappers restate format conventions
-                // (e.g. collapse a gray palette back to one channel for
-                // the TIFF BlackIsZero contract).
-                if (img.getColorModel() instanceof IndexColorModel) {
-                    IndexColorModel icm =
-                        (IndexColorModel) img.getColorModel();
-                    int msz = icm.getMapSize();
-                    byte[] pr = new byte[msz], pg = new byte[msz],
-                           pb = new byte[msz];
-                    icm.getReds(pr); icm.getGreens(pg); icm.getBlues(pb);
-                    nc = 3; indexed = 1;
-                    payload = new byte[h * w * 3];
-                    int[] idx = new int[w];
-                    for (int y = 0; y < h; y++) {
-                        r.getPixels(0, y, w, 1, idx);
-                        for (int x = 0; x < w; x++) {
-                            int i = idx[x];
-                            if (i < 0 || i >= msz)
-                                throw new IOException(
-                                    "palette index " + i + " outside "
-                                    + msz + "-entry color map");
-                            int o = (y * w + x) * 3;
-                            payload[o] = pr[i];
-                            payload[o + 1] = pg[i];
-                            payload[o + 2] = pb[i];
-                        }
+                if (multi) {
+                    ImageInputStream iis = ImageIO.createImageInputStream(
+                        new ByteArrayInputStream(buf));
+                    Iterator<ImageReader> it = ImageIO.getImageReaders(iis);
+                    if (!it.hasNext())
+                        throw new IOException("unreadable image");
+                    ImageReader rd = it.next();
+                    try {
+                        rd.setInput(iis, false, true);
+                        int np = rd.getNumImages(true);
+                        // assemble ALL pages before the first byte out
+                        Frame[] frames = new Frame[np];
+                        for (int i = 0; i < np; i++)
+                            frames[i] = assemble(rd.read(i));
+                        out.writeInt(np);
+                        for (Frame f : frames) writeFrame(out, f);
+                    } finally {
+                        rd.dispose(); iis.close();
                     }
                 } else {
-                    nc = r.getNumBands(); indexed = 0;
-                    // the pipe carries 8-bit samples; deeper images
-                    // (16-bit gray TIFF) must error loudly, never
-                    // truncate — callers fall back to the pure decoder
-                    for (int b = 0; b < nc; b++)
-                        if (img.getColorModel().getComponentSize(b) > 8)
-                            throw new IOException(
-                                ">8-bit samples unsupported by pipe");
-                    payload = new byte[h * w * nc];
-                    // raster band order follows the color model's
-                    // component order (band 0 = R even in 3BYTE_BGR
-                    // storage), and raw samples skip any colorspace
-                    // conversion for grayscale
-                    int[] px = new int[w * nc];
-                    for (int y = 0; y < h; y++) {
-                        r.getPixels(0, y, w, 1, px);
-                        for (int i = 0; i < w * nc; i++)
-                            payload[y * w * nc + i] = (byte) px[i];
-                    }
+                    BufferedImage img =
+                        ImageIO.read(new ByteArrayInputStream(buf));
+                    if (img == null)
+                        throw new IOException("unreadable image");
+                    writeFrame(out, assemble(img));
                 }
-                out.writeInt(h); out.writeInt(w);
-                out.writeInt(nc); out.writeInt(indexed);
-                out.write(payload);
             } catch (IOException | RuntimeException e) {
                 byte[] msg = String.valueOf(e).getBytes("UTF-8");
                 out.writeInt(-1); out.writeInt(msg.length); out.write(msg);
@@ -169,7 +215,16 @@ def _class_dir() -> str:
             check=True, capture_output=True, timeout=120,
         )
         # atomic publish: same filesystem (stage is inside d), so the
-        # rename can never expose a partially-written class file
+        # rename can never expose a partially-written class file.
+        # Nested classes (JpegPipe$Frame) publish FIRST and the main
+        # class LAST — readers key existence on JpegPipe.class, so a
+        # visible main class implies its whole closure is in place.
+        produced = sorted(
+            f for f in os.listdir(stage) if f.endswith(".class")
+        )
+        for f in produced:
+            if f != "JpegPipe.class":
+                os.replace(os.path.join(stage, f), os.path.join(d, f))
         os.replace(os.path.join(stage, "JpegPipe.class"), cls)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -219,6 +274,33 @@ def _decode_raw(data: bytes) -> tuple[int, int, int, int, bytes]:
     w, nc, indexed = struct.unpack(">iii", _read_exact(p.stdout, 12))
     raw = _read_exact(p.stdout, h * w * nc)
     return h, w, nc, indexed, raw
+
+
+def _decode_raw_pages(data: bytes) -> list[tuple[int, int, int, int, bytes]]:
+    """Multi-page pipe round-trip (round 13, VERDICT r12 item 5): a
+    NEGATIVE length prefix asks the sidecar to iterate every image in
+    the stream (ImageReader.getNumImages/read(i)); the response is a
+    page count followed by one standard frame per page. Failures raise
+    ValueError, same as the single-image path."""
+    if not data:
+        raise ValueError("empty image payload")
+    p = _pipe()
+    p.stdin.write(struct.pack(">i", -len(data)))
+    p.stdin.write(data)
+    p.stdin.flush()
+    (np_,) = struct.unpack(">i", _read_exact(p.stdout, 4))
+    if np_ < 0:
+        (mlen,) = struct.unpack(">i", _read_exact(p.stdout, 4))
+        msg = _read_exact(p.stdout, mlen).decode("utf-8", "replace")
+        raise ValueError(f"ImageIO decode failed: {msg}")
+    pages = []
+    for _ in range(np_):
+        h, w, nc, indexed = struct.unpack(
+            ">iiii", _read_exact(p.stdout, 16)
+        )
+        raw = _read_exact(p.stdout, h * w * nc)
+        pages.append((h, w, nc, indexed, raw))
+    return pages
 
 
 def _rows(h: int, w: int, nc: int, raw: bytes):
@@ -343,6 +425,71 @@ def decode_tiff_native(data: bytes):
             )
         return h, w, 1, _rows(h, w, 1, raw[::3])
     return h, w, nc, _rows(h, w, nc, raw)
+
+
+def _tiff_photometrics(data: bytes, max_pages: int = 256) -> list:
+    """PhotometricInterpretation (tag 262) for EVERY IFD in the chain —
+    the per-page mate of :func:`_tiff_photometric`, needed because a
+    multi-page TIFF may mix palette and bilevel pages and the channel
+    collapse keys on each page's DECLARED color model. Classic TIFF
+    only; a page with no/odd-typed tag yields None at its slot."""
+    from .tiff import _parse_header
+
+    try:
+        bo, big, ifd_off = _parse_header(data)
+    except (ValueError, struct.error):
+        return []
+    if big:
+        return []
+    out: list = []
+    seen = set()
+    try:
+        while ifd_off and ifd_off not in seen and len(out) < max_pages:
+            seen.add(ifd_off)
+            (cnt,) = struct.unpack_from(bo + "H", data, ifd_off)
+            pm = None
+            for k in range(cnt):
+                off = ifd_off + 2 + 12 * k
+                tag, typ = struct.unpack_from(bo + "HH", data, off)
+                if tag == 262:
+                    if typ == 3:
+                        pm = struct.unpack_from(bo + "H", data, off + 8)[0]
+                    elif typ == 4:
+                        pm = struct.unpack_from(bo + "I", data, off + 8)[0]
+                    break
+            out.append(pm)
+            (ifd_off,) = struct.unpack_from(
+                bo + "I", data, ifd_off + 2 + 12 * cnt
+            )
+    except struct.error:
+        return out
+    return out
+
+
+def decode_tiff_pages_native(data: bytes) -> list:
+    """ImageIO twin of :func:`..tiff.decode_tiff_pages` (round 13): one
+    (height, width, n_components, rows) tuple per IFD, with the same
+    per-page channel-collapse rule as :func:`decode_tiff_native` keyed
+    on each page's OWN declared photometric. Streams the JDK reader
+    lacks (BigTIFF, >8-bit samples) raise ValueError — callers keep
+    the pure decoder for those."""
+    pages = _decode_raw_pages(data)
+    pms = _tiff_photometrics(data)
+    out = []
+    for i, (h, w, nc, indexed, raw) in enumerate(pages):
+        pm = pms[i] if i < len(pms) else None
+        if indexed and nc == 3 and pm in (0, 1):
+            if any(
+                raw[j] != raw[j + 1] or raw[j] != raw[j + 2]
+                for j in range(0, len(raw), 3)
+            ):
+                raise ValueError(
+                    "bilevel/gray TIFF expanded to non-gray RGB"
+                )
+            out.append((h, w, 1, _rows(h, w, 1, raw[::3])))
+        else:
+            out.append((h, w, nc, _rows(h, w, nc, raw)))
+    return out
 
 
 def shutdown() -> None:

@@ -238,6 +238,73 @@ def test_tiff_corpus_seam_decoder_invariant():
         object.__setattr__(mm.CONFIG, "image_decoder", old)
 
 
+def test_multipage_tiff_seam_parity():
+    """Round 13 (VERDICT r12 item 5): the sidecar's negative-length
+    multi-page opcode iterates every IFD via ImageReader.read(i) and
+    must match decode_tiff_pages bit-exactly — on the three-page JDK
+    conformance fixture AND on the L5x tiled multi-page corpus shapes
+    (every codec, predictor, both byte orders, palette/bilevel mixes).
+    BigTIFF sniffs to pure and 16-bit pages fall back on the pipe's
+    loud rejection, so the seam is decoder-invariant end to end."""
+    from pipelinejobs_indexer_spark.llm import multimodal as mm
+    from pipelinejobs_indexer_spark.llm.native_jpeg import (
+        decode_tiff_pages_native,
+    )
+    from pipelinejobs_indexer_spark.llm.tiff import (
+        decode_tiff_pages,
+        write_tiff_multi,
+    )
+
+    raw = (FIXDIR / "multipage.tif").read_bytes()
+    assert decode_tiff_pages_native(raw) == decode_tiff_pages(raw)
+
+    old = mm.CONFIG.image_decoder
+    object.__setattr__(mm.CONFIG, "image_decoder", "imageio")
+    try:
+        dec = mm._tiff_pages_decode_seam()
+        # the exact L5x corpus recipe, including the 16-bit (d%11==0)
+        # and BigTIFF (d%6==0) docs the seam must route to pure
+        for d in range(24):
+            w, h = 40 + d % 27, 20 + d % 13
+            g = (16 if d % 11 == 0 else
+                 4 if d % 5 == 0 else (2 if d % 7 == 0 else 8))
+            mx = (1 << g) - 1
+            n_pages = 2 if d % 4 == 2 else 1
+            pages = [
+                [[(x * 5 + y * 11 + d + p * 1009) % (mx + 1)
+                  for x in range(w)] for y in range(h)]
+                for p in range(n_pages)
+            ]
+            tif = write_tiff_multi(
+                pages,
+                compression=[1, 5, 8, 32773][d % 4],
+                predictor=2 if d % 2 and d % 4 != 3 and g == 8 else 1,
+                bits=g,
+                tile_size=[(16, 16), (32, 16), (16, 32)][d % 3],
+                big_endian=(d // 2) % 2 == 0,
+                big=d % 6 == 0,
+            )
+            assert dec(tif) == decode_tiff_pages(tif), d
+        # mixed palette + bilevel chain: per-page photometric collapse
+        from pipelinejobs_indexer_spark.llm.multimodal import TIFF_PALETTE
+
+        pal_page = [[(y * 8 + x) % 16 for x in range(8)] for y in range(8)]
+        bil_page = [[1 if (x + y) % 3 == 0 else 0 for x in range(24)]
+                    for y in range(6)]
+        mixed = write_tiff_multi(
+            [pal_page, bil_page],
+            page_opts=[
+                {"palette": TIFF_PALETTE, "bits": 4, "compression": 1},
+                {"compression": 4},
+            ],
+        )
+        got = dec(mixed)
+        assert got == decode_tiff_pages(mixed)
+        assert got[0][2] == 3 and got[1][2] == 1  # palette stays RGB
+    finally:
+        object.__setattr__(mm.CONFIG, "image_decoder", old)
+
+
 def test_png_gif_seams_fall_back_pure_on_pipe_rejected_depth():
     """The PNG/GIF seam legs mirror _tiff_decode_seam's fallback (ADVICE
     r12): a stream the pipe rejects BY DESIGN (>8-bit samples — the
