@@ -2509,6 +2509,80 @@ def curate_v4(docs: DataFrame) -> DataFrame:
     )
 
 
+# -------------------------- L10e curation DAG v5 (+multimodal dedup gates)
+def _curate_v5_sql() -> str:
+    from .dedup import (
+        AUDIOHASH_MAX_DIST,
+        PHASH_MODE,
+        _audiohash_grid_sql,
+        _dct_banded_sql,
+        _phash_sql,
+        _videohash_sql,
+    )
+
+    return f"""WITH v4 AS ({_curate_v4_sql()}),
+         ph AS ({_phash_sql(PHASH_MODE)}),
+         au AS ({_dct_banded_sql(_audiohash_grid_sql(), AUDIOHASH_MAX_DIST)}),
+         vi AS ({_videohash_sql()}),
+         mm_drop AS (
+           SELECT doc_b AS doc_id FROM ph
+           UNION SELECT doc_b FROM au
+           UNION SELECT doc_b FROM vi
+         )
+         SELECT v4.doc_id, v4.lang, v4.n_words, v4.score, v4.avg_lp
+         FROM v4 LEFT JOIN mm_drop m ON m.doc_id = v4.doc_id
+         WHERE m.doc_id IS NULL"""
+
+
+@register("llm_corpus_curate_v5", sql=lambda: _curate_v5_sql())
+def llm_corpus_curate_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10e: curation DAG v5 (round-13 capstone) — v4 (normalized dedup
+    + decontamination + calibrated quality + repetition + LM-likelihood
+    + substring-span gates) composed with the MULTIMODAL near-dup
+    verdicts: the later document of every image DCT-phash pair (L2k),
+    acoustic fingerprint pair (L2m), and video shot-hash pair (L2n) is
+    dropped, yielding ONE declarative keep/drop plan per document
+    across text, image, audio, and video. This is the cross-modality
+    curation decision a production multimodal corpus needs: a doc that
+    survives every text gate but carries a near-duplicate image/clip is
+    still redundant training signal.
+
+    Plan shape: each modality's pair set is pairs-not-documents-sized —
+    all three enter as ONE broadcast LEFT ANTI join on the keep side
+    (union + distinct of their doc_b columns), the v1/v4 anti-join
+    discipline; no new corpus-scale shuffle on top of the constituent
+    DAGs, which remain banded/df-capped with zero corpus-pair joins.
+    Stage consistency is pinned in tests: v5's keep set equals v4's
+    minus exactly the union of the three INDEPENDENT registered
+    operators' doc_b sets."""
+    from .dedup import (
+        llm_dedup_audiohash,
+        llm_dedup_phash,
+        llm_dedup_videohash,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v4 = curate_v4(docs)
+    drop = (
+        llm_dedup_phash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            llm_dedup_audiohash(spark, sf_dir).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .unionByName(
+            llm_dedup_videohash(spark, sf_dir).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return v4.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_words", "score", "avg_lp"
+    )
+
+
 # ------------------------------------------- L6i corpus distribution drift
 DRIFT_REF_SOURCES = tuple(f"src{i}" for i in range(10))  # reference slice
 

@@ -1563,6 +1563,33 @@ def test_curate_v3_is_v2_minus_logprob_tail(spark):
     assert v3 <= v2
 
 
+def test_curate_v5_is_v4_minus_multimodal_dups(spark):
+    """L10e stage consistency (the round-13 capstone's contract): v5's
+    keep set must equal v4's minus EXACTLY the union of the three
+    independent registered multimodal near-dup operators' doc_b sets
+    (image DCT-phash L2k, acoustic L2m, video shot-hash L2n) — the
+    composed DAG may not re-derive, weaken, or over-apply any verdict."""
+    from pipelinejobs_indexer_spark.llm.dedup import (
+        llm_dedup_audiohash,
+        llm_dedup_phash,
+        llm_dedup_videohash,
+    )
+    from pipelinejobs_indexer_spark.llm.text import (
+        llm_corpus_curate_v4,
+        llm_corpus_curate_v5,
+    )
+
+    v4 = {r.doc_id: r for r in llm_corpus_curate_v4(spark, SF).collect()}
+    v5 = {r.doc_id: r for r in llm_corpus_curate_v5(spark, SF).collect()}
+    drops = set()
+    for op in (llm_dedup_phash, llm_dedup_audiohash, llm_dedup_videohash):
+        drops |= {r.doc_b for r in op(spark, SF).collect()}
+    assert set(v5) == set(v4) - drops
+    assert drops, "fixture must plant multimodal near-dups"
+    for d, row in v5.items():  # surviving rows pass through unchanged
+        assert tuple(row) == tuple(v4[d])
+
+
 def test_containment_catches_doc_contains_doc_that_jaccard_misses(spark, tmp_path):
     """A small doc fully contained in a much larger one: jaccard stays far
     below the 0.8 dedup threshold (union dominated by the big doc) but
