@@ -45,6 +45,8 @@ CURATION = [
     "llm_corpus_curate_v2",
     "llm_corpus_curate_v3",
     "llm_corpus_curate_v4",
+    # round 13: the cross-modality capstone joins the family
+    "llm_corpus_curate_v5",
 ]
 # second-decade mode for the dedup heavy family (`scale_probe.py dedup10`,
 # VERDICT r6 item 4): the 100 TB workhorses had only sf1 evidence
@@ -263,6 +265,12 @@ def main() -> None:
         # the combiner-df shape fix (the third weak-flagged query)
         scales = (("sf0.1", SF01), ("sf1", probe_lo))
         queries = ["llm_dedup_winnow"]
+    elif mode == "curate5":
+        # round 13: first decade for the cross-modality capstone alone
+        # (sf10's videohash leg is minutes — probe v5's own composition
+        # overhead at sf1 first)
+        scales = (("sf0.1", SF01), ("sf1", probe_lo))
+        queries = ["llm_corpus_curate_v4", "llm_corpus_curate_v5"]
     elif mode == "dfcap12":
         # round 12: the combiner-df shape replaced the count-over-key
         # window in containment + substring anchors — re-probe the two
