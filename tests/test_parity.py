@@ -131,10 +131,14 @@ def test_registry_front_loads_unproven_queries():
                 and row.get("hash_match")
             ):
                 green.add(name)
+    # changed-oracle names legitimately outrank never-proven ones (their
+    # standing green row proves a VOID contract — the r12 tier design),
+    # so they count as unproven for this ordering claim
+    changed = registry._changed_oracle_queries()
     names = [n for n in registry.QUERIES if n in registry.ORACLE]
     positions = {n: i for i, n in enumerate(names)}
-    unproven = [n for n in names if n not in green]
-    proven = [n for n in names if n in green]
+    unproven = [n for n in names if n not in green or n in changed]
+    proven = [n for n in names if n in green and n not in changed]
     if not unproven or not proven:
         return  # everything proven (the goal state) or no evidence yet
     worst_unproven = max(positions[n] for n in unproven)
