@@ -234,6 +234,25 @@ def test_tiff_corpus_seam_decoder_invariant():
                 big_endian=(d // 7) % 2 == 0,
             )
             assert decode_tiff(fax) == dec(fax), ("fax", d)
+        # JPEG-in-TIFF (compression 7, r13): DC-only strips decode
+        # bit-exactly through the JDK like the bare-JPEG seam —
+        # hand-spliced since write_tiff has no general JPEG encoder
+        import struct
+
+        from pipelinejobs_indexer_spark.llm.jpeg import synth_dc_jpeg
+
+        jpg = synth_dc_jpeg([[5, -10, 3, 7]], 16, 16, q=16)
+        base = write_tiff([[0] * 16 for _ in range(16)], compression=1)
+        at = base.index((259).to_bytes(2, "little"))
+        patched = bytearray(base)
+        patched[at + 8] = 7
+        strip_at = len(base) - 256
+        cat = bytes(patched).index((279).to_bytes(2, "little"))
+        patched[cat + 8:cat + 12] = struct.pack("<I", len(jpg))
+        jt = bytes(patched[:strip_at]) + jpg + bytes(
+            patched[strip_at + 256:]
+        )
+        assert decode_tiff(jt) == dec(jt), "jpeg-in-tiff"
     finally:
         object.__setattr__(mm.CONFIG, "image_decoder", old)
 
