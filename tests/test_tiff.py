@@ -621,6 +621,39 @@ def test_sampleformat_and_orientation_guards():
     assert decode_tiff(raw)[0] == 11
 
 
+def test_palette_roundtrip_hypothesis():
+    """Property: for any index depth in {1, 2, 4, 8}, geometry, codec,
+    and byte order, write_tiff -> decode_tiff returns exactly the
+    palette-mapped pixels (round 13: one MSB-first pack/unpack serves
+    every depth; this fuzzes the width-padding edge the fixed-geometry
+    tests cannot)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bits=st.sampled_from([1, 2, 4, 8]),
+        w=st.integers(1, 19),
+        h=st.integers(1, 7),
+        comp=st.sampled_from([1, 5, 8, 32773]),
+        be=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(bits, w, h, comp, be, seed):
+        n = 1 << bits
+        pal = [((i * 5 + seed) % 251, (i * 7) % 251, (i * 11) % 251)
+               for i in range(n)]
+        idx = [[(seed + x * 3 + y * 5) % n for x in range(w)]
+               for y in range(h)]
+        got = decode_tiff(
+            write_tiff(idx, palette=pal, bits=bits, compression=comp,
+                       big_endian=be)
+        )
+        assert got == (h, w, 3, [[pal[i] for i in row] for row in idx])
+
+    run()
+
+
 def test_pal4_predictor_refused():
     """ADVICE r10: LZW + predictor 2 on 4-bit palette indices was
     neither applied nor refused — the nibble path skipped _undiff in
