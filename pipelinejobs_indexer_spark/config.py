@@ -269,12 +269,14 @@ class EngineConfig:
     skew-splitting. ``join``: cache the tf frame, combiner groupBy on
     term (map-side partial counts — skew-proof), planner-chosen
     join-back — one more exchange plus the cache materialization.
-    MEASURED crossover (r12, BENCH_sf1.md): ``window`` is 27% faster
-    at sf0.1 (1.49 vs 1.89 s) AND on the 31-term maximally-hot sf1
-    closed-vocabulary probe (1.66 vs 2.11 s) — the window sort spills
-    and streams, so stay on ``window`` until a single term's doc list
-    outgrows a task's spill-sort tolerance (~256 MB — billions of
-    docs); ``join`` is the parity-proven escape hatch for that regime,
+    MEASURED crossover (r12 + the r13 tfidf13 second-decade probe,
+    BENCH_sf1.md): ``window`` is 27% faster at sf0.1 (1.49 vs 1.89 s)
+    and still 17% faster at sf10 (6.37 vs 7.67 s, 500k docs, every
+    term of the closed 31-word vocabulary maximally hot — a 500k-row
+    single-term partition spill-sorts without stragglering), so stay
+    on ``window`` until a single term's doc list outgrows a task's
+    spill-sort tolerance (~256 MB — billions of docs); ``join`` is
+    the parity-proven escape hatch for that regime,
     kept under the driver's value-hash gate every sweep by the
     ``llm_text_tfidf_keywords_join`` twin (the L9b/L13b pattern).
     ``logreg_iters`` — full-batch gradient-descent sweeps for the linear
