@@ -53,13 +53,13 @@ def _isolated(fn: Callable[[SparkSession, str], DataFrame]):
     the cache at query ENTRY keeps each query's footprint and plan
     self-contained; results are unaffected either way."""
 
+    import functools
+
+    @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.clearCache()
         return fn(spark, sf_dir)
 
-    run.__name__ = getattr(fn, "__name__", "query")
-    run.__doc__ = fn.__doc__
-    run.__wrapped__ = fn
     return run
 
 

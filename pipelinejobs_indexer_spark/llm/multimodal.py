@@ -574,50 +574,56 @@ PNG_SIDE = 16  # synthesized fixture images are PNG_SIDE x PNG_SIDE gray
 PNG_GRID = 2   # thumbnail grid: PNG_GRID x PNG_GRID quadrants
 
 
+def _decode_seam(pure, native, sniff_bigtiff: bool = False):
+    """THE image_decoder swap-seam contract, stated once (r13 review:
+    it was restated per format and had started to drift): under the
+    ``pure`` knob the pure decoder runs unwrapped; under ``imageio``,
+    streams the JVM pipe rejects BY DESIGN (>8-bit samples, its loud
+    'unsupported by pipe' error) degrade to the pure decoder instead of
+    failing the whole query, BigTIFF containers sniff straight to pure
+    when asked (the JDK reader lacks the 8-byte-offset container), and
+    any OTHER native failure on a supported stream propagates loudly —
+    never silently-wrong pixels. All wrapped formats are lossless, so
+    the driver hash is decoder-invariant either way."""
+    if CONFIG.image_decoder != "imageio":
+        return pure
+
+    def dec(data: bytes):
+        if sniff_bigtiff and data[:4] in (b"II+\x00", b"MM\x00+"):
+            return pure(data)
+        try:
+            return native(data)
+        except ValueError as e:
+            if "unsupported by pipe" in str(e):
+                return pure(data)
+            raise
+
+    return dec
+
+
 def _png_decode_seam():
-    """PNG leg of the image_decoder swap seam, with the SAME structural
-    fallback as _tiff_decode_seam (ADVICE r12): streams the JVM pipe
-    rejects BY DESIGN (>8-bit samples — a 16-bit gray PNG entering an
-    external corpus) degrade to the pure decoder instead of failing the
-    whole query, while a native failure on a supported stream still
-    propagates loudly. The registered fixtures are 8-bit by
-    construction, so the driver hash is decoder-invariant either way."""
+    """PNG leg of the swap seam (ADVICE r12: a 16-bit gray PNG from an
+    external corpus falls back pure; the registered fixtures are 8-bit
+    by construction)."""
     from .png import decode_png
 
     if CONFIG.image_decoder != "imageio":
         return decode_png
     from .native_jpeg import decode_png_native
 
-    def dec(data: bytes):
-        try:
-            return decode_png_native(data)
-        except ValueError as e:
-            if "unsupported by pipe" in str(e):  # >8-bit samples
-                return decode_png(data)
-            raise
-
-    return dec
+    return _decode_seam(decode_png, decode_png_native)
 
 
 def _gif_decode_seam():
-    """GIF leg of the swap seam — same fallback contract as
-    :func:`_png_decode_seam` (GIF is always 8-bit palette-coded, so the
-    fallback is purely defensive symmetry)."""
+    """GIF leg of the swap seam (GIF is always 8-bit palette-coded, so
+    the fallback is purely defensive symmetry)."""
     from .gif import decode_gif
 
     if CONFIG.image_decoder != "imageio":
         return decode_gif
     from .native_jpeg import decode_gif_native
 
-    def dec(data: bytes):
-        try:
-            return decode_gif_native(data)
-        except ValueError as e:
-            if "unsupported by pipe" in str(e):
-                return decode_gif(data)
-            raise
-
-    return dec
+    return _decode_seam(decode_gif, decode_gif_native)
 
 
 def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1572,11 +1578,17 @@ PDF_IMG_SCHEMA = StructType(
     ]
 )
 
-# 4-entry /Indexed lookup for the L5n palette leg — same closed form as
-# TIFF_PALETTE so the oracle reuses the (i*5, i*7, i*11) % 251 arithmetic
-PDF_PALETTE = bytes(
-    c for i in range(4) for c in ((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
-)
+def _fixture_palette(n: int) -> list:
+    """The fixture ColorMap closed form shared by the L5r TIFF palette
+    and the L5n PDF /Indexed lookup — their oracles replay this exact
+    (i*5, i*7, i*11) % 251 arithmetic, so the constant lives ONCE
+    (r13 review: the PDF copy was an eyeballed duplicate)."""
+    return [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
+            for i in range(n)]
+
+
+# 4-entry /Indexed lookup for the L5n palette leg
+PDF_PALETTE = bytes(c for rgb in _fixture_palette(4) for c in rgb)
 
 
 def _pdf_image_specs(doc_id: int) -> tuple[list[list[str]], list[list[dict]]]:
@@ -2353,8 +2365,7 @@ TIFF_SCHEMA = StructType(
     ]
 )
 
-TIFF_PALETTE = [((i * 5) % 251, (i * 7) % 251, (i * 11) % 251)
-                for i in range(16)]
+TIFF_PALETTE = _fixture_palette(16)
 
 
 def _tiff_gray(doc_id: int) -> list[list[int]]:
@@ -2384,24 +2395,15 @@ def _tiff_decode_seam():
     >8-bit samples — keep the pure decoder via an explicit sniff /
     loud-error check, so the registered query's hash is
     decoder-invariant with no silent-fallback blur (a native failure
-    on a SUPPORTED stream still propagates)."""
+    on a SUPPORTED stream still propagates; contract in
+    :func:`_decode_seam`)."""
     from .tiff import decode_tiff
 
     if CONFIG.image_decoder != "imageio":
         return decode_tiff
     from .native_jpeg import decode_tiff_native
 
-    def dec(data: bytes):
-        if data[:4] in (b"II+\x00", b"MM\x00+"):  # BigTIFF magic 43
-            return decode_tiff(data)
-        try:
-            return decode_tiff_native(data)
-        except ValueError as e:
-            if "unsupported by pipe" in str(e):  # >8-bit samples
-                return decode_tiff(data)
-            raise
-
-    return dec
+    return _decode_seam(decode_tiff, decode_tiff_native, sniff_bigtiff=True)
 
 
 def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2820,24 +2822,17 @@ def _tiff_pages_decode_seam():
     tiled corpus) no longer drops to pure Python just for paging. The
     same structural exclusions apply: BigTIFF sniffs to pure, >8-bit
     samples fall back on the pipe's loud rejection, and any other
-    native failure on a supported stream propagates."""
+    native failure on a supported stream propagates (contract in
+    :func:`_decode_seam`)."""
     from .tiff import decode_tiff_pages
 
     if CONFIG.image_decoder != "imageio":
         return decode_tiff_pages
     from .native_jpeg import decode_tiff_pages_native
 
-    def dec(data: bytes):
-        if data[:4] in (b"II+\x00", b"MM\x00+"):  # BigTIFF magic 43
-            return decode_tiff_pages(data)
-        try:
-            return decode_tiff_pages_native(data)
-        except ValueError as e:
-            if "unsupported by pipe" in str(e):  # >8-bit samples
-                return decode_tiff_pages(data)
-            raise
-
-    return dec
+    return _decode_seam(
+        decode_tiff_pages, decode_tiff_pages_native, sniff_bigtiff=True
+    )
 
 
 def _tiff_tiled_features(

@@ -262,6 +262,11 @@ def _decode_raw(data: bytes) -> tuple[int, int, int, int, bytes]:
     raw interleaved samples). ``indexed`` is 1 when the source was a
     palette image the sidecar expanded to RGB; failures raise
     ValueError."""
+    if not data:
+        # length 0 is the pipe's shutdown sentinel — sending it would
+        # kill the shared sidecar and surface as an uncatchable
+        # RuntimeError instead of the seam-visible ValueError
+        raise ValueError("empty image payload")
     p = _pipe()
     p.stdin.write(struct.pack(">i", len(data)))
     p.stdin.write(data)
@@ -370,35 +375,10 @@ def _tiff_photometric(data: bytes) -> int | None:
     review finding: an all-gray PALETTE image would otherwise collapse
     to 1 channel while the pure decoder keeps photometric-3 streams
     3-channel). Classic TIFF only (BigTIFF never reaches the pipe);
-    None when the header or tag is absent."""
-    from .tiff import _parse_header
-
-    try:
-        bo, big, ifd_off = _parse_header(data)
-    except (ValueError, struct.error):
-        return None
-    if big:
-        return None
-    try:
-        (cnt,) = struct.unpack_from(bo + "H", data, ifd_off)
-        for k in range(cnt):
-            off = ifd_off + 2 + 12 * k
-            tag, typ = struct.unpack_from(bo + "HH", data, off)
-            if tag == 262:
-                # honor the declared entry type (ADVICE r12): SHORT
-                # reads 2 bytes at the value slot, LONG reads 4 — a
-                # nonstandard LONG-typed photometric on a big-endian
-                # stream would otherwise read the high half (0) and
-                # misclassify a palette TIFF as bilevel; any other
-                # type is out of spec for tag 262 -> unknown
-                if typ == 3:
-                    return struct.unpack_from(bo + "H", data, off + 8)[0]
-                if typ == 4:
-                    return struct.unpack_from(bo + "I", data, off + 8)[0]
-                return None
-    except struct.error:
-        return None
-    return None
+    None when the header or tag is absent. Delegates to the per-page
+    chain walker so the tag-262 entry parsing lives once."""
+    pms = _tiff_photometrics(data, max_pages=1)
+    return pms[0] if pms else None
 
 
 def decode_tiff_native(data: bytes):
@@ -474,10 +454,24 @@ def decode_tiff_pages_native(data: bytes) -> list:
     lacks (BigTIFF, >8-bit samples) raise ValueError — callers keep
     the pure decoder for those."""
     pages = _decode_raw_pages(data)
+    if len(pages) > 256:
+        # mirror decode_tiff_pages' corruption bound so the seam never
+        # silently does MORE work than the pure contract allows
+        raise ValueError("TIFF IFD chain exceeds 256 pages")
     pms = _tiff_photometrics(data)
+    if len(pms) < len(pages):
+        # the chain walk stopped early (cap/struct error) while the JDK
+        # decoded further: the channel-collapse decision would have to
+        # guess — raise loudly rather than silently diverge from the
+        # pure decoder (the seam's no-silent-divergence contract; the
+        # BigTIFF case never reaches here, callers sniff it to pure)
+        raise ValueError(
+            f"TIFF IFD chain yields {len(pms)} photometric slots for "
+            f"{len(pages)} decoded pages"
+        )
     out = []
     for i, (h, w, nc, indexed, raw) in enumerate(pages):
-        pm = pms[i] if i < len(pms) else None
+        pm = pms[i]
         if indexed and nc == 3 and pm in (0, 1):
             if any(
                 raw[j] != raw[j + 1] or raw[j] != raw[j + 2]

@@ -190,14 +190,10 @@ def _unpack_idx(row: bytes, width: int, ibits: int) -> list[int]:
 def _unpack_gray(row: bytes, width: int, gbits: int) -> bytearray:
     """Expand one bit-packed grayscale row (MSB-first groups of gbits,
     byte-padded) to 8-bit samples scaled by the linear full-range
-    mapping 255/(2^gbits - 1)."""
+    mapping 255/(2^gbits - 1) — the scaled mate of :func:`_unpack_idx`
+    (one shared unpack loop, round 13)."""
     scale = 255 // ((1 << gbits) - 1)
-    mask = (1 << gbits) - 1
-    expanded = bytearray()
-    for b in row:
-        for k in range(8 - gbits, -1, -gbits):
-            expanded.append(((b >> k) & mask) * scale)
-    return expanded[:width]
+    return bytearray(v * scale for v in _unpack_idx(row, width, gbits))
 
 
 def _parse_header(data: bytes) -> tuple[str, bool, int]:

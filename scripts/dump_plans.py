@@ -139,6 +139,12 @@ def main() -> None:
             name,
             "plan dumped for coverage — shape claims in the operator docstring",
         )
+        # per-query cache isolation (r13 review): a cached subtree from
+        # an earlier query (e.g. the tfidf join twin's tf.cache()) would
+        # otherwise splice an InMemoryTableScan into a later dumped plan
+        # via the shared CacheManager — PLANS.md must show each query's
+        # OWN shape, same discipline as bench.py and the driver surface
+        spark.catalog.clearCache()
         df = registry.QUERIES[name](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
