@@ -1364,6 +1364,32 @@ def _attach_cluster_sizes(labels: DataFrame) -> DataFrame:
     )
 
 
+def _attach_canonical(scored: DataFrame) -> DataFrame:
+    """Attach ``canonical_id``/``is_canonical`` per cluster via a
+    combiner-groupBy argmax + planner-chosen join-back, NOT
+    ``first_value(doc_id) OVER (PARTITION BY cluster_id ...)`` (VERDICT
+    r13 item 1 — the same mega-cluster argument as _attach_cluster_sizes
+    above, applied to the argmax): max_by over a (score, -doc_id)
+    ordering struct collapses map-side, so a 10M-member boilerplate
+    cluster ships one partial winner per task instead of funneling its
+    whole membership into one WindowExec task; the ordering key is
+    unique per row (doc_id is unique), so the winner is deterministic —
+    highest score, lowest doc_id on ties."""
+    winners = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_doc_id")),
+        ).alias("canonical_id")
+    )
+    return scored.join(winners, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 @register("llm_dedup_clusters", sql=_clusters_sql())
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9: duplicate CLUSTERS from near-dup pairs — pair lists aren't
@@ -1440,28 +1466,18 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the component labels (already bounded by the LSH pair DAG,
     duplicate-population-sized — orders of magnitude smaller than the
     corpus) are broadcast into a single pass over the documents scan
-    that computes the score projection in codegen; the argmax is one
-    first_value window per cluster over that small joined frame.
-    No corpus-scale shuffle beyond what L9 itself already did."""
-    from pyspark.sql.window import Window
-
+    that computes the score projection in codegen; the per-cluster
+    argmax is _attach_canonical's combiner groupBy + planner-chosen
+    join-back — the same mega-cluster-proof shape as
+    _attach_cluster_sizes, see its docstring. No corpus-scale shuffle
+    beyond what L9 itself already did."""
     from .score import quality_score_frame
 
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     docs = spread(load_table(spark, sf_dir, "documents"))
     scored = quality_score_frame(docs).join(F.broadcast(labels), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    canon = F.first("doc_id").over(w)
-    return scored.select(
-        "doc_id",
-        "cluster_id",
-        "score",
-        canon.alias("canonical_id"),
-        (F.col("doc_id") == canon).alias("is_canonical"),
-    )
+    return _attach_canonical(scored)
 
 
 def _cc_min_label(pairs: DataFrame, max_rounds: int = MAX_CC_ITERS) -> DataFrame:

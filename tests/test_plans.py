@@ -436,8 +436,9 @@ def test_canonical_broadcasts_labels_into_one_doc_pass(spark, sf_dir):
     """L9c's incremental cost over L9 must be: one more documents scan
     (the score projection), the labels side entering via broadcast (the
     duplicate population is orders of magnitude smaller than the
-    corpus), and one window — no new corpus-scale shuffle, no
-    sort-merge join of corpus against labels."""
+    corpus), and one combiner argmax + join-back (r13: was one window) —
+    no new corpus-scale shuffle, no sort-merge join of corpus against
+    labels."""
     plan = _formatted_plan(registry.QUERIES["llm_dedup_canonical"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     base = _formatted_plan(registry.QUERIES["llm_dedup_clusters"](spark, sf_dir))
@@ -621,6 +622,46 @@ def test_cluster_sizes_join_back_not_window(spark, sf_dir):
     # and the REGISTERED query's final stage carries no window either
     # (the CC loop's windows sit behind checkpoints, outside this plan)
     qplan = _formatted_plan(registry.QUERIES["llm_dedup_clusters"](spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(cluster_id", qplan), qplan
+
+
+def test_canonical_argmax_join_back_not_window(spark, sf_dir):
+    """L9c's canonical selection must be a combiner-groupBy argmax +
+    join-back, not first_value over a cluster_id window (VERDICT r13
+    item 1 — the sibling of the n_members fix above): the same planted
+    mega-cluster must not funnel into one WindowExec task to pick one
+    winner. Pins (a) no window spec anywhere in the helper's plan, (b)
+    a map-side partial max_by keyed on cluster_id, and (c) exact
+    winners on the planted frame: highest score wins, lowest doc_id
+    breaks ties, singletons are their own canonical."""
+    from pipelinejobs_indexer_spark.llm.dedup import _attach_canonical
+
+    scored = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("cluster_id"),
+        # two docs tie at the top score 0.9 (ids 7 and 13): lowest id wins
+        F.when(F.col("id").isin(7, 13), F.lit(0.9))
+        .otherwise(F.lit(0.5))
+        .alias("score"),
+    ).unionByName(
+        spark.range(10_000, 10_100).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("cluster_id"),
+            F.lit(0.3).alias("score"),
+        )
+    )
+    out = _attach_canonical(scored)
+    plan = _formatted_plan(out)
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_max_by" in plan, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 10_100
+    assert rows[0].canonical_id == 7 and not rows[0].is_canonical
+    assert rows[7].canonical_id == 7 and rows[7].is_canonical
+    assert rows[13].canonical_id == 7 and not rows[13].is_canonical
+    assert rows[10_050].canonical_id == 10_050 and rows[10_050].is_canonical
+    # and the REGISTERED L9c plan carries no cluster_id window either
+    qplan = _formatted_plan(registry.QUERIES["llm_dedup_canonical"](spark, sf_dir))
     assert not re.search(r"windowspecdefinition\(cluster_id", qplan), qplan
 
 
