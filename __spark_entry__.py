@@ -51,7 +51,17 @@ def _isolated(fn: Callable[[SparkSession, str], DataFrame]):
     itself into query B's physical plan via the shared CacheManager
     (canonicalized-plan match), changing B's measured shape. Dropping
     the cache at query ENTRY keeps each query's footprint and plan
-    self-contained; results are unaffected either way."""
+    self-contained; results are unaffected either way.
+
+    CONTRACT (ADVICE r13): this assumes the driver runs queries
+    SEQUENTIALLY — build, collect, move on — which is what the sweep
+    protocol does. A driver that interleaved building one query's frame
+    with collecting another's would have query B's entry unpersist the
+    caches query A's still-uncollected frame depends on: correct
+    results (Spark recomputes evicted subtrees) but A's measured
+    shape/runtime silently changes. If interleaving ever becomes a
+    driver mode, scope this to unpersisting only the previous query's
+    own caches instead of the session-wide clear."""
 
     import functools
 

@@ -121,14 +121,26 @@ def main() -> None:
     # block can apply the convention "official number = lowest-load run
     # of the round" (no change to the frozen measurement methodology).
     start_load = machine["start"].get("load1")
-    noisy = start_load is not None and start_load > 2.0
-    if noisy:
+    if start_load is not None and start_load > 2.0:
         print(
             f"WARNING: start load1 {start_load} > 2 — this reading will be "
             "noise-dominated; re-run on an idle machine for the round's "
             "official number",
             file=sys.stderr,
         )
+
+    def _noisy() -> bool:
+        # Gate on the MAX of start/end load1 (ADVICE r13): a machine
+        # that becomes loaded mid-sweep is just as noise-dominated as
+        # one that starts loaded, and sampling only the start let such
+        # a run stamp itself noisy=false and win the "official number =
+        # lowest-load run" convention.
+        loads = [
+            s.get("load1")
+            for s in machine.values()
+            if s.get("load1") is not None
+        ]
+        return bool(loads) and max(loads) > 2.0
 
     headline: dict[str, float] = {}
     best: dict[str, float] = {}
@@ -159,6 +171,7 @@ def main() -> None:
         cv[name] = round(statistics.pstdev(warm) / mean, 4) if mean else 0.0
 
     machine["end"] = _machine_state()
+    noisy = _noisy()
     full_record = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",

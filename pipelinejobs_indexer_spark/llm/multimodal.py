@@ -574,7 +574,7 @@ PNG_SIDE = 16  # synthesized fixture images are PNG_SIDE x PNG_SIDE gray
 PNG_GRID = 2   # thumbnail grid: PNG_GRID x PNG_GRID quadrants
 
 
-def _decode_seam(pure, native, sniff_bigtiff: bool = False):
+def _decode_seam(pure, native_loader, sniff_bigtiff: bool = False):
     """THE image_decoder swap-seam contract, stated once (r13 review:
     it was restated per format and had started to drift): under the
     ``pure`` knob the pure decoder runs unwrapped; under ``imageio``,
@@ -584,9 +584,17 @@ def _decode_seam(pure, native, sniff_bigtiff: bool = False):
     when asked (the JDK reader lacks the 8-byte-offset container), and
     any OTHER native failure on a supported stream propagates loudly —
     never silently-wrong pixels. All wrapped formats are lossless, so
-    the driver hash is decoder-invariant either way."""
+    the driver hash is decoder-invariant either way.
+
+    ``native_loader`` is a zero-arg callable returning the native
+    decoder, invoked only under the imageio knob — the knob check
+    lives HERE and nowhere else (ADVICE r13: the per-format seams each
+    re-checked it as an early return so their native imports stayed
+    lazy; the loader keeps the import lazy without the duplicate
+    check)."""
     if CONFIG.image_decoder != "imageio":
         return pure
+    native = native_loader()
 
     def dec(data: bytes):
         if sniff_bigtiff and data[:4] in (b"II+\x00", b"MM\x00+"):
@@ -607,11 +615,12 @@ def _png_decode_seam():
     by construction)."""
     from .png import decode_png
 
-    if CONFIG.image_decoder != "imageio":
-        return decode_png
-    from .native_jpeg import decode_png_native
+    def native():
+        from .native_jpeg import decode_png_native
 
-    return _decode_seam(decode_png, decode_png_native)
+        return decode_png_native
+
+    return _decode_seam(decode_png, native)
 
 
 def _gif_decode_seam():
@@ -619,11 +628,12 @@ def _gif_decode_seam():
     the fallback is purely defensive symmetry)."""
     from .gif import decode_gif
 
-    if CONFIG.image_decoder != "imageio":
-        return decode_gif
-    from .native_jpeg import decode_gif_native
+    def native():
+        from .native_jpeg import decode_gif_native
 
-    return _decode_seam(decode_gif, decode_gif_native)
+        return decode_gif_native
+
+    return _decode_seam(decode_gif, native)
 
 
 def _png_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2399,11 +2409,12 @@ def _tiff_decode_seam():
     :func:`_decode_seam`)."""
     from .tiff import decode_tiff
 
-    if CONFIG.image_decoder != "imageio":
-        return decode_tiff
-    from .native_jpeg import decode_tiff_native
+    def native():
+        from .native_jpeg import decode_tiff_native
 
-    return _decode_seam(decode_tiff, decode_tiff_native, sniff_bigtiff=True)
+        return decode_tiff_native
+
+    return _decode_seam(decode_tiff, native, sniff_bigtiff=True)
 
 
 def _tiff_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2826,13 +2837,12 @@ def _tiff_pages_decode_seam():
     :func:`_decode_seam`)."""
     from .tiff import decode_tiff_pages
 
-    if CONFIG.image_decoder != "imageio":
-        return decode_tiff_pages
-    from .native_jpeg import decode_tiff_pages_native
+    def native():
+        from .native_jpeg import decode_tiff_pages_native
 
-    return _decode_seam(
-        decode_tiff_pages, decode_tiff_pages_native, sniff_bigtiff=True
-    )
+        return decode_tiff_pages_native
+
+    return _decode_seam(decode_tiff_pages, native, sniff_bigtiff=True)
 
 
 def _tiff_tiled_features(

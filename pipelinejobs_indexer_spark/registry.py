@@ -264,30 +264,35 @@ def load_all() -> None:
             ORACLE[n] = v()
     changed = _changed_oracle_queries()
 
-    def tier(n: str) -> tuple[int, int]:
+    # Tier precedence is structural — (oracled?, tier_rank, evidence
+    # round) — not arithmetic offsets in one shared keyspace (ADVICE
+    # r13: magnitude encoding only held while round numbers stayed well
+    # under the offsets, and any offset tweak could silently reorder
+    # tiers). Ranks, first-to-sweep first:
+    #   0 changed-oracle — the CONTRACT moved, standing evidence is
+    #     void (VERDICT r11 item 8);
+    #   1 never-proven — no green driver row at all;
+    #   2 age-escalated — evidence past the horizon, ahead of the
+    #     (possibly window-sized) source-dirty tier so the rotation's
+    #     tail stays bounded (VERDICT r12 item 1 — 16 queries sat on
+    #     r7/r8 evidence behind ~70 dirty names for five rounds);
+    #   3 source-dirty — module committed after the latest evidence,
+    #     ordered among themselves by evidence age (a whole-module
+    #     edit can mark more queries stale than one 50-query sweep
+    #     holds — the oldest proofs must re-run first);
+    #   4 fresh — ordered by ascending latest-green round.
+    def tier(n: str) -> tuple[int, int, int]:
         if n not in ORACLE:
-            return (1, latest.get(n, 0))
+            return (1, 0, latest.get(n, 0))
         if n not in latest:
-            return (0, -2000)  # no evidence at all — first in line
+            return (0, 1, 0)
         if n in changed:
-            # oracle text changed since it was last proven: the
-            # CONTRACT moved, the old evidence is void — first in the
-            # whole rotation (never-proven names follow at -2000; both
-            # groups are small enough to share one sweep window)
-            return (0, latest[n] - 3000)
+            return (0, 0, latest[n])
         if n in aged:
-            # evidence past the age horizon: ahead of the (possibly
-            # window-sized) source-dirty tier, so the rotation's tail
-            # stays bounded (VERDICT r12 item 1 — 16 queries sat on
-            # r7/r8 evidence behind ~70 dirty names for five rounds)
-            return (0, latest[n] - 1500)
+            return (0, 2, latest[n])
         if n in stale:
-            # source-dirty: ahead of every fresh query, ordered among
-            # themselves by evidence age (a whole-module edit can mark
-            # more queries stale than one 50-query sweep holds — the
-            # oldest proofs must re-run first)
-            return (0, latest[n] - 1000)
-        return (0, latest[n])
+            return (0, 3, latest[n])
+        return (0, 4, latest[n])
 
     ordered = sorted(QUERIES, key=tier)
     for mapping in (QUERIES, ORACLE):
