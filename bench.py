@@ -111,7 +111,20 @@ def main() -> None:
             nproc = len([p for p in os.listdir("/proc") if p.isdigit()])
         except OSError:
             nproc = None
-        return {"load1": load1, "nproc": nproc}
+        # Hypervisor steal + total jiffies (r14): this sandbox is a VM
+        # whose host intermittently starves the guest — bursts showed
+        # whole sweeps 2-4x slow while guest load1 read ~0. Guest-side
+        # load can never see that; /proc/stat's steal column can.
+        steal = total = None
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1 : 9 + 1]]
+            steal = vals[7] if len(vals) > 7 else None
+            total = sum(vals)
+        except (OSError, ValueError, IndexError):
+            pass
+        return {"load1": load1, "nproc": nproc, "steal": steal, "cpu_total": total}
 
     machine = {"start": _machine_state()}
     # Noise gate (VERDICT r12 item 4): the official artifact was
@@ -130,17 +143,31 @@ def main() -> None:
         )
 
     def _noisy() -> bool:
-        # Gate on the MAX of start/end load1 (ADVICE r13): a machine
-        # that becomes loaded mid-sweep is just as noise-dominated as
-        # one that starts loaded, and sampling only the start let such
-        # a run stamp itself noisy=false and win the "official number =
-        # lowest-load run" convention.
-        loads = [
-            s.get("load1")
-            for s in machine.values()
-            if s.get("load1") is not None
-        ]
-        return bool(loads) and max(loads) > 2.0
+        # Two independent gates (r14 — replaces the r13-ADVICE max(start,
+        # end) load gate, which was self-defeating: the sweep's own
+        # 32-core execution always drives end load1 above 2, so every
+        # run stamped itself noisy=true and the "official number =
+        # lowest-load run" convention lost its signal):
+        #   1. start load1 > 2 — other processes on this guest were
+        #      already running when the sweep began. End load1 is still
+        #      RECORDED for provenance but no longer gated on, because
+        #      it measures our own work, not contention.
+        #   2. hypervisor steal > 3% of the run's cpu-jiffy budget —
+        #      this sandbox is a VM with bursty host-side contention
+        #      (measured: whole sweeps 2-4x slow at guest load1 ~0);
+        #      steal is the only guest-visible trace of it.
+        start_load = machine["start"].get("load1")
+        if start_load is not None and start_load > 2.0:
+            return True
+        s0, s1 = machine["start"], machine["end"]
+        if None not in (
+            s0.get("steal"), s1.get("steal"), s0.get("cpu_total"), s1.get("cpu_total")
+        ):
+            dsteal = s1["steal"] - s0["steal"]
+            dtotal = s1["cpu_total"] - s0["cpu_total"]
+            if dtotal > 0 and dsteal / dtotal > 0.03:
+                return True
+        return False
 
     headline: dict[str, float] = {}
     best: dict[str, float] = {}

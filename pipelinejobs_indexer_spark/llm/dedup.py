@@ -1162,6 +1162,7 @@ def connected_components(
     pairs: DataFrame,
     max_rounds: int = MAX_CC_ITERS,
     min_strategy: str | None = None,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex of the pair graph, cluster_id
     = min member — via alternating large-star/small-star (Kiveris et al.,
@@ -1211,7 +1212,12 @@ def connected_components(
     # from this checkpoint, never from a re-run of the LSH plan.
     pairs = iter_checkpoint(pairs)
     n_pairs = pairs.count()
-    verts = iter_checkpoint(
+    # verts stays LAZY (r14): it is consumed exactly once, by the final
+    # star-forest join after the loop, so checkpointing it bought no
+    # reuse and cost a full materialization pass (an extra job + an
+    # extra corpus-pairs-scale distinct execution) per clusters query.
+    # It derives from the pairs checkpoint, never from the LSH plan.
+    verts = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
         .distinct()
@@ -1232,13 +1238,29 @@ def connected_components(
         # and its per-stage re-planning is measurable overhead across many
         # tiny iteration jobs.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        e = iter_checkpoint(
-            _canon(
-                pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        if pairs_canonical:
+            # The caller guarantees pairs are already a canonical edge
+            # list (distinct, doc_a < doc_b strictly — what minhash_pairs
+            # emits by construction: its candidate join requires
+            # a.doc_id < b2.doc_id and ends in .distinct()). _canon would
+            # then be a pure no-op: greatest/least only flips orientation,
+            # which round 0's symmetrization erases, the u != v filter
+            # can't fire on a strict inequality, and distinct re-dedups a
+            # distinct set. Skipping it removes one full edge-list
+            # exchange + checkpoint materialization + count per clusters
+            # query (r14; the r13 bench paid ~0.4 s for it at sf0.1, and
+            # at 100 TB it is a corpus-pairs-scale shuffle).
+            e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            e_cnt = n_pairs
+        else:
+            e = iter_checkpoint(
+                _canon(
+                    pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+                )
             )
-        )
+            e_cnt = e.count()
         e, prev_cnt = _cc_rounds(
-            e, e.count(), w_u, _parts, max_rounds, spark, min_strategy
+            e, e_cnt, w_u, _parts, max_rounds, spark, min_strategy
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
@@ -1409,7 +1431,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected_components checkpoints the pair list once itself; the
     # minhash DAG is never re-run under the component loop
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, pairs_canonical=True)
     return _attach_cluster_sizes(labels)
 
 
@@ -1424,7 +1446,9 @@ def llm_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers are the knob's contract, proven per-round, not only in the
     local parity test (the X1b/X3b alternate-path pattern)."""
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, min_strategy="twophase")
+    labels = connected_components(
+        pairs, min_strategy="twophase", pairs_canonical=True
+    )
     return _attach_cluster_sizes(labels)
 
 
@@ -1474,7 +1498,7 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .score import quality_score_frame
 
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, pairs_canonical=True)
     docs = spread(load_table(spark, sf_dir, "documents"))
     scored = quality_score_frame(docs).join(F.broadcast(labels), "doc_id")
     return _attach_canonical(scored)

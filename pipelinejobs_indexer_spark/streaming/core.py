@@ -24,11 +24,27 @@ from pyspark.sql.types import StructType
 
 from ..session import tune
 
+def _batch_schema(spark: SparkSession, path: str) -> StructType:
+    """Probe a parquet file's batch-reader schema, memoized per
+    (applicationId, path) in tables._SCHEMA_CACHE: schema inference runs
+    a ~130 ms driver-side footer job per call, and every streaming-query
+    construction was re-paying it (r14 measurement). Shares the batch
+    loaders' cache so either side's first probe serves both."""
+    from ..tables import _SCHEMA_CACHE
+
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Streaming file sources need an explicit schema; probe it from the
     batch reader so both testdata generations work (TIMESTAMP(NANOS) read
     as long under nanosAsLong vs native TIMESTAMP(MICROS))."""
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return _batch_schema(spark, f"{sf_dir}/events.parquet")
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +68,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time column: the bloom-gate consumer is stateless, so no
     watermark is involved."""
     tune(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _batch_schema(spark, f"{sf_dir}/documents.parquet")
     return (
         spark.readStream.format("parquet")
         .schema(schema)

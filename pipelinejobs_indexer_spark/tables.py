@@ -48,10 +48,33 @@ PET_ADJ = ["fond", "quick", "brave", "calm", "eager", "gentle", "happy", "jolly"
 PET_NOUN = ["bug", "fox", "owl", "crab", "newt", "lark", "moth"]
 
 
+# Planning-metadata caches, keyed by (applicationId, path) so a fresh
+# session re-probes and distinct sf_dirs never collide. These memoize
+# METADATA the session could cache itself (parquet footer schema, scan
+# split width) — never data or results; every action still recomputes
+# from the parquet inputs. Motivation (r14 measurement): a bare
+# ``spark.read.parquet(path)`` runs a driver-side schema-inference job
+# per call (~130 ms); with an explicit schema the reader builds in
+# ~25 ms. A bench sweep constructs each query fresh per run at ~2
+# ``load_table`` calls per query, so per-query-run construction was
+# paying 0.1-0.3 s of repeated footer reads — and at 100 TB, schema
+# inference over a large file listing is a classic driver stall
+# (optimization guide §7.3); production reads there should pass an
+# explicit/catalog schema exactly like this.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one base table; normalizes the events nano-timestamp."""
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         # Normalize ts to TIMESTAMP_NTZ micros (== DuckDB's ts::TIMESTAMP)
         # across testdata generations: TIMESTAMP(NANOS) parquet arrives as
@@ -66,6 +89,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type != "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # Scan-identity marker (set AFTER any events normalization so the
+    # returned frame carries it): lets spread() consult the width cache
+    # instead of re-running the ~50 ms plan->RDD probe per construction.
+    df._graft_scan_key = key
     return df
 
 
@@ -85,16 +112,32 @@ def spread(df: DataFrame) -> DataFrame:
     a 100 TB table already scans as thousands of row-group splits. Only
     worth it when per-row compute dominates — joins/aggs that shuffle
     anyway gain nothing and pay the extra exchange.
+
+    The width probe (``df.rdd.getNumPartitions()`` — forces plan->RDD
+    conversion, ~50 ms of driver time) is cached per (applicationId,
+    path) when the frame carries load_table's scan-identity marker:
+    scan width is fixed for a given path within a session, and every
+    query construction was re-paying the probe (r14 measurement).
+    Frames without the marker (derived/test frames) probe as before.
     """
     from .session import default_parallelism
 
     n = default_parallelism()
-    if df.rdd.getNumPartitions() < n:
+    key = getattr(df, "_graft_scan_key", None)
+    width = _SCAN_WIDTH_CACHE.get(key) if key is not None else None
+    if width is None:
+        width = df.rdd.getNumPartitions()
+        if key is not None:
+            _SCAN_WIDTH_CACHE[key] = width
+    if width < n:
         df = df.repartition(n)
     return df
 
 
-_SCAN_WIDTH_CACHE: dict[tuple[str, str], int] = {}
+# Scan-width memo. Two key shapes share it (no collision): spread()'s
+# (applicationId, path) from load_table's marker, and _spread_keyed's
+# (applicationId, sf_dir, table).
+_SCAN_WIDTH_CACHE: dict[tuple, int] = {}
 
 
 def _spread_keyed(df: DataFrame, key: str, cache_key: tuple[str, str]) -> DataFrame:
@@ -125,6 +168,7 @@ def _spread_keyed(df: DataFrame, key: str, cache_key: tuple[str, str]) -> DataFr
     from .session import default_parallelism
 
     n = default_parallelism()
+    cache_key = (df.sparkSession.sparkContext.applicationId, *cache_key)
     width = _SCAN_WIDTH_CACHE.get(cache_key)
     if width is None:
         width = df.rdd.getNumPartitions()
