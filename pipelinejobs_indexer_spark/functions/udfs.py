@@ -184,13 +184,21 @@ def udaf_history_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#"),
         F.col("name"),
     )
-    folded = je.groupBy("job_uuid").agg(
+    # Group on the integer job_key and derive job_uuid per GROUP (r14,
+    # guide §2.3 — result-identical: job_uuid = '107'||sha256(job_key)
+    # is injective, so the groups are the same sets): one sha256 per job
+    # instead of per event row, computed after the exchange instead of
+    # inside the serial scan stage, and an 8-byte shuffle key instead of
+    # a 67-char string.
+    folded = je.groupBy("job_key").agg(
         F.sort_array(F.collect_list(entry)).alias("raw"),
         F.count("*").alias("n_events"),
     )
     # strip the sort key back off: keep "name@date", joined with '|'
     return folded.select(
-        "job_uuid",
+        F.concat(
+            F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)
+        ).alias("job_uuid"),
         F.array_join(
             F.expr(
                 "transform(raw, x -> concat(split(x, '#')[2], '@', split(x, '#')[0]))"

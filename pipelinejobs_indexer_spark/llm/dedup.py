@@ -1210,7 +1210,7 @@ def connected_components(
     # One materialization of the (potentially expensive) candidate-pair
     # DAG: everything below — vertex set, canonical edges, counts — derives
     # from this checkpoint, never from a re-run of the LSH plan.
-    pairs = iter_checkpoint(pairs)
+    pairs = iter_checkpoint(pairs, lazy=True)  # materialized by the count
     n_pairs = pairs.count()
     # verts stays LAZY (r14): it is consumed exactly once, by the final
     # star-forest join after the loop, so checkpointing it bought no
@@ -1256,7 +1256,8 @@ def connected_components(
             e = iter_checkpoint(
                 _canon(
                     pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-                )
+                ),
+                lazy=True,  # materialized by the count
             )
             e_cnt = e.count()
         e, prev_cnt = _cc_rounds(
@@ -1330,7 +1331,8 @@ def _cc_rounds(e, prev_cnt, w_u, _parts, max_rounds, spark, min_strategy=None):
                 withm2.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
                     withm2.select("u", F.col("mn").alias("v"))
                 )
-            )
+            ),
+            lazy=True,  # materialized by the convergence count
         )
         cnt = ss.count()
         changed = cnt != prev_cnt or ss.join(e, ["u", "v"], "left_anti").limit(
@@ -1431,7 +1433,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected_components checkpoints the pair list once itself; the
     # minhash DAG is never re-run under the component loop
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, pairs_canonical=True)
+    labels = connected_components(pairs, pairs_canonical=True).cache()
+    # _attach_cluster_sizes consumes labels twice (the census groupBy and
+    # the join-back): cache so the star-forest assembly materializes once
+    # instead of once per consumer (r14 — the frame is duplicate-
+    # population-sized, so the cache is bounded by the pair DAG; .cache()
+    # rather than a checkpoint keeps the full plan visible for the shape
+    # pins/PLANS.md, and the driver surface clears caches per query).
     return _attach_cluster_sizes(labels)
 
 
@@ -1448,7 +1456,8 @@ def llm_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(
         pairs, min_strategy="twophase", pairs_canonical=True
-    )
+    ).cache()
+    # same double-consumer cache as llm_dedup_clusters (r14)
     return _attach_cluster_sizes(labels)
 
 
@@ -1501,6 +1510,13 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, pairs_canonical=True)
     docs = spread(load_table(spark, sf_dir, "documents"))
     scored = quality_score_frame(docs).join(F.broadcast(labels), "doc_id")
+    # _attach_canonical consumes scored twice (winners argmax and the
+    # join-back): cache so the corpus scan + quality-score projection
+    # run ONCE, not once per consumer (r14). scored is duplicate-
+    # population-sized (inner join against the cluster labels), so the
+    # cache is bounded by the pair DAG; .cache() keeps the full plan
+    # visible for the shape pins/PLANS.md.
+    scored = scored.cache()
     return _attach_canonical(scored)
 
 

@@ -105,7 +105,7 @@ def kmeans_plan(e: DataFrame) -> DataFrame:
     k, iters = CONFIG.kmeans_k, CONFIG.kmeans_iters
     q = e.select("vec_id", "label", F.expr(_QUANT).alias("xq"))
     # iterated over iters+1 times: materialize once, cut lineage
-    q = iter_checkpoint(spread(q))
+    q = iter_checkpoint(spread(q), lazy=True)  # materialized by the stats/count action
     stats = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("vec_id").alias("lo"),
@@ -258,7 +258,7 @@ def logreg_plan(e: DataFrame) -> DataFrame:
         F.when(F.col("label") >= POS_LABEL, F.lit(1)).otherwise(F.lit(0)).alias("y"),
         F.expr(f"concat(array({QSCALE}L), {_QUANT})").alias("xa"),
     )
-    q = iter_checkpoint(spread(q))
+    q = iter_checkpoint(spread(q), lazy=True)  # materialized by the stats/count action
     n = q.count()
     if n == 0:
         raise ValueError("logreg needs a non-empty corpus")
@@ -431,7 +431,7 @@ def _pq_fit(
     k = CONFIG.pq_k if k is None else k
     iters = CONFIG.pq_iters if iters is None else iters
     q = e.select("vec_id", F.expr(_QUANT).alias("xq"))
-    q = iter_checkpoint(spread(q))
+    q = iter_checkpoint(spread(q), lazy=True)  # materialized by the stats/count action
     stats = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("vec_id").alias("lo"),

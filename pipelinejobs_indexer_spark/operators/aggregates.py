@@ -86,11 +86,33 @@ def agg_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: jobs per (pipeline, state) — monitoring / batch re-index
-    selection (states init-job.json:25; ensemble mode config.yml:5-8)."""
+    selection (states init-job.json:25; ensemble mode config.yml:5-8).
+
+    Scale rewrite (r14, result-identical to the oracle SQL): group on
+    the narrow source columns and derive pipeline_uuid AFTER the
+    aggregation — sha256 on one row per group instead of per job row
+    (pipeline_uuid = '106'||sha256(o_orderpriority) is injective, so
+    grouping by the priority groups exactly as grouping by the uuid),
+    and the per-row projection left in the scan stage is one CASE, which
+    partial aggregation collapses map-side with no pre-repartition."""
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    state = (
+        F.when(F.col("o_orderstatus") == "F", "FINISHED")
+        .when(F.col("o_orderstatus") == "O", "CREATED")
+        .otherwise("INDEXING")
+    )
     return (
-        jobs(spark, sf_dir)
-        .groupBy("pipeline_uuid", "state")
+        o.groupBy(F.col("o_orderpriority").alias("prio"), state.alias("state"))
         .agg(F.count("*").alias("n_jobs"))
+        .select(
+            F.concat(F.lit("106"), F.sha2(F.col("prio"), 256)).alias(
+                "pipeline_uuid"
+            ),
+            "state",
+            "n_jobs",
+        )
     )
 
 
@@ -238,8 +260,11 @@ def agg_storage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (t-digest sketch, mergeable map-side) — the
     plan shape is unchanged."""
     pct = F.expr("percentile(length, array(0.50D, 0.90D, 0.99D))")
+    # spread=False: the plan prunes every sha2-derived column (ext/length
+    # only survive), so the keyed pre-repartition was pure overhead —
+    # partial aggregation collapses the scan stage map-side (r14 A/B).
     return (
-        archive_files(spark, sf_dir)
+        archive_files(spark, sf_dir, spread=False)
         .groupBy("ext")
         .agg(pct.alias("p"))
         .select(
@@ -263,9 +288,15 @@ def agg_storage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: storage metadata rollup per extension and processing level
-    (fixture-tree byte accounting, tests/store/uploads/)."""
+    (fixture-tree byte accounting, tests/store/uploads/).
+
+    spread=False: the plan prunes every sha2-derived column (ext/level/
+    length only), so the keyed pre-repartition was pure overhead — the
+    projection left in the scan stage is a few CASE/round expressions
+    and partial aggregation collapses it map-side (r14 A/B: 0.53 ->
+    0.35 s at sf0.1)."""
     return (
-        archive_files(spark, sf_dir)
+        archive_files(spark, sf_dir, spread=False)
         .groupBy("ext", "level")
         .agg(
             F.count("*").alias("n_files"),

@@ -173,10 +173,15 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged, so results are identical to the naive plan — only the
     join fan-out shrinks.
     """
+    # The equi key is (job_key, tb) — the integer fixture key instead of
+    # the 67-char uuid (r14, guide §2.3; result-identical: job_uuid =
+    # '107'||sha256(job_key) is injective, so key equality is unchanged).
+    # The uuid is derived AFTER the join for output rows only, moving the
+    # sha256 out of the serial scan stage and off the shuffle key.
     _W = 7200  # bucket width (sec) == interval length
     ev = job_events(spark, sf_dir)
     e = ev.select(
-        "job_uuid",
+        "job_key",
         "event_seq",
         "name",
         "date",
@@ -185,7 +190,7 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = (
         ev.filter(F.col("name") == "create")
         .select(
-            F.col("job_uuid"),
+            F.col("job_key"),
             F.col("event_seq").alias("run_id"),
             F.col("date").alias("run_start"),
             (F.col("date") + F.expr("INTERVAL 2 HOURS")).alias("run_end"),
@@ -199,7 +204,7 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(
             runs,
-            (F.col("e.job_uuid") == F.col("r.job_uuid"))
+            (F.col("e.job_key") == F.col("r.job_key"))
             & (F.col("e.tb") == F.col("r.tb"))
             & (F.col("e.date") >= F.col("r.run_start"))
             & (F.col("e.date") <= F.col("r.run_end")),
@@ -207,7 +212,9 @@ def join_range_events_in_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("r.run_id"),
             F.col("e.event_seq"),
-            F.col("e.job_uuid"),
+            F.concat(
+                F.lit("107"), F.sha2(F.col("e.job_key").cast("string"), 256)
+            ).alias("job_uuid"),
             F.col("e.name"),
         )
     )
@@ -245,8 +252,16 @@ def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m = messages(spark, sf_dir)
     e = job_events(spark, sf_dir)
+    # Shuffle-narrowing rewrite (r14, guide §2.3 — result-identical to
+    # the oracle SQL): the timeline partitions on the integer job_key
+    # instead of the 67-char uuid (uuid = '107'||sha256(job_key) is
+    # injective, and BOTH fixture views carry job_key, so the window
+    # partitions are exactly the same sets), and the uuid is derived
+    # AFTER the window for the surviving message rows only — the sha256
+    # moves out of the serial scan stage into the parallel post-shuffle
+    # stage, and only messages (not every event) pay it.
     timeline = e.select(
-        F.col("job_uuid").alias("uuid"),
+        F.col("job_key"),
         F.col("date").alias("t"),
         F.lit(0).alias("is_msg"),
         "event_seq",
@@ -255,7 +270,7 @@ def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("date"),
     ).unionByName(
         m.select(
-            "uuid",
+            "job_key",
             F.col("ts").alias("t"),
             F.lit(1).alias("is_msg"),
             F.lit(None).cast("long").alias("event_seq"),
@@ -265,20 +280,27 @@ def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
-        Window.partitionBy("uuid")
+        Window.partitionBy("job_key")
         .orderBy("t", "is_msg", "event_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         timeline.select(
             "msg_id",
-            "uuid",
+            "job_key",
             "is_msg",
             F.last("name", ignorenulls=True).over(w).alias("state_at"),
             F.last("date", ignorenulls=True).over(w).alias("state_date"),
         )
         .filter((F.col("is_msg") == 1) & F.col("state_at").isNotNull())
-        .select("msg_id", "uuid", "state_at", "state_date")
+        .select(
+            "msg_id",
+            F.concat(
+                F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)
+            ).alias("uuid"),
+            "state_at",
+            "state_date",
+        )
     )
 
 

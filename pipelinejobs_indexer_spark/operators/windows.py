@@ -5,10 +5,13 @@ W2 win_transition_pairs — event→predecessor pairing, per-state durations
                           (create→run→finish, init-job.json:59,99,139)
 W3 win_running_counts   — cumulative activity per job over time
 
-Scale notes: all three windows partition by job_uuid — one shuffle on the
-same key, and Catalyst collapses adjacent windows with identical
-partitioning/ordering into a single sort+window pass. No global windows
-here (sorts.py O1 documents that tradeoff).
+Scale notes: all three windows partition by the integer job_key (one
+shuffle on the same key; since r14 the job_uuid output column — an
+injective sha256 of job_key — is derived AFTER the window, so the
+shuffle key is 8 bytes instead of 67 chars and the hashing runs in the
+parallel post-shuffle stage), and Catalyst collapses adjacent windows
+with identical partitioning/ordering into a single sort+window pass. No
+global windows here (sorts.py O1 documents that tradeoff).
 """
 
 from __future__ import annotations
@@ -37,13 +40,26 @@ _W_ORDER = "ORDER BY date, event_seq"
 def win_latest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: latest history entry per job via ranking (the history array is
     consumed latest-first, init-job.json:37-141; store.last_event
-    reactor.py:127). Deterministic tie-break on event_seq."""
-    w = Window.partitionBy("job_uuid").orderBy(F.desc("date"), F.desc("event_seq"))
+    reactor.py:127). Deterministic tie-break on event_seq.
+
+    Shuffle-narrowing rewrite (r14, guide §2.3 — result-identical): the
+    window partitions on the integer job_key (job_uuid =
+    '107'||sha256(job_key) is injective, so the partitions are the same
+    sets) and the uuid is derived for the ONE surviving row per job
+    after the rank filter — one sha256 per job instead of per event,
+    computed post-shuffle instead of inside the serial scan stage."""
+    w = Window.partitionBy("job_key").orderBy(F.desc("date"), F.desc("event_seq"))
     return (
         job_events(spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("job_uuid", "date", "name")
+        .select(
+            F.concat(
+                F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)
+            ).alias("job_uuid"),
+            "date",
+            "name",
+        )
     )
 
 
@@ -62,10 +78,15 @@ def win_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: pair each event with its predecessor — transition edges and
     per-state dwell time (the create→run→finish sequence,
     init-job.json:59,99,139)."""
-    w = Window.partitionBy("job_uuid").orderBy("date", "event_seq")
+    # Window keyed on the integer job_key; job_uuid derived post-window
+    # (r14, guide §2.3 — result-identical: the uuid is an injective
+    # function of job_key, so partitions match; the per-row sha256 moves
+    # from the serial scan stage to the parallel post-shuffle stage and
+    # the shuffle key narrows from 67 chars to 8 bytes).
+    w = Window.partitionBy("job_key").orderBy("date", "event_seq")
     prev_date = F.lag("date").over(w)
     return job_events(spark, sf_dir).select(
-        "job_uuid",
+        "job_key",
         "event_seq",
         "name",
         F.lag("name").over(w).alias("prev_name"),
@@ -77,6 +98,14 @@ def win_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0,
             6,
         ).alias("gap_sec"),
+    ).select(
+        F.concat(
+            F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)
+        ).alias("job_uuid"),
+        "event_seq",
+        "name",
+        "prev_name",
+        "gap_sec",
     )
 
 
@@ -96,16 +125,25 @@ def win_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: cumulative events and value per job over time (incremental
     indexing / re-index batch accounting, config.yml:5-8). Explicit
     rows-frame so the accumulation order is pinned on both engines."""
+    # Same job_key-keyed window + post-window uuid derivation as W2
+    # (r14, guide §2.3 — result-identical, injective key mapping).
     w = (
-        Window.partitionBy("job_uuid")
+        Window.partitionBy("job_key")
         .orderBy("date", "event_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return job_events(spark, sf_dir).select(
-        "job_uuid",
+        "job_key",
         "event_seq",
         F.count("*").over(w).alias("running_n"),
         F.round(F.sum("value").over(w), 2).alias("running_value"),
+    ).select(
+        F.concat(
+            F.lit("107"), F.sha2(F.col("job_key").cast("string"), 256)
+        ).alias("job_uuid"),
+        "event_seq",
+        "running_n",
+        "running_value",
     )
 
 

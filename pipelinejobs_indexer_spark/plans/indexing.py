@@ -73,6 +73,8 @@ def pipeline_index_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    full path string is never materialized for filtered-out rows;
     #  * the uuid is derived AFTER the aggregation: sha256 on one row per
     #    group, not per file.
+    from ..functions.udfs import regex_any_filter
+
     valid_msgs = (
         m.filter((F.col("name") == "index") & F.col("token").rlike("^[0-9a-f]{16}$"))
         .select("job_key")
@@ -82,7 +84,10 @@ def pipeline_index_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     basename = F.concat(F.col("file_seq").cast("string"), F.lit("."), F.col("ext"))
     selected = (
         f.filter(
-            (basename.rlike(r"\.bam$") | basename.rlike(r"\.sam$"))
+            # literal-suffix patterns lower to endswith compares (the P2
+            # classifier) — no regex engine in the serial scan stage;
+            # newline_free: basename derives from an int and a 3-char ext
+            regex_any_filter(basename, [r"\.bam$", r"\.sam$"], newline_free=True)
             & F.col("level").isin("1", "2")
         )
         .select("job_key", "length", "ext")

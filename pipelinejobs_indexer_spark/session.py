@@ -91,8 +91,18 @@ def default_sf_dir() -> str:
 _checkpoint_dir_appids: set[str] = set()
 
 
-def iter_checkpoint(df):
+def iter_checkpoint(df, lazy: bool = False):
     """Materialize an iterative-loop intermediate and cut its lineage.
+
+    ``lazy=True`` (r14) defers the localCheckpoint's materialization to
+    the caller's NEXT action — for call sites that immediately count the
+    checkpointed frame (the CC loop's convergence counts, its pair-DAG
+    setup), eager+count was two jobs per round doing one job's work; a
+    lazy checkpoint materialized BY the count is one. Only honored on
+    the localCheckpoint path: the resilient path's persist->checkpoint->
+    unpersist dance needs the eager materialization it was built around,
+    and correctness is identical either way (the flag trades job count,
+    not results).
 
     The CC loop (llm/dedup.py) and BPE trainer (llm/text.py) re-derive a
     frame from itself each round; without a checkpoint the lazy plan
@@ -130,7 +140,7 @@ def iter_checkpoint(df):
     from . import config as _config
 
     if not _config.CONFIG.resilient_checkpoints:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=not lazy)
     from pyspark import StorageLevel
 
     spark = df.sparkSession

@@ -246,9 +246,22 @@ def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def archive_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Indexed file records derived from lineitem (FIXTURES.md B2)."""
-    li = _spread_keyed(load_table(spark, sf_dir, "lineitem"), "l_orderkey", (sf_dir, "lineitem"))
+def archive_files(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """Indexed file records derived from lineitem (FIXTURES.md B2).
+
+    ``spread=False`` (r14) skips the keyed pre-repartition for consumers
+    whose plans prune every sha2-derived column (e.g. the storage aggs:
+    ext/level/length only): there the projection left in the scan stage
+    is a few CASE/round expressions, partial aggregation collapses it
+    map-side anyway, and the exchange was pure overhead — measured 0.53
+    -> 0.35 s at sf0.1 for agg_storage_stats. Default stays True: uuid/
+    path-producing consumers still amortize 3 sha2/row across cores."""
+    loaded = load_table(spark, sf_dir, "lineitem")
+    li = (
+        _spread_keyed(loaded, "l_orderkey", (sf_dir, "lineitem"))
+        if spread
+        else loaded
+    )
     job_uuid = _typed_uuid("107", F.col("l_orderkey"))
     ext = (
         F.when(F.col("l_partkey") % 4 == 0, "bam")
