@@ -587,13 +587,16 @@ def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     additional filters without changing the shape.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # keep-lowest-doc_id per content hash as a combiner min_by groupBy
+    # (r14, guide §2.5 — result-identical to the oracle's row_number()=1:
+    # doc_id is unique, so the argmin is the same row): partial
+    # aggregation collapses duplicate classes map-side with no sort, and
+    # a mega-duplicate-class can never funnel into one window task (the
+    # same hot-key argument as the L9 n_members join-back).
     kept = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("r"))
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
     )
     t = kept.select("doc_id", "text", F.split("text", " ").alias("w"))
     feat = t.select(
@@ -1455,16 +1458,21 @@ def llm_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curate_full(docs: DataFrame) -> DataFrame:
     """llm_corpus_curate_full's core over any (doc_id, text, lang) frame
     (fuzz differential in tests/test_fuzz_differential.py)."""
-    from pyspark.sql.window import Window
-
     from .dedup import contamination_pairs, norm_expr
 
-    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    # normalize-dedup as a combiner min_by groupBy — same r14 rewrite and
+    # result-identity argument as llm_corpus_curate's kept stage.
     kept = (
         docs.select("doc_id", "text", "lang", norm_expr().alias("norm"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text", "lang")
+        .groupBy(F.md5("norm").alias("h"))
+        .agg(
+            F.min_by(F.struct("doc_id", "text", "lang"), F.col("doc_id")).alias("r")
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("text"),
+            F.col("r.lang").alias("lang"),
+        )
     )
     contaminated = contamination_pairs(docs).select("doc_id").distinct()
     clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")

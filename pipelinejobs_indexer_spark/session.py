@@ -46,6 +46,16 @@ _RUNTIME_CONFS = {
     # one partition-derived operator (sort_history) is data-bucketed by
     # design.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold (guide §3.1/§9): skips the per-side sorts. Measured
+    # r14 (interleaved min-of-3, sf0.1): join_files_job_provenance 1.33
+    # -> 1.11 s, join_outer_diff 0.95 -> 0.77 s, others neutral. Scale-
+    # safe because this only WIDENS the planner's choice — SHJ is picked
+    # when a side's estimated per-partition build fits (unknown/huge
+    # estimates, e.g. checkpointed RDDs or 100 TB facts, fall back to
+    # SMJ), unlike the r7 forced SHUFFLE_HASH hint that died building a
+    # 4M-spoke hub (see _attach_neighborhood_min's history).
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Arrow for every pandas-UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
