@@ -46,19 +46,19 @@ _RUNTIME_CONFS = {
     # one partition-derived operator (sort_history) is data-bucketed by
     # design.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
-    # Let the planner pick shuffled-hash over sort-merge when its size
-    # conditions hold (guide §3.1/§9): skips the per-side sorts. Measured
-    # r14 (interleaved min-of-3, sf0.1): join_files_job_provenance 1.33
-    # -> 1.11 s, join_outer_diff 0.95 -> 0.77 s, others neutral. Scale-
-    # safe because this only WIDENS the planner's choice — SHJ is picked
-    # when a side's estimated per-partition build fits (unknown/huge
-    # estimates, e.g. checkpointed RDDs or 100 TB facts, fall back to
-    # SMJ), unlike the r7 forced SHUFFLE_HASH hint that died building a
-    # 4M-spoke hub (see _attach_neighborhood_min's history).
-    "spark.sql.join.preferSortMergeJoin": "false",
     # Arrow for every pandas-UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
+
+
+def _heap_bytes(size: str) -> int:
+    """Parse a JVM size string ('1g', '512m', '8192k', plain bytes)."""
+    s = size.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1:], None)
+    try:
+        return int(float(s[:-1]) * mult) if mult else int(float(s))
+    except ValueError:
+        return 0
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -68,6 +68,33 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    # Prefer shuffled-hash over sort-merge when the planner's size
+    # conditions hold (guide §3.1/§9) — skips the per-side sorts; r14
+    # interleaved A/B at sf0.1: join_files_job_provenance 1.33 -> 1.11 s,
+    # join_outer_diff 0.95 -> 0.77 s, others neutral. GATED on execution
+    # heap: an SHJ build map is unspillable, and on the correctness
+    # driver's bare ~1 GiB-heap session the sf0.1 sweep MEASURABLY died
+    # in UnsafeHashedRelation ("Could not allocate memory to grow
+    # BytesToBytesMap") once AQE-coalesced partitions concentrated builds
+    # — exactly the r7 forced-SHUFFLE_HASH failure mode. Sort-merge
+    # spills and always completes, so small-heap sessions keep Spark's
+    # default. In local mode the executor heap IS the driver heap; on a
+    # real cluster set spark.executor.memory >= 4g (any production
+    # profile) and the preference engages.
+    try:
+        master = spark.conf.get("spark.master", "local")
+        key = (
+            "spark.driver.memory"  # local mode: the driver heap IS the executor
+            if master.startswith("local")
+            else "spark.executor.memory"  # cluster: builds happen on executors
+        )
+        heap = _heap_bytes(spark.conf.get(key, "1g"))
+        spark.conf.set(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if heap >= (4 << 30) else "true",
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -49,7 +49,7 @@ SHOWCASE = {
     "llm_embedding_quantize": "pure projection over the embeddings scan",
     "llm_token_ngram_topk": "explode → partial/final HashAggregate → TakeOrderedAndProject",
     "agg_key_skew_profile": "combiner groupBy + broadcast single-row total + top-k heap",
-    "llm_corpus_curate_full": "full curation DAG: dedup window + df-capped contamination (hot-shingle broadcast prune) + broadcast anti-join + codegen gates, <=9 static exchanges (spreads dedupe to ReusedExchange at runtime)",
+    "llm_corpus_curate_full": "full curation DAG: combiner min_by dedup groupBy (r14; was a window) + df-capped contamination (hot-shingle broadcast prune) + broadcast anti-join + codegen gates, <=9 static exchanges (spreads dedupe to ReusedExchange at runtime)",
     "llm_contamination_check": "df-capped decontamination: combiner df groupBy streamed against BROADCAST eval occurrences (df <= cap filter) -> broadcast eval join; fan-out <= cap by construction, every broadcast eval-sized",
     "win_gapfill_states": "union timeline + one last(ignorenulls) window — no grid×events pair join",
     "llm_similarity_ivf": "inverted-file build is a broadcast centroid-array fold — corpus never shuffles; only candidates reach the top-k window",
@@ -91,7 +91,7 @@ SHOWCASE = {
     "llm_text_tfidf_keywords_join": "the SPARK_GRAFT_TFIDF_DF=join twin: cached tf feeds both join inputs (one scan/explode/agg), df via combiner groupBy + planner join-back — the hot-vocabulary escape hatch, skew-splittable where the window is not",
     "llm_dedup_clusters": "large-star/small-star CC behind checkpoints; n_members via combiner groupBy + join-back (no cluster_id window — a mega-cluster never funnels into one task)",
     "llm_corpus_split": "deterministic 90/5/5 holdout: pure codegen hash-bucket projection, zero shuffle beyond the fixture spread",
-    "llm_dedup_canonical": "component labels broadcast into one scored documents pass + a first_value window per cluster — no corpus-scale shuffle beyond L9's own",
+    "llm_dedup_canonical": "component labels broadcast into one cached scored-documents pass + combiner max_by argmax join-back (r14; was a first_value window) — no corpus-scale shuffle beyond L9's own",
     "llm_embedding_dim_stats": "posexplode → one combiner groupBy on the dimension key: partial agg below the single hash exchange, shuffle O(tasks×dims), all moments on the exact integer grid",
     "llm_dedup_bloom": "snapshot pre-digested to a ≤m-row relational bit-set (one combiner distinct) that BROADCASTS into the k-probe join; batch collapses map-side; the only corpus-scale exchange is the once-per-epoch snapshot distinct",
     "llm_corpus_mix_sample": "distributed prefix sum: range-bucket on the priority key's top bits → combiner groupBy to a sources×16 frame (offsets + budget via tiny windows) → broadcast equi-join back → window WITHIN (source,bucket), 16× the naive per-source parallelism; 2 corpus scans, no nested-loop join",
