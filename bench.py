@@ -119,7 +119,12 @@ def main() -> None:
         try:
             with open("/proc/stat") as fh:
                 parts = fh.readline().split()
-            vals = [int(x) for x in parts[1 : 9 + 1]]
+            # user..steal only (8 fields): guest/guest_nice are already
+            # accounted inside user, so summing them double-counts guest
+            # jiffies and understates the steal fraction (r14 ADVICE —
+            # zero effect on this guest-only sandbox, wrong on a host
+            # running VMs).
+            vals = [int(x) for x in parts[1:9]]
             steal = vals[7] if len(vals) > 7 else None
             total = sum(vals)
         except (OSError, ValueError, IndexError):
@@ -201,6 +206,7 @@ def main() -> None:
     noisy = _noisy()
     full_record = json.dumps(
             {
+                "attempt": int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "1")),
                 "metric": "headline_queries_total_runtime",
                 "machine": machine,
                 "noisy": noisy,
@@ -242,7 +248,6 @@ def main() -> None:
                 ),
             }
     )
-    print(full_record)
     # Compact machine-parsable summary as the LAST line (VERDICT r7 item
     # 1): the driver records only a ~2000-char tail of stdout, and the
     # full record above has outgrown it since r03 (BENCH_r{N}.json
@@ -277,10 +282,112 @@ def main() -> None:
         "noisy": noisy,
         "queries": {n: round(t, 3) for n, t in best.items()},
     }
+    spark.stop()
+
+    # Steal-proof official reading (r15, VERDICT r14 item 2): a sweep that
+    # trips the noise gate (start-load or hypervisor-steal share) cannot
+    # produce a comparable official number — r14 closed without a clean
+    # 32-core artifact because of exactly one such burst. On a tripped
+    # gate, re-run the WHOLE sweep in a fresh process (fresh JVM, so every
+    # attempt pays identical cold-start — the per-sweep timing methodology
+    # is byte-identical) up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 3)
+    # times, and emit the cleanest attempt as the official line. Selection
+    # is by the machine-noise gates only — never by the measured times —
+    # so it introduces no one-sided timing bias; every discarded attempt's
+    # machine block + headline value is kept in "prior_attempts" for
+    # provenance.
+    attempt = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "1"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3"))
+    if noisy and attempt < max_attempts:
+        import subprocess
+
+        print(
+            f"WARNING: sweep attempt {attempt} tripped the noise gate "
+            f"(machine={json.dumps(machine)}); re-running (max "
+            f"{max_attempts} attempts) for a clean official line",
+            file=sys.stderr,
+        )
+        # Let load1 decay before retrying: it is a 1-min EMA, so the
+        # just-finished attempt's own CPU keeps the start-load gate
+        # tripped for ~a minute after the machine is actually idle
+        # (observed: three back-to-back attempts all started at load >4
+        # while nproc showed nothing running). 60 s halves a
+        # self-inflicted load1 of 5 to below the gate.
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_COOLDOWN", "60")))
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ATTEMPT=str(attempt + 1))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        child_lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and len(child_lines) >= 2:
+            child_full = json.loads(child_lines[0])
+            child_summary = json.loads(child_lines[-1])
+            # The child (which may itself have retried) is the official
+            # line unless it is ALSO noisy — then keep whichever attempt
+            # has the lower steal share (both are flagged noisy either
+            # way, so the round's close block still knows).
+            def _steal_share(m: dict) -> float:
+                try:
+                    ds = m["end"]["steal"] - m["start"]["steal"]
+                    dt = m["end"]["cpu_total"] - m["start"]["cpu_total"]
+                    return ds / dt if dt > 0 else 1.0
+                except (KeyError, TypeError):
+                    return 1.0
+
+            def _slim(m: dict, n: bool, v) -> dict:
+                # compact per-attempt provenance for the <=1500-char
+                # summary line; the full record keeps whole machine blocks
+                return {
+                    "noisy": n,
+                    "steal_pct": round(100 * _steal_share(m), 2),
+                    "load1": (m.get("start") or {}).get("load1"),
+                    "value": v,
+                }
+
+            take_child = True
+            if child_summary.get("noisy", True):
+                take_child = _steal_share(
+                    child_summary.get("machine", {})
+                ) < _steal_share(machine)
+            if take_child:
+                mine_full = {
+                    "machine": machine, "noisy": noisy, "value": headline_total
+                }
+                child_full.setdefault("prior_attempts", []).insert(0, mine_full)
+                child_summary.setdefault("prior_attempts", []).insert(
+                    0, _slim(machine, noisy, headline_total)
+                )
+                print(json.dumps(child_full))
+                line = json.dumps(child_summary, separators=(",", ":"))
+                assert len(line) <= 1500, f"summary line {len(line)} > 1500"
+                print(line)
+                return
+            theirs_full = {
+                "machine": child_summary.get("machine"),
+                "noisy": child_summary.get("noisy"),
+                "value": child_summary.get("value"),
+            }
+            full_obj = json.loads(full_record)
+            full_obj.setdefault("prior_attempts", []).append(theirs_full)
+            full_record = json.dumps(full_obj)
+            summary.setdefault("prior_attempts", []).append(
+                _slim(
+                    child_summary.get("machine", {}),
+                    child_summary.get("noisy", True),
+                    child_summary.get("value"),
+                )
+            )
+
+    print(full_record)
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) <= 1500, f"summary line {len(line)} chars > 1500"
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -198,13 +198,25 @@ def _minhash_sig(
     xxhash64) for exact DuckDB-oracle parity; in production swap it —
     plan shape unchanged.
     """
+    # hfp = hf % P computed ONCE per shingle row: the family expressions
+    # each repeated the mod ((hf % P + i*h2) % P), i.e. 16 integer
+    # divisions per row where one suffices — and family 0 reduces to
+    # min(hfp) outright since hfp < P already (r15, guide §2.3 narrower
+    # per-row work; same arithmetic, bit-identical results). Each agg is
+    # ONE F.expr instead of ~8 chained Column ops: the Column-algebra
+    # listcomp alone was ~0.24 s of py4j round trips per query
+    # construction (r15 cProfile; guide §7.3 driver overhead).
     aggs = [
-        F.min((F.col("hf") % MINHASH_P + i * F.col("h2")) % MINHASH_P).alias(f"h{i}")
+        F.expr(
+            f"min((hfp + {i} * h2) % {MINHASH_P})" if i else "min(hfp)"
+        ).alias(f"h{i}")
         for i in range(n_minhash or N_MINHASH)
     ] + [F.count("*").alias("n")]
     if with_sets:
         aggs.append(F.collect_set("hf").alias("hfs"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return (
+        sh.withColumn("hfp", F.col("hf") % MINHASH_P).groupBy("doc_id").agg(*aggs)
+    )
 
 
 def hashed_shingles(docs: DataFrame) -> DataFrame:
@@ -225,16 +237,20 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _band_cols(n_minhash: int | None = None, n_bands: int | None = None):
+def _bands_array(n_minhash: int | None = None, n_bands: int | None = None):
+    """array<struct<b:int, v:string>> of the per-band LSH keys, as ONE
+    F.expr: the per-band struct/md5/concat_ws Column algebra was ~0.12 s
+    of py4j round trips per query construction (r15 cProfile, guide §7.3).
+    Expression-identical to the former per-band F.struct(F.lit, F.md5(
+    F.concat_ws(...))) build — concat_ws applies the same implicit
+    bigint->string casts either way."""
     n_minhash, n_bands = n_minhash or N_MINHASH, n_bands or N_BANDS
     rows = n_minhash // n_bands
-    out = []
+    structs = []
     for b in range(n_bands):
-        parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        out.append(
-            F.struct(F.lit(b).alias("b"), F.md5(F.concat_ws("|", *parts)).alias("v"))
-        )
-    return out
+        cat = ", ".join(f"h{b * rows + r}" for r in range(rows))
+        structs.append(f"named_struct('b', {b}, 'v', md5(concat_ws('|', {cat})))")
+    return F.expr(f"array({', '.join(structs)})")
 
 
 _HASHED_SHINGLES_SQL = f"""
@@ -334,7 +350,7 @@ def minhash_pairs(
     differential in tests/test_fuzz_differential.py)."""
     sig = _minhash_sig(hashed_shingles(docs), with_sets=True, n_minhash=n_minhash).cache()
     bands = sig.select(
-        "doc_id", F.explode(F.array(*_band_cols(n_minhash, n_bands))).alias("bv")
+        "doc_id", F.explode(_bands_array(n_minhash, n_bands)).alias("bv")
     ).select("doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
     a, b = bands.alias("a"), bands.alias("b2")
     cand = (
@@ -1250,7 +1266,14 @@ def connected_components(
             # exchange + checkpoint materialization + count per clusters
             # query (r14; the r13 bench paid ~0.4 s for it at sf0.1, and
             # at 100 TB it is a corpus-pairs-scale shuffle).
-            e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            # Orientation u > v (doc_b as u — r14 ADVICE): the loop's
+            # canonical form from _canon is u > v, so the round-0
+            # convergence probe (count + left-anti vs e) can recognize an
+            # already-converged graph; fed u < v it could never match and
+            # a converged input paid one guaranteed extra CC round.
+            # Results identical either way: round-0 symmetrization erases
+            # edge orientation.
+            e = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
             e_cnt = n_pairs
         else:
             e = iter_checkpoint(
@@ -1831,10 +1854,10 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
 
     batch = sig_all.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
     bands_b = batch.select(
-        "doc_id", F.explode(F.array(*_band_cols())).alias("bv")
+        "doc_id", F.explode(_bands_array()).alias("bv")
     ).select(F.col("doc_id").alias("doc_b"), "bv.b", "bv.v")
     bands_s = snap.select(
-        "doc_id", F.explode(F.array(*_band_cols())).alias("bv")
+        "doc_id", F.explode(_bands_array()).alias("bv")
     ).select(F.col("doc_id").alias("doc_s"), "bv.b", "bv.v")
     cand = bands_b.join(bands_s, ["b", "v"]).select("doc_b", "doc_s").distinct()
     ha = batch.select(

@@ -68,17 +68,23 @@ def join_files_job_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated_by provenance arrays (reactor.py:162-167 sets
     generated_by=[process_uuid] on every indexed record).
 
-    Explode both arrays to process uuids, then equi-join — Catalyst plans a
-    shuffle join on the exploded key; the filter/join pushes through the
-    generate node.
+    Joined on the integer ``job_key`` instead of the exploded 67-char
+    process uuid (r15, guide §2.3 — the same injective-key narrowing the
+    events family landed in r14): both provenance arrays are
+    single-element ``['117' || sha256(orderkey)]`` by construction, so
+    unnest is a 1:1 map and proc equality holds exactly when the integer
+    orderkeys match (sha256 is injective for every input that exists).
+    Same matches, same output columns; the join exchange/sort now carries
+    an 8-byte int instead of a 67-char string, both Generate nodes
+    disappear, and the pruned ``proc`` sha256 is never computed (one
+    fewer sha2 per row on EACH side). The surveyed explode+equi-join
+    provenance shape stays pinned by the salted twin J2b
+    (join_provenance_salted) and the plan test
+    test_filter_pushes_through_explode.
     """
-    f = archive_files(spark, sf_dir).select(
-        "file_uuid", "path", F.explode("generated_by").alias("proc")
-    )
-    j = jobs(spark, sf_dir).select(
-        F.col("uuid"), "state", F.explode("generated_by").alias("proc")
-    )
-    return f.join(j, "proc").select(
+    f = archive_files(spark, sf_dir).select("file_uuid", "path", "job_key")
+    j = jobs(spark, sf_dir).select("uuid", "state", "job_key")
+    return f.join(j, "job_key").select(
         "file_uuid", "path", F.col("uuid").alias("job_uuid"), "state"
     )
 

@@ -61,6 +61,15 @@ def _heap_bytes(size: str) -> int:
         return 0
 
 
+# Sessions whose join-strategy preference has been decided (keyed by
+# applicationId): tune() runs on every load_table call, and re-setting
+# the conf each time would silently clobber an explicit mid-session
+# override (e.g. a test forcing SMJ on a large-heap session) — r14
+# ADVICE. One decision per session, same memoized-per-session pattern
+# as the schema/width caches.
+_smj_pref_appids: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to any session (ours or the driver's)."""
     for k, v in _RUNTIME_CONFS.items():
@@ -80,19 +89,23 @@ def tune(spark: SparkSession) -> SparkSession:
     # spills and always completes, so small-heap sessions keep Spark's
     # default. In local mode the executor heap IS the driver heap; on a
     # real cluster set spark.executor.memory >= 4g (any production
-    # profile) and the preference engages.
+    # profile) and the preference engages. Decided ONCE per
+    # applicationId so later explicit settings stick (r14 ADVICE).
     try:
-        master = spark.conf.get("spark.master", "local")
-        key = (
-            "spark.driver.memory"  # local mode: the driver heap IS the executor
-            if master.startswith("local")
-            else "spark.executor.memory"  # cluster: builds happen on executors
-        )
-        heap = _heap_bytes(spark.conf.get(key, "1g"))
-        spark.conf.set(
-            "spark.sql.join.preferSortMergeJoin",
-            "false" if heap >= (4 << 30) else "true",
-        )
+        app = spark.sparkContext.applicationId
+        if app not in _smj_pref_appids:
+            master = spark.conf.get("spark.master", "local")
+            key = (
+                "spark.driver.memory"  # local mode: the driver heap IS the executor
+                if master.startswith("local")
+                else "spark.executor.memory"  # cluster: builds happen on executors
+            )
+            heap = _heap_bytes(spark.conf.get(key, "1g"))
+            spark.conf.set(
+                "spark.sql.join.preferSortMergeJoin",
+                "false" if heap >= (4 << 30) else "true",
+            )
+            _smj_pref_appids.add(app)
     except Exception:
         pass
     return spark
@@ -109,6 +122,17 @@ def get_spark(app_name: str = "pipelinejobs-indexer-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # PySpark 4 wraps EVERY DataFrame API call with error-context
+        # capture: a Python stack inspection plus two extra py4j round
+        # trips (a conf.get and a PySparkCurrentOrigin.set) per call —
+        # pure driver-side plan-construction overhead (guide §7.3), worth
+        # 25-45% of construct time on the expression-heavy DAGs (r15
+        # measured: pipeline_index_job construct 0.53 -> 0.30 s, minhash
+        # 0.55 -> 0.41 s). Error messages lose only the user call-site
+        # line; results and plans are identical. Static conf, so it must
+        # be set at build time — a cluster spark-submit should pass the
+        # same flag.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # reap superseded reliable-checkpoint files (iter_checkpoint's
         # resilient mode) when their RDDs are GC'd; context-creation conf,
         # so a cluster spark-submit must set it too

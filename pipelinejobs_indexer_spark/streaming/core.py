@@ -77,21 +77,42 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def replay_partitions(sf_dir: str) -> int:
+def _source_bytes(path: str) -> int:
+    """Total bytes of a parquet source: file size, or the file-size sum
+    for a directory-style dataset. ``os.path.getsize`` on a directory
+    returns the inode size (~4 KB), which would classify any corpus-scale
+    directory dataset as 'small' (r14 ADVICE); summing the tree sizes it
+    correctly. Raises OSError for a missing path (callers decide the
+    fallback)."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    return _os.path.getsize(path)
+
+
+def replay_partitions(sf_dir: str, table: str = "events") -> int:
     """Stateful-operator parallelism sized from the source bytes: every
     shuffle partition of a stateful stream carries its own state store
     (checkpoint files, maintenance, per-batch commit), so partitions
     should track state volume — ~64 MB of source per store, floor 1, cap
     session parallelism. A few-MB replay runs 1-2 stores instead of
     paying 32 stores' bookkeeping per micro-batch; a 100 TB backlog
-    keeps every core busy. Mirrors the edge-count sizing in
-    llm/dedup.connected_components."""
-    import os as _os
-
+    keeps every core busy. Sized from the replayed stream's ACTUAL
+    source table (r14 ADVICE — a documents replay was sized from
+    events.parquet), directory-aware via _source_bytes. Mirrors the
+    edge-count sizing in llm/dedup.connected_components."""
     from ..session import default_parallelism
 
     try:
-        b = _os.path.getsize(f"{sf_dir}/events.parquet")
+        b = _source_bytes(f"{sf_dir}/{table}.parquet")
     except OSError:
         return default_parallelism()
     return max(1, min(default_parallelism(), 1 + b // (64 << 20)))
@@ -132,13 +153,17 @@ def state_store_conf(spark: SparkSession):
 
 
 def run_to_batch(
-    stream_df: DataFrame, output_mode: str, sf_dir: str | None = None
+    stream_df: DataFrame,
+    output_mode: str,
+    sf_dir: str | None = None,
+    table: str = "events",
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
     memory sink and return the materialized batch table. When ``sf_dir``
     is given, shuffle partitions (== state-store count, fixed at the
     query's first checkpoint) are scoped to replay_partitions() for the
-    run and restored afterwards.
+    run and restored afterwards; ``table`` names the replayed source so
+    the sizing reads the stream's actual input (r14 ADVICE).
 
     The state-store backend comes from ``CONFIG.state_store``
     (SPARK_GRAFT_STATE_STORE) via :func:`state_store_conf`: the default
@@ -161,7 +186,7 @@ def run_to_batch(
     ckpt = None
     if sf_dir is not None and _os.path.isdir("/dev/shm"):
         try:
-            small = _os.path.getsize(f"{sf_dir}/events.parquet") < (1 << 30)
+            small = _source_bytes(f"{sf_dir}/{table}.parquet") < (1 << 30)
         except OSError:
             small = False
         if small:
@@ -170,7 +195,8 @@ def run_to_batch(
         with state_store_conf(spark):
             if sf_dir is not None:
                 spark.conf.set(
-                    "spark.sql.shuffle.partitions", str(replay_partitions(sf_dir))
+                    "spark.sql.shuffle.partitions",
+                    str(replay_partitions(sf_dir, table)),
                 )
             writer = (
                 stream_df.writeStream.outputMode(output_mode)

@@ -772,4 +772,4 @@ def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return run_to_batch(out, "append", sf_dir)
+    return run_to_batch(out, "append", sf_dir, table="documents")
