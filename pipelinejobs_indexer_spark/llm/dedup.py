@@ -228,11 +228,17 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     between distinct shingles are ~2^-60 — and because the oracle applies
     the identical hash, any collision replays identically there.
     """
-    return shingles(docs).select(
+    # md5 computed ONCE per shingle through an intermediate projection
+    # (r15): the two halves each referenced md5(s) and codegen's
+    # common-subexpression elimination was not collapsing them across the
+    # conv/substr trees — interleaved A/B at sf0.1 shows the one-md5 form
+    # ~8% faster through the signature aggregation. Same bytes, same
+    # halves, bit-identical results.
+    return shingles(docs).select("doc_id", F.md5("s").alias("m")).select(
         "doc_id",
-        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").alias("hf"),
+        F.expr("cast(conv(substr(m, 1, 15), 16, 10) as bigint)").alias("hf"),
         F.expr(
-            f"cast(conv(substr(md5(s), 17, 15), 16, 10) as bigint) % {MINHASH_P}"
+            f"cast(conv(substr(m, 17, 15), 16, 10) as bigint) % {MINHASH_P}"
         ).alias("h2"),
     )
 

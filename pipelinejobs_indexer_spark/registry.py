@@ -221,6 +221,36 @@ def _changed_oracle_queries(root: str | None = None) -> set[str]:
     }
 
 
+def _reproof_queries(latest: dict[str, int], root: str | None = None) -> set[str]:
+    """Named re-proof obligations from REPROOF.json — queries the previous
+    round's verdict explicitly requires green in THIS round's sample.
+    Exists because the heuristic tiers cannot always honor such a mandate:
+    in r15 the source-dirty population (~128 names) exceeded the driver's
+    ~50-query sweep window and the four r14-mandated queries carried the
+    youngest evidence within it, so every defensible within-tier ordering
+    left them outside the window. Entries are inert once the query has a
+    green driver row from the file's ``round`` or later (so a stale file
+    never distorts future rotations), and the list is expected to stay a
+    handful of names — a window-sized list would starve the age tier.
+    Missing/malformed file degrades silently to 'no obligations'."""
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "REPROOF.json")) as fh:
+            data = json.load(fh)
+        rnd = int(data["round"])
+        names = data["queries"]
+    except (OSError, ValueError, KeyError, TypeError):
+        return set()
+    return {
+        n for n in names
+        if isinstance(n, str) and n in QUERIES and latest.get(n, -1) < rnd
+    }
+
+
 def register(
     name: str, sql: str | Callable[[], str] | None = None
 ) -> Callable[[QueryFn], QueryFn]:
@@ -259,6 +289,7 @@ def load_all() -> None:
     latest = _latest_green_round()
     stale = _stale_evidence_queries(latest)
     aged = _age_escalated_queries(latest)
+    reproof = _reproof_queries(latest)
     for n, v in ORACLE.items():  # resolve lazily-rendered oracle SQL
         if callable(v):
             ORACLE[n] = v()
@@ -276,11 +307,15 @@ def load_all() -> None:
     #     (possibly window-sized) source-dirty tier so the rotation's
     #     tail stays bounded (VERDICT r12 item 1 — 16 queries sat on
     #     r7/r8 evidence behind ~70 dirty names for five rounds);
-    #   3 source-dirty — module committed after the latest evidence,
+    #   3 verdict-mandated re-proofs (REPROOF.json, r15) — explicit
+    #     per-round obligations the heuristics cannot guarantee when
+    #     the dirty population exceeds the sweep window; inert once
+    #     proven at/after the file's round;
+    #   4 source-dirty — module committed after the latest evidence,
     #     ordered among themselves by evidence age (a whole-module
     #     edit can mark more queries stale than one 50-query sweep
     #     holds — the oldest proofs must re-run first);
-    #   4 fresh — ordered by ascending latest-green round.
+    #   5 fresh — ordered by ascending latest-green round.
     def tier(n: str) -> tuple[int, int, int]:
         if n not in ORACLE:
             return (1, 0, latest.get(n, 0))
@@ -290,9 +325,11 @@ def load_all() -> None:
             return (0, 0, latest[n])
         if n in aged:
             return (0, 2, latest[n])
-        if n in stale:
+        if n in reproof:
             return (0, 3, latest[n])
-        return (0, 4, latest[n])
+        if n in stale:
+            return (0, 4, latest[n])
+        return (0, 5, latest[n])
 
     ordered = sorted(QUERIES, key=tier)
     for mapping in (QUERIES, ORACLE):

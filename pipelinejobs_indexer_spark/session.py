@@ -69,14 +69,30 @@ def _heap_bytes(size: str) -> int:
 # as the schema/width caches.
 _smj_pref_appids: set[str] = set()
 
+# Sessions already tuned: tune() runs on EVERY load_table / stream
+# construction, and each _RUNTIME_CONFS application is ~10 py4j round
+# trips of pure driver latency (guide §7.3) re-setting values that are
+# already set — session confs persist, and the operators that scope a
+# conf (CC loop, streaming replays) restore it themselves in `finally`.
+# One application per applicationId.
+_tuned_appids: set[str] = set()
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to any session (ours or the driver's)."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    if app is not None and app in _tuned_appids:
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    if app is not None:
+        _tuned_appids.add(app)
     # Prefer shuffled-hash over sort-merge when the planner's size
     # conditions hold (guide §3.1/§9) — skips the per-side sorts; r14
     # interleaved A/B at sf0.1: join_files_job_provenance 1.33 -> 1.11 s,
