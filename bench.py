@@ -284,6 +284,15 @@ def main() -> None:
     }
     spark.stop()
 
+    # Print THIS attempt's record immediately (crash-safe): if a retry
+    # chain below is killed mid-run by an external timeout, stdout's tail
+    # is still a complete, parsable (noisy-flagged) record instead of
+    # nothing.
+    print(full_record)
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 1500, f"summary line {len(line)} chars > 1500"
+    print(line, flush=True)
+
     # Steal-proof official reading (r15, VERDICT r14 item 2): a sweep that
     # trips the noise gate (start-load or hypervisor-steal share) cannot
     # produce a comparable official number — r14 closed without a clean
@@ -291,11 +300,12 @@ def main() -> None:
     # gate, re-run the WHOLE sweep in a fresh process (fresh JVM, so every
     # attempt pays identical cold-start — the per-sweep timing methodology
     # is byte-identical) up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 3)
-    # times, and emit the cleanest attempt as the official line. Selection
-    # is by the machine-noise gates only — never by the measured times —
-    # so it introduces no one-sided timing bias; every discarded attempt's
-    # machine block + headline value is kept in "prior_attempts" for
-    # provenance.
+    # times, re-emit each attempt's output verbatim, and print the
+    # CLEANEST attempt's record (with every attempt's machine block in
+    # "prior_attempts") as the final lines — the official reading is
+    # always the LAST JSON line. Selection is by the machine-noise gates
+    # only — never by the measured times — so it introduces no one-sided
+    # timing bias.
     attempt = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "1"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3"))
     if noisy and attempt < max_attempts:
@@ -322,16 +332,18 @@ def main() -> None:
             text=True,
         )
         sys.stderr.write(proc.stderr)
+        if proc.stdout:
+            sys.stdout.write(proc.stdout)  # attempt provenance, verbatim
+            sys.stdout.flush()
         child_lines = [
             ln for ln in proc.stdout.splitlines() if ln.startswith("{")
         ]
         if proc.returncode == 0 and len(child_lines) >= 2:
-            child_full = json.loads(child_lines[0])
+            # the child's CHOSEN record is always its last two JSON lines
+            # (it applies this same protocol recursively)
+            child_full = json.loads(child_lines[-2])
             child_summary = json.loads(child_lines[-1])
-            # The child (which may itself have retried) is the official
-            # line unless it is ALSO noisy — then keep whichever attempt
-            # has the lower steal share (both are flagged noisy either
-            # way, so the round's close block still knows).
+
             def _steal_share(m: dict) -> float:
                 try:
                     ds = m["end"]["steal"] - m["start"]["steal"]
@@ -350,6 +362,10 @@ def main() -> None:
                     "value": v,
                 }
 
+            # The child (which may itself have retried) is the official
+            # line unless it is ALSO noisy — then keep whichever attempt
+            # has the lower steal share (both are flagged noisy either
+            # way, so the round's close block still knows).
             take_child = True
             if child_summary.get("noisy", True):
                 take_child = _steal_share(
@@ -363,31 +379,27 @@ def main() -> None:
                 child_summary.setdefault("prior_attempts", []).insert(
                     0, _slim(machine, noisy, headline_total)
                 )
-                print(json.dumps(child_full))
-                line = json.dumps(child_summary, separators=(",", ":"))
-                assert len(line) <= 1500, f"summary line {len(line)} > 1500"
-                print(line)
-                return
-            theirs_full = {
-                "machine": child_summary.get("machine"),
-                "noisy": child_summary.get("noisy"),
-                "value": child_summary.get("value"),
-            }
-            full_obj = json.loads(full_record)
-            full_obj.setdefault("prior_attempts", []).append(theirs_full)
-            full_record = json.dumps(full_obj)
-            summary.setdefault("prior_attempts", []).append(
-                _slim(
-                    child_summary.get("machine", {}),
-                    child_summary.get("noisy", True),
-                    child_summary.get("value"),
+                chosen_full, chosen_summary = child_full, child_summary
+            else:
+                theirs_full = {
+                    "machine": child_summary.get("machine"),
+                    "noisy": child_summary.get("noisy"),
+                    "value": child_summary.get("value"),
+                }
+                chosen_full = json.loads(full_record)
+                chosen_full.setdefault("prior_attempts", []).append(theirs_full)
+                chosen_summary = dict(summary)
+                chosen_summary.setdefault("prior_attempts", []).append(
+                    _slim(
+                        child_summary.get("machine", {}),
+                        child_summary.get("noisy", True),
+                        child_summary.get("value"),
+                    )
                 )
-            )
-
-    print(full_record)
-    line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) <= 1500, f"summary line {len(line)} chars > 1500"
-    print(line)
+            print(json.dumps(chosen_full))
+            line = json.dumps(chosen_summary, separators=(",", ":"))
+            assert len(line) <= 1500, f"summary line {len(line)} > 1500"
+            print(line)
 
 
 if __name__ == "__main__":

@@ -243,20 +243,21 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bands_array(n_minhash: int | None = None, n_bands: int | None = None):
-    """array<struct<b:int, v:string>> of the per-band LSH keys, as ONE
-    F.expr: the per-band struct/md5/concat_ws Column algebra was ~0.12 s
-    of py4j round trips per query construction (r15 cProfile, guide §7.3).
-    Expression-identical to the former per-band F.struct(F.lit, F.md5(
-    F.concat_ws(...))) build — concat_ws applies the same implicit
-    bigint->string casts either way."""
+def _bands_inline(n_minhash: int | None = None, n_bands: int | None = None):
+    """The per-band LSH keys exploded straight to (b, v) columns, as ONE
+    ``inline(array(named_struct...))`` F.expr (r15): the per-band
+    struct/md5/concat_ws Column algebra was ~0.12 s of py4j round trips
+    per query construction (guide §7.3), and explode + a flattening
+    projection was two plan nodes where inline is one generator.
+    Expression-identical band values — concat_ws applies the same
+    implicit bigint->string casts the Column form did."""
     n_minhash, n_bands = n_minhash or N_MINHASH, n_bands or N_BANDS
     rows = n_minhash // n_bands
     structs = []
     for b in range(n_bands):
         cat = ", ".join(f"h{b * rows + r}" for r in range(rows))
         structs.append(f"named_struct('b', {b}, 'v', md5(concat_ws('|', {cat})))")
-    return F.expr(f"array({', '.join(structs)})")
+    return F.expr(f"inline(array({', '.join(structs)}))")
 
 
 _HASHED_SHINGLES_SQL = f"""
@@ -355,9 +356,7 @@ def minhash_pairs(
     """llm_dedup_minhash's core over any (doc_id, text) frame (fuzz
     differential in tests/test_fuzz_differential.py)."""
     sig = _minhash_sig(hashed_shingles(docs), with_sets=True, n_minhash=n_minhash).cache()
-    bands = sig.select(
-        "doc_id", F.explode(_bands_array(n_minhash, n_bands)).alias("bv")
-    ).select("doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    bands = sig.select("doc_id", _bands_inline(n_minhash, n_bands))
     a, b = bands.alias("a"), bands.alias("b2")
     cand = (
         a.join(
@@ -1859,12 +1858,8 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     snap = spark.read.parquet(idx_path)
 
     batch = sig_all.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
-    bands_b = batch.select(
-        "doc_id", F.explode(_bands_array()).alias("bv")
-    ).select(F.col("doc_id").alias("doc_b"), "bv.b", "bv.v")
-    bands_s = snap.select(
-        "doc_id", F.explode(_bands_array()).alias("bv")
-    ).select(F.col("doc_id").alias("doc_s"), "bv.b", "bv.v")
+    bands_b = batch.select(F.col("doc_id").alias("doc_b"), _bands_inline())
+    bands_s = snap.select(F.col("doc_id").alias("doc_s"), _bands_inline())
     cand = bands_b.join(bands_s, ["b", "v"]).select("doc_b", "doc_s").distinct()
     ha = batch.select(
         F.col("doc_id").alias("doc_b"), F.col("hfs").alias("ha"), F.col("n").alias("n_b")

@@ -164,16 +164,21 @@ def test_registry_front_loads_source_dirty_queries():
     registry.load_all()
     latest = registry._latest_green_round()
     stale = registry._stale_evidence_queries(latest)
-    # changed-oracle and age-escalated names sit in their own, higher
-    # tiers (contract void r12; bounded-tail age horizon r13) —
-    # excluded from the dirty-vs-fresh ordering claims below entirely
+    # changed-oracle, age-escalated, and verdict-mandated (REPROOF.json,
+    # r15) names sit in their own, higher tiers (contract void r12;
+    # bounded-tail age horizon r13; explicit per-round obligations r15)
+    # — excluded from the dirty-vs-fresh ordering claims below entirely
     changed = registry._changed_oracle_queries()
     aged = registry._age_escalated_queries(latest)
-    stale = stale - changed - aged
+    reproof = registry._reproof_queries(latest)
+    stale = stale - changed - aged - reproof
     names = [
         n
         for n in registry.QUERIES
-        if n in registry.ORACLE and n not in changed and n not in aged
+        if n in registry.ORACLE
+        and n not in changed
+        and n not in aged
+        and n not in reproof
     ]
     positions = {n: i for i, n in enumerate(names)}
     stale_named = [n for n in names if n in stale and n in latest]

@@ -684,3 +684,31 @@ def test_winnow_df_is_combiner_groupby_not_window(spark, sf_dir):
         plan,
     )
     assert anti or ("LeftAnti" in plan and "BroadcastHashJoin" in plan), plan
+
+
+def test_provenance_join_is_int_keyed_no_explode(spark, sf_dir):
+    """J2 (r15): the provenance join runs on the integer job_key — the
+    injective '117'||sha256(orderkey) makes proc equality equivalent to
+    key equality — so the plan must carry NO Generate (explode) node,
+    join on the long key, and never compute the pruned proc sha256."""
+    plan = _formatted_plan(
+        registry.QUERIES["join_files_job_provenance"](spark, sf_dir)
+    )
+    assert "Generate" not in plan, plan
+    assert re.search(r"Join cond.*job_key|\[job_key", plan) or "job_key" in plan, plan
+    # exactly the two output uuid sha2s remain (file_uuid + job uuid);
+    # the per-row '117' proc hash is gone from both sides
+    assert "117" not in plan, plan
+
+
+def test_fixture_builders_are_plan_memoized(spark, sf_dir):
+    """The fixture builders must return the SAME DataFrame handle within
+    one session (the construct-time plan memo, r15) — and distinct
+    variants must not collide."""
+    from pipelinejobs_indexer_spark.tables import archive_files, jobs
+
+    assert jobs(spark, sf_dir) is jobs(spark, sf_dir)
+    assert archive_files(spark, sf_dir) is archive_files(spark, sf_dir)
+    assert archive_files(spark, sf_dir) is not archive_files(
+        spark, sf_dir, spread=False
+    )
