@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.01"
 SHOWCASE = {
     "filter_regex": "single WholeStageCodegen span; ReadSchema pruned to 4 columns",
     "join_job_pipeline": "BroadcastHashJoin — dim side broadcast, fact never shuffles",
-    "join_files_job_provenance": "filter/join pushed through the Generate (explode)",
+    "join_files_job_provenance": "int-keyed provenance join (r15): no Generate, 8-byte join key, proc sha256 pruned on both sides",
     "join_asof_state": "no Join operator at all: union timeline + Window carry-forward",
     "join_range_events_in_run": "equi join on (uuid, time-bucket) with range residual",
     "agg_state_rollup": "partial (map-side) + final HashAggregate, one exchange",
